@@ -1,0 +1,423 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Relational / analytic core.
+  *
+  * Every query is a declarative DataFrame plan (Catalyst picks the physical
+  * strategy); small dimensions are broadcast explicitly, fact-fact joins
+  * shuffle on their keys, and aggregates are map-side-partial by
+  * construction. Outputs are deterministic (unique sort keys) and
+  * double-typed multi-term aggregates are rounded so the DuckDB oracle
+  * hash-matches despite summation-order ulp noise; per-row single IEEE ops
+  * are left exact.
+  */
+object Relational {
+
+  /** Round a multi-term double aggregate (engine summation order differs at
+    * ulp level; rounding collapses that noise).
+    */
+  private def rsum(c: Column, scale: Int): Column = round(sum(c), scale)
+
+  // q01 — TPC-H Q1-shaped pricing summary: scan → filter → groupBy agg.
+  val q01: QueryDef = QueryDef.sql(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 1) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 1) AS sum_charge,
+      |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
+      |  round(sum(l_discount) / count(*), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        rsum(col("l_quantity"), 2).as("sum_qty"),
+        rsum(col("l_extendedprice"), 1).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 1).as("sum_charge"),
+        round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+        round(sum(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // q02 — selective filter + narrow projection; both reach the parquet scan
+  // (PushedFilters + pruned ReadSchema). Raw doubles pass through exact.
+  val q02: QueryDef = QueryDef.sql(
+    "q02_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_quantity >= 47 AND l_discount <= 0.02
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 47 && col("l_discount") <= 0.02)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // q03 — TPC-H Q3 shape: 3-way join, agg, top-N. customer is the small
+  // side (broadcast); orders⨝lineitem shuffles on orderkey.
+  val q03: QueryDef = QueryDef.sql(
+    "q03_join_agg",
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+    broadcast(cust).join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select("l_orderkey", "revenue", "orderdate")
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(20)
+  }
+
+  // q04 — star join: fact orders against broadcast dims customer→nation→region.
+  val q04: QueryDef = QueryDef.sql(
+    "q04_broadcast_join",
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 1) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"), rsum(col("o_totalprice"), 1).as("total_price"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // q05 — TPC-H Q5 shape: 6-table snowflake, revenue by nation where the
+  // supplying and purchasing nations coincide.
+  val q05: QueryDef = QueryDef.sql(
+    "q05_multi_join",
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
+    Tables.customer(s, d)
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  // q06 — TPC-H Q6 shape: predicate-heavy single-pass agg, one output row.
+  val q06: QueryDef = QueryDef.sql(
+    "q06_conditional_agg",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // q07 — top-k per group via row_number (no global sort of the fact).
+  val q07: QueryDef = QueryDef.sql(
+    "q07_window_topn",
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  // q08 — running sum + 7-row moving average per user over event time.
+  // Prefix/frame sums are rounded: window aggregation internals
+  // (streaming accumulate vs segment tree) differ at ulp level.
+  val q08: QueryDef = QueryDef.sql(
+    "q08_window_running",
+    """SELECT user_id, event_id,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS moving_sum
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val ordW = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("running_sum",
+        round(sum("value").over(ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .withColumn("moving_sum",
+        round(sum("value").over(ordW.rowsBetween(-6, Window.currentRow)), 2))
+      .select("user_id", "event_id", "running_sum", "moving_sum")
+      .orderBy("user_id", "event_id")
+  }
+
+  // q09 — multi-distinct aggregation.
+  val q09: QueryDef = QueryDef.sql(
+    "q09_distinct_agg",
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+      |  count(*) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  // q10 — rollup hierarchy agg; NULL subtotal keys labelled 'ALL'.
+  val q10: QueryDef = QueryDef.sql(
+    "q10_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), rsum(col("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  // q11 — semi + anti join: per nation, customers with vs without orders.
+  val q11: QueryDef = QueryDef.sql(
+    "q11_anti_semi_join",
+    """SELECT n_name,
+      |  count(CASE WHEN has_order THEN 1 END) AS with_orders,
+      |  count(CASE WHEN NOT has_order THEN 1 END) AS without_orders
+      |FROM (
+      |  SELECT c_custkey, c_nationkey,
+      |    EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+      |  FROM customer) c
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    val withO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("has_order", lit(true))
+    val withoutO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("has_order", lit(false))
+    withO.unionByName(withoutO)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(when(col("has_order"), 1)).as("with_orders"),
+        count(when(!col("has_order"), 1)).as("without_orders"))
+      .orderBy("n_name")
+  }
+
+  // q12 — exact interpolated percentiles per group. The interpolation
+  // a+(b-a)*f over identical sorted doubles is IEEE-identical in both
+  // engines, so values stay unrounded.
+  val q12: QueryDef = QueryDef.sql(
+    "q12_percentiles",
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.9) AS p90,
+      |  quantile_cont(o_totalprice, 0.99) AS p99
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      .orderBy("o_orderpriority")
+  }
+
+  // q13 — gap-based sessionization (30-min inactivity) via lag + cumsum.
+  val q13: QueryDef = QueryDef.sql(
+    "q13_sessionize",
+    """SELECT user_id, session_idx, min(event_id) AS first_event,
+      |  count(*) AS n_events, round(sum(value), 3) AS session_value
+      |FROM (
+      |  SELECT user_id, event_id, value,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM (
+      |    SELECT user_id, event_id, ts, value,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |        THEN 1 ELSE 0 END AS is_new
+      |    FROM events) x) y
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(min("event_id").as("first_event"), count(lit(1)).as("n_events"),
+        round(sum("value"), 3).as("session_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  // q14 — as-of join: for each 'error' event, the user's most recent
+  // 'click' at-or-before it, via a running last-non-null (no pairwise
+  // range join, scales linearly after one shuffle on user_id).
+  val q14: QueryDef = QueryDef.sql(
+    "q14_asof_join",
+    """SELECT user_id, event_id AS error_id,
+      |  last_click_id, last_click_us
+      |FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+      |  FROM events) t
+      |WHERE event_type = 'error'
+      |ORDER BY user_id, error_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("last_click_id"), col("last_click_us"))
+      .orderBy("user_id", "error_id")
+  }
+
+  // q15 — pivot: day × event_type count matrix (conditional aggregation —
+  // one pass, no per-type scans).
+  val q15: QueryDef = QueryDef.sql(
+    "q15_pivot",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+      |FROM events
+      |GROUP BY strftime(ts, '%Y-%m-%d')
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+    types.foldLeft(pivoted)((df, t) => df.withColumnRenamed(t, s"n_$t"))
+      .orderBy("day")
+  }
+
+  // q16 — JSON field extraction + aggregation over events.props.
+  val q16: QueryDef = QueryDef.sql(
+    "q16_json_extract",
+    """SELECT event_type,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(sum(k).as("sum_k"), max(k).as("max_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  // q17 — range-bucket join: static price bands ⨝ part on containment
+  // (broadcast the tiny band table; at scale this is a broadcast
+  // nested-loop over a constant-size side, i.e. still linear).
+  val q17: QueryDef = QueryDef.sql(
+    "q17_range_join",
+    """SELECT band, count(*) AS n_parts, round(sum(p_retailprice), 2) AS sum_price
+      |FROM part
+      |JOIN (VALUES ('b0', 900.0, 925.0), ('b1', 925.0, 950.0),
+      |             ('b2', 950.0, 975.0), ('b3', 975.0, 1000.0))
+      |  AS bands(band, lo, hi)
+      |  ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY band
+      |ORDER BY band""".stripMargin) { (s, d) =>
+    val bands = s.createDataFrame(Seq(
+      ("b0", 900.0, 925.0), ("b1", 925.0, 950.0),
+      ("b2", 950.0, 975.0), ("b3", 975.0, 1000.0)))
+      .toDF("band", "lo", "hi")
+    Tables.part(s, d)
+      .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parts"), rsum(col("p_retailprice"), 2).as("sum_price"))
+      .orderBy("band")
+  }
+
+  val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
+    q10, q11, q12, q13, q14, q15, q16, q17)
+}
