@@ -2,6 +2,12 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Relational
+import graft.ml.MlPrep
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.multimodal.Binary
+import graft.streaming.Events
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +17,9 @@ import graft.operators.Relational
   */
 object SparkEntry {
 
-  def catalog: Seq[QueryDef] = Relational.all
+  def catalog: Seq[QueryDef] =
+    Relational.all ++ MlPrep.all ++ TextAnalysis.all ++ Dedup.all ++
+      Similarity.all ++ Binary.all ++ Events.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

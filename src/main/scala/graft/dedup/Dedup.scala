@@ -1,0 +1,153 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Deduplication operators for LLM training-data pipelines.
+  *
+  * The scale posture: exact dedup is a hash groupBy (one shuffle on the
+  * content hash); near-dup never materializes the O(n²) pair space — pairs
+  * are generated only inside bounded candidate buckets (shared source /
+  * MinHash LSH bands / SimHash bands), each a shuffle key.
+  */
+object Dedup {
+
+  // q40 — exact dedup via content hash: keep-first per hash group.
+  val q40: QueryDef = QueryDef.sql(
+    "q40_dedup_exact",
+    """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY h""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("h")
+  }
+
+  // q41 — n-gram Jaccard near-dup: candidate pairs share a `source` bucket
+  // (bounded bucket size → bounded pair fan-out), similarity = Jaccard of
+  // distinct char-3-gram sets. Top-50 most similar pairs.
+  val q41: QueryDef = QueryDef.sql(
+    "q41_dedup_ngram_jaccard",
+    """WITH g AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(range(1, length(text) - 1),
+      |      i -> substr(text, CAST(i AS INT), 3))) AS grams
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+      |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      |ORDER BY jaccard DESC, id_a, id_b
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))").as("grams"))
+    val a = g.select(col("doc_id").as("id_a"), col("source").as("src_a"), col("grams").as("grams_a"))
+    val b = g.select(col("doc_id").as("id_b"), col("source").as("src_b"), col("grams").as("grams_b"))
+    a.join(b, col("src_a") === col("src_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b")))).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
+      .limit(50)
+  }
+
+  /** 16 MinHash permutations ((a·h + b) mod p over xxhash64 shingle
+    * hashes), banded 4×4 for LSH bucketing.
+    */
+  private val MinhashPerms = 16
+  private val BandSize = 4
+
+  // q42 — MinHash + LSH candidate pairs (xxhash64 is Spark-specific →
+  // rows-only). Bands are the shuffle key; pairs form only inside a band
+  // bucket.
+  val q42: QueryDef = QueryDef.rowsOnly("q42_dedup_minhash_lsh") { (s, d) =>
+    val prime = 2305843009213693951L // 2^61 - 1
+    val sigExpr = (0 until MinhashPerms).map { j =>
+      val a = 1103515245L + 12345L * j
+      val b = 1013904223L + 7L * j
+      s"array_min(transform(sh, h -> pmod((h & 2147483647L) * ${a}L + ${b}L, ${prime}L)))"
+    }.mkString("array(", ", ", ")")
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, length(text) - 4), i -> xxhash64(substring(text, i, 5))))").as("sh"))
+      .select(col("doc_id"), expr(sigExpr).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(expr((0 until MinhashPerms / BandSize).map(bnd =>
+        s"named_struct('band', $bnd, 'key', xxhash64(concat_ws(',', slice(sig, ${bnd * BandSize + 1}, $BandSize))))")
+        .mkString("array(", ", ", ")"))).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band").as("band_a"), col("key").as("key_a"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band").as("band_b"), col("key").as("key_b"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
+        col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sig_a", "sig_b")
+      .agg(count(lit(1)).as("n_bands"))
+      .select(col("id_a"), col("id_b"), col("n_bands"),
+        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("double")
+          / MinhashPerms).as("est_jaccard"))
+      .orderBy(desc("est_jaccard"), asc("id_a"), asc("id_b"))
+  }
+
+  // q43 — 64-bit SimHash near-dup: per-bit weighted token-hash vote, then
+  // 4×16-bit band blocking for hamming-distance candidates (rows-only:
+  // xxhash64).
+  val q43: QueryDef = QueryDef.rowsOnly("q43_dedup_simhash") { (s, d) =>
+    val toks = "array_distinct(split(trim(text), '\\\\s+'))"
+    val simhashExpr =
+      s"""aggregate(sequence(0, 63), 0L, (acc, b) ->
+         |  acc + CASE WHEN aggregate($toks, 0L,
+         |    (n, t) -> n + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1L ELSE -1L END) >= 0L
+         |  THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+    val banded = sh.select(col("doc_id"), col("simhash"), explode(expr(
+      "transform(sequence(0, 3), b -> named_struct('band', b, 'key', shiftright(simhash, b * 16) & 65535))")).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band").as("band_a"), col("key").as("key_a"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band").as("band_b"), col("key").as("key_b"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .orderBy(asc("hamming"), asc("id_a"), asc("id_b"))
+  }
+
+  // q44 — embedding-cosine near-dup pairs: exact threshold join (the
+  // correctness baseline; the LSH-bucketed scale path is q51/q53). Cosine
+  // rounded to 8 — list-sum association order is engine-internal.
+  val q44: QueryDef = QueryDef.sql(
+    "q44_dedup_embedding",
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_sum(list_transform(range(1, 65),
+      |      i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+      |    / (a.nrm * b.nrm), 8) AS cos_sim
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |ORDER BY cos_sim DESC, id_a, id_b
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr("sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))").as("nrm"))
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")
+          / (col("nrm_a") * col("nrm_b")), 8).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
+      .limit(50)
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44)
+}

@@ -1,0 +1,193 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** The reference's data-prep surface, Spark-first.
+  *
+  * Mirrors gan.ipynb cell 2 (pixel /255 normalization = min-max scaling,
+  * stratified 100-per-class sampling, train/test CSV split) and
+  * dl4jGANComputerVision.java:66,372-400 (batchSizePerWorker mini-batching)
+  * — re-expressed as distributed DataFrame plans: global stats are computed
+  * as one aggregate row and broadcast-cross-joined back (never a
+  * single-partition window over the fact table).
+  */
+object MlPrep {
+
+  // q20 — min-max scaling: one tiny stats row, broadcast back over the fact.
+  // Per-row (x-min)/(max-min) on identical doubles is IEEE-exact in both
+  // engines, so scaled values stay unrounded.
+  val q20: QueryDef = QueryDef.sql(
+    "q20_minmax_scale",
+    """SELECT l_orderkey, l_linenumber,
+      |  (l_quantity - min(l_quantity) OVER ())
+      |    / (max(l_quantity) OVER () - min(l_quantity) OVER ()) AS qty_scaled,
+      |  (l_extendedprice - min(l_extendedprice) OVER ())
+      |    / (max(l_extendedprice) OVER () - min(l_extendedprice) OVER ()) AS price_scaled
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, qty_scaled, price_scaled""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val stats = li.agg(
+      min("l_quantity").as("qmin"), max("l_quantity").as("qmax"),
+      min("l_extendedprice").as("pmin"), max("l_extendedprice").as("pmax"))
+    li.crossJoin(broadcast(stats))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ((col("l_quantity") - col("qmin")) / (col("qmax") - col("qmin"))).as("qty_scaled"),
+        ((col("l_extendedprice") - col("pmin")) / (col("pmax") - col("pmin"))).as("price_scaled"))
+      .orderBy("l_orderkey", "l_linenumber", "qty_scaled", "price_scaled")
+  }
+
+  // q21 — grouped z-score standardization: per-group stats (rounded to kill
+  // engine ulp noise) broadcast back; z itself stays exact.
+  val q21: QueryDef = QueryDef.sql(
+    "q21_standardize",
+    """SELECT event_id, event_type,
+      |  (value - mean_v) / std_v AS z
+      |FROM events
+      |JOIN (
+      |  SELECT event_type AS et, round(avg(value), 6) AS mean_v,
+      |    round(stddev_pop(value), 6) AS std_v
+      |  FROM events GROUP BY event_type) g
+      |ON event_type = et
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy(col("event_type").as("et"))
+      .agg(round(avg("value"), 6).as("mean_v"), round(stddev_pop(col("value")), 6).as("std_v"))
+    ev.join(broadcast(stats), col("event_type") === col("et"))
+      .select(col("event_id"), col("event_type"),
+        ((col("value") - col("mean_v")) / col("std_v")).as("z"))
+      .orderBy("event_id")
+  }
+
+  // q22 — deterministic stratified sample: first n per class by key
+  // [gan.ipynb cell 2 samples 100/class; deterministic analogue].
+  val q22: QueryDef = QueryDef.sql(
+    "q22_stratified_sample",
+    """SELECT vec_id, label, rn FROM (
+      |  SELECT vec_id, label,
+      |    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      |  FROM embeddings) t
+      |WHERE rn <= 10
+      |ORDER BY label, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("label").orderBy("vec_id")
+    Tables.embeddings(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("vec_id", "label", "rn")
+      .orderBy("label", "rn")
+  }
+
+  // q23 — deterministic hash train/test split (~80/20). Knuth
+  // multiplicative hash on the key, engine-portable integer arithmetic.
+  val q23: QueryDef = QueryDef.sql(
+    "q23_train_test_split",
+    """SELECT split, count(*) AS n, round(sum(o_totalprice), 1) AS total
+      |FROM (
+      |  SELECT CASE WHEN ((o_orderkey % 1000003) * 2654435761) % 97 < 78
+      |    THEN 'train' ELSE 'test' END AS split, o_totalprice
+      |  FROM orders) t
+      |GROUP BY split
+      |ORDER BY split""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("split",
+        when(((col("o_orderkey") % 1000003L) * 2654435761L % 97L) < 78, "train")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 1).as("total"))
+      .orderBy("split")
+  }
+
+  // q24 — mini-batch assignment (batchSize=200, java :66). The global
+  // row_number here is the oracle-friendly formulation; at cluster scale
+  // batching is per-partition (see Gan trainer) so no global sort exists.
+  val q24: QueryDef = QueryDef.sql(
+    "q24_batch_index",
+    """SELECT batch_id, count(*) AS n,
+      |  min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+      |FROM (
+      |  SELECT (row_number() OVER (ORDER BY o_orderkey) - 1) // 200 AS batch_id,
+      |    o_orderkey
+      |  FROM orders) t
+      |GROUP BY batch_id
+      |ORDER BY batch_id""".stripMargin) { (s, d) =>
+    val w = Window.orderBy("o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("batch_id", floor((row_number().over(w) - 1) / 200))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("first_key"),
+        max("o_orderkey").as("last_key"))
+      .orderBy("batch_id")
+  }
+
+  // q25 — covariance/correlation stats (PCA precursor; ipynb imports PCA).
+  // Rounding scales chosen per magnitude so engine ulp noise collapses.
+  val q25: QueryDef = QueryDef.sql(
+    "q25_covariance",
+    """SELECT l_returnflag,
+      |  round(covar_pop(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(stddev_pop(l_quantity), 4) AS std_qty,
+      |  round(stddev_pop(l_extendedprice), 2) AS std_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qty_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(stddev_pop(col("l_quantity")), 4).as("std_qty"),
+        round(stddev_pop(col("l_extendedprice")), 2).as("std_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // q26 — confusion matrix of a deterministic rule classifier vs labels
+  // [ipynb cell 6 computes accuracy from argmax==label].
+  val q26: QueryDef = QueryDef.sql(
+    "q26_confusion_matrix",
+    """SELECT label, (vec_id % 10) AS pred, count(*) AS n
+      |FROM embeddings
+      |GROUP BY label, vec_id % 10
+      |ORDER BY label, pred""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .groupBy(col("label"), (col("vec_id") % 10).as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred")
+  }
+
+  // q27 — fixed-width bucketize + per-bucket stats.
+  val q27: QueryDef = QueryDef.sql(
+    "q27_feature_bucketize",
+    """SELECT CAST(floor((p_retailprice - 900.0) / 10.0) AS BIGINT) AS bucket,
+      |  count(*) AS n, min(p_retailprice) AS lo, max(p_retailprice) AS hi,
+      |  round(sum(p_retailprice), 2) AS total
+      |FROM part
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .groupBy(floor((col("p_retailprice") - 900.0) / 10.0).as("bucket"))
+      .agg(count(lit(1)).as("n"), min("p_retailprice").as("lo"),
+        max("p_retailprice").as("hi"), round(sum("p_retailprice"), 2).as("total"))
+      .orderBy("bucket")
+  }
+
+  // q32 — class balance audit: counts + priors (single double division).
+  val q32: QueryDef = QueryDef.sql(
+    "q32_label_distribution",
+    """SELECT label, count(*) AS n,
+      |  CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM embeddings) AS prior
+      |FROM embeddings
+      |GROUP BY label
+      |ORDER BY label""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val total = emb.agg(count(lit(1)).cast("double").as("total"))
+    emb.groupBy("label").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("label"), col("n"), (col("n").cast("double") / col("total")).as("prior"))
+      .orderBy("label")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q32)
+}

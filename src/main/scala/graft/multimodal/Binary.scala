@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryDef, Tables}
+
+/** Multimodal column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, decoded/feature-extracted in batched partition
+  * passes.
+  *
+  * This container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake; the Spark-side plumbing — schema,
+  * binary handling, batch shape, partition-parallel extraction — is real
+  * and is what carries to 100 TB (each partition streams fixed-size
+  * batches through the "decoder", no driver involvement).
+  */
+object Binary {
+
+  // q70 — binary column + typed metadata, fully oracle-checkable: byte
+  // length, sha256, leading-bytes "magic", ascii flag.
+  val q70: QueryDef = QueryDef.sql(
+    "q70_binary_meta",
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  sha256(text) AS sha,
+      |  lower(hex(encode(substr(text, 1, 4)))) AS magic,
+      |  (octet_length(encode(text)) = length(text)) AS is_ascii
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        lower(sha2(encode(col("text"), "UTF-8"), 256)).as("sha"),
+        lower(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("magic"),
+        (octet_length(col("text")) === length(col("text"))).as("is_ascii"))
+      .orderBy("doc_id")
+  }
+
+  /** STUB — stands in for a real media decoder (image resize / audio
+    * frame-sample). Deterministic byte-histogram moments so tests are
+    * stable; a real deployment swaps only this function, the distributed
+    * plumbing around it is unchanged.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Long](8)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) >> 5) += 1
+      i += 1
+    }
+    val n = math.max(payload.length, 1).toDouble
+    hist.map(_ / n)
+  }
+
+  private val DecodeBatchSize = 64
+
+  // q71 — batched partition-parallel feature extraction over the binary
+  // payload (rows-only: decoder output is engine-specific by design).
+  val q71: QueryDef = QueryDef.rowsOnly("q71_decode_features") { (s, d) =>
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        octet_length(col("text")).as("n_bytes"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", IntegerType),
+      StructField("features", ArrayType(DoubleType))))
+    // Batched decode: each partition pulls fixed-size batches through the
+    // stub decoder — mirrors a vectorized media-decode UDF's batch shape.
+    val rows = src.rdd.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getAs[Long]("doc_id"), r.getAs[Int]("n_bytes"), decodeStub(payload))
+        }
+      }
+    }
+    s.createDataFrame(rows, outSchema).orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q70, q71)
+}

@@ -58,11 +58,13 @@ object Relational {
     """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
       |FROM lineitem
       |WHERE l_quantity >= 47 AND l_discount <= 0.02
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount""".stripMargin) { (s, d) =>
+    // (l_orderkey, l_linenumber) is not unique in the data — sort on every
+    // output column so the row order is deterministic across engines.
     Tables.lineitem(s, d)
       .filter(col("l_quantity") >= 47 && col("l_discount") <= 0.02)
       .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
   }
 
   // q03 — TPC-H Q3 shape: 3-way join, agg, top-N. customer is the small

@@ -1,0 +1,162 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Similarity search over the `embeddings` vector column (Array[Float],
+  * 64-d).
+  *
+  * Brute-force cosine is the correctness baseline; the scale paths are
+  * random-hyperplane LSH (q51: hash each vector once, shuffle by bucket)
+  * and IVF (q53: coarse centroids → probe nearest cells → exact rerank) —
+  * both bound candidate generation to bucket-local work instead of the
+  * O(n·q) full scan.
+  *
+  * Cosines are rounded to 8 decimals: the dot-product accumulation order
+  * is engine-internal, identical to well below 1e-8.
+  */
+object Similarity {
+
+  /** Deterministic 64-d query vector: qv[i] = ((i·37) mod 19 − 9)/10. */
+  private val qvSpark = "transform(sequence(1, 64), i -> (CAST((i * 37) % 19 AS DOUBLE) - 9) / 10)"
+  private val qvDuck = "list_transform(range(1, 65), i -> (CAST((i * 37) % 19 AS DOUBLE) - 9) / 10)"
+
+  private def cosToQv: Column =
+    round(
+      expr(s"aggregate(zip_with(embedding, $qvSpark, (x, y) -> cast(x as double) * y), 0D, (acc, x) -> acc + x)") /
+        (expr("sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))") *
+          expr(s"sqrt(aggregate($qvSpark, 0D, (acc, x) -> acc + x * x))")), 8)
+
+  private val cosToQvDuck =
+    s"""round(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * ((CAST((i * 37) % 19 AS DOUBLE) - 9) / 10)))
+       |    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform($qvDuck, x -> x * x)))), 8)""".stripMargin
+
+  // q50 — brute-force cosine top-k against the fixed query vector: one
+  // narrow scan, a per-row codegen'd expression, and a global top-k (no
+  // full sort shuffle at scale — Spark's TakeOrderedAndProject).
+  val q50: QueryDef = QueryDef.sql(
+    "q50_knn_brute",
+    s"""SELECT vec_id, label, $cosToQvDuck AS cos_sim
+       |FROM embeddings
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), cosToQv.as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** 8 deterministic hyperplanes: plane p component i =
+    * ((p·131 + i·17) mod 13) − 6. Bucket = Σ 2^p·[dot_p ≥ 0].
+    */
+  private def bucketSpark(embCol: String): String =
+    "aggregate(sequence(0, 7), 0L, (acc, p) -> acc + CASE WHEN " +
+      s"aggregate(zip_with($embCol, transform(sequence(1, 64), i -> CAST((p * 131 + i * 17) % 13 AS DOUBLE) - 6), " +
+      "(x, h) -> cast(x as double) * h), 0D, (a2, x) -> a2 + x) >= 0D THEN shiftleft(1L, p) ELSE 0L END)"
+
+  private def bucketDuck(embExpr: String): String =
+    "list_sum(list_transform(range(0, 8), p -> CASE WHEN " +
+      s"list_sum(list_transform(range(1, 65), i -> CAST($embExpr[CAST(i AS INT)] AS DOUBLE) * (CAST(((p * 131) + i * 17) % 13 AS DOUBLE) - 6))) >= 0 " +
+      "THEN (1 << p) ELSE 0 END))"
+
+  // q51 — random-hyperplane LSH ANN: vectors sharing the query's bucket,
+  // exact-cosine reranked top-5. The bucket id is computed once per vector
+  // (shuffle key at scale); same deterministic planes in both engines.
+  val q51: QueryDef = QueryDef.sql(
+    "q51_ann_lsh",
+    s"""WITH b AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${bucketDuck("embedding")} AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT ${bucketDuck(qvDuck)} AS qbucket)
+       |SELECT vec_id, label, bucket, $cosToQvDuck AS cos_sim
+       |FROM b, q
+       |WHERE bucket = qbucket
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 5""".stripMargin) { (s, d) =>
+    val withBucket = Tables.embeddings(s, d)
+      .withColumn("bucket", expr(bucketSpark("embedding")))
+    val qBucket = s.range(1)
+      .select(expr(bucketSpark(qvSpark)).as("qbucket"))
+    withBucket.crossJoin(broadcast(qBucket))
+      .filter(col("bucket") === col("qbucket"))
+      .select(col("vec_id"), col("label"), col("bucket"), cosToQv.as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(5)
+  }
+
+  // q52 — k-NN graph: top-3 cosine neighbors per vector. Exact pair join
+  // is the oracle-checkable baseline (the at-scale path blocks pairs with
+  // q51's buckets / q53's cells first).
+  val q52: QueryDef = QueryDef.sql(
+    "q52_knn_self_join",
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT id_a, rn, id_b, cos_sim FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_sum(list_transform(range(1, 65),
+      |        i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+      |      / (a.nrm * b.nrm), 8) AS cos_sim,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY round(list_sum(list_transform(range(1, 65),
+      |          i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+      |        / (a.nrm * b.nrm), 8) DESC, b.vec_id) AS rn
+      |  FROM v a JOIN v b ON a.vec_id <> b.vec_id) t
+      |WHERE rn <= 3
+      |ORDER BY id_a, rn""".stripMargin) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr("sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))").as("nrm"))
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val w = Window.partitionBy("id_a").orderBy(desc("cos_sim"), asc("id_b"))
+    a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")
+          / (col("nrm_a") * col("nrm_b")), 8).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("id_a", "rn", "id_b", "cos_sim")
+      .orderBy("id_a", "rn")
+  }
+
+  // q53 — IVF ANN: coarse cells from a fixed centroid seed set (vec_id <
+  // 16), every vector assigned to its nearest cell, the query probes its 2
+  // nearest cells and exact-reranks members. Centroid set is O(cells) —
+  // broadcast; assignment is one pass over the data.
+  val q53: QueryDef = QueryDef.rowsOnly("q53_ivf_ann") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cent"))
+    def cos(aCol: String, bCol: String): Column =
+      expr(s"aggregate(zip_with($aCol, $bCol, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)") /
+        (expr(s"sqrt(aggregate($aCol, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))") *
+          expr(s"sqrt(aggregate($bCol, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cent_cos"), asc("cell_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell_id"),
+        cos("embedding", "cent").as("cent_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val qv = s.range(1).select(expr(qvSpark).as("qemb"))
+    val probed = cents.crossJoin(broadcast(qv))
+      .select(col("cell_id"), cos("cent", "qemb").as("qcos"))
+      .orderBy(desc("qcos"), asc("cell_id"))
+      .limit(2)
+    assigned.join(broadcast(probed.select("cell_id")), Seq("cell_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"), col("cell_id"),
+        round(cos("embedding", "qemb"), 8).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53)
+}

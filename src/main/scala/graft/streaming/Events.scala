@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.{QueryDef, Tables}
+
+/** Streaming surface over `events`.
+  *
+  * q80 is the tumbling-window aggregation in its batch-equivalent form
+  * (the oracle); `windowedAggStream` is the same plan over a streaming
+  * Dataset with a watermark — the spec drives it through MemoryStream.
+  * q81 is stateful sessionization via flatMapGroupsWithState; its batch
+  * entry runs the identical session-reduction logic per user group.
+  */
+object Events {
+
+  // q80 — tumbling 1-hour window aggregation per event type.
+  val q80: QueryDef = QueryDef.sql(
+    "q80_windowed_agg",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS total
+      |FROM events
+      |GROUP BY date_trunc('hour', ts), event_type
+      |ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** The q80 plan as a true streaming query (watermarked update-mode
+    * windowed agg). Exercised by the streaming spec via MemoryStream.
+    */
+  def windowedAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total"))
+
+  case class Ev(user_id: Long, ts_us: Long, event_id: Long, value: Double)
+  case class Session(user_id: Long, session_idx: Int, first_event: Long,
+      n_events: Long, session_value: Double)
+  case class UserState(sessions: List[Session], lastUs: Long, nextIdx: Int,
+      openFirst: Long, openN: Long, openSum: Double)
+
+  private val GapUs = 1800000000L // 30 min
+
+  /** Session reduction for one user's time-ordered events. */
+  private def reduceSessions(userId: Long, evs: Iterator[Ev]): List[Session] = {
+    val sorted = evs.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var out = List.newBuilder[Session]
+    var idx = 0
+    var first = -1L; var n = 0L; var sum = 0.0; var lastUs = Long.MinValue
+    sorted.foreach { e =>
+      if (first < 0 || e.ts_us - lastUs > GapUs) {
+        if (first >= 0) out += Session(userId, idx, first, n, sum)
+        idx += 1; first = e.event_id; n = 0; sum = 0.0
+      }
+      n += 1; sum += e.value; lastUs = e.ts_us
+    }
+    if (first >= 0) out += Session(userId, idx, first, n, sum)
+    out.result()
+  }
+
+  // q81 — stateful sessionization through the typed groups API (the same
+  // per-group logic the streaming flatMapGroupsWithState path uses).
+  val q81: QueryDef = QueryDef.rowsOnly("q81_stream_sessionize") { (s, d) =>
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroups((uid: Long, it: Iterator[Ev]) => reduceSessions(uid, it))
+      .toDF()
+      .withColumn("session_value", round(col("session_value"), 3))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Streaming sessionization: event-time state machine per user with a
+    * processing-time-free, watermark-driven close. Sessions emit when the
+    * 30-min gap is exceeded by a newly arrived batch (exercised by spec).
+    */
+  def sessionizeStream(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[UserState]) =>
+          val st = state.getOption.getOrElse(UserState(Nil, Long.MinValue, 0, -1L, 0L, 0.0))
+          var (idx, first, n, sum, lastUs) = (st.nextIdx, st.openFirst, st.openN, st.openSum, st.lastUs)
+          val closed = List.newBuilder[Session]
+          batch.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (first < 0 || e.ts_us - lastUs > GapUs) {
+              if (first >= 0) closed += Session(uid, idx, first, n, sum)
+              idx += 1; first = e.event_id; n = 0; sum = 0.0
+            }
+            n += 1; sum += e.value; lastUs = e.ts_us
+          }
+          state.update(UserState(Nil, lastUs, idx, first, n, sum))
+          closed.result().iterator
+      }
+  }
+
+  val all: Seq[QueryDef] = Seq(q80, q81)
+}

@@ -1,0 +1,156 @@
+package graft.text
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators for LLM training-data pipelines over
+  * `documents`. All metrics are pure Catalyst expression trees (no UDFs):
+  * codegen-friendly, and the integer-ratio outputs are IEEE-exact across
+  * engines so the DuckDB oracle hash-matches unrounded.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of `text` (both engines: regex split on \s+). */
+  private val tokensExpr = "split(trim(text), '\\\\s+')"
+
+  // q60 — token counting: whitespace tokens + a BPE-ish regex token count
+  // (letter runs / digit runs / single punctuation).
+  val q60: QueryDef = QueryDef.sql(
+    "q60_token_count",
+    """SELECT doc_id, lang,
+      |  length(text) AS n_char,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tok,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_re_tok
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("n_char"),
+        expr(s"size($tokensExpr)").as("n_ws_tok"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))").as("n_re_tok"))
+      .orderBy("doc_id")
+  }
+
+  // q61 — quality scoring: length, punctuation ratio, stopword ratio, mean
+  // token length, and a keep/drop flag. Ratios are single double divisions
+  // of exact ints — unrounded.
+  val q61: QueryDef = QueryDef.sql(
+    "q61_quality_score",
+    """SELECT doc_id,
+      |  n_char, n_tok,
+      |  CAST(n_punct AS DOUBLE) / n_char AS punct_ratio,
+      |  CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+      |  CAST(n_tok_char AS DOUBLE) / n_tok AS mean_tok_len,
+      |  (n_tok >= 20 AND n_char >= 100 AND n_stop > 0) AS keep
+      |FROM (
+      |  SELECT doc_id, length(text) AS n_char,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+      |    len(regexp_extract_all(text, '[^a-z0-9\s]')) AS n_punct,
+      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      t -> t = 'the' OR t = 'a' OR t = 'value')) AS n_stop,
+      |    list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+      |      t -> length(t))) AS n_tok_char
+      |  FROM documents) m
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).as("n_char"),
+        expr(s"size($tokensExpr)").as("n_tok"),
+        expr("size(regexp_extract_all(text, '[^a-z0-9\\\\s]', 0))").as("n_punct"),
+        expr(s"size(filter($tokensExpr, t -> t = 'the' OR t = 'a' OR t = 'value'))").as("n_stop"),
+        expr(s"aggregate(transform($tokensExpr, t -> length(t)), 0L, (acc, x) -> acc + x)").as("n_tok_char"))
+      .select(col("doc_id"), col("n_char"), col("n_tok"),
+        (col("n_punct").cast("double") / col("n_char")).as("punct_ratio"),
+        (col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
+        (col("n_tok_char").cast("double") / col("n_tok")).as("mean_tok_len"),
+        (col("n_tok") >= 20 && col("n_char") >= 100 && col("n_stop") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // q62 — marker-token language ID: per-language marker-hit scores, argmax
+  // with a fixed tie order, compared against the labelled lang.
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value"),
+    "es" -> Seq("data", "row", "scan"),
+    "de" -> Seq("hash", "sort", "vector"),
+    "fr" -> Seq("order", "merge", "small"),
+    "zh" -> Seq("window", "join", "batch"))
+
+  val q62: QueryDef = {
+    def hitsSqlDuck(ws: Seq[String]) =
+      s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> ${ws.map(w => s"t = '$w'").mkString(" OR ")}))"
+    def hitsSpark(ws: Seq[String]) =
+      s"size(filter($tokensExpr, t -> ${ws.map(w => s"t = '$w'").mkString(" OR ")}))"
+    val duckScores = markers.map { case (l, ws) => s"${hitsSqlDuck(ws)} AS s_$l" }.mkString(",\n      |    ")
+    // argmax with fixed priority en>es>de>fr>zh on ties
+    val caseExpr =
+      """CASE
+        |  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |  WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |  WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |  WHEN s_fr >= s_zh THEN 'fr'
+        |  ELSE 'zh' END""".stripMargin
+    QueryDef.sql(
+      "q62_langid",
+      s"""SELECT doc_id, lang, pred,
+         |  (lang = pred) AS correct, s_en, s_es, s_de, s_fr, s_zh
+         |FROM (
+         |  SELECT *, ($caseExpr) AS pred
+         |  FROM (
+         |    SELECT doc_id, lang, $duckScores
+         |    FROM documents) t) p
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val scored = markers.foldLeft(Tables.documents(s, d)) { case (df, (l, ws)) =>
+        df.withColumn(s"s_$l", expr(hitsSpark(ws)))
+      }
+      scored
+        .withColumn("pred", expr(caseExpr))
+        .withColumn("correct", col("lang") === col("pred"))
+        .select("doc_id", "lang", "pred", "correct", "s_en", "s_es", "s_de", "s_fr", "s_zh")
+        .orderBy("doc_id")
+    }
+  }
+
+  // q64 — top-5 char-3-gram frequencies per language (explode → count →
+  // windowed top-k; the shuffle key is (lang, ngram) so counting is
+  // map-side partial).
+  val q64: QueryDef = QueryDef.sql(
+    "q64_ngram_freq",
+    """SELECT lang, rn, ngram, n FROM (
+      |  SELECT lang, ngram, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram) AS rn
+      |  FROM (
+      |    SELECT lang, ngram, count(*) AS n
+      |    FROM (
+      |      SELECT lang, unnest(list_transform(range(1, length(text) - 1),
+      |        i -> substr(text, CAST(i AS INT), 3))) AS ngram
+      |      FROM documents) u
+      |    GROUP BY lang, ngram) c) r
+      |WHERE rn <= 5
+      |ORDER BY lang, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang").orderBy(desc("n"), asc("ngram"))
+    Tables.documents(s, d)
+      .select(col("lang"),
+        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("ngram"))
+      .groupBy("lang", "ngram")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("lang", "rn", "ngram", "n")
+      .orderBy("lang", "rn")
+  }
+
+  // q63 — rolling polynomial-hash document fingerprint (winnowing-lite:
+  // min window hash). Engine-specific hash → rows-only check.
+  val q63: QueryDef = QueryDef.rowsOnly("q63_fingerprint") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("array_min(transform(sequence(1, greatest(length(text) - 15, 1)), " +
+          "i -> xxhash64(substring(text, i, 16))))").as("fingerprint"),
+        expr("xxhash64(text)").as("full_hash"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64)
+}
