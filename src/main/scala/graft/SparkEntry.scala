@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Relational
-import graft.ml.MlPrep
+import graft.ml.{GanQueries, MlPrep}
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
 import graft.sim.Similarity
@@ -18,8 +18,8 @@ import graft.streaming.Events
 object SparkEntry {
 
   def catalog: Seq[QueryDef] =
-    Relational.all ++ MlPrep.all ++ TextAnalysis.all ++ Dedup.all ++
-      Similarity.all ++ Binary.all ++ Events.all
+    Relational.all ++ MlPrep.all ++ GanQueries.all ++ TextAnalysis.all ++
+      Dedup.all ++ Similarity.all ++ Binary.all ++ Events.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,169 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed GAN trainer: synchronous parameter averaging, Spark-first.
+  *
+  * Re-expresses the adversarial loop of dl4jGANComputerVision.java:408-511
+  * — per minibatch: train the discriminator on real (smoothed label ~1)
+  * and generated (label ~0) samples, then train the generator through the
+  * frozen discriminator with target 1 — with the reference's
+  * ParameterAveragingTrainingMaster (:325-330) mapped onto Spark
+  * primitives: the driver broadcasts the current parameters, every
+  * partition runs local minibatch SGD over its rows, and one
+  * `treeAggregate` (depth 2) produces the example-weighted parameter
+  * average per round. Communication is O(nParams · partitions) per round,
+  * independent of row count — rows stream through executor partitions, so
+  * the same loop holds on a 1000-executor cluster.
+  */
+object Gan {
+
+  final case class Config(
+      dataDim: Int = 64,
+      zDim: Int = 8,
+      hidden: Int = 32,
+      rounds: Int = 4,
+      batchSize: Int = 50,
+      lrD: Double = 0.02,
+      lrG: Double = 0.01,
+      realLabel: Double = 0.95, // label smoothing (reference :405-406)
+      seed: Long = 666L)        // reference's numberOfTheBeast (:75)
+
+  final case class Model(cfg: Config, dParams: Array[Double], gParams: Array[Double]) {
+    @transient lazy val dis = new Mlp2(cfg.dataDim, cfg.hidden, 1, sigmoidOut = true)
+    @transient lazy val gen = new Mlp2(cfg.zDim, cfg.hidden, cfg.dataDim, sigmoidOut = true)
+
+    def disFeatures(x: Array[Double]): Array[Double] = dis.forward(dParams, x)._1
+    def disScore(x: Array[Double]): Double = dis.forward(dParams, x)._2(0)
+    def generate(z: Array[Double]): Array[Double] = gen.forward(gParams, z)._2
+  }
+
+  /** Min-max scale each embedding dimension to [0,1] (the reference's
+    * /255 pixel normalization, gan.ipynb cell 2) — elementwise min/max via
+    * one treeAggregate, then a broadcast rescale pass.
+    */
+  def scaled01(df: DataFrame, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col("vec_id"), col("embedding")).rdd
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val (mins, maxs) = rdd.map(_._2).treeAggregate(
+      (Array.fill(dim)(Double.MaxValue), Array.fill(dim)(Double.MinValue)))(
+      seqOp = { case ((mn, mx), v) =>
+        var i = 0
+        while (i < dim) {
+          if (v(i) < mn(i)) mn(i) = v(i)
+          if (v(i) > mx(i)) mx(i) = v(i)
+          i += 1
+        }
+        (mn, mx)
+      },
+      combOp = { case ((mn1, mx1), (mn2, mx2)) =>
+        var i = 0
+        while (i < dim) {
+          if (mn2(i) < mn1(i)) mn1(i) = mn2(i)
+          if (mx2(i) > mx1(i)) mx1(i) = mx2(i)
+          i += 1
+        }
+        (mn1, mx1)
+      }, depth = 2)
+    val bc = spark.sparkContext.broadcast((mins, maxs))
+    import spark.implicits._
+    rdd.map { case (id, v) =>
+      val (mn, mx) = bc.value
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        val range = mx(i) - mn(i)
+        out(i) = if (range > 0) (v(i) - mn(i)) / range else 0.5
+        i += 1
+      }
+      (id, out)
+    }.toDF("vec_id", "x")
+  }
+
+  /** Train on a (vec_id, x: Array[Double]) DataFrame. */
+  def train(data: DataFrame, cfg: Config = Config()): Model = {
+    val sc = data.sparkSession.sparkContext
+    val dis = new Mlp2(cfg.dataDim, cfg.hidden, 1, sigmoidOut = true)
+    val gen = new Mlp2(cfg.zDim, cfg.hidden, cfg.dataDim, sigmoidOut = true)
+    var dP = dis.init(cfg.seed)
+    var gP = gen.init(cfg.seed + 1)
+    val rdd = data.select("x").rdd.map(_.getSeq[Double](0).toArray).cache()
+
+    for (round <- 0 until cfg.rounds) {
+      val bcD = sc.broadcast(dP)
+      val bcG = sc.broadcast(gP)
+      // Each partition: local adversarial minibatch SGD from the broadcast
+      // params; emit (localD, localG, nBatches) for the weighted average.
+      val (sumD, sumG, n) = rdd.mapPartitionsWithIndex { (pid, it) =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val d = bcD.value.clone()
+          val g = bcG.value.clone()
+          val rng = new java.util.Random(cfg.seed + round * 7919L + pid * 131L)
+          var batches = 0L
+          rows.grouped(cfg.batchSize).foreach { batch =>
+            // --- discriminator step: real→realLabel, fake→(1−realLabel),
+            // interleaved so sequential SGD carries no recency bias toward
+            // either class.
+            batch.foreach { x =>
+              val (h, o) = dis.forward(d, x)
+              dis.backward(d, x, h, Array(o(0) - cfg.realLabel), cfg.lrD, update = true)
+              val z = Array.fill(cfg.zDim)(rng.nextDouble() * 2 - 1)
+              val fake = gen.forward(g, z)._2
+              val (hf, of) = dis.forward(d, fake)
+              dis.backward(d, fake, hf, Array(of(0) - (1.0 - cfg.realLabel)), cfg.lrD, update = true)
+            }
+            // --- generator step through the frozen discriminator, target 1
+            // (one G step per two D samples, like the reference's 2:1
+            // dis:gen data ratio, java :412-421 vs :463-466)
+            batch.zipWithIndex.collect { case (_, i) if i % 2 == 0 => () }.foreach { _ =>
+              val z = Array.fill(cfg.zDim)(rng.nextDouble() * 2 - 1)
+              val (hg, fake) = gen.forward(g, z)
+              val (hd, o) = dis.forward(d, fake)
+              val dx = dis.backward(d, fake, hd, Array(o(0) - 1.0), 0.0, update = false)
+              // chain through the generator's sigmoid output
+              val dOutG = new Array[Double](cfg.dataDim)
+              var i = 0
+              while (i < cfg.dataDim) {
+                dOutG(i) = dx(i) * fake(i) * (1.0 - fake(i))
+                i += 1
+              }
+              gen.backward(g, z, hg, dOutG, cfg.lrG, update = true)
+            }
+            batches += 1
+          }
+          // weight the local params by batches processed
+          var i = 0
+          while (i < d.length) { d(i) *= batches; i += 1 }
+          i = 0
+          while (i < g.length) { g(i) *= batches; i += 1 }
+          Iterator((d, g, batches))
+        }
+      }.treeAggregate((new Array[Double](dis.nParams), new Array[Double](gen.nParams), 0L))(
+        seqOp = { case ((ad, ag, an), (d, g, nb)) => add(ad, d); add(ag, g); (ad, ag, an + nb) },
+        combOp = { case ((ad, ag, an), (bd, bg, bn)) => add(ad, bd); add(ag, bg); (ad, ag, an + bn) },
+        depth = 2)
+      if (n > 0) {
+        dP = sumD.map(_ / n)
+        gP = sumG.map(_ / n)
+      }
+      bcD.destroy(); bcG.destroy()
+    }
+    Model(cfg, dP, gP)
+  }
+
+  private def add(a: Array[Double], b: Array[Double]): Unit = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+  }
+
+  /** Train on the sf `embeddings` table, min-max scaled. */
+  def trainOnEmbeddings(s: SparkSession, dir: String, cfg: Config = Config()): (Model, DataFrame) = {
+    val data = scaled01(Tables.embeddings(s, dir), cfg.dataDim).cache()
+    (train(data, cfg), data)
+  }
+}

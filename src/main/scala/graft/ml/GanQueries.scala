@@ -1,0 +1,91 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.PCA
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** The reference's representation-learning surface as catalog entries
+  * (rows-only: iterative training is not SQL-expressible).
+  */
+object GanQueries {
+
+  // q28 — PCA projection of the embeddings (ipynb imports PCA as the
+  // comparison representation): MLlib PCA = one distributed Gram
+  // aggregation + a broadcast projection pass.
+  val q28: QueryDef = QueryDef.rowsOnly("q28_pca_project") { (s, d) =>
+    val src = Tables.embeddings(s, d)
+      .withColumn("fvec", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new PCA().setInputCol("fvec").setOutputCol("pc").setK(2).fit(src)
+    model.transform(src)
+      .select(col("vec_id"), col("label"),
+        vector_to_array(col("pc")).getItem(0).as("pc1"),
+        vector_to_array(col("pc")).getItem(1).as("pc2"))
+      .orderBy("vec_id")
+  }
+
+  // q29 — distributed param-averaged GAN training; output the
+  // discriminator's learned representation (hidden features + real-score)
+  // per row [java :337-364 uses these features for transfer learning].
+  val q29: QueryDef = QueryDef.rowsOnly("q29_gan_train_features") { (s, d) =>
+    val (model, data) = Gan.trainOnEmbeddings(s, d)
+    val bc = s.sparkContext.broadcast(model)
+    import s.implicits._
+    data.rdd.map { r =>
+      val id = r.getLong(0)
+      val x = r.getSeq[Double](1).toArray
+      (id, bc.value.disFeatures(x), bc.value.disScore(x))
+    }.toDF("vec_id", "features", "d_score").orderBy("vec_id")
+  }
+
+  // q30 — latent linspace-grid generation [java :382-389: numGenSamples²
+  // grid over a 2-d latent manifold; higher z dims pinned to 0].
+  val q30: QueryDef = QueryDef.rowsOnly("q30_gan_generate") { (s, d) =>
+    val (model, _) = Gan.trainOnEmbeddings(s, d)
+    val bc = s.sparkContext.broadcast(model)
+    val nGrid = 10
+    import s.implicits._
+    val grid = for (i <- 0 until nGrid; j <- 0 until nGrid) yield (i, j)
+    s.sparkContext.parallelize(grid, 4).map { case (i, j) =>
+      val z = new Array[Double](bc.value.cfg.zDim)
+      z(0) = -1.0 + 2.0 * i / (nGrid - 1)
+      z(1) = -1.0 + 2.0 * j / (nGrid - 1)
+      val sample = bc.value.generate(z)
+      (i, j, sample, bc.value.disScore(sample))
+    }.toDF("grid_i", "grid_j", "sample", "d_score").orderBy("grid_i", "grid_j")
+  }
+
+  // q31 — transfer learning: frozen discriminator features → multinomial
+  // softmax head (MLlib LogisticRegression), deterministic hash split,
+  // per-row predictions + split accuracy [java :337-364, ipynb cell 6].
+  val q31: QueryDef = QueryDef.rowsOnly("q31_transfer_classify") { (s, d) =>
+    val (model, data) = Gan.trainOnEmbeddings(s, d)
+    val bc = s.sparkContext.broadcast(model)
+    import s.implicits._
+    val feats = data.rdd.map { r =>
+      val id = r.getLong(0)
+      (id, bc.value.disFeatures(r.getSeq[Double](1).toArray))
+    }.toDF("vec_id", "features")
+    val labeled = feats
+      .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+      .withColumn("fvec", array_to_vector(col("features")))
+      .withColumn("split",
+        when((col("vec_id") % 1000003L * 2654435761L % 97L) < 78, "train").otherwise("test"))
+    val lr = new LogisticRegression()
+      .setFeaturesCol("fvec").setLabelCol("label")
+      .setFamily("multinomial").setMaxIter(30).setRegParam(0.01)
+    val fitted = lr.fit(labeled.filter(col("split") === "train"))
+    val pred = fitted.transform(labeled)
+      .select(col("vec_id"), col("label"), col("split"),
+        col("prediction").cast("int").as("prediction"))
+      .withColumn("correct", (col("label") === col("prediction")).cast("int"))
+    val acc = pred.groupBy("split")
+      .agg((sum("correct") / count(lit(1))).as("split_accuracy"))
+    pred.join(broadcast(acc), "split")
+      .select("vec_id", "label", "split", "prediction", "correct", "split_accuracy")
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31)
+}

@@ -1,0 +1,42 @@
+package graft
+
+class CatalogSpec extends SparkSpec {
+
+  test("catalog names are unique and oracle keys are query keys") {
+    val names = SparkEntry.catalog.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every catalog query runs and returns rows at sf0.001") {
+    val failures = SparkEntry.catalog.flatMap { q =>
+      try {
+        val n = q.fn(spark, sfDir).count()
+        if (n > 0) None else Some(s"${q.name}: 0 rows")
+      } catch {
+        case e: Throwable => Some(s"${q.name}: ${e.getMessage.take(120)}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("q01 golden invariants") {
+    val rows = operators.Relational.q01.fn(spark, sfDir).collect()
+    assert(rows.length > 0)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("l_shipdate") <= "2000-12-01")
+    assert(total == li.count())
+  }
+
+  test("q40 exact dedup covers every document exactly once") {
+    val out = dedup.Dedup.q40.fn(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val copies = out.agg(sum("n_copies")).head.getLong(0)
+    assert(copies == Tables.documents(spark, sfDir).count())
+  }
+}

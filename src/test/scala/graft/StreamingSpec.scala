@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Events
+import graft.streaming.Events.{Ev, Session}
+
+class StreamingSpec extends SparkSpec {
+
+  test("windowedAggStream produces the batch-equivalent windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Events.windowedAggStream(df).writeStream
+      .format("memory").queryName("win_agg").outputMode(OutputMode.Update).start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("win_agg").collect()
+      .map(r => (r.getAs[Timestamp]("win_start").toString, r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("total"))).toSet
+    assert(out == Set(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+  }
+
+  test("sessionizeStream closes sessions across batches on the 30-min gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = Events.sessionizeStream(mem.toDS()).writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Append).start()
+    val h = 3600000000L // 1h in us
+    mem.addData(Ev(1L, 0L, 10L, 1.0), Ev(1L, 60000000L, 11L, 2.0))        // session 1
+    q.processAllAvailable()
+    mem.addData(Ev(1L, 3 * h, 12L, 4.0))                                  // gap > 30min → closes s1
+    q.processAllAvailable()
+    mem.addData(Ev(1L, 7 * h, 13L, 8.0))                                  // closes s2
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions").as[Session].collect().sortBy(_.session_idx)
+    assert(sessions.length == 2)
+    assert(sessions(0) == Session(1L, 1, 10L, 2, 3.0))
+    assert(sessions(1) == Session(1L, 2, 12L, 1, 4.0))
+  }
+
+  test("batch q81 agrees with SQL-windowed q13 session counts") {
+    val typed = Events.q81.fn(spark, sfDir)
+    val sqlw = operators.Relational.q13.fn(spark, sfDir)
+    assert(typed.count() == sqlw.count())
+    val a = typed.select("user_id", "first_event", "n_events").collect().toSet
+    val b = sqlw.select("user_id", "first_event", "n_events").collect().toSet
+    assert(a == b)
+  }
+}
