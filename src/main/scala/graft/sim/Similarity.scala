@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.functions.VectorExprs
 
 /** Similarity search over the `embeddings` vector column (Array[Float],
   * 64-d).
@@ -24,10 +25,7 @@ object Similarity {
   private val qvDuck = "list_transform(range(1, 65), i -> (CAST((i * 37) % 19 AS DOUBLE) - 9) / 10)"
 
   private def cosToQv: Column =
-    round(
-      expr(s"aggregate(zip_with(embedding, $qvSpark, (x, y) -> cast(x as double) * y), 0D, (acc, x) -> acc + x)") /
-        (expr("sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))") *
-          expr(s"sqrt(aggregate($qvSpark, 0D, (acc, x) -> acc + x * x))")), 8)
+    round(VectorExprs.cosineSim(col("embedding"), expr(qvSpark)), 8)
 
   private val cosToQvDuck =
     s"""round(list_sum(list_transform(range(1, 65),
@@ -110,16 +108,13 @@ object Similarity {
       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id) t
       |WHERE rn <= 3
       |ORDER BY id_a, rn""".stripMargin) { (s, d) =>
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        expr("sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))").as("nrm"))
-    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     val w = Window.partitionBy("id_a").orderBy(desc("cos_sim"), asc("id_b"))
     a.join(b, col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)")
-          / (col("nrm_a") * col("nrm_b")), 8).as("cos_sim"))
+        round(VectorExprs.cosineSim(col("emb_a"), col("emb_b")), 8).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("id_a", "rn", "id_b", "cos_sim")
@@ -135,9 +130,7 @@ object Similarity {
     val cents = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell_id"), col("embedding").as("cent"))
     def cos(aCol: String, bCol: String): Column =
-      expr(s"aggregate(zip_with($aCol, $bCol, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)") /
-        (expr(s"sqrt(aggregate($aCol, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))") *
-          expr(s"sqrt(aggregate($bCol, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))"))
+      VectorExprs.cosineSim(col(aCol), col(bCol))
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("cent_cos"), asc("cell_id"))
     val assigned = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("embedding"), col("cell_id"),

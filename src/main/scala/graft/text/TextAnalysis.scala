@@ -132,7 +132,7 @@ object TextAnalysis {
     val w = Window.partitionBy("lang").orderBy(desc("n"), asc("ngram"))
     Tables.documents(s, d)
       .select(col("lang"),
-        explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("ngram"))
+        explode(graft.functions.VectorExprs.charNgrams(col("text"), 3)).as("ngram"))
       .groupBy("lang", "ngram")
       .agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(w))
