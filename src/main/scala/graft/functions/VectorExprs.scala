@@ -54,21 +54,22 @@ object VectorExprs {
 /** Cosine similarity between two numeric arrays; whole-stage-codegen
   * friendly (single fused loop, no allocation).
   */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _ => false
+  /** float/double arrays pass through untouched (no per-row array copy on
+    * the hot path); anything else is implicitly cast to array<double>.
+    */
+  override def inputTypes: Seq[DataType] =
+    Seq(left, right).map(_.dataType match {
+      case t @ ArrayType(FloatType | DoubleType, _) => t
+      case _ => ArrayType(DoubleType)
     })
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects array<float|double> inputs, got ${left.dataType}, ${right.dataType}")
-  }
 
   private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
     case FloatType => a.getFloat(i).toDouble

@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CharNgrams, CosineSim, JaccardSim, MinHashSig, SimHash64}
+
+/** SQL-name registration of graft's native expressions.
+  *
+  * Either build the session with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`, or
+  * call [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, (info, builder)) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
+  private[plans] val builders: Seq[(String, (ExpressionInfo, Seq[Expression] => Expression))] = Seq(
+    "cosine_sim" -> (info("cosine_sim", "cosine similarity of two numeric arrays"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    "jaccard_sim" -> (info("jaccard_sim", "Jaccard similarity of two string arrays"),
+      (args: Seq[Expression]) => JaccardSim(args(0), args(1))),
+    "char_ngrams" -> (info("char_ngrams", "all character n-grams of a string"),
+      (args: Seq[Expression]) => CharNgrams(args(0), intLit(args(1)))),
+    "simhash64" -> (info("simhash64", "64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    "minhash_sig" -> (info("minhash_sig", "MinHash signature of a string"),
+      (args: Seq[Expression]) => MinHashSig(args(0), intLit(args(1)), intLit(args(2)))))
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  /** Imperative registration for sessions built without the extensions
+    * config (e.g. a driver-owned session).
+    */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, (i, b)) =>
+      GraftBridge.registerFunction(spark, name, i, b)
+    }
+}

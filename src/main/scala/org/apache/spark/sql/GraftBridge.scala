@@ -12,4 +12,17 @@ import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, Expression
 object GraftBridge {
   def column(e: Expression): Column = Column(ExpressionColumnNode(e))
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a SQL function on a live session (the imperative counterpart
+    * of `SparkSessionExtensions.injectFunction`, for sessions built
+    * without `spark.sql.extensions`).
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+import graft.ml.{Gan, ModelIO}
+import graft.plans.GraftExtensions
+import graft.sources.MatrixSource
+
+class FunctionsSpec extends SparkSpec {
+
+  test("CosineSim matches the HOF formulation and handles float×double") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f, 2.0f), Array(0.5, 0.5, 1.0))).toDF("a", "b")
+    val native = df.select(VectorExprs.cosineSim(col("a"), col("b"))).head.getDouble(0)
+    val hof = df.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> cast(x as double) * y), 0D, (acc, x) -> acc + x)") /
+        (expr("sqrt(aggregate(a, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))") *
+          expr("sqrt(aggregate(b, 0D, (acc, x) -> acc + x * x))"))).head.getDouble(0)
+    assert(math.abs(native - hof) < 1e-15)
+    assert(math.abs(native - 2.5 / (math.sqrt(5.0) * math.sqrt(1.5))) < 1e-15)
+  }
+
+  test("JaccardSim is set-based") {
+    import spark.implicits._
+    val df = Seq((Array("a", "b", "c"), Array("b", "c", "d"))).toDF("a", "b")
+    val j = df.select(VectorExprs.jaccardSim(col("a"), col("b"))).head.getDouble(0)
+    assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("CharNgrams produces sliding n-grams") {
+    import spark.implicits._
+    val out = Seq("abcde").toDF("t")
+      .select(VectorExprs.charNgrams(col("t"), 3)).head.getSeq[String](0)
+    assert(out == Seq("abc", "bcd", "cde"))
+  }
+
+  test("SQL registration exposes the native functions") {
+    GraftExtensions.register(spark)
+    val cos = spark.sql("SELECT cosine_sim(array(1.0, 0.0), array(1.0, 0.0)) c").head.getDouble(0)
+    assert(cos == 1.0)
+    val grams = spark.sql("SELECT char_ngrams('abcd', 2) g").head.getSeq[String](0)
+    assert(grams == Seq("ab", "bc", "cd"))
+    assert(spark.sql("SELECT simhash64(array('x','y')) s").head.getLong(0) != 0L)
+    assert(spark.sql("SELECT minhash_sig('hello world!', 5, 16) m").head.getSeq[Long](0).size == 16)
+  }
+
+  test("csv matrix roundtrip (reference's mnist csv interchange)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val df = Seq((Array(0.1, 0.2, 0.3), 1.0), (Array(0.4, 0.5, 0.6), 0.0))
+      .toDF("features", "label")
+    MatrixSource.writeCsvMatrix(df, 3, s"$dir/m.csv")
+    val back = MatrixSource.readCsvMatrix(spark, s"$dir/m.csv", 3)
+      .collect().map(r => (r.getSeq[Double](0), r.getDouble(1))).sortBy(_._2)
+    assert(back.toSeq == Seq((Seq(0.4, 0.5, 0.6), 0.0), (Seq(0.1, 0.2, 0.3), 1.0)))
+  }
+
+  test("model save/load roundtrip preserves generation") {
+    val (model, _) = Gan.trainOnEmbeddings(spark, sfDir, Gan.Config(rounds = 1))
+    val path = java.nio.file.Files.createTempDirectory("graft-model").toString + "/gan.bin"
+    ModelIO.save(model, path)
+    val loaded = ModelIO.load(path)
+    assert(loaded.dParams.toSeq == model.dParams.toSeq)
+    val z = Array.fill(model.cfg.zDim)(0.3)
+    assert(loaded.generate(z).toSeq == model.generate(z).toSeq)
+  }
+}
