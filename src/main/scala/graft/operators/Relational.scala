@@ -420,6 +420,54 @@ object Relational {
       .orderBy("band")
   }
 
+  // q18 — set operations: customers who ordered in both years (INTERSECT),
+  // only-1997 (EXCEPT), either (UNION) — as per-nation counts.
+  val q18: QueryDef = QueryDef.sql(
+    "q18_set_ops",
+    """WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |y98 AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+      |SELECT 'both' AS cohort, count(*) AS n FROM (SELECT * FROM y97 INTERSECT SELECT * FROM y98) t
+      |UNION ALL
+      |SELECT 'only97' AS cohort, count(*) AS n FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y98) t
+      |UNION ALL
+      |SELECT 'either' AS cohort, count(*) AS n FROM (SELECT * FROM y97 UNION SELECT * FROM y98) t
+      |ORDER BY cohort""".stripMargin) { (s, d) =>
+    def year(y: Int) = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(s"$y-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01 00:00:00").cast("timestamp"))
+      .select("o_custkey").distinct()
+    val (y97, y98) = (year(1997), year(1998))
+    val rows = Seq(
+      ("both", y97.intersect(y98)),
+      ("only97", y97.except(y98)),
+      ("either", y97.union(y98).distinct()))
+    rows.map { case (name, df) => df.agg(count(lit(1)).as("n")).select(lit(name).as("cohort"), col("n")) }
+      .reduce(_.unionByName(_))
+      .orderBy("cohort")
+  }
+
+  // q19 — ranking-window family: rank / dense_rank / lead / ntile over
+  // supplier balances per nation.
+  val q19: QueryDef = QueryDef.sql(
+    "q19_rank_lead",
+    """SELECT s_nationkey, s_suppkey, s_acctbal,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  lead(s_suppkey, 1) OVER w AS next_supp,
+      |  ntile(4) OVER w AS quartile
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+      |ORDER BY s_nationkey, rnk, s_suppkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("s_nationkey").orderBy(desc("s_acctbal"), asc("s_suppkey"))
+    Tables.supplier(s, d)
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+        lead("s_suppkey", 1).over(w).as("next_supp"), ntile(4).over(w).as("quartile"))
+      .orderBy("s_nationkey", "rnk", "s_suppkey")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
 }
