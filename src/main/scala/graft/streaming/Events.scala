@@ -108,5 +108,12 @@ object Events {
       }
   }
 
+  /** Stream-static enrichment: a streaming event feed joined to a static
+    * (broadcast) dimension — the standard shape for attaching reference
+    * data to a stream without state.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   val all: Seq[QueryDef] = Seq(q80, q81)
 }

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.ScaleJoins
+import graft.streaming.Events
+
+class ScaleJoinsSpec extends SparkSpec {
+
+  test("saltedJoin equals the plain join on a skewed key") {
+    import spark.implicits._
+    // 90% of the big side lands on one hot key
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 42L, i)).toDF("k", "v")
+    val small = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "d"), (4L, "e"), (5L, "f"), (6L, "g")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+    val salted = ScaleJoins.saltedJoin(big, small, "k", salt = 8).select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.collect().toSet == plain.collect().toSet)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    ScaleJoins.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    ScaleJoins.writeBucketed(ord, "b_orders", "l_orderkey", 8)
+    val joined = ScaleJoins.bucketedJoin(spark, "b_lineitem", "b_orders", "l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("stream-static enrichment joins a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val dim = Seq(("click", 1), ("view", 2)).toDF("event_type", "weight")
+    val q = Events.enrichStream(stream, dim, "event_type").writeStream
+      .format("memory").queryName("enriched").outputMode(OutputMode.Append).start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), "error", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched")
+      .select("event_type", "weight").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSet
+    assert(rows == Set(("click", 1), ("error", -1)))
+  }
+}
