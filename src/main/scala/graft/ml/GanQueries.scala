@@ -74,7 +74,7 @@ object GanQueries {
         when((col("vec_id") % 1000003L * 2654435761L % 97L) < 78, "train").otherwise("test"))
     val lr = new LogisticRegression()
       .setFeaturesCol("fvec").setLabelCol("label")
-      .setFamily("multinomial").setMaxIter(30).setRegParam(0.01)
+      .setFamily("multinomial").setMaxIter(15).setRegParam(0.01)
     val fitted = lr.fit(labeled.filter(col("split") === "train"))
     val pred = fitted.transform(labeled)
       .select(col("vec_id"), col("label"), col("split"),
@@ -87,5 +87,20 @@ object GanQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31)
+  // q33 — distributed KMeans clustering (MLlib) over the embeddings: the
+  // trained-centroid coarse quantizer behind a production IVF index
+  // (q53 uses fixed seeds; this is the learned variant).
+  val q33: QueryDef = QueryDef.rowsOnly("q33_kmeans_cluster") { (s, d) =>
+    val src = Tables.embeddings(s, d)
+      .withColumn("fvec", array_to_vector(col("embedding").cast("array<double>")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(16).setSeed(666L).setMaxIter(10).setFeaturesCol("fvec")
+    val model = km.fit(src)
+    model.transform(src)
+      .groupBy(col("prediction").as("cluster"))
+      .agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
+      .orderBy("cluster")
+  }
+
+  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q33)
 }

@@ -152,5 +152,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64)
+  // q65 — TF-IDF: top-3 terms per document. Term stats are a shuffle on
+  // the term key (map-side partial counts); doc-frequency joins back on
+  // term. ln() of identical doubles differs only at ulp across libm
+  // implementations — round(…,6) collapses it, and ordering uses the
+  // rounded score with a term tiebreak.
+  val q65: QueryDef = QueryDef.sql(
+    "q65_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, rn, term, tfidf FROM (
+      |  SELECT doc_id, term,
+      |    round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY round(tf * ln((n + 1.0) / (df + 1.0)), 6) DESC, term) AS rn
+      |  FROM tf JOIN df USING (term) CROSS JOIN n) t
+      |WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "rn", "term", "tfidf")
+      .orderBy("doc_id", "rn")
+  }
+
+  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65)
 }
