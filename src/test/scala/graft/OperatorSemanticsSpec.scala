@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+class OperatorSemanticsSpec extends SparkSpec {
+
+  test("q50 top-1 really is the max-cosine row (brute recheck)") {
+    val top = sim.Similarity.q50.fn(spark, sfDir).collect()
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        VectorExprs.cosineSim(col("embedding"),
+          expr("transform(sequence(1, 64), i -> (CAST((i * 37) % 19 AS DOUBLE) - 9) / 10)")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val bestBrute = all.maxBy(_._2)
+    assert(top.head.getAs[Long]("vec_id") == bestBrute._1)
+    assert(math.abs(top.head.getAs[Double]("cos_sim") - bestBrute._2) < 1e-7)
+    // descending and within [-1, 1]
+    val sims = top.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("q23 split fractions approximate 78/97") {
+    val rows = ml.MlPrep.q23.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n")).toMap
+    val frac = rows("train").toDouble / (rows("train") + rows("test"))
+    assert(math.abs(frac - 78.0 / 97.0) < 0.05, s"train fraction $frac")
+  }
+
+  test("q62 pred is the argmax of the marker scores") {
+    val rows = text.TextAnalysis.q62.fn(spark, sfDir).collect()
+    rows.foreach { r =>
+      val scores = Map(
+        "en" -> r.getAs[Int]("s_en"), "es" -> r.getAs[Int]("s_es"),
+        "de" -> r.getAs[Int]("s_de"), "fr" -> r.getAs[Int]("s_fr"),
+        "zh" -> r.getAs[Int]("s_zh"))
+      val best = scores.values.max
+      assert(scores(r.getAs[String]("pred")) == best,
+        s"doc ${r.getAs[Long]("doc_id")}: pred not argmax")
+    }
+  }
+
+  test("q42 minhash estimates stay in [0,1] with ordered pairs") {
+    val rows = dedup.Dedup.q42.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      val e = r.getAs[Double]("est_jaccard")
+      assert(e >= 0.0 && e <= 1.0)
+    }
+  }
+
+  test("q44 exact near-dup pairs match a driver-side brute force") {
+    val out = dedup.Dedup.q44.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cos_sim")))
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val brute = (for (i <- ids; j <- ids if i < j) yield {
+      val c = math.rint(cos(vecs(i), vecs(j)) * 1e8) / 1e8
+      (i, j, c)
+    }).sortBy(t => (-t._3, t._1, t._2)).take(out.length)
+    assert(out.map(t => (t._1, t._2)).toSet == brute.map(t => (t._1, t._2)).toSet)
+  }
+}
