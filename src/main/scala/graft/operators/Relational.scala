@@ -468,6 +468,19 @@ object Relational {
       .orderBy("s_nationkey", "rnk", "s_suppkey")
   }
 
+  // q90 — sketch aggregates for 100 TB cardinality work: HyperLogLog++
+  // distinct counts and quantile sketches (approximate by design →
+  // rows-only; exact counterparts are q09/q12).
+  val q90: QueryDef = QueryDef.rowsOnly("q90_approx_sketches") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90)
 }

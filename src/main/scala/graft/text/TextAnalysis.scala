@@ -188,5 +188,28 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
-  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65)
+  // q66 — text normalization/scrubbing (the PII-scrub shape: pattern
+  // removal + whitespace collapse, verified via content hash + length
+  // deltas). Pure regexp expression tree, one pass per row.
+  val q66: QueryDef = QueryDef.sql(
+    "q66_normalize_text",
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(text, '\b(the|a|value)\b', '', 'g'),
+      |    '\s+', ' ', 'g'))) AS clean_hash,
+      |  length(text) AS n_before,
+      |  length(trim(regexp_replace(regexp_replace(text, '\b(the|a|value)\b', '', 'g'),
+      |    '\s+', ' ', 'g'))) AS n_after
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val cleaned = trim(regexp_replace(
+      regexp_replace(col("text"), "\\b(the|a|value)\\b", ""), "\\s+", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(cleaned).as("clean_hash"),
+        length(col("text")).as("n_before"),
+        length(cleaned).as("n_after"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66)
 }
