@@ -24,6 +24,9 @@ object VectorExprs {
   /** cosine(a, b) over numeric arrays → double. */
   def cosineSim(a: Column, b: Column): Column = toColumn(CosineSim(ex(a), ex(b)))
 
+  /** dot(a, b) over numeric arrays → double (left-to-right accumulation). */
+  def dotProduct(a: Column, b: Column): Column = toColumn(DotProduct(ex(a), ex(b)))
+
   /** Jaccard similarity of two string arrays (treated as sets). */
   def jaccardSim(a: Column, b: Column): Column = toColumn(JaccardSim(ex(a), ex(b)))
 
@@ -121,6 +124,64 @@ case class CosineSim(left: Expression, right: Expression)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product of two numeric arrays, left-to-right accumulation;
+  * whole-stage-codegen friendly like [[CosineSim]].
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def inputTypes: Seq[DataType] =
+    Seq(left, right).map(_.dataType match {
+      case t @ ArrayType(FloatType | DoubleType, _) => t
+      case _ => ArrayType(DoubleType)
+    })
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left), elemType(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val x = ta match { case FloatType => a.getFloat(i).toDouble; case _ => a.getDouble(i) }
+      val y = tb match { case FloatType => b.getFloat(i).toDouble; case _ => b.getDouble(i) }
+      dot += x * y
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(t: DataType, arr: String, i: String): String = t match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
+    val (ta, tb) = (elemType(left), elemType(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (${getter(ta, a, i)}) * (${getter(tb, b, i)});
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
 

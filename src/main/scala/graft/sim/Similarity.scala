@@ -20,12 +20,18 @@ import graft.functions.VectorExprs
   */
 object Similarity {
 
-  /** Deterministic 64-d query vector: qv[i] = ((i·37) mod 19 − 9)/10. */
-  private val qvSpark = "transform(sequence(1, 64), i -> (CAST((i * 37) % 19 AS DOUBLE) - 9) / 10)"
+  /** Deterministic 64-d query vector: qv[i] = ((i·37) mod 19 − 9)/10.
+    * Built as a plain literal (not a HOF expression) so projections using
+    * it stay inside whole-stage codegen — an interpreted `transform(...)`
+    * in the same Project would evict the whole stage from codegen.
+    */
+  private val qvArray: Array[Double] =
+    Array.tabulate(64)(i0 => (((i0 + 1) * 37) % 19 - 9) / 10.0)
+  private def qvLit: Column = typedlit(qvArray)
   private val qvDuck = "list_transform(range(1, 65), i -> (CAST((i * 37) % 19 AS DOUBLE) - 9) / 10)"
 
   private def cosToQv: Column =
-    round(VectorExprs.cosineSim(col("embedding"), expr(qvSpark)), 8)
+    round(VectorExprs.cosineSim(col("embedding"), qvLit), 8)
 
   private val cosToQvDuck =
     s"""round(list_sum(list_transform(range(1, 65),
@@ -50,11 +56,28 @@ object Similarity {
 
   /** 8 deterministic hyperplanes: plane p component i =
     * ((p·131 + i·17) mod 13) − 6. Bucket = Σ 2^p·[dot_p ≥ 0].
+    * Planes are literals + codegen'd DotProduct, so bucketing runs as one
+    * whole-stage-codegen projection per vector.
     */
-  private def bucketSpark(embCol: String): String =
-    "aggregate(sequence(0, 7), 0L, (acc, p) -> acc + CASE WHEN " +
-      s"aggregate(zip_with($embCol, transform(sequence(1, 64), i -> CAST((p * 131 + i * 17) % 13 AS DOUBLE) - 6), " +
-      "(x, h) -> cast(x as double) * h), 0D, (a2, x) -> a2 + x) >= 0D THEN shiftleft(1L, p) ELSE 0L END)"
+  private def plane(p: Int): Array[Double] =
+    Array.tabulate(64)(i0 => ((p * 131 + (i0 + 1) * 17) % 13 - 6).toDouble)
+
+  private def bucketCol(emb: Column): Column =
+    (0 until 8).map { p =>
+      when(VectorExprs.dotProduct(emb, typedlit(plane(p))) >= 0D, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** The query vector's bucket, computed driver-side with the identical
+    * left-to-right double arithmetic.
+    */
+  private def qvBucket: Long =
+    (0 until 8).map { p =>
+      val pl = plane(p)
+      var dot = 0.0
+      var i = 0
+      while (i < 64) { dot += qvArray(i) * pl(i); i += 1 }
+      if (dot >= 0) 1L << p else 0L
+    }.sum
 
   private def bucketDuck(embExpr: String): String =
     "list_sum(list_transform(range(0, 8), p -> CASE WHEN " +
@@ -76,12 +99,9 @@ object Similarity {
        |WHERE bucket = qbucket
        |ORDER BY cos_sim DESC, vec_id
        |LIMIT 5""".stripMargin) { (s, d) =>
-    val withBucket = Tables.embeddings(s, d)
-      .withColumn("bucket", expr(bucketSpark("embedding")))
-    val qBucket = s.range(1)
-      .select(expr(bucketSpark(qvSpark)).as("qbucket"))
-    withBucket.crossJoin(broadcast(qBucket))
-      .filter(col("bucket") === col("qbucket"))
+    Tables.embeddings(s, d)
+      .withColumn("bucket", bucketCol(col("embedding")))
+      .filter(col("bucket") === qvBucket)
       .select(col("vec_id"), col("label"), col("bucket"), cosToQv.as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(5)
@@ -138,7 +158,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .drop("rn")
-    val qv = s.range(1).select(expr(qvSpark).as("qemb"))
+    val qv = s.range(1).select(qvLit.as("qemb"))
     val probed = cents.crossJoin(broadcast(qv))
       .select(col("cell_id"), cos("cent", "qemb").as("qcos"))
       .orderBy(desc("qcos"), asc("cell_id"))
