@@ -1,0 +1,35 @@
+package graft
+
+/** Plan-shape regression guards: the physical plans that matter at scale
+  * must keep their shape (pushdown reaching the scan, broadcast star
+  * joins, top-k without a global sort).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02 pushes both predicates into the parquet scan") {
+    val plan = planOf("q02_filter_project")
+    // (the simple plan string truncates long PushedFilters lists)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_discount), " +
+      "GreaterThanOrEqual(l_quantity,47.0)"), s"missing pushed filters in:\n$plan")
+    assert(!plan.contains("l_shipdate"), "projection should prune unused columns")
+  }
+
+  test("q05 snowflake joins broadcast the dimensions") {
+    val plan = planOf("q05_multi_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts in:\n$plan")
+  }
+
+  test("q50 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q50_knn_brute")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$plan")
+  }
+
+  test("q01 aggregates partially before the exchange") {
+    val plan = planOf("q01_pricing_summary")
+    assert(plan.contains("partial_sum"), s"no map-side partial aggregation in:\n$plan")
+  }
+}
