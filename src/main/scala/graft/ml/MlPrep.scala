@@ -67,7 +67,7 @@ object MlPrep {
     "q22_stratified_sample",
     """SELECT vec_id, label, rn FROM (
       |  SELECT vec_id, label,
-      |    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      |    CAST(row_number() OVER (PARTITION BY label ORDER BY vec_id) AS INTEGER) AS rn
       |  FROM embeddings) t
       |WHERE rn <= 10
       |ORDER BY label, rn""".stripMargin) { (s, d) =>

@@ -22,7 +22,7 @@ object Binary {
   val q70: QueryDef = QueryDef.sql(
     "q70_binary_meta",
     """SELECT doc_id,
-      |  octet_length(encode(text)) AS n_bytes,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
       |  sha256(text) AS sha,
       |  lower(hex(encode(substr(text, 1, 4)))) AS magic,
       |  (octet_length(encode(text)) = length(text)) AS is_ascii

@@ -171,8 +171,8 @@ object Relational {
     "q07_window_topn",
     """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
       |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-      |    row_number() OVER (PARTITION BY o_orderpriority
-      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
       |  FROM orders) t
       |WHERE rn <= 3
       |ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
@@ -301,8 +301,8 @@ object Relational {
       |  count(*) AS n_events, round(sum(value), 3) AS session_value
       |FROM (
       |  SELECT user_id, event_id, value,
-      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       |  FROM (
       |    SELECT user_id, event_id, ts, value,
       |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -383,7 +383,7 @@ object Relational {
   val q16: QueryDef = QueryDef.sql(
     "q16_json_extract",
     """SELECT event_type,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
       |  count(*) AS n
       |FROM events
@@ -453,10 +453,10 @@ object Relational {
   val q19: QueryDef = QueryDef.sql(
     "q19_rank_lead",
     """SELECT s_nationkey, s_suppkey, s_acctbal,
-      |  rank() OVER w AS rnk,
-      |  dense_rank() OVER w AS drnk,
+      |  CAST(rank() OVER w AS INTEGER) AS rnk,
+      |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
       |  lead(s_suppkey, 1) OVER w AS next_supp,
-      |  ntile(4) OVER w AS quartile
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
       |FROM supplier
       |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
       |ORDER BY s_nationkey, rnk, s_suppkey""".stripMargin) { (s, d) =>

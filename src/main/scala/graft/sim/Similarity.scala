@@ -91,7 +91,7 @@ object Similarity {
     "q51_ann_lsh",
     s"""WITH b AS (
        |  SELECT vec_id, label, embedding,
-       |    ${bucketDuck("embedding")} AS bucket
+       |    CAST(${bucketDuck("embedding")} AS BIGINT) AS bucket
        |  FROM embeddings),
        |q AS (SELECT ${bucketDuck(qvDuck)} AS qbucket)
        |SELECT vec_id, label, bucket, $cosToQvDuck AS cos_sim
@@ -121,10 +121,10 @@ object Similarity {
       |    round(list_sum(list_transform(range(1, 65),
       |        i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
       |      / (a.nrm * b.nrm), 8) AS cos_sim,
-      |    row_number() OVER (PARTITION BY a.vec_id
+      |    CAST(row_number() OVER (PARTITION BY a.vec_id
       |      ORDER BY round(list_sum(list_transform(range(1, 65),
       |          i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
-      |        / (a.nrm * b.nrm), 8) DESC, b.vec_id) AS rn
+      |        / (a.nrm * b.nrm), 8) DESC, b.vec_id) AS INTEGER) AS rn
       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id) t
       |WHERE rn <= 3
       |ORDER BY id_a, rn""".stripMargin) { (s, d) =>

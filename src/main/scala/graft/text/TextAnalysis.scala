@@ -19,9 +19,9 @@ object TextAnalysis {
   val q60: QueryDef = QueryDef.sql(
     "q60_token_count",
     """SELECT doc_id, lang,
-      |  length(text) AS n_char,
-      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tok,
-      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_re_tok
+      |  CAST(length(text) AS INTEGER) AS n_char,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws_tok,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_re_tok
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
@@ -38,7 +38,7 @@ object TextAnalysis {
   val q61: QueryDef = QueryDef.sql(
     "q61_quality_score",
     """SELECT doc_id,
-      |  n_char, n_tok,
+      |  CAST(n_char AS INTEGER) AS n_char, CAST(n_tok AS INTEGER) AS n_tok,
       |  CAST(n_punct AS DOUBLE) / n_char AS punct_ratio,
       |  CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
       |  CAST(n_tok_char AS DOUBLE) / n_tok AS mean_tok_len,
@@ -79,7 +79,7 @@ object TextAnalysis {
 
   val q62: QueryDef = {
     def hitsSqlDuck(ws: Seq[String]) =
-      s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> ${ws.map(w => s"t = '$w'").mkString(" OR ")}))"
+      s"CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> ${ws.map(w => s"t = '$w'").mkString(" OR ")})) AS INTEGER)"
     def hitsSpark(ws: Seq[String]) =
       s"size(filter($tokensExpr, t -> ${ws.map(w => s"t = '$w'").mkString(" OR ")}))"
     val duckScores = markers.map { case (l, ws) => s"${hitsSqlDuck(ws)} AS s_$l" }.mkString(",\n      |    ")
@@ -119,7 +119,7 @@ object TextAnalysis {
     "q64_ngram_freq",
     """SELECT lang, rn, ngram, n FROM (
       |  SELECT lang, ngram, n,
-      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram) AS rn
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram) AS INTEGER) AS rn
       |  FROM (
       |    SELECT lang, ngram, count(*) AS n
       |    FROM (
@@ -168,8 +168,8 @@ object TextAnalysis {
       |SELECT doc_id, rn, term, tfidf FROM (
       |  SELECT doc_id, term,
       |    round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf,
-      |    row_number() OVER (PARTITION BY doc_id
-      |      ORDER BY round(tf * ln((n + 1.0) / (df + 1.0)), 6) DESC, term) AS rn
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY round(tf * ln((n + 1.0) / (df + 1.0)), 6) DESC, term) AS INTEGER) AS rn
       |  FROM tf JOIN df USING (term) CROSS JOIN n) t
       |WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
@@ -196,9 +196,9 @@ object TextAnalysis {
     """SELECT doc_id,
       |  md5(trim(regexp_replace(regexp_replace(text, '\b(the|a|value)\b', '', 'g'),
       |    '\s+', ' ', 'g'))) AS clean_hash,
-      |  length(text) AS n_before,
-      |  length(trim(regexp_replace(regexp_replace(text, '\b(the|a|value)\b', '', 'g'),
-      |    '\s+', ' ', 'g'))) AS n_after
+      |  CAST(length(text) AS INTEGER) AS n_before,
+      |  CAST(length(trim(regexp_replace(regexp_replace(text, '\b(the|a|value)\b', '', 'g'),
+      |    '\s+', ' ', 'g'))) AS INTEGER) AS n_after
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val cleaned = trim(regexp_replace(

@@ -60,6 +60,11 @@ def main():
             print(f"FAIL {name}: columns {list(got.columns)} != {list(expect.columns)}")
             n_bad += 1
             continue
+        dt_mismatch = [
+            (c, str(got[c].dtype), str(expect[c].dtype))
+            for c in got.columns if str(got[c].dtype) != str(expect[c].dtype)]
+        if dt_mismatch:
+            print(f"WARN {name}: dtypes differ: {dt_mismatch}")
         if len(got) != len(expect):
             print(f"FAIL {name}: rows {len(got)} != {len(expect)}")
             n_bad += 1
