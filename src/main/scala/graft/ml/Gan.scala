@@ -120,7 +120,7 @@ object Gan {
             // --- generator step through the frozen discriminator, target 1
             // (one G step per two D samples, like the reference's 2:1
             // dis:gen data ratio, java :412-421 vs :463-466)
-            batch.zipWithIndex.collect { case (_, i) if i % 2 == 0 => () }.foreach { _ =>
+            for (_ <- 0 until (batch.length + 1) / 2) {
               val z = Array.fill(cfg.zDim)(rng.nextDouble() * 2 - 1)
               val (hg, fake) = gen.forward(g, z)
               val (hd, o) = dis.forward(d, fake)
