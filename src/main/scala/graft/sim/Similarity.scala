@@ -128,16 +128,56 @@ object Similarity {
       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id) t
       |WHERE rn <= 3
       |ORDER BY id_a, rn""".stripMargin) { (s, d) =>
-    val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    val w = Window.partitionBy("id_a").orderBy(desc("cos_sim"), asc("id_b"))
-    a.join(b, col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(VectorExprs.cosineSim(col("emb_a"), col("emb_b")), 8).as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select("id_a", "rn", "id_b", "cos_sim")
+    // Exact all-pairs kNN needs one side resident per task — the same
+    // memory posture as Spark's broadcast join, expressed as a tight
+    // per-partition kernel (one fused O(n·d) loop per query vector, no
+    // per-pair array materialization). At 100 TB vector counts the exact
+    // graph is replaced by q51 (LSH) / q53 (IVF) candidate blocking.
+    import s.implicits._
+    val k = 3
+    val vecs = Tables.embeddings(s, d).select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        var nrm = 0.0
+        var i = 0
+        while (i < v.length) { nrm += v(i).toDouble * v(i).toDouble; i += 1 }
+        (r.getLong(0), v, math.sqrt(nrm))
+      }
+      .sortBy(_._1)
+    val bc = s.sparkContext.broadcast(vecs)
+    // Spark's round(double, 8): BigDecimal.valueOf + HALF_UP — replicate
+    // exactly so the result hash-matches the expression-based formulation.
+    def r8(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+    s.sparkContext.parallelize(vecs.indices, math.min(32, vecs.length))
+      .flatMap { ai =>
+        val all = bc.value
+        val (idA, va, na) = all(ai)
+        // top-k by (cos desc, id_b asc) via insertion into a k-slot buffer
+        val bestId = new Array[Long](k)
+        val bestCos = Array.fill(k)(Double.NegativeInfinity)
+        var bi = 0
+        while (bi < all.length) {
+          if (bi != ai) {
+            val (idB, vb, nb) = all(bi)
+            var dot = 0.0
+            var i = 0
+            while (i < va.length) { dot += va(i).toDouble * vb(i).toDouble; i += 1 }
+            val c = r8(dot / (na * nb))
+            var pos = k
+            while (pos > 0 && (c > bestCos(pos - 1) ||
+                (c == bestCos(pos - 1) && idB < bestId(pos - 1)))) pos -= 1
+            if (pos < k) {
+              var m = k - 1
+              while (m > pos) { bestCos(m) = bestCos(m - 1); bestId(m) = bestId(m - 1); m -= 1 }
+              bestCos(pos) = c; bestId(pos) = idB
+            }
+          }
+          bi += 1
+        }
+        (0 until math.min(k, all.length - 1)).map(rn => (idA, rn + 1, bestId(rn), bestCos(rn)))
+      }
+      .toDF("id_a", "rn", "id_b", "cos_sim")
       .orderBy("id_a", "rn")
   }
 
