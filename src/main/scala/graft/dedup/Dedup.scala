@@ -66,11 +66,13 @@ object Dedup {
       .limit(50)
   }
 
-  /** 16 MinHash permutations ((a·h + b) mod p over xxhash64 shingle
-    * hashes), banded 4×4 for LSH bucketing.
+  /** 16 MinHash permutations ((a·h + b) mod p over FNV shingle hashes),
+    * banded 2×8 for LSH bucketing — the (1/b)^(1/r) ≈ 0.92 similarity
+    * threshold regime standard for LLM near-dup dedup, which also keeps
+    * band-bucket collisions (and the candidate-pair fan-out) tight.
     */
   private val MinhashPerms = 16
-  private val BandSize = 4
+  private val BandSize = 8
 
   // q42 — MinHash + LSH candidate pairs (xxhash64 is Spark-specific →
   // rows-only). Bands are the shuffle key; pairs form only inside a band
