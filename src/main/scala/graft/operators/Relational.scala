@@ -481,6 +481,26 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // q91 — correlated scalar subquery through the spark.sql front-end:
+  // customers above their own nation's average balance. Catalyst
+  // decorrelates this into an aggregate + join; the oracle runs the
+  // dialect-shared SQL verbatim.
+  val q91: QueryDef = {
+    val sqlText =
+      """SELECT n_name, count(*) AS n_above
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT round(avg(c2.c_acctbal), 4)
+        |                   FROM customer c2
+        |                   WHERE c2.c_nationkey = customer.c_nationkey)
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin
+    QueryDef.sql("q91_correlated_subquery", sqlText) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(sqlText)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91)
 }
