@@ -501,6 +501,35 @@ object Relational {
     }
   }
 
+  // q92 — ordered funnel: signup → view → purchase per user, one
+  // conditional-min aggregation pass (no per-step scans), exact µs
+  // integer comparisons.
+  val q92: QueryDef = QueryDef.sql(
+    "q92_funnel",
+    """SELECT
+      |  count(ts_signup) AS n_signup,
+      |  count(CASE WHEN ts_view > ts_signup THEN 1 END) AS n_signup_view,
+      |  count(CASE WHEN ts_purchase > ts_view AND ts_view > ts_signup THEN 1 END) AS n_full_funnel
+      |FROM (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS ts_signup,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS ts_view,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS ts_purchase
+      |  FROM events
+      |  GROUP BY user_id) u""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_us"))).as("ts_signup"),
+        min(when(col("event_type") === "view", col("ts_us"))).as("ts_view"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("ts_purchase"))
+      .agg(
+        count(col("ts_signup")).as("n_signup"),
+        count(when(col("ts_view") > col("ts_signup"), 1)).as("n_signup_view"),
+        count(when(col("ts_purchase") > col("ts_view") && col("ts_view") > col("ts_signup"), 1))
+          .as("n_full_funnel"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92)
 }
