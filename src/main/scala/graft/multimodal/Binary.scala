@@ -78,5 +78,32 @@ object Binary {
     s.createDataFrame(rows, outSchema).orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q70, q71)
+  private val FrameBytes = 64
+  private val FrameStride = 4 // keep every 4th frame
+
+  // q72 — frame sampling over a binary payload: treat the payload as a
+  // sequence of fixed-size frames (video-decode shape), keep every k-th
+  // frame, decode each kept frame through the stub. One row per kept
+  // frame; partition-parallel, no driver involvement.
+  val q72: QueryDef = QueryDef.rowsOnly("q72_frame_sample") { (s, d) =>
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_features", ArrayType(DoubleType))))
+    val rows = src.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val nFrames = payload.length / FrameBytes
+        (0 until nFrames by FrameStride).iterator.map { f =>
+          val frame = java.util.Arrays.copyOfRange(payload, f * FrameBytes, (f + 1) * FrameBytes)
+          Row(r.getAs[Long]("doc_id"), f, decodeStub(frame))
+        }
+      }
+    }
+    s.createDataFrame(rows, outSchema).orderBy("doc_id", "frame_idx")
+  }
+
+  val all: Seq[QueryDef] = Seq(q70, q71, q72)
 }
