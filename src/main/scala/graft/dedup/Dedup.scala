@@ -150,5 +150,53 @@ object Dedup {
       .limit(50)
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44)
+  /** Connected components by iterative min-label propagation over an edge
+    * list — the cluster step that turns near-dup PAIRS into dedup GROUPS
+    * (keep one doc per component). Each iteration is one join + aggregate
+    * (AQE-planned); iterations are bounded by component diameter, which is
+    * tiny for near-dup clusters. No driver-side graph state.
+    */
+  def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
+      maxIters: Int = 10): org.apache.spark.sql.DataFrame = {
+    // undirected edges both ways
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src").withColumnRenamed("label", "src_label"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("src_label").as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old_label"), "id")
+        .filter(col("label") =!= col("old_label")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  // q45 — near-dup clusters: MinHash candidate pairs → connected
+  // components → per-cluster keep-first (the end-to-end LLM dedup
+  // pipeline: signature → candidates → clusters → keep list).
+  val q45: QueryDef = QueryDef.rowsOnly("q45_dedup_clusters") { (s, d) =>
+    val pairs = q42.fn(s, d).select("id_a", "id_b")
+    val labels = connectedComponents(pairs)
+    labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), min("id").as("keep_id"))
+      .orderBy("cluster_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45)
 }
