@@ -530,6 +530,33 @@ object Relational {
           .as("n_full_funnel"))
   }
 
+  // q93 — weekly retention cohorts: users grouped by first-seen week,
+  // counted per active week. Two aggregations (first-seen per user, then
+  // cohort×week distinct users) — both shuffle on bounded keys.
+  val q93: QueryDef = QueryDef.sql(
+    "q93_retention_cohorts",
+    """WITH first_seen AS (
+      |  SELECT user_id, strftime(date_trunc('week', min(ts)), '%Y-%m-%d') AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS active_week
+      |  FROM events)
+      |SELECT cohort_week, active_week, count(*) AS n_users
+      |FROM first_seen JOIN activity USING (user_id)
+      |GROUP BY cohort_week, active_week
+      |ORDER BY cohort_week, active_week""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val firstSeen = ev.groupBy("user_id")
+      .agg(date_format(date_trunc("week", min("ts")), "yyyy-MM-dd").as("cohort_week"))
+    val activity = ev
+      .select(col("user_id"), date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("active_week"))
+      .distinct()
+    firstSeen.join(activity, "user_id")
+      .groupBy("cohort_week", "active_week")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "active_week")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93)
 }
