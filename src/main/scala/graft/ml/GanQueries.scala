@@ -102,5 +102,5 @@ object GanQueries {
       .orderBy("cluster")
   }
 
-  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q33)
+  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q33, VectorAgg.q34)
 }
