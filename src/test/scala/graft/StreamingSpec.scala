@@ -51,6 +51,30 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(1) == Session(1L, 2, 12L, 1, 4.0))
   }
 
+  test("windowed agg drops events later than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Events.windowedAggStream(df).writeStream
+      .format("memory").queryName("late_win").outputMode(OutputMode.Update).start()
+    mem.addData((Timestamp.valueOf("2024-01-01 10:10:00"), "click", 1.0))
+    q.processAllAvailable()
+    // advance event time far past 10:00-11:00 + the 2h watermark
+    mem.addData((Timestamp.valueOf("2024-01-01 20:00:00"), "click", 5.0))
+    q.processAllAvailable()
+    // this event is now > 2h behind the watermark → must be dropped
+    mem.addData((Timestamp.valueOf("2024-01-01 10:20:00"), "click", 100.0))
+    q.processAllAvailable()
+    q.stop()
+    val w10 = spark.table("late_win")
+      .filter(col("win_start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+      .orderBy(desc("n")).collect()
+    assert(w10.nonEmpty)
+    // the late 100.0 never lands in the 10:00 window's total
+    assert(w10.forall(_.getAs[Double]("total") == 1.0))
+  }
+
   test("batch q81 agrees with SQL-windowed q13 session counts") {
     val typed = Events.q81.fn(spark, sfDir)
     val sqlw = operators.Relational.q13.fn(spark, sfDir)
