@@ -66,24 +66,64 @@ object Dedup {
       .limit(50)
   }
 
-  /** 16 MinHash permutations ((a·h + b) mod p over FNV shingle hashes),
-    * banded 2×8 for LSH bucketing — the (1/b)^(1/r) ≈ 0.92 similarity
-    * threshold regime standard for LLM near-dup dedup, which also keeps
-    * band-bucket collisions (and the candidate-pair fan-out) tight.
+  /** 16 MinHash permutations ((a·h + b) mod p over polynomial shingle
+    * hashes), banded 2×8 for LSH bucketing — the (1/b)^(1/r) ≈ 0.92
+    * similarity threshold regime standard for LLM near-dup dedup, which
+    * also keeps band-bucket collisions (and the candidate-pair fan-out)
+    * tight.
     */
   private val MinhashPerms = 16
   private val BandSize = 8
 
-  // q42 — MinHash + LSH candidate pairs (xxhash64 is Spark-specific →
-  // rows-only). Bands are the shuffle key; pairs form only inside a band
-  // bucket.
-  val q42: QueryDef = QueryDef.rowsOnly("q42_dedup_minhash_lsh") { (s, d) =>
+  /** DuckDB replay of [[graft.functions.MinHashSig]] — shingle hashes per
+    * doc, then the 16 affine-permutation minima. Shared by the q42 and q45
+    * oracles.
+    */
+  private val minhashSigDuck =
+    """shs AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(length(text) - 3, 1)),
+      |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(0, 5),
+      |               c -> CAST(unicode(substr(text, CAST(i + c AS INT), 1)) AS BIGINT))),
+      |           (a, b) -> (a * 131 + b) % 1000000007)) AS sh
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 16),
+      |      j -> coalesce(list_min(list_transform(sh,
+      |             h -> ((1103515245 + 12345 * j) * h + 1013904223 + 7 * j) % 2147483647)), 0)) AS sig
+      |  FROM shs),
+      |banded AS (
+      |  SELECT doc_id, sig, t.band AS band,
+      |    array_to_string(list_slice(sig, CAST(t.band * 8 + 1 AS INT), CAST(t.band * 8 + 8 AS INT)), ',') AS key
+      |  FROM sig, (SELECT unnest(range(0, 2)) AS band) t),
+      |cpairs AS (
+      |  SELECT id_a, id_b, count(*) AS n_bands, max(est_jaccard) AS est_jaccard
+      |  FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      CAST(len(list_filter(range(1, 17),
+      |        i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) AS DOUBLE) / 16 AS est_jaccard
+      |    FROM banded a JOIN banded b
+      |      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) p
+      |  GROUP BY id_a, id_b
+      |  ORDER BY est_jaccard DESC, id_a, id_b
+      |  LIMIT 1000)""".stripMargin
+
+  // q42 — MinHash + LSH candidate pairs. Bands are the shuffle key; pairs
+  // form only inside a band bucket. The signature hash is engine-portable
+  // (polynomial over code points — see MinHashSig) and the band key is the
+  // band's value string, so DuckDB replays the whole pipeline exactly.
+  val q42: QueryDef = QueryDef.sql(
+    "q42_dedup_minhash_lsh",
+    s"""WITH $minhashSigDuck
+       |SELECT id_a, id_b, n_bands, est_jaccard FROM cpairs""".stripMargin) { (s, d) =>
     val sig = Tables.documents(s, d)
       .select(col("doc_id"),
         VectorExprs.minHashSig(col("text"), k = 5, nPerm = MinhashPerms).as("sig"))
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(expr((0 until MinhashPerms / BandSize).map(bnd =>
-        s"named_struct('band', $bnd, 'key', xxhash64(concat_ws(',', slice(sig, ${bnd * BandSize + 1}, $BandSize))))")
+        s"named_struct('band', $bnd, 'key', array_join(transform(slice(sig, ${bnd * BandSize + 1}, $BandSize), x -> cast(x as string)), ','))")
         .mkString("array(", ", ", ")"))).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
     val a = banded.select(col("band").as("band_a"), col("key").as("key_a"),
@@ -101,10 +141,51 @@ object Dedup {
       .limit(1000) // top near-dup candidates (bounded output, TakeOrdered)
   }
 
+  /** DuckDB replay of [[graft.functions.SimHash64]]: per-token the four
+    * polynomial hashes, then per-band the 16 vote-packed bits. Band k of
+    * the signature = Σ_j [Σ_tokens ±1 vote of bit j of h_k ≥ 0]·2^j.
+    */
+  private val simhashBandsDuck =
+    """th AS (
+      |  SELECT doc_id,
+      |    list_transform(list_distinct(regexp_split_to_array(trim(text), '\s+')), tok -> [
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(tok) + 1),
+      |        i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), (a, b) -> (a * 131 + b) % 1000000007),
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(tok) + 1),
+      |        i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), (a, b) -> (a * 137 + b) % 998244353),
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(tok) + 1),
+      |        i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), (a, b) -> (a * 139 + b) % 1000000021),
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(tok) + 1),
+      |        i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))), (a, b) -> (a * 149 + b) % 999999937)
+      |    ]) AS th
+      |  FROM documents),
+      |bands AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 4), k ->
+      |      list_sum(list_transform(range(0, 16), j ->
+      |        CASE WHEN coalesce(list_sum(list_transform(th,
+      |            t -> CASE WHEN (t[CAST(k + 1 AS INT)] // (CAST(1 AS BIGINT) << CAST(j AS INT))) % 2 = 1
+      |                 THEN 1 ELSE -1 END)), 0) >= 0
+      |          THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END))) AS bands
+      |  FROM th),
+      |banded AS (
+      |  SELECT doc_id, bands, t.band AS band, bands[CAST(t.band + 1 AS INT)] AS key
+      |  FROM bands, (SELECT unnest(range(0, 4)) AS band) t)""".stripMargin
+
   // q43 — 64-bit SimHash near-dup: per-bit weighted token-hash vote, then
-  // 4×16-bit band blocking for hamming-distance candidates (rows-only:
-  // xxhash64).
-  val q43: QueryDef = QueryDef.rowsOnly("q43_dedup_simhash") { (s, d) =>
+  // 4×16-bit band blocking for hamming-distance candidates. Token hashes
+  // are engine-portable polynomials (see SimHash64), so the DuckDB oracle
+  // rebuilds the band values bit-by-bit and checks the full pipeline.
+  val q43: QueryDef = QueryDef.sql(
+    "q43_dedup_simhash",
+    s"""WITH $simhashBandsDuck
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.bands[1], b.bands[1])) + bit_count(xor(a.bands[2], b.bands[2]))
+       |    + bit_count(xor(a.bands[3], b.bands[3])) + bit_count(xor(a.bands[4], b.bands[4])) AS INTEGER) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |ORDER BY hamming, id_a, id_b
+       |LIMIT 1000""".stripMargin) { (s, d) =>
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
         VectorExprs.simHash64(array_distinct(split(trim(col("text")), "\\s+"))).as("simhash"))
@@ -124,26 +205,79 @@ object Dedup {
       .limit(1000) // top near-dup candidates (bounded output, TakeOrdered)
   }
 
-  // q44 — embedding-cosine near-dup pairs: exact threshold join (the
-  // correctness baseline; the LSH-bucketed scale path is q51/q53). Cosine
-  // rounded to 8 — list-sum association order is engine-internal.
+  /** q44's candidate blocking: a deterministic seed-vector IVF quantizer.
+    * `NCells` seed vectors (lowest vec_ids) define the cells; every vector
+    * multi-assigns to its `MAssign` nearest cells by cosine, and candidate
+    * pairs must share a cell — candidate volume is O(n²·m²/cells) instead
+    * of O(n²), and at 100 TB the cell count grows with n (seeds from a
+    * sample, or q33's trained centroids) so buckets stay bounded. Seeds
+    * are deterministic data rows so the DuckDB oracle replays the EXACT
+    * blocked pipeline — the hash check covers the scale-safe plan itself.
+    */
+  private val NCells = 16
+  private val MAssign = 3
+
+  // q44 — embedding-cosine near-dup pairs, IVF-cell blocked: per-vector
+  // top-m cells come from ONE codegen'd projection against seed literals
+  // (array_sort of (−cos, cell) structs — no window, no crossJoin), pairs
+  // form only inside a cell (the shuffle key), then exact-cosine rerank +
+  // global top-50 (TakeOrderedAndProject). The driver holds only the
+  // O(cells·d) seed matrix — the bounded "centroids on the driver"
+  // posture, never data-proportional rows. Recall vs the exact top-50 is
+  // asserted in OperatorSemanticsSpec. Cosines rounded to 8 — sum
+  // association order is engine-internal.
   val q44: QueryDef = QueryDef.sql(
     "q44_dedup_embedding",
-    """WITH v AS (
+    """WITH seeds AS (
+      |  SELECT vec_id AS cell, embedding AS semb,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS snrm
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |v AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      |  FROM embeddings)
-      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT v.vec_id, s.cell,
+      |    round(list_sum(list_transform(range(1, 65),
+      |        i -> CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(s.semb[CAST(i AS INT)] AS DOUBLE)))
+      |      / (v.nrm * s.snrm), 8) AS c
+      |  FROM v, seeds s),
+      |cells AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cell) AS rn
+      |    FROM scored) t
+      |  WHERE rn <= 3),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      |SELECT c.id_a, c.id_b,
       |  round(list_sum(list_transform(range(1, 65),
       |      i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
       |    / (a.nrm * b.nrm), 8) AS cos_sim
-      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |FROM cand c JOIN v a ON c.id_a = a.vec_id JOIN v b ON c.id_b = b.vec_id
       |ORDER BY cos_sim DESC, id_a, id_b
       |LIMIT 50""".stripMargin) { (s, d) =>
     val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    // O(cells) seed rows on the driver — bounded like a centroid matrix
+    val seeds = v.orderBy("vec_id").limit(NCells).take(NCells)
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    // per-row top-m cells in one codegen'd projection: sort (−cos, cell)
+    // structs ascending, keep the first m
+    val cellsCol = slice(array_sort(array(seeds.map { case (cid, sv) =>
+      struct((-round(VectorExprs.cosineSim(col("embedding"), typedlit(sv)), 8)).as("negc"),
+        lit(cid).as("cell"))
+    }: _*)), 1, MAssign)
+    val cells = v.select(col("vec_id"), explode(cellsCol).as("sc"))
+      .select(col("vec_id"), col("sc.cell").as("cell"))
+    val cand = cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val va = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val vb = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
         round(VectorExprs.cosineSim(col("emb_a"), col("emb_b")), 8).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
@@ -157,7 +291,7 @@ object Dedup {
     * tiny for near-dup clusters. No driver-side graph state.
     */
   def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
-      maxIters: Int = 10): org.apache.spark.sql.DataFrame = {
+      maxIters: Int = 20): org.apache.spark.sql.DataFrame = {
     // undirected edges both ways
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -173,9 +307,12 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src").withColumnRenamed("label", "src_label"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("src_label").as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      var next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
+      // Truncate lineage periodically: without this the plan grows one
+      // join+agg per iteration and deep clusters hit planner/stack limits
+      // long before the data does.
+      next = if ((iter + 1) % 5 == 0) next.localCheckpoint() else next.cache()
       val changed = next.join(labels.withColumnRenamed("label", "old_label"), "id")
         .filter(col("label") =!= col("old_label")).limit(1).count()
       labels.unpersist()
@@ -188,8 +325,26 @@ object Dedup {
 
   // q45 — near-dup clusters: MinHash candidate pairs → connected
   // components → per-cluster keep-first (the end-to-end LLM dedup
-  // pipeline: signature → candidates → clusters → keep list).
-  val q45: QueryDef = QueryDef.rowsOnly("q45_dedup_clusters") { (s, d) =>
+  // pipeline: signature → candidates → clusters → keep list). The DuckDB
+  // oracle rebuilds q42's candidate pairs and takes the transitive
+  // closure with a recursive CTE — label = min reachable id, the same
+  // fixpoint the distributed min-label propagation converges to.
+  val q45: QueryDef = QueryDef.sql(
+    "q45_dedup_clusters",
+    s"""WITH RECURSIVE $minhashSigDuck,
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS t FROM cpairs
+       |  UNION
+       |  SELECT id_b AS s, id_a AS t FROM cpairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.id = e.t),
+       |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+       |SELECT label AS cluster_id, count(*) AS n_members, min(id) AS keep_id
+       |FROM labels
+       |GROUP BY label
+       |ORDER BY cluster_id""".stripMargin) { (s, d) =>
     val pairs = q42.fn(s, d).select("id_a", "id_b")
     val labels = connectedComponents(pairs)
     labels

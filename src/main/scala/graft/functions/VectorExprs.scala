@@ -37,25 +37,16 @@ object VectorExprs {
   /** All character n-grams of a string. */
   def charNgrams(text: Column, n: Int): Column = toColumn(CharNgrams(ex(text), n))
 
-  /** 64-bit SimHash of a token array (FNV-1a token hashes). */
+  /** 64-bit SimHash of a token array (engine-portable polynomial token
+    * hashes — see [[SimHash64]]).
+    */
   def simHash64(tokens: Column): Column = toColumn(SimHash64(ex(tokens)))
 
   /** MinHash signature (`nPerm` affine permutations over `k`-char shingle
-    * FNV hashes).
+    * polynomial hashes — see [[MinHashSig]]).
     */
   def minHashSig(text: Column, k: Int = 5, nPerm: Int = 16): Column =
     toColumn(MinHashSig(ex(text), k, nPerm))
-
-  private[functions] def fnv1a(bytes: Array[Byte], from: Int, until: Int): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = from
-    while (i < until) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
 }
 
 /** Cosine similarity between two numeric arrays; whole-stage-codegen
@@ -235,17 +226,40 @@ case class JaccardSim(left: Expression, right: Expression, assumeSorted: Boolean
     copy(left = newLeft, right = newRight)
 }
 
-/** All character n-grams of a string as array<string>. */
+/** All character (code-point) n-grams of a string as array<string>.
+  *
+  * Both eval and codegen run one zero-copy loop: code-point byte
+  * boundaries are scanned once (UTF-8 continuation bytes have the
+  * 10xxxxxx prefix), then each gram is a `UTF8String.fromBytes` window
+  * sharing the input's byte array — no String materialization, no
+  * per-gram copies. Code-point windows match SQL `substr` character
+  * semantics, so the DuckDB oracle replays the identical gram set.
+  */
 case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   def compute(input: UTF8String): GenericArrayData = {
-    val s = input.toString
-    val count = math.max(s.length - n + 1, 0)
-    val out = new Array[Any](count)
+    val bs = input.getBytes
+    val len = bs.length
+    var nCh = 0
     var i = 0
+    while (i < len) {
+      if ((bs(i) & 0xc0) != 0x80) nCh += 1
+      i += 1
+    }
+    val offs = new Array[Int](nCh + 1)
+    var ci = 0
+    i = 0
+    while (i < len) {
+      if ((bs(i) & 0xc0) != 0x80) { offs(ci) = i; ci += 1 }
+      i += 1
+    }
+    offs(nCh) = len
+    val count = math.max(nCh - n + 1, 0)
+    val out = new Array[Any](count)
+    i = 0
     while (i < count) {
-      out(i) = UTF8String.fromString(s.substring(i, i + n))
+      out(i) = UTF8String.fromBytes(bs, offs(i), offs(i + n) - offs(i))
       i += 1
     }
     new GenericArrayData(out)
@@ -254,33 +268,82 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("charNgrams", this, classOf[CharNgrams].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bs = ctx.freshName("bs")
+      val len = ctx.freshName("len")
+      val nCh = ctx.freshName("nCh")
+      val offs = ctx.freshName("offs")
+      val ci = ctx.freshName("ci")
+      val i = ctx.freshName("i")
+      val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out")
+      s"""
+         |byte[] $bs = $c.getBytes();
+         |int $len = $bs.length;
+         |int $nCh = 0;
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if (($bs[$i] & 0xC0) != 0x80) $nCh++;
+         |}
+         |int[] $offs = new int[$nCh + 1];
+         |int $ci = 0;
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if (($bs[$i] & 0xC0) != 0x80) { $offs[$ci++] = $i; }
+         |}
+         |$offs[$nCh] = $len;
+         |int $cnt = java.lang.Math.max($nCh - $n + 1, 0);
+         |Object[] $out = new Object[$cnt];
+         |for (int $i = 0; $i < $cnt; $i++) {
+         |  $out[$i] = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+         |    $bs, $offs[$i], $offs[$i + $n] - $offs[$i]);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): CharNgrams =
     copy(child = newChild)
 }
 
-/** 64-bit SimHash over a token array: per-bit ±1 votes of FNV-1a token
-  * hashes, packed to a long.
+/** 64-bit SimHash over a token array: per-bit ±1 votes of token hashes,
+  * packed to a long.
+  *
+  * The token hash is ENGINE-PORTABLE by design (this is what lets the
+  * DuckDB oracle replay q43 exactly): four independent polynomial hashes
+  * over the token's code points, `h_k = fold((acc·B_k + cp) mod P_k)`,
+  * each contributing 16 signature bits — bit (16k+j) of the signature is
+  * bit j of h_k. Every operation is expressible as SQL list arithmetic on
+  * non-overflowing BIGINTs in any engine.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   def compute(toks: ArrayData): Long = {
     val votes = new Array[Int](64)
-    var i = 0
-    while (i < toks.numElements()) {
-      val bytes = toks.getUTF8String(i).getBytes
-      val h = VectorExprs.fnv1a(bytes, 0, bytes.length)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+    var t = 0
+    while (t < toks.numElements()) {
+      val s = toks.getUTF8String(t).toString
+      var h0 = 0L; var h1 = 0L; var h2 = 0L; var h3 = 0L
+      var ci = 0
+      while (ci < s.length) {
+        val cp = s.codePointAt(ci)
+        ci += Character.charCount(cp)
+        h0 = (h0 * 131L + cp) % 1000000007L
+        h1 = (h1 * 137L + cp) % 998244353L
+        h2 = (h2 * 139L + cp) % 1000000021L
+        h3 = (h3 * 149L + cp) % 999999937L
       }
-      i += 1
+      var k = 0
+      while (k < 4) {
+        val h = k match { case 0 => h0; case 1 => h1; case 2 => h2; case _ => h3 }
+        var j = 0
+        while (j < 16) {
+          if (((h >>> j) & 1L) == 1L) votes(k * 16 + j) += 1 else votes(k * 16 + j) -= 1
+          j += 1
+        }
+        k += 1
+      }
+      t += 1
     }
     var sig = 0L
     var b = 0
@@ -294,35 +357,77 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val t = ctx.freshName("t")
+      val s = ctx.freshName("s")
+      val hs = ctx.freshName("hs")
+      val ci = ctx.freshName("ci")
+      val cp = ctx.freshName("cp")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $t = 0; $t < $c.numElements(); $t++) {
+         |  String $s = $c.getUTF8String($t).toString();
+         |  long[] $hs = new long[4];
+         |  for (int $ci = 0; $ci < $s.length(); ) {
+         |    int $cp = $s.codePointAt($ci);
+         |    $ci += java.lang.Character.charCount($cp);
+         |    $hs[0] = ($hs[0] * 131L + $cp) % 1000000007L;
+         |    $hs[1] = ($hs[1] * 137L + $cp) % 998244353L;
+         |    $hs[2] = ($hs[2] * 139L + $cp) % 1000000021L;
+         |    $hs[3] = ($hs[3] * 149L + $cp) % 999999937L;
+         |  }
+         |  for (int $k = 0; $k < 4; $k++) {
+         |    for (int $j = 0; $j < 16; $j++) {
+         |      if ((($hs[$k] >>> $j) & 1L) == 1L) $votes[$k * 16 + $j]++;
+         |      else $votes[$k * 16 + $j]--;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] >= 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 
-/** MinHash signature: min over k-char shingles of `nPerm` affine
-  * permutations of the shingle's FNV-1a hash, mod 2^61−1.
+/** MinHash signature: min over k-code-point shingles of `nPerm` affine
+  * permutations of the shingle's polynomial hash.
+  *
+  * ENGINE-PORTABLE by design (the DuckDB oracle replays q42 exactly):
+  * shingle hash `h = fold((acc·131 + cp) mod 1e9+7)` over the shingle's
+  * code points; permutation j is `((1103515245 + 12345j)·h + 1013904223 +
+  * 7j) mod (2^31−1)` — every intermediate fits a BIGINT in any engine.
+  * Both eval and codegen run one fused loop: code points are decoded
+  * once per document, each shingle hash is k multiply-adds, and the
+  * nPerm mins update in registers.
   */
 case class MinHashSig(child: Expression, k: Int, nPerm: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  private val Prime = 2305843009213693951L // 2^61 - 1
 
   def compute(input: UTF8String): GenericArrayData = {
-    val bytes = input.getBytes
-    val nSh = math.max(bytes.length - k + 1, 0)
+    val cps = input.toString.codePoints().toArray
+    val nSh = math.max(cps.length - k + 1, 0)
     val mins = Array.fill(nPerm)(Long.MaxValue)
     var i = 0
     while (i < nSh) {
-      val h = VectorExprs.fnv1a(bytes, i, i + k) & 0x7fffffffL
+      var h = 0L
+      var c = 0
+      while (c < k) { h = (h * 131L + cps(i + c)) % 1000000007L; c += 1 }
       var j = 0
       while (j < nPerm) {
-        val a = 1103515245L + 12345L * j
-        val b = 1013904223L + 7L * j
-        val v = (h * a + b) % Prime
+        val v = ((1103515245L + 12345L * j) * h + 1013904223L + 7L * j) % 2147483647L
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -334,10 +439,37 @@ case class MinHashSig(child: Expression, k: Int, nPerm: Int)
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cps = ctx.freshName("cps")
+      val nSh = ctx.freshName("nSh")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val cc = ctx.freshName("cc")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      s"""
+         |int[] $cps = $c.toString().codePoints().toArray();
+         |int $nSh = java.lang.Math.max($cps.length - $k + 1, 0);
+         |long[] $mins = new long[$nPerm];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $nSh; $i++) {
+         |  long $h = 0L;
+         |  for (int $cc = 0; $cc < $k; $cc++) {
+         |    $h = ($h * 131L + $cps[$i + $cc]) % 1000000007L;
+         |  }
+         |  for (int $j = 0; $j < $nPerm; $j++) {
+         |    long $v = ((1103515245L + 12345L * $j) * $h + 1013904223L + 7L * $j) % 2147483647L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  }
+         |}
+         |for (int $j = 0; $j < $nPerm; $j++) {
+         |  if ($mins[$j] == Long.MAX_VALUE) $mins[$j] = 0L;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)

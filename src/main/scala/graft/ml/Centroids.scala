@@ -1,0 +1,49 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Trained coarse quantizer shared by q33 (cluster audit) and q53 (IVF
+  * probe): one MLlib KMeans fit over the embeddings, memoized per
+  * (session, dir) so catalog queries pay the iterative fit once. The
+  * driver only ever holds the model's O(k·d) centroid matrix — cluster
+  * state never leaves the executors during the fit (MLlib's treeAggregate
+  * implementation).
+  *
+  * SPHERICAL: vectors are L2-normalized before the fit, so the
+  * quantizer's Euclidean metric coincides with cosine (|u−c|² = 2−2cosθ
+  * on the unit sphere). Downstream ANN queries rerank by cosine — an
+  * unnormalized quantizer puts cosine-near, norm-far vectors in
+  * un-probed cells and recall collapses.
+  */
+object Centroids {
+
+  val K = 16
+
+  /** The L2-normalized embedding as an MLlib vector column. */
+  def unitVec: Column = {
+    val e = col("embedding").cast("array<double>")
+    val nrm = sqrt(aggregate(e, lit(0d), (a, x) => a + x * x))
+    array_to_vector(transform(e, x => x / nrm))
+  }
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), KMeansModel]()
+
+  def model(s: SparkSession, dir: String): KMeansModel =
+    memo.computeIfAbsent((s, dir), { _ =>
+      val src = Tables.embeddings(s, dir).withColumn("fvec", unitVec)
+      new KMeans()
+        .setK(K).setSeed(666L).setMaxIter(10).setFeaturesCol("fvec")
+        .fit(src)
+    })
+
+  /** Centroid vectors as plain arrays — O(k·d), safe to embed as plan
+    * literals / ship in a closure.
+    */
+  def centers(s: SparkSession, dir: String): Array[Array[Double]] =
+    model(s, dir).clusterCenters.map(_.toArray)
+}

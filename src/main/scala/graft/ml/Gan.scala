@@ -98,14 +98,15 @@ object Gan {
       // Each partition: local adversarial minibatch SGD from the broadcast
       // params; emit (localD, localG, nBatches) for the weighted average.
       val (sumD, sumG, n) = rdd.mapPartitionsWithIndex { (pid, it) =>
-        val rows = it.toArray
-        if (rows.isEmpty) Iterator.empty
+        if (!it.hasNext) Iterator.empty
         else {
           val d = bcD.value.clone()
           val g = bcG.value.clone()
           val rng = new java.util.Random(cfg.seed + round * 7919L + pid * 131L)
           var batches = 0L
-          rows.grouped(cfg.batchSize).foreach { batch =>
+          // stream fixed-size batches off the iterator — only one batch is
+          // ever resident, not the whole partition
+          it.grouped(cfg.batchSize).foreach { batch =>
             // --- discriminator step: real→realLabel, fake→(1−realLabel),
             // interleaved so sequential SGD carries no recency bias toward
             // either class.
@@ -162,14 +163,17 @@ object Gan {
   }
 
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Config), (Model, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Config), (Model, DataFrame)]()
 
   /** Train on the sf `embeddings` table, min-max scaled. Memoized per
-    * (dir, config): the catalog's feature/generate/classify queries share
-    * one trained model instead of re-running the adversarial loop.
+    * (session, dir, config): the catalog's feature/generate/classify
+    * queries share one trained model instead of re-running the
+    * adversarial loop. The session instance is part of the key (reference
+    * equality) so a new session never receives a cached DataFrame bound
+    * to a stopped one.
     */
   def trainOnEmbeddings(s: SparkSession, dir: String, cfg: Config = Config()): (Model, DataFrame) =
-    memo.computeIfAbsent((dir, cfg), { _ =>
+    memo.computeIfAbsent((s, dir, cfg), { _ =>
       val data = scaled01(Tables.embeddings(s, dir), cfg.dataDim).cache()
       (train(data, cfg), data)
     })

@@ -26,8 +26,11 @@ object GanQueries {
   }
 
   // q29 — distributed param-averaged GAN training; output the
-  // discriminator's learned representation (hidden features + real-score)
-  // per row [java :337-364 uses these features for transfer learning].
+  // discriminator's learned representation per row [java :337-364 uses
+  // these features for transfer learning]. The feature vector is emitted
+  // as a scalar digest (dim, rounded sum, rounded L2 norm) so the
+  // driver's rows-only check can sort the frame — raw array columns are
+  // not pandas-sortable.
   val q29: QueryDef = QueryDef.rowsOnly("q29_gan_train_features") { (s, d) =>
     val (model, data) = Gan.trainOnEmbeddings(s, d)
     val bc = s.sparkContext.broadcast(model)
@@ -35,8 +38,15 @@ object GanQueries {
     data.rdd.map { r =>
       val id = r.getLong(0)
       val x = r.getSeq[Double](1).toArray
-      (id, bc.value.disFeatures(x), bc.value.disScore(x))
-    }.toDF("vec_id", "features", "d_score").orderBy("vec_id")
+      val f = bc.value.disFeatures(x)
+      val sum = f.sum
+      val norm = math.sqrt(f.map(v => v * v).sum)
+      (id, f.length,
+        math.rint(sum * 1e6) / 1e6,
+        math.rint(norm * 1e6) / 1e6,
+        bc.value.disScore(x))
+    }.toDF("vec_id", "n_features", "feat_sum", "feat_norm", "d_score")
+      .orderBy("vec_id")
   }
 
   // q30 — latent linspace-grid generation [java :382-389: numGenSamples²
@@ -47,13 +57,21 @@ object GanQueries {
     val nGrid = 10
     import s.implicits._
     val grid = for (i <- 0 until nGrid; j <- 0 until nGrid) yield (i, j)
+    // Generated sample emitted as a sortable digest (dim + rounded
+    // sum/norm) rather than a raw array column — see q29 note.
     s.sparkContext.parallelize(grid, 4).map { case (i, j) =>
       val z = new Array[Double](bc.value.cfg.zDim)
       z(0) = -1.0 + 2.0 * i / (nGrid - 1)
       z(1) = -1.0 + 2.0 * j / (nGrid - 1)
       val sample = bc.value.generate(z)
-      (i, j, sample, bc.value.disScore(sample))
-    }.toDF("grid_i", "grid_j", "sample", "d_score").orderBy("grid_i", "grid_j")
+      val sum = sample.sum
+      val norm = math.sqrt(sample.map(v => v * v).sum)
+      (i, j, sample.length,
+        math.rint(sum * 1e6) / 1e6,
+        math.rint(norm * 1e6) / 1e6,
+        bc.value.disScore(sample))
+    }.toDF("grid_i", "grid_j", "sample_dim", "sample_sum", "sample_norm", "d_score")
+      .orderBy("grid_i", "grid_j")
   }
 
   // q31 — transfer learning: frozen discriminator features → multinomial
@@ -88,14 +106,13 @@ object GanQueries {
   }
 
   // q33 — distributed KMeans clustering (MLlib) over the embeddings: the
-  // trained-centroid coarse quantizer behind a production IVF index
-  // (q53 uses fixed seeds; this is the learned variant).
+  // trained-centroid coarse quantizer behind a production IVF index.
+  // The fitted model is shared with q53 via `Centroids` (memoized per
+  // session+dir), so the IVF probe path really queries these centroids.
   val q33: QueryDef = QueryDef.rowsOnly("q33_kmeans_cluster") { (s, d) =>
-    val src = Tables.embeddings(s, d)
-      .withColumn("fvec", array_to_vector(col("embedding").cast("array<double>")))
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(16).setSeed(666L).setMaxIter(10).setFeaturesCol("fvec")
-    val model = km.fit(src)
+    // same normalized feature column the quantizer was fitted on
+    val src = Tables.embeddings(s, d).withColumn("fvec", Centroids.unitVec)
+    val model = Centroids.model(s, d)
     model.transform(src)
       .groupBy(col("prediction").as("cluster"))
       .agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))

@@ -99,9 +99,12 @@ object MlPrep {
       .orderBy("split")
   }
 
-  // q24 — mini-batch assignment (batchSize=200, java :66). The global
-  // row_number here is the oracle-friendly formulation; at cluster scale
-  // batching is per-partition (see Gan trainer) so no global sort exists.
+  // q24 — mini-batch assignment (batchSize=200, java :66). A global
+  // consecutive index WITHOUT a single-partition window: range-partition
+  // and sort by key (parallel), then `zipWithIndex` — Spark computes
+  // per-partition counts (one O(partitions) job) and adds prefix offsets
+  // partition-locally. Every stage stays parallel; nothing funnels
+  // through one task.
   val q24: QueryDef = QueryDef.sql(
     "q24_batch_index",
     """SELECT batch_id, count(*) AS n,
@@ -112,9 +115,15 @@ object MlPrep {
       |  FROM orders) t
       |GROUP BY batch_id
       |ORDER BY batch_id""".stripMargin) { (s, d) =>
-    val w = Window.orderBy("o_orderkey")
+    import s.implicits._
     Tables.orders(s, d)
-      .withColumn("batch_id", floor((row_number().over(w) - 1) / 200))
+      .select(col("o_orderkey"))
+      .repartitionByRange(col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .rdd.map(_.getLong(0))
+      .zipWithIndex()
+      .toDF("o_orderkey", "idx")
+      .withColumn("batch_id", floor(col("idx") / 200))
       .groupBy("batch_id")
       .agg(count(lit(1)).as("n"), min("o_orderkey").as("first_key"),
         max("o_orderkey").as("last_key"))

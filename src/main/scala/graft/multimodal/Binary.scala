@@ -57,6 +57,9 @@ object Binary {
 
   // q71 — batched partition-parallel feature extraction over the binary
   // payload (rows-only: decoder output is engine-specific by design).
+  // The decoded feature vector is emitted as a sortable digest (dim,
+  // rounded sum, rounded max) — raw array columns crash the driver's
+  // pandas-based rows check.
   val q71: QueryDef = QueryDef.rowsOnly("q71_decode_features") { (s, d) =>
     val src = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
@@ -64,14 +67,18 @@ object Binary {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("n_bytes", IntegerType),
-      StructField("features", ArrayType(DoubleType))))
+      StructField("n_features", IntegerType),
+      StructField("feat_sum", DoubleType),
+      StructField("feat_max", DoubleType)))
     // Batched decode: each partition pulls fixed-size batches through the
     // stub decoder — mirrors a vectorized media-decode UDF's batch shape.
     val rows = src.rdd.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap { batch =>
         batch.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getAs[Long]("doc_id"), r.getAs[Int]("n_bytes"), decodeStub(payload))
+          val f = decodeStub(payload)
+          Row(r.getAs[Long]("doc_id"), r.getAs[Int]("n_bytes"), f.length,
+            math.rint(f.sum * 1e6) / 1e6, math.rint(f.max * 1e6) / 1e6)
         }
       }
     }
@@ -91,14 +98,19 @@ object Binary {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("frame_idx", IntegerType),
-      StructField("frame_features", ArrayType(DoubleType))))
+      StructField("n_features", IntegerType),
+      StructField("feat_sum", DoubleType),
+      StructField("feat_max", DoubleType)))
+    // Per-frame features emitted as a sortable digest — see q71 note.
     val rows = src.rdd.mapPartitions { it =>
       it.flatMap { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val nFrames = payload.length / FrameBytes
         (0 until nFrames by FrameStride).iterator.map { f =>
           val frame = java.util.Arrays.copyOfRange(payload, f * FrameBytes, (f + 1) * FrameBytes)
-          Row(r.getAs[Long]("doc_id"), f, decodeStub(frame))
+          val feats = decodeStub(frame)
+          Row(r.getAs[Long]("doc_id"), f, feats.length,
+            math.rint(feats.sum * 1e6) / 1e6, math.rint(feats.max * 1e6) / 1e6)
         }
       }
     }

@@ -128,85 +128,81 @@ object Similarity {
       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id) t
       |WHERE rn <= 3
       |ORDER BY id_a, rn""".stripMargin) { (s, d) =>
-    // Exact all-pairs kNN needs one side resident per task — the same
-    // memory posture as Spark's broadcast join, expressed as a tight
-    // per-partition kernel (one fused O(n·d) loop per query vector, no
-    // per-pair array materialization). At 100 TB vector counts the exact
-    // graph is replaced by q51 (LSH) / q53 (IVF) candidate blocking.
-    import s.implicits._
+    // Exact kNN graph via a broadcast nested-loop join: Spark ships the
+    // build side to executors (the driver never materializes rows — no
+    // `.collect()`), the codegen'd CosineSim scores each pair inside one
+    // WSCG stage, and the per-vector top-3 runs as row_number with
+    // Spark's WindowGroupLimit pushdown: each map task keeps only k rows
+    // per id_a BEFORE the exchange, so the shuffle carries O(n·k) rows,
+    // not the O(n²) pair fan-out. At 100 TB vector counts the candidate
+    // set comes from q51's LSH buckets / q53's IVF cells instead of the
+    // all-pairs join.
     val k = 3
-    val vecs = Tables.embeddings(s, d).select("vec_id", "embedding").collect()
-      .map { r =>
-        val v = r.getSeq[Float](1).toArray
-        var nrm = 0.0
-        var i = 0
-        while (i < v.length) { nrm += v(i).toDouble * v(i).toDouble; i += 1 }
-        (r.getLong(0), v, math.sqrt(nrm))
-      }
-      .sortBy(_._1)
-    val bc = s.sparkContext.broadcast(vecs)
-    // Spark's round(double, 8): BigDecimal.valueOf + HALF_UP — replicate
-    // exactly so the result hash-matches the expression-based formulation.
-    def r8(x: Double): Double =
-      java.math.BigDecimal.valueOf(x).setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
-    s.sparkContext.parallelize(vecs.indices, math.min(32, vecs.length))
-      .flatMap { ai =>
-        val all = bc.value
-        val (idA, va, na) = all(ai)
-        // top-k by (cos desc, id_b asc) via insertion into a k-slot buffer
-        val bestId = new Array[Long](k)
-        val bestCos = Array.fill(k)(Double.NegativeInfinity)
-        var bi = 0
-        while (bi < all.length) {
-          if (bi != ai) {
-            val (idB, vb, nb) = all(bi)
-            var dot = 0.0
-            var i = 0
-            while (i < va.length) { dot += va(i).toDouble * vb(i).toDouble; i += 1 }
-            val c = r8(dot / (na * nb))
-            var pos = k
-            while (pos > 0 && (c > bestCos(pos - 1) ||
-                (c == bestCos(pos - 1) && idB < bestId(pos - 1)))) pos -= 1
-            if (pos < k) {
-              var m = k - 1
-              while (m > pos) { bestCos(m) = bestCos(m - 1); bestId(m) = bestId(m - 1); m -= 1 }
-              bestCos(pos) = c; bestId(pos) = idB
-            }
-          }
-          bi += 1
-        }
-        (0 until math.min(k, all.length - 1)).map(rn => (idA, rn + 1, bestId(rn), bestCos(rn)))
-      }
-      .toDF("id_a", "rn", "id_b", "cos_sim")
+    val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val pairs = v.as("a")
+      .join(broadcast(v.as("b")), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(VectorExprs.cosineSim(col("a.embedding"), col("b.embedding")), 8).as("cos_sim"))
+    val w = Window.partitionBy("id_a").orderBy(desc("cos_sim"), asc("id_b"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("id_a", "rn", "id_b", "cos_sim")
       .orderBy("id_a", "rn")
   }
 
-  // q53 — IVF ANN: coarse cells from a fixed centroid seed set (vec_id <
-  // 16), every vector assigned to its nearest cell, the query probes its 2
-  // nearest cells and exact-reranks members. Centroid set is O(cells) —
-  // broadcast; assignment is one pass over the data.
+  /** Number of IVF cells the query probes. */
+  val IvfNProbe = 6
+
+  /** |c|² of a centroid — plan-literal constant. */
+  private def sqNorm(c: Array[Double]): Double = {
+    var x = 0.0
+    var i = 0
+    while (i < c.length) { x += c(i) * c(i); i += 1 }
+    x
+  }
+
+  /** The query's `nProbe` nearest cells under the quantizer's (spherical)
+    * Euclidean metric, computed driver-side (O(k·d) math over the
+    * centroid matrix). The query vector is normalized like the training
+    * vectors were.
+    */
+  private[graft] def probeCells(cents: Array[Array[Double]], nProbe: Int): Seq[Int] = {
+    val qn = math.sqrt(sqNorm(qvArray))
+    cents.indices.sortBy { ci =>
+      val c = cents(ci)
+      var dot = 0.0
+      var i = 0
+      while (i < c.length) { dot += qvArray(i) / qn * c(i); i += 1 }
+      (-(2 * dot - sqNorm(c)), ci)
+    }.take(nProbe)
+  }
+
+  // q53 — IVF ANN over the TRAINED coarse quantizer (q33's fitted KMeans
+  // centroids, shared via graft.ml.Centroids). Cell assignment is one
+  // codegen'd argmax projection against centroid literals — no crossJoin,
+  // no window, no shuffle: argmin_c |x−c|² = argmax_c (2·x·c − |c|²), so
+  // each row scores k dot products inside whole-stage codegen and
+  // `array_max` picks the cell (ties break to the lowest cell id via the
+  // negated-id struct field). The query probes its nProbe nearest cells
+  // (driver-side O(k·d)), members are exact-cosine reranked, and the
+  // global top-10 is a TakeOrderedAndProject — one scan, zero exchanges
+  // before the final top-k.
   val q53: QueryDef = QueryDef.rowsOnly("q53_ivf_ann") { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cent"))
-    def cos(aCol: String, bCol: String): Column =
-      VectorExprs.cosineSim(col(aCol), col(bCol))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cent_cos"), asc("cell_id"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("label"), col("embedding"), col("cell_id"),
-        cos("embedding", "cent").as("cent_cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .drop("rn")
-    val qv = s.range(1).select(qvLit.as("qemb"))
-    val probed = cents.crossJoin(broadcast(qv))
-      .select(col("cell_id"), cos("cent", "qemb").as("qcos"))
-      .orderBy(desc("qcos"), asc("cell_id"))
-      .limit(2)
-    assigned.join(broadcast(probed.select("cell_id")), Seq("cell_id"))
-      .crossJoin(broadcast(qv))
-      .select(col("vec_id"), col("label"), col("cell_id"),
-        round(cos("embedding", "qemb"), 8).as("cos_sim"))
+    val cents = graft.ml.Centroids.centers(s, d)
+    // spherical assignment: argmin_c |x/‖x‖ − c|² = argmax_c (2·x·c/‖x‖ − |c|²)
+    val cellScores = array(cents.indices.map { ci =>
+      struct(
+        ((VectorExprs.dotProduct(col("embedding"), typedlit(cents(ci))) * 2 / col("nrm"))
+          - lit(sqNorm(cents(ci)))).as("s"),
+        lit(-ci).as("nid"))
+    }: _*)
+    val probes = probeCells(cents, IvfNProbe)
+    Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))))
+      .withColumn("cell_id", -array_max(cellScores).getField("nid"))
+      .filter(col("cell_id").isin(probes: _*))
+      .select(col("vec_id"), col("label"), col("cell_id"), cosToQv.as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(10)
   }

@@ -41,6 +41,15 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q53 IVF top-10 recall >= 0.9 vs exact q50 top-10") {
+    val exact = sim.Similarity.q50.fn(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivf = sim.Similarity.q53.fn(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall@10 $recall (probes=${sim.Similarity.IvfNProbe})")
+  }
+
   test("q42 minhash estimates stay in [0,1] with ordered pairs") {
     val rows = dedup.Dedup.q42.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
@@ -51,9 +60,10 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
-  test("q44 exact near-dup pairs match a driver-side brute force") {
+  test("q44 LSH-blocked near-dup pairs: true cosines, high recall vs brute top-k") {
     val out = dedup.Dedup.q44.fn(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cos_sim")))
+    assert(out.nonEmpty)
     val vecs = Tables.embeddings(spark, sfDir).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     def cos(a: Array[Double], b: Array[Double]): Double = {
@@ -61,11 +71,20 @@ class OperatorSemanticsSpec extends SparkSpec {
       a.indices.foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    // every reported cosine is the true pair cosine (blocking never
+    // distorts scores, only prunes candidates)
+    out.foreach { case (a, b, c) =>
+      assert(a < b)
+      assert(math.abs(c - cos(vecs(a), vecs(b))) < 1e-7, s"pair ($a,$b)")
+    }
+    // recall vs the exact brute-force top-k of the same size
     val ids = vecs.keys.toSeq.sorted
     val brute = (for (i <- ids; j <- ids if i < j) yield {
       val c = math.rint(cos(vecs(i), vecs(j)) * 1e8) / 1e8
       (i, j, c)
     }).sortBy(t => (-t._3, t._1, t._2)).take(out.length)
-    assert(out.map(t => (t._1, t._2)).toSet == brute.map(t => (t._1, t._2)).toSet)
+    val recall = out.map(t => (t._1, t._2)).toSet
+      .intersect(brute.map(t => (t._1, t._2)).toSet).size.toDouble / brute.length
+    assert(recall >= 0.8, s"blocked recall $recall vs brute top-${brute.length}")
   }
 }

@@ -32,4 +32,29 @@ class PlanSpec extends SparkSpec {
     val plan = planOf("q01_pricing_summary")
     assert(plan.contains("partial_sum"), s"no map-side partial aggregation in:\n$plan")
   }
+
+  test("q24 batch index has no window (nothing funnels through one task)") {
+    val plan = planOf("q24_batch_index")
+    assert(!plan.contains("Window"), s"q24 must not plan a window:\n$plan")
+  }
+
+  test("q52 kNN graph: broadcast pair join + map-side window group limit") {
+    val plan = planOf("q52_knn_self_join")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"no broadcast pair join in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k per vector should push a WindowGroupLimit before the exchange:\n$plan")
+  }
+
+  test("q44 blocked dedup plans no cartesian pair join") {
+    val plan = planOf("q44_dedup_embedding")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q44 candidates must come from LSH buckets, not an all-pairs join:\n$plan")
+  }
+
+  test("q53 IVF cell assignment plans no window and no cross join") {
+    val plan = planOf("q53_ivf_ann")
+    assert(!plan.contains("Window"), s"q53 assignment must be a projection, not a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q53 must not expand rows through a cross join:\n$plan")
+  }
 }
