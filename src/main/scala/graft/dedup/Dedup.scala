@@ -275,11 +275,15 @@ object Dedup {
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-    val va = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val vb = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    // rerank with per-vector norms precomputed (dot + divide per pair;
+    // bit-identical to CosineSim / the oracle's nrm-product form)
+    val nrmCol = sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding")))
+    val va = v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), nrmCol.as("nrm_a"))
+    val vb = v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), nrmCol.as("nrm_b"))
     cand.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
-        round(VectorExprs.cosineSim(col("emb_a"), col("emb_b")), 8).as("cos_sim"))
+        round(VectorExprs.dotProduct(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b")), 8).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
       .limit(50)
   }

@@ -322,12 +322,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val votes = new Array[Int](64)
     var t = 0
     while (t < toks.numElements()) {
-      val s = toks.getUTF8String(t).toString
+      // allocation-free UTF-8 code-point walk (no toString per token)
+      val s = toks.getUTF8String(t)
+      val nb = s.numBytes()
       var h0 = 0L; var h1 = 0L; var h2 = 0L; var h3 = 0L
-      var ci = 0
-      while (ci < s.length) {
-        val cp = s.codePointAt(ci)
-        ci += Character.charCount(cp)
+      var bi = 0
+      while (bi < nb) {
+        val cp = s.codePointFrom(bi)
+        bi += UTF8String.numBytesForFirstByte(s.getByte(bi))
         h0 = (h0 * 131L + cp) % 1000000007L
         h1 = (h1 * 137L + cp) % 998244353L
         h2 = (h2 * 139L + cp) % 1000000021L
@@ -362,8 +364,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val votes = ctx.freshName("votes")
       val t = ctx.freshName("t")
       val s = ctx.freshName("s")
+      val nb = ctx.freshName("nb")
       val hs = ctx.freshName("hs")
-      val ci = ctx.freshName("ci")
+      val bi = ctx.freshName("bi")
       val cp = ctx.freshName("cp")
       val k = ctx.freshName("k")
       val j = ctx.freshName("j")
@@ -372,11 +375,12 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       s"""
          |int[] $votes = new int[64];
          |for (int $t = 0; $t < $c.numElements(); $t++) {
-         |  String $s = $c.getUTF8String($t).toString();
+         |  org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($t);
+         |  int $nb = $s.numBytes();
          |  long[] $hs = new long[4];
-         |  for (int $ci = 0; $ci < $s.length(); ) {
-         |    int $cp = $s.codePointAt($ci);
-         |    $ci += java.lang.Character.charCount($cp);
+         |  for (int $bi = 0; $bi < $nb; ) {
+         |    int $cp = $s.codePointFrom($bi);
+         |    $bi += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte($s.getByte($bi));
          |    $hs[0] = ($hs[0] * 131L + $cp) % 1000000007L;
          |    $hs[1] = ($hs[1] * 137L + $cp) % 998244353L;
          |    $hs[2] = ($hs[2] * 139L + $cp) % 1000000021L;

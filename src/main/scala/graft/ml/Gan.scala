@@ -180,6 +180,133 @@ object Gan {
     while (i < a.length) { a(i) += b(i); i += 1 }
   }
 
+  /** Per-batch GAN + classifier CO-TRAINING — the reference's loop trains
+    * dis, gan, AND the transfer CV model inside the same batch iteration
+    * (dl4jGANComputerVision.java:408-511), rather than fitting the head
+    * after the GAN converges. Input rows are (vec_id, x, label); per
+    * batch each partition runs the adversarial dis/gen steps and then a
+    * softmax-head SGD step on the CURRENT discriminator's features; all
+    * three parameter vectors are averaged in one treeAggregate.
+    * Returns the GAN model plus the trained head (a linear-softmax layer
+    * over the dis features, like the reference's dense+softmax head,
+    * :337-364).
+    */
+  def trainCoTrained(data: DataFrame, nClasses: Int, cfg: Config = Config(),
+      lrHead: Double = 0.05): (Model, Array[Double]) = {
+    val sc = data.sparkSession.sparkContext
+    val dis = mkDis(cfg)
+    val gen = mkGen(cfg)
+    val nFeat = {
+      val probe = new Array[Double](cfg.dataDim)
+      dis.features(dis.init(cfg.seed), probe).length
+    }
+    var dP = dis.init(cfg.seed)
+    var gP = gen.init(cfg.seed + 1)
+    var hP = new Array[Double](nFeat * nClasses + nClasses) // zero-init softmax head
+    val rdd = data.select("x", "label").rdd
+      .map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
+      .cache()
+
+    for (round <- 0 until cfg.rounds) {
+      val bcD = sc.broadcast(dP)
+      val bcG = sc.broadcast(gP)
+      val bcH = sc.broadcast(hP)
+      val (sumD, sumG, sumH, n) = rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val d = bcD.value.clone()
+          val g = bcG.value.clone()
+          val h = bcH.value.clone()
+          val rng = new java.util.Random(cfg.seed + round * 7919L + pid * 131L)
+          var batches = 0L
+          it.grouped(cfg.batchSize).foreach { batch =>
+            // adversarial steps (same as train)
+            batch.foreach { case (x, _) =>
+              val (cd, o) = dis.fwd(d, x)
+              dis.bwd(d, x, cd, Array(o(0) - cfg.realLabel), cfg.lrD, update = true)
+              val z = Array.fill(cfg.zDim)(rng.nextDouble() * 2 - 1)
+              val fake = gen.fwd(g, z)._2
+              val (cf, of) = dis.fwd(d, fake)
+              dis.bwd(d, fake, cf, Array(of(0) - (1.0 - cfg.realLabel)), cfg.lrD, update = true)
+            }
+            for (_ <- 0 until (batch.length + 1) / 2) {
+              val z = Array.fill(cfg.zDim)(rng.nextDouble() * 2 - 1)
+              val (cg, fake) = gen.fwd(g, z)
+              val (cd, o) = dis.fwd(d, fake)
+              val dx = dis.bwd(d, fake, cd, Array(o(0) - 1.0), 0.0, update = false)
+              val dOutG = new Array[Double](cfg.dataDim)
+              var i = 0
+              while (i < cfg.dataDim) { dOutG(i) = dx(i) * fake(i) * (1.0 - fake(i)); i += 1 }
+              gen.bwd(g, z, cg, dOutG, cfg.lrG, update = true)
+            }
+            // classifier step on the CURRENT dis features (co-training)
+            batch.foreach { case (x, label) =>
+              val f = dis.features(d, x)
+              val logits = new Array[Double](nClasses)
+              var k = 0
+              while (k < nClasses) {
+                var a = h(nFeat * nClasses + k)
+                var i = 0
+                while (i < nFeat) { a += f(i) * h(i * nClasses + k); i += 1 }
+                logits(k) = a
+                k += 1
+              }
+              val mx = logits.max
+              var zsum = 0.0
+              k = 0
+              while (k < nClasses) { logits(k) = math.exp(logits(k) - mx); zsum += logits(k); k += 1 }
+              k = 0
+              while (k < nClasses) {
+                val dOut = logits(k) / zsum - (if (k == label) 1.0 else 0.0)
+                h(nFeat * nClasses + k) -= lrHead * dOut
+                var i = 0
+                while (i < nFeat) { h(i * nClasses + k) -= lrHead * f(i) * dOut; i += 1 }
+                k += 1
+              }
+            }
+            batches += 1
+          }
+          var i = 0
+          while (i < d.length) { d(i) *= batches; i += 1 }
+          i = 0
+          while (i < g.length) { g(i) *= batches; i += 1 }
+          i = 0
+          while (i < h.length) { h(i) *= batches; i += 1 }
+          Iterator((d, g, h, batches))
+        }
+      }.treeAggregate((new Array[Double](dis.nParams), new Array[Double](gen.nParams),
+        new Array[Double](nFeat * nClasses + nClasses), 0L))(
+        seqOp = { case ((ad, ag, ah, an), (d, g, h, nb)) =>
+          add(ad, d); add(ag, g); add(ah, h); (ad, ag, ah, an + nb) },
+        combOp = { case ((ad, ag, ah, an), (bd, bg, bh, bn)) =>
+          add(ad, bd); add(ag, bg); add(ah, bh); (ad, ag, ah, an + bn) },
+        depth = 2)
+      if (n > 0) {
+        dP = sumD.map(_ / n)
+        gP = sumG.map(_ / n)
+        hP = sumH.map(_ / n)
+      }
+      bcD.destroy(); bcG.destroy(); bcH.destroy()
+    }
+    (Model(cfg, dP, gP), hP)
+  }
+
+  /** Softmax-head prediction over a feature vector. */
+  def headPredict(hP: Array[Double], f: Array[Double], nClasses: Int): Int = {
+    val nFeat = f.length
+    var best = 0
+    var bestV = Double.NegativeInfinity
+    var k = 0
+    while (k < nClasses) {
+      var a = hP(nFeat * nClasses + k)
+      var i = 0
+      while (i < nFeat) { a += f(i) * hP(i * nClasses + k); i += 1 }
+      if (a > bestV) { bestV = a; best = k }
+      k += 1
+    }
+    best
+  }
+
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Config), (Model, DataFrame)]()
 

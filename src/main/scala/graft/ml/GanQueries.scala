@@ -141,6 +141,27 @@ object GanQueries {
       .orderBy("vec_id")
   }
 
+  // q37 — per-batch GAN/classifier CO-TRAINING [java :408-511 trains dis,
+  // gan, and the CV model inside one batch loop]: the softmax head learns
+  // on the evolving discriminator features, parameter-averaged alongside
+  // both GAN nets. Per-row predictions + correctness digest.
+  val q37: QueryDef = QueryDef.rowsOnly("q37_cotrain_classify") { (s, d) =>
+    val scaled = Gan.scaled01(Tables.embeddings(s, d), 64)
+    val labeled = scaled
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+    val (model, head) = Gan.trainCoTrained(labeled, nClasses = 10)
+    val bcM = s.sparkContext.broadcast(model)
+    val bcH = s.sparkContext.broadcast(head)
+    import s.implicits._
+    labeled.select("vec_id", "x", "label").rdd.map { r =>
+      val id = r.getLong(0)
+      val x = r.getSeq[Double](1).toArray
+      val label = r.getInt(2)
+      val pred = Gan.headPredict(bcH.value, bcM.value.disFeatures(x), 10)
+      (id, label, pred, if (pred == label) 1 else 0)
+    }.toDF("vec_id", "label", "prediction", "correct").orderBy("vec_id")
+  }
+
   // q35 — t-SNE-style 2-d projection (gan.ipynb cell 2 imports TSNE
   // alongside PCA): deterministic PCA init, then a neighbor-embedding
   // refinement that pulls each point toward the mean of its kNN-graph
@@ -177,5 +198,5 @@ object GanQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q33, q35, q36, VectorAgg.q34)
+  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q33, q35, q36, q37, VectorAgg.q34)
 }

@@ -138,11 +138,18 @@ object Similarity {
     // set comes from q51's LSH buckets / q53's IVF cells instead of the
     // all-pairs join.
     val k = 3
-    val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // Per-vector norms are computed ONCE before the pair join: the
+    // cosine inside the O(n²) loop is then a single dot product + one
+    // divide — ~3× fewer flops than recomputing both norms per pair.
+    // dot/(nrm_a·nrm_b) is bit-identical to CosineSim's
+    // dot/(sqrt(na)·sqrt(nb)) (and to the oracle's formulation).
+    val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))).as("nrm"))
     val pairs = v.as("a")
       .join(broadcast(v.as("b")), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(VectorExprs.cosineSim(col("a.embedding"), col("b.embedding")), 8).as("cos_sim"))
+        round(VectorExprs.dotProduct(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 8).as("cos_sim"))
     val w = Window.partitionBy("id_a").orderBy(desc("cos_sim"), asc("id_b"))
     pairs
       .withColumn("rn", row_number().over(w))

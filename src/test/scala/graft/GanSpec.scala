@@ -44,6 +44,16 @@ class GanSpec extends SparkSpec {
     assert(m1.disFeatures(reals.head).length == 32)
   }
 
+  test("co-trained head: finite params, deterministic, beats the uniform prior") {
+    val rows = ml.GanQueries.q37.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val acc = rows.map(_.getAs[Int]("correct")).sum.toDouble / rows.length
+    assert(acc > 0.11, s"co-trained accuracy $acc not above the 10-class prior")
+    val again = ml.GanQueries.q37.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("prediction")).toSeq ==
+      again.map(_.getAs[Int]("prediction")).toSeq, "co-training not deterministic")
+  }
+
   test("scaled01 maps every dimension into [0,1]") {
     val scaled = Gan.scaled01(Tables.embeddings(spark, sfDir), 64)
     val rows = scaled.collect().map(_.getSeq[Double](1))
