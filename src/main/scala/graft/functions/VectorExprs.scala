@@ -47,6 +47,15 @@ object VectorExprs {
     */
   def minHashSig(text: Column, k: Int = 5, nPerm: Int = 16): Column =
     toColumn(MinHashSig(ex(text), k, nPerm))
+
+  /** Engine-portable polynomial hash of a string's code points. */
+  def polyHash(text: Column): Column = toColumn(PolyHash(ex(text)))
+
+  /** Min over `w`-code-point windows of the polynomial hash (winnowing-lite
+    * fingerprint); at least one (possibly short) window for short strings.
+    */
+  def minWindowHash(text: Column, w: Int = 16): Column =
+    toColumn(MinWindowHash(ex(text), w))
 }
 
 /** Cosine similarity between two numeric arrays; whole-stage-codegen
@@ -476,5 +485,108 @@ case class MinHashSig(child: Expression, k: Int, nPerm: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Engine-portable polynomial hash of a string's code points:
+  * `h = fold((acc·131 + cp) mod 1e9+7)` — replayable as SQL list
+  * arithmetic in any engine (the DuckDB oracle uses `list_reduce`).
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  def compute(input: UTF8String): Long = {
+    val nb = input.numBytes()
+    var h = 0L
+    var bi = 0
+    while (bi < nb) {
+      val cp = input.codePointFrom(bi)
+      bi += UTF8String.numBytesForFirstByte(input.getByte(bi))
+      h = (h * 131L + cp) % 1000000007L
+    }
+    h
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val nb = ctx.freshName("nb")
+      val h = ctx.freshName("h")
+      val bi = ctx.freshName("bi")
+      val cp = ctx.freshName("cp")
+      s"""
+         |int $nb = $c.numBytes();
+         |long $h = 0L;
+         |for (int $bi = 0; $bi < $nb; ) {
+         |  int $cp = $c.codePointFrom($bi);
+         |  $bi += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte($c.getByte($bi));
+         |  $h = ($h * 131L + $cp) % 1000000007L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** Winnowing-lite fingerprint: min over `w`-code-point windows of the
+  * polynomial hash (short strings get one short window). Code points are
+  * decoded once; each window recomputes its hash in w multiply-adds —
+  * O(len·w) fused, no allocation beyond the code-point buffer.
+  */
+case class MinWindowHash(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  def compute(input: UTF8String): Long = {
+    val cps = input.toString.codePoints().toArray
+    val n = cps.length
+    val nWin = math.max(n - w + 1, 1)
+    var minH = Long.MaxValue
+    var i = 0
+    while (i < nWin) {
+      val end = math.min(i + w, n)
+      var h = 0L
+      var c = i
+      while (c < end) { h = (h * 131L + cps(c)) % 1000000007L; c += 1 }
+      if (h < minH) minH = h
+      i += 1
+    }
+    if (minH == Long.MaxValue) 0L else minH
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cps = ctx.freshName("cps")
+      val n = ctx.freshName("n")
+      val nWin = ctx.freshName("nWin")
+      val minH = ctx.freshName("minH")
+      val i = ctx.freshName("i")
+      val end = ctx.freshName("end")
+      val h = ctx.freshName("h")
+      val cc = ctx.freshName("cc")
+      s"""
+         |int[] $cps = $c.toString().codePoints().toArray();
+         |int $n = $cps.length;
+         |int $nWin = java.lang.Math.max($n - $w + 1, 1);
+         |long $minH = Long.MAX_VALUE;
+         |for (int $i = 0; $i < $nWin; $i++) {
+         |  int $end = java.lang.Math.min($i + $w, $n);
+         |  long $h = 0L;
+         |  for (int $cc = $i; $cc < $end; $cc++) {
+         |    $h = ($h * 131L + $cps[$cc]) % 1000000007L;
+         |  }
+         |  if ($h < $minH) $minH = $h;
+         |}
+         |${ev.value} = ($minH == Long.MAX_VALUE) ? 0L : $minH;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinWindowHash =
     copy(child = newChild)
 }

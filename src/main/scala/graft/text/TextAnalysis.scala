@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.functions.VectorExprs
 
 /** Text-analysis operators for LLM training-data pipelines over
   * `documents`. All metrics are pure Catalyst expression trees (no UDFs):
@@ -132,7 +133,7 @@ object TextAnalysis {
     val w = Window.partitionBy("lang").orderBy(desc("n"), asc("ngram"))
     Tables.documents(s, d)
       .select(col("lang"),
-        explode(graft.functions.VectorExprs.charNgrams(col("text"), 3)).as("ngram"))
+        explode(VectorExprs.charNgrams(col("text"), 3)).as("ngram"))
       .groupBy("lang", "ngram")
       .agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(w))
@@ -142,13 +143,30 @@ object TextAnalysis {
   }
 
   // q63 — rolling polynomial-hash document fingerprint (winnowing-lite:
-  // min window hash). Engine-specific hash → rows-only check.
-  val q63: QueryDef = QueryDef.rowsOnly("q63_fingerprint") { (s, d) =>
+  // min 16-char-window hash + whole-document hash). The hash is the
+  // engine-portable polynomial (native codegen'd MinWindowHash/PolyHash),
+  // so the DuckDB oracle replays it exactly.
+  val q63: QueryDef = QueryDef.sql(
+    "q63_fingerprint",
+    """WITH cps AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS cp
+      |  FROM documents)
+      |SELECT doc_id,
+      |  coalesce(list_min(list_transform(range(1, greatest(len(cp) - 15, 1) + 1),
+      |    i -> list_reduce(
+      |           list_prepend(CAST(0 AS BIGINT),
+      |             list_slice(cp, CAST(i AS INT), CAST(least(i + 15, len(cp)) AS INT))),
+      |           (a, b) -> (a * 131 + b) % 1000000007))), 0) AS fingerprint,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), cp),
+      |    (a, b) -> (a * 131 + b) % 1000000007) AS full_hash
+      |FROM cps
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
-        expr("array_min(transform(sequence(1, greatest(length(text) - 15, 1)), " +
-          "i -> xxhash64(substring(text, i, 16))))").as("fingerprint"),
-        expr("xxhash64(text)").as("full_hash"))
+        VectorExprs.minWindowHash(col("text"), 16).as("fingerprint"),
+        VectorExprs.polyHash(col("text")).as("full_hash"))
       .orderBy("doc_id")
   }
 
