@@ -217,6 +217,30 @@ object Dedup {
   private val NCells = 16
   private val MAssign = 3
 
+  /** Per-vector top-`MAssign` seed-cell assignments
+    * (vec_id, cell, embedding, nrm) — the shared blocking quantizer: one
+    * codegen'd projection against seed literals, no window, no crossJoin.
+    * Used by q44's candidate blocking and q35's approximate neighbor
+    * graph; consumers that only need (vec_id, cell) rely on Catalyst
+    * column pruning to drop the carried vector.
+    */
+  private[graft] def seedCellAssignments(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))).as("nrm"))
+    // O(cells) seed rows on the driver — bounded like a centroid matrix
+    val seeds = v.orderBy("vec_id").limit(NCells).take(NCells)
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    // per-row top-m cells in one codegen'd projection: sort (−cos, cell)
+    // structs ascending, keep the first m
+    val cellsCol = slice(array_sort(array(seeds.map { case (cid, sv) =>
+      struct((-round(VectorExprs.cosineSim(col("embedding"), typedlit(sv)), 8)).as("negc"),
+        lit(cid).as("cell"))
+    }: _*)), 1, MAssign)
+    v.select(col("vec_id"), col("embedding"), col("nrm"), explode(cellsCol).as("sc"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("sc.cell").as("cell"))
+  }
+
   // q44 — embedding-cosine near-dup pairs, IVF-cell blocked: per-vector
   // top-m cells come from ONE codegen'd projection against seed literals
   // (array_sort of (−cos, cell) structs — no window, no crossJoin), pairs
@@ -259,17 +283,7 @@ object Dedup {
       |ORDER BY cos_sim DESC, id_a, id_b
       |LIMIT 50""".stripMargin) { (s, d) =>
     val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // O(cells) seed rows on the driver — bounded like a centroid matrix
-    val seeds = v.orderBy("vec_id").limit(NCells).take(NCells)
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
-    // per-row top-m cells in one codegen'd projection: sort (−cos, cell)
-    // structs ascending, keep the first m
-    val cellsCol = slice(array_sort(array(seeds.map { case (cid, sv) =>
-      struct((-round(VectorExprs.cosineSim(col("embedding"), typedlit(sv)), 8)).as("negc"),
-        lit(cid).as("cell"))
-    }: _*)), 1, MAssign)
-    val cells = v.select(col("vec_id"), explode(cellsCol).as("sc"))
-      .select(col("vec_id"), col("sc.cell").as("cell"))
+    val cells = seedCellAssignments(s, d)
     val cand = cells.as("a")
       .join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))

@@ -164,11 +164,13 @@ object GanQueries {
 
   // q35 — t-SNE-style 2-d projection (gan.ipynb cell 2 imports TSNE
   // alongside PCA): deterministic PCA init, then a neighbor-embedding
-  // refinement that pulls each point toward the mean of its kNN-graph
-  // neighbors (attraction half of t-SNE's objective; the repulsion term
-  // is what Barnes-Hut approximates and is out of scope). Every iteration
-  // is one join + aggregate on vec_id — distributed, no driver state; the
-  // neighbor graph is q52's (LSH/IVF-blocked at real scale).
+  // refinement that pulls each point toward the mean of its approximate
+  // kNN neighbors (attraction half of t-SNE's objective; the repulsion
+  // term is what Barnes-Hut approximates and is out of scope). Every
+  // iteration is one join + aggregate on vec_id — distributed, no driver
+  // state. The neighbor graph comes from the seed-cell blocking (pairs
+  // only inside IVF cells + top-3 rerank with a map-side WindowGroupLimit)
+  // — the O(n²/cells) scale path, not the exact all-pairs graph.
   val q35: QueryDef = QueryDef.rowsOnly("q35_tsne_project") { (s, d) =>
     val src = Tables.embeddings(s, d)
       .withColumn("fvec", array_to_vector(col("embedding").cast("array<double>")))
@@ -178,20 +180,22 @@ object GanQueries {
         vector_to_array(col("pc")).getItem(0).as("y1"),
         vector_to_array(col("pc")).getItem(1).as("y2"))
       .cache()
-    val knn = graft.sim.Similarity.q52.fn(s, d).select("id_a", "id_b").cache()
-    val alpha = 0.3
-    for (iter <- 1 to 8) {
-      val nbr = knn
-        .join(y.select(col("vec_id").as("id_b"), col("y1").as("ny1"), col("y2").as("ny2")), "id_b")
-        .groupBy(col("id_a").as("vec_id"))
-        .agg(avg("ny1").as("m1"), avg("ny2").as("m2"))
-      var next = y.join(nbr, Seq("vec_id"), "left")
+    val knn = graft.sim.Similarity.approxKnnGraph(s, d, k = 3).cache()
+    // Few strong attraction steps: each iteration is 2 shuffles on the
+    // id key regardless of data volume, so iteration count — not row
+    // count — is the latency driver; 4×α=0.45 contracts like 8×α=0.3.
+    val alpha = 0.45
+    for (iter <- 1 to 4) {
+      val next = y.join(
+          knn.join(y.select(col("vec_id").as("id_b"), col("y1").as("ny1"), col("y2").as("ny2")), "id_b")
+            .groupBy(col("id_a").as("vec_id"))
+            .agg(avg("ny1").as("m1"), avg("ny2").as("m2")),
+          Seq("vec_id"), "left")
         .select(col("vec_id"), col("label"),
           (col("y1") * (1 - alpha) + coalesce(col("m1"), col("y1")) * alpha).as("y1"),
           (col("y2") * (1 - alpha) + coalesce(col("m2"), col("y2")) * alpha).as("y2"))
-      next = if (iter % 4 == 0) next.localCheckpoint() else next.cache()
-      y.unpersist()
-      y = next
+      // truncate lineage once mid-loop; otherwise stay lazy — fewer jobs
+      y = if (iter == 2) next.localCheckpoint() else next
     }
     y.select(col("vec_id"), col("label"),
         round(col("y1"), 6).as("y1"), round(col("y2"), 6).as("y2"))

@@ -214,5 +214,33 @@ object Similarity {
       .limit(10)
   }
 
+  /** Approximate kNN graph (id_a, id_b): candidate pairs form only inside
+    * shared seed-IVF cells (Dedup's blocking quantizer), then top-k per
+    * vector by exact cosine with the map-side WindowGroupLimit cut — the
+    * O(n²·m²/cells) scale path for graph consumers (q35's neighbor
+    * embedding) where the exact q52 graph would cost the full O(n²).
+    */
+  def approxKnnGraph(s: SparkSession, d: String, k: Int): DataFrame = {
+    // embeddings ride along with the cell assignment, so the whole graph
+    // is ONE shuffle on the cell key + ONE window on id_a (map-side
+    // group-limited); duplicate pairs from multi-assignment share a
+    // dense_rank, and the final distinct is over the tiny O(n·k) output.
+    val cells = graft.dedup.Dedup.seedCellAssignments(s, d)
+    val a = cells.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = cells.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val w = Window.partitionBy("id_a").orderBy(desc("cos_sim"), asc("id_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorExprs.dotProduct(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b")), 8).as("cos_sim"))
+      .withColumn("rk", dense_rank().over(w))
+      .filter(col("rk") <= k)
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
   val all: Seq[QueryDef] = Seq(q50, q51, q52, q53)
 }
