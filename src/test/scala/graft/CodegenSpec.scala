@@ -20,16 +20,52 @@ class CodegenSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
-  test("delegated expressions execute inside a WSCG project") {
+  test("generated-loop expressions execute inside a WSCG project") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val df = Tables.documents(spark, sfDir)
         .select(
           VectorExprs.charNgrams(col("text"), 3).as("g"),
           VectorExprs.simHash64(split(trim(col("text")), "\\s+")).as("sh"),
-          VectorExprs.minHashSig(col("text")).as("mh"))
+          VectorExprs.minHashSig(col("text")).as("mh"),
+          VectorExprs.polyHash(col("text")).as("ph"),
+          VectorExprs.minWindowHash(col("text"), 16).as("mw"))
       assert(df.collect().nonEmpty)
       assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("codegen and interpreted eval agree for the text-hash expressions") {
+    import graft.functions.{CharNgrams, MinHashSig, MinWindowHash, PolyHash, SimHash64}
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // interpreted results computed directly via compute(); codegen results
+    // via a WSCG query with fallback disabled (previous test) — here we
+    // cross-check a handful of tricky strings through BOTH paths.
+    val samples = Seq("", "a", "short", "héllo wörld çafé", // multi-byte UTF-8
+      "the quick brown fox jumps over the lazy dog and keeps running onwards")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import spark.implicits._
+      val df = samples.toDF("t").select(
+        col("t"),
+        VectorExprs.polyHash(col("t")).as("ph"),
+        VectorExprs.minWindowHash(col("t"), 16).as("mw"),
+        VectorExprs.minHashSig(col("t")).as("mh"),
+        VectorExprs.charNgrams(col("t"), 3).as("ng"))
+      val rows = df.collect().map(r => r.getAs[String]("t") -> r).toMap
+      samples.foreach { s0 =>
+        val u = UTF8String.fromString(s0)
+        val r = rows(s0)
+        assert(r.getAs[Long]("ph") == PolyHash(null).compute(u), s"polyHash '$s0'")
+        assert(r.getAs[Long]("mw") == MinWindowHash(null, 16).compute(u), s"minWindowHash '$s0'")
+        val mhInterp = MinHashSig(null, 5, 16).compute(u)
+          .toLongArray().toSeq
+        assert(r.getSeq[Long](r.fieldIndex("mh")) == mhInterp, s"minHashSig '$s0'")
+        val ngInterp = CharNgrams(null, 3).compute(u)
+          .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+        assert(r.getSeq[String](r.fieldIndex("ng")) == ngInterp, s"charNgrams '$s0'")
+      }
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 }
