@@ -200,9 +200,17 @@ object Dedup {
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      // A pair collides in at most 4 bands, so the raw top-4×1000 rows
+      // (TakeOrderedAndProject — partition heaps, no full shuffle)
+      // contain every copy of the true top-1000 DISTINCT pairs; the
+      // distinct then runs on 4000 rows instead of the multi-million
+      // candidate fan-out. Output is provably identical to
+      // distinct-then-top-1000.
+      .orderBy(asc("hamming"), asc("id_a"), asc("id_b"))
+      .limit(4000)
       .distinct()
       .orderBy(asc("hamming"), asc("id_a"), asc("id_b"))
-      .limit(1000) // top near-dup candidates (bounded output, TakeOrdered)
+      .limit(1000) // top near-dup candidates (bounded output)
   }
 
   /** q44's candidate blocking: a deterministic seed-vector IVF quantizer.
