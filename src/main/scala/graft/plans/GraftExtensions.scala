@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharNgrams, CosineSim, JaccardSim, MinHashSig, SimHash64}
+import graft.functions.{CharNgrams, CosineSim, DotProduct, JaccardSim, MinHashSig, MinWindowHash, PolyHash, SimHash64}
 
 /** SQL-name registration of graft's native expressions.
   *
@@ -33,7 +33,13 @@ object GraftExtensions {
     "simhash64" -> (info("simhash64", "64-bit SimHash of a token array"),
       (args: Seq[Expression]) => SimHash64(args(0))),
     "minhash_sig" -> (info("minhash_sig", "MinHash signature of a string"),
-      (args: Seq[Expression]) => MinHashSig(args(0), intLit(args(1)), intLit(args(2)))))
+      (args: Seq[Expression]) => MinHashSig(args(0), intLit(args(1)), intLit(args(2)))),
+    "dot_product" -> (info("dot_product", "dot product of two numeric arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    "poly_hash" -> (info("poly_hash", "engine-portable polynomial hash of a string"),
+      (args: Seq[Expression]) => PolyHash(args(0))),
+    "min_window_hash" -> (info("min_window_hash", "min w-window polynomial hash (fingerprint)"),
+      (args: Seq[Expression]) => MinWindowHash(args(0), intLit(args(1)))))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "")

@@ -42,6 +42,9 @@ class FunctionsSpec extends SparkSpec {
     assert(grams == Seq("ab", "bc", "cd"))
     assert(spark.sql("SELECT simhash64(array('x','y')) s").head.getLong(0) != 0L)
     assert(spark.sql("SELECT minhash_sig('hello world!', 5, 16) m").head.getSeq[Long](0).size == 16)
+    assert(spark.sql("SELECT dot_product(array(2.0, 3.0), array(4.0, 5.0)) d").head.getDouble(0) == 23.0)
+    assert(spark.sql("SELECT poly_hash('ab') p").head.getLong(0) == ('a'.toLong * 131 + 'b') % 1000000007L)
+    assert(spark.sql("SELECT min_window_hash('abcdef', 3) w").head.getLong(0) >= 0L)
   }
 
   test("csv matrix roundtrip (reference's mnist csv interchange)") {
