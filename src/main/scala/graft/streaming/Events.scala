@@ -115,6 +115,15 @@ object Events {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming exactly-once-style dedup: drop replayed keys within the
+    * watermark horizon — state holds one entry per key and expires with
+    * the watermark, so memory is bounded by the horizon × key rate, not
+    * stream length (the at-least-once→effectively-once repair step in
+    * ingestion pipelines).
+    */
+  def dedupStream(events: DataFrame, key: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(key)
+
   /** Stream-stream interval join: purchases ⨝ views of the same user with
     * the view inside (purchase_ts − 30 min, purchase_ts]. Both sides are
     * watermarked, and the event-time bound lets Spark expire join state —

@@ -11,9 +11,8 @@ class StreamDedupSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val mem = MemoryStream[(Timestamp, Long)]
-    val stream = mem.toDF().toDF("ts", "event_id")
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+    val stream = graft.streaming.Events.dedupStream(
+      mem.toDF().toDF("ts", "event_id"), "event_id", "1 hour")
     val q = stream.writeStream
       .format("memory").queryName("dedup_stream").outputMode(OutputMode.Append).start()
     mem.addData(
