@@ -46,4 +46,36 @@ object Centroids {
     */
   def centers(s: SparkSession, dir: String): Array[Array[Double]] =
     model(s, dir).clusterCenters.map(_.toArray)
+
+  /** Product-quantization codebooks: the 64-d space split into `nSub`
+    * subspaces, each with its own `codesPerSub`-centroid KMeans fit over
+    * the subvectors. Memoized per (session, dir); the driver holds the
+    * O(nSub · codes · subDim) codebook matrix — the whole point of PQ is
+    * that this is the ONLY uncompressed vector state anyone keeps.
+    */
+  val PqSub = 8
+  val PqCodes = 16
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[Array[Double]]]]()
+
+  def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqMemo.computeIfAbsent((s, dir), { _ =>
+      val subDim = 64 / PqSub
+      // spherical: codebooks fit on L2-normalized vectors, matching the
+      // cosine rerank downstream (see `unitVec` note)
+      val e = col("embedding").cast("array<double>")
+      val nrm = sqrt(aggregate(e, lit(0d), (a, x) => a + x * x))
+      val base = Tables.embeddings(s, dir)
+        .select(transform(e, x => x / nrm).as("e")).cache()
+      val books = (0 until PqSub).map { sub =>
+        val sv = base.select(array_to_vector(
+          slice(col("e"), sub * subDim + 1, subDim)).as("fvec"))
+        new KMeans()
+          .setK(PqCodes).setSeed(666L + sub).setMaxIter(5).setFeaturesCol("fvec")
+          .fit(sv)
+          .clusterCenters.map(_.toArray)
+      }.toArray
+      base.unpersist()
+      books
+    })
 }

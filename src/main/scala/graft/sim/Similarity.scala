@@ -214,6 +214,90 @@ object Similarity {
       .limit(10)
   }
 
+  // q54 — PRODUCT-QUANTIZATION ANN: every vector compresses to 8 code
+  // bytes (8 subspaces × 16 trained centroids each, spherical) — at
+  // 100 TB this is the operator that makes the vector store fit in
+  // memory: the scan reads 8 bytes + a 128-entry lookup table instead of
+  // 256 float bytes per row. Scoring is asymmetric-distance (ADC): the
+  // query precomputes its squared distance to every code driver-side
+  // (O(sub·codes·subDim) math), each row's approximate distance is 8
+  // table lookups (one codegen'd fold), the top-100 ADC candidates come
+  // out of a TakeOrderedAndProject, and the final top-10 is an exact
+  // cosine rerank over those 100 rows only.
+  val q54: QueryDef = QueryDef.rowsOnly("q54_pq_ann") { (s, d) =>
+    val books = graft.ml.Centroids.pqCodebooks(s, d) // [nSub][nCodes][subDim]
+    val nSub = graft.ml.Centroids.PqSub
+    val nCodes = graft.ml.Centroids.PqCodes
+    val subDim = 64 / nSub
+    val bcBooks = s.sparkContext.broadcast(books)
+    import s.implicits._
+    // encode: per-row per-subspace argmin ‖u_sub − code‖² on the
+    // NORMALIZED vector (genuine per-row custom compute → mapPartitions
+    // over the broadcast codebooks; output is 8 small ints per row)
+    val encoded = Tables.embeddings(s, d).select("vec_id", "embedding").rdd
+      .mapPartitions { it =>
+        val bk = bcBooks.value
+        it.map { r =>
+          val id = r.getLong(0)
+          val raw = r.getSeq[Float](1)
+          var n2 = 0.0
+          var i = 0
+          while (i < 64) { n2 += raw(i).toDouble * raw(i).toDouble; i += 1 }
+          val inv = 1.0 / math.sqrt(n2)
+          val codes = new Array[Int](nSub)
+          var sub = 0
+          while (sub < nSub) {
+            var best = -1
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < nCodes) {
+              var dist = 0.0
+              i = 0
+              while (i < subDim) {
+                val dd = raw(sub * subDim + i) * inv - bk(sub)(c)(i)
+                dist += dd * dd
+                i += 1
+              }
+              if (dist < bestD) { bestD = dist; best = c }
+              c += 1
+            }
+            codes(sub) = best
+            sub += 1
+          }
+          (id, codes.toSeq)
+        }
+      }.toDF("vec_id", "codes")
+    // ADC lookup table: query-to-code squared distances (driver-side)
+    val qn = math.sqrt(sqNorm(qvArray))
+    val table: Array[Double] = Array.tabulate(nSub * nCodes) { idx =>
+      val sub = idx / nCodes
+      val c = idx % nCodes
+      var dist = 0.0
+      var i = 0
+      while (i < subDim) {
+        val dd = qvArray(sub * subDim + i) / qn - books(sub)(c)(i)
+        dist += dd * dd
+        i += 1
+      }
+      dist
+    }
+    val tl = typedlit(table)
+    val adcCol = (0 until nSub).map { sub =>
+      element_at(tl, element_at(col("codes"), sub + 1) + lit(sub * nCodes) + 1)
+    }.reduce(_ + _)
+    val cand = encoded
+      .select(col("vec_id"), adcCol.as("adc"))
+      .orderBy(asc("adc"), asc("vec_id"))
+      .limit(100)
+    // exact rerank over the 100 survivors only
+    Tables.embeddings(s, d)
+      .join(broadcast(cand), "vec_id")
+      .select(col("vec_id"), col("label"), round(col("adc"), 6).as("adc"),
+        cosToQv.as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** Approximate kNN graph (id_a, id_b): candidate pairs form only inside
     * shared seed-IVF cells (Dedup's blocking quantizer), then top-k per
     * vector by exact cosine with the map-side WindowGroupLimit cut — the
@@ -242,5 +326,5 @@ object Similarity {
       .distinct()
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53)
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54)
 }

@@ -75,6 +75,15 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(ratio < 0.7, s"kNN-pair/average distance ratio $ratio — structure not preserved")
   }
 
+  test("q54 PQ top-10 recall vs exact q50 top-10") {
+    val exact = sim.Similarity.q50.fn(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val pq = sim.Similarity.q54.fn(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall@10 $recall")
+  }
+
   test("q42 minhash estimates stay in [0,1] with ordered pairs") {
     val rows = dedup.Dedup.q42.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
