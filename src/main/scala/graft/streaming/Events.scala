@@ -69,8 +69,33 @@ object Events {
   }
 
   // q81 — stateful sessionization through the typed groups API (the same
-  // per-group logic the streaming flatMapGroupsWithState path uses).
-  val q81: QueryDef = QueryDef.rowsOnly("q81_stream_sessionize") { (s, d) =>
+  // per-group logic the streaming flatMapGroupsWithState path uses). The
+  // typed state machine is oracle-checked against the SQL formulation
+  // (lag-gap flags → running sum → per-session aggregate) in DuckDB.
+  val q81: QueryDef = QueryDef.sql(
+    "q81_stream_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM e),
+      |f AS (
+      |  SELECT user_id, session_idx, value,
+      |    first_value(event_id) OVER (PARTITION BY user_id, session_idx
+      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS fe
+      |  FROM s)
+      |SELECT user_id, CAST(session_idx AS INTEGER) AS session_idx,
+      |  min(fe) AS first_event, count(*) AS n_events,
+      |  round(sum(value), 3) AS session_value
+      |FROM f
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
     import s.implicits._
     Tables.events(s, d)
       .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
