@@ -56,11 +56,26 @@ object Binary {
   private val DecodeBatchSize = 64
 
   // q71 — batched partition-parallel feature extraction over the binary
-  // payload (rows-only: decoder output is engine-specific by design).
-  // The decoded feature vector is emitted as a sortable digest (dim,
-  // rounded sum, rounded max) — raw array columns crash the driver's
-  // pandas-based rows check.
-  val q71: QueryDef = QueryDef.rowsOnly("q71_decode_features") { (s, d) =>
+  // payload. The stub decoder is a deterministic byte-histogram, and the
+  // corpus is pure ASCII (byte == code point, asserted by q70's is_ascii),
+  // so DuckDB replays the digest exactly — the whole decode PLUMBING
+  // (binary handling, batch shape, partition parallelism) is
+  // hash-verified; a real codec swap would return this entry to
+  // rows-only. Fractions are emitted as a sortable digest (dim, rounded
+  // sum, rounded max) — raw array columns crash the driver's rows check.
+  val q71: QueryDef = QueryDef.sql(
+    "q71_decode_features",
+    """WITH h AS (
+      |  SELECT doc_id, length(text) AS n,
+      |    list_transform(range(0, 8), b -> CAST(len(list_filter(range(1, length(text) + 1),
+      |      i -> (unicode(substr(text, CAST(i AS INT), 1)) // 32) = b)) AS DOUBLE)
+      |      / greatest(length(text), 1)) AS fr
+      |  FROM documents)
+      |SELECT doc_id, CAST(n AS INTEGER) AS n_bytes, CAST(8 AS INTEGER) AS n_features,
+      |  round_even(list_sum(fr), 6) AS feat_sum,
+      |  round_even(list_max(fr), 6) AS feat_max
+      |FROM h
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val src = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
         octet_length(col("text")).as("n_bytes"))
@@ -91,8 +106,21 @@ object Binary {
   // q72 — frame sampling over a binary payload: treat the payload as a
   // sequence of fixed-size frames (video-decode shape), keep every k-th
   // frame, decode each kept frame through the stub. One row per kept
-  // frame; partition-parallel, no driver involvement.
-  val q72: QueryDef = QueryDef.rowsOnly("q72_frame_sample") { (s, d) =>
+  // frame; partition-parallel, no driver involvement. Oracle-checked for
+  // the same reason as q71 (deterministic stub + ASCII corpus); frame
+  // fractions are /64 — exact binary, so the rounds are boundary-free.
+  val q72: QueryDef = QueryDef.sql(
+    "q72_frame_sample",
+    """WITH fr AS (
+      |  SELECT doc_id, CAST(u.f AS INTEGER) AS frame_idx,
+      |    list_transform(range(0, 8), b -> CAST(len(list_filter(range(1, 65),
+      |      i -> (unicode(substr(text, CAST(u.f * 64 + i AS INT), 1)) // 32) = b)) AS DOUBLE) / 64) AS feats
+      |  FROM documents, unnest(range(0, length(text) // 64, 4)) AS u(f))
+      |SELECT doc_id, frame_idx, CAST(8 AS INTEGER) AS n_features,
+      |  round_even(list_sum(feats), 6) AS feat_sum,
+      |  round_even(list_max(feats), 6) AS feat_max
+      |FROM fr
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
     val src = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     val outSchema = StructType(Seq(
