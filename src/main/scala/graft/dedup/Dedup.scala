@@ -110,6 +110,45 @@ object Dedup {
       |  ORDER BY est_jaccard DESC, id_a, id_b
       |  LIMIT 1000)""".stripMargin
 
+  /** Banded MinHash signatures (doc_id, sig, band, key) — the persisted
+    * "signature table" of a production dedup pipeline: computed once per
+    * corpus snapshot, joined many times.
+    */
+  private[graft] def bandedSignatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sig = docs.select(col("doc_id"),
+      VectorExprs.minHashSig(col("text"), k = 5, nPerm = MinhashPerms).as("sig"))
+    sig.select(col("doc_id"), col("sig"),
+      explode(expr((0 until MinhashPerms / BandSize).map(bnd =>
+        s"named_struct('band', $bnd, 'key', array_join(transform(slice(sig, ${bnd * BandSize + 1}, $BandSize), x -> cast(x as string)), ','))")
+        .mkString("array(", ", ", ")"))).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Persist the banded signatures bucketed+sorted on a combined
+    * `band:slice` key: every later candidate join (new-batch-vs-corpus or
+    * corpus-vs-corpus) is an exchange-free SortMergeJoin over co-located
+    * buckets — at 100 TB the difference between re-shuffling the corpus
+    * per run and reading buckets in place. The bucket column must BE the
+    * join key (Spark only engages bucketed scans when the join keys cover
+    * the bucket spec), hence the single concatenated key.
+    */
+  def writeSignatureTable(s: org.apache.spark.sql.SparkSession, dir: String,
+      table: String, buckets: Int): Unit =
+    graft.operators.ScaleJoins.writeBucketed(
+      bandedSignatures(Tables.documents(s, dir))
+        .select(col("doc_id"), concat_ws(":", col("band"), col("key")).as("bkey")),
+      table, "bkey", buckets)
+
+  /** Candidate pairs from two persisted signature tables (exchange-free
+    * when both are bucketed on `bkey` with equal bucket counts).
+    */
+  def bucketedCandidates(s: org.apache.spark.sql.SparkSession,
+      tableA: String, tableB: String): org.apache.spark.sql.DataFrame =
+    s.table(tableA).as("a")
+      .join(s.table(tableB).as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+
   // q42 — MinHash + LSH candidate pairs. Bands are the shuffle key; pairs
   // form only inside a band bucket. The signature hash is engine-portable
   // (polynomial over code points — see MinHashSig) and the band key is the
@@ -118,14 +157,7 @@ object Dedup {
     "q42_dedup_minhash_lsh",
     s"""WITH $minhashSigDuck
        |SELECT id_a, id_b, n_bands, est_jaccard FROM cpairs""".stripMargin) { (s, d) =>
-    val sig = Tables.documents(s, d)
-      .select(col("doc_id"),
-        VectorExprs.minHashSig(col("text"), k = 5, nPerm = MinhashPerms).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
-      explode(expr((0 until MinhashPerms / BandSize).map(bnd =>
-        s"named_struct('band', $bnd, 'key', array_join(transform(slice(sig, ${bnd * BandSize + 1}, $BandSize), x -> cast(x as string)), ','))")
-        .mkString("array(", ", ", ")"))).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+    val banded = bandedSignatures(Tables.documents(s, d))
     val a = banded.select(col("band").as("band_a"), col("key").as("key_a"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band").as("band_b"), col("key").as("key_b"),
