@@ -273,7 +273,7 @@ object Dedup {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
     // per-row top-m cells in one codegen'd projection: sort (−cos, cell)
     // structs ascending, keep the first m
-    val cellsCol = slice(array_sort(array(seeds.map { case (cid, sv) =>
+    val cellsCol = slice(array_sort(array(seeds.toIndexedSeq.map { case (cid, sv) =>
       struct((-round(VectorExprs.cosineSim(col("embedding"), typedlit(sv)), 8)).as("negc"),
         lit(cid).as("cell"))
     }: _*)), 1, MAssign)
