@@ -557,6 +557,68 @@ object Relational {
       .orderBy("cohort_week", "active_week")
   }
 
+  // q94 — event-time RANGE-frame window: per user, the trailing-1-hour
+  // value sum at every event. Unlike the ROWS frames of q08, the frame
+  // bound is a TIME interval — peers at equal timestamps are all
+  // included, so the result is deterministic under any row order. One
+  // shuffle on user_id; frames never materialize beyond the sliding
+  // buffer.
+  val q94: QueryDef = QueryDef.sql(
+    "q94_range_window",
+    """SELECT event_id, user_id,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS trailing_1h
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(sum("value").over(w), 2).as("trailing_1h"))
+      .orderBy("event_id")
+  }
+
+  // q95 — calendar gap-fill + carry-forward (LOCF): the per-(day, type)
+  // revenue series joined onto a generated date spine, missing days
+  // filled with the last observed value — the standard shape for
+  // time-series feature tables. The spine is O(days·types); the carry
+  // is one window per type.
+  val q95: QueryDef = QueryDef.sql(
+    "q95_gap_fill",
+    """WITH bounds AS (
+      |  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, round(sum(value), 2) AS rev
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (SELECT s.day, t.event_type FROM spine s, types t),
+      |j AS (
+      |  SELECT g.day, g.event_type, d.rev
+      |  FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+      |  (rev IS NOT NULL) AS has_data,
+      |  last_value(rev IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled
+      |FROM j
+      |ORDER BY day, event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+    val bounds = ev.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val types = ev.select("event_type").distinct()
+    val grid = spine.crossJoin(broadcast(types))
+    val daily = ev.groupBy("day", "event_type").agg(round(sum("value"), 2).as("rev"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("day", "event_type"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("event_type"),
+        col("rev").isNotNull.as("has_data"),
+        last(col("rev"), ignoreNulls = true).over(w).as("rev_filled"))
+      .orderBy("day", "event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
+    q94, q95)
 }
