@@ -411,5 +411,50 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45)
+  // q46 — the END of the dedup pipeline: the clean corpus. Drop list =
+  // exact-dup non-keepers (content hash, keep-first) ∪ near-dup cluster
+  // non-keepers (q45's components, keep-min); the clean set is one
+  // anti-join against it. This is the query a training run actually
+  // consumes — everything upstream (signatures, candidates, clusters)
+  // exists to produce this keep-list.
+  val q46: QueryDef = QueryDef.sql(
+    "q46_clean_corpus",
+    s"""WITH RECURSIVE $minhashSigDuck,
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS t FROM cpairs
+       |  UNION
+       |  SELECT id_b AS s, id_a AS t FROM cpairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.id = e.t),
+       |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+       |drop_near AS (
+       |  SELECT l.id AS doc_id
+       |  FROM labels l JOIN (SELECT label, min(id) AS keep FROM labels GROUP BY label) k
+       |    ON l.label = k.label
+       |  WHERE l.id != k.keep),
+       |drop_exact AS (
+       |  SELECT d.doc_id
+       |  FROM documents d JOIN (SELECT md5(text) AS h, min(doc_id) AS keep
+       |    FROM documents GROUP BY 1) e ON md5(d.text) = e.h
+       |  WHERE d.doc_id != e.keep)
+       |SELECT doc_id, lang FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drop_near UNION SELECT doc_id FROM drop_exact)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = q42.fn(s, d).select("id_a", "id_b")
+    val labels = connectedComponents(pairs)
+    val keeps = labels.groupBy("label").agg(min("id").as("keep"))
+    val dropNear = labels.join(keeps, "label")
+      .filter(col("id") =!= col("keep")).select(col("id").as("doc_id"))
+    val exact = docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("keep"))
+    val dropExact = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(exact, "h").filter(col("doc_id") =!= col("keep")).select("doc_id")
+    docs.join(dropNear.unionByName(dropExact).distinct(), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46)
 }

@@ -229,5 +229,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66)
+  // q67 — corpus-trained bigram LM scoring (the "perplexity filter" shape
+  // of LLM data-quality pipelines, with the char-bigram model standing in
+  // for KenLM): one pass counts bigrams (shuffle on the gram key,
+  // map-side partial), prefix counts and the alphabet size derive from
+  // that table, and each document's mean add-1-smoothed conditional
+  // log-probability comes from a broadcast join of the O(alphabet²)
+  // count table onto the exploded bigrams. ln() rounded to 6 (libm ulp —
+  // q65 precedent).
+  val q67: QueryDef = QueryDef.sql(
+    "q67_bigram_lm_score",
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, length(text)),
+      |    i -> substr(text, CAST(i AS INT), 2))) AS gram
+      |  FROM documents),
+      |bi AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+      |pref AS (SELECT substr(gram, 1, 1) AS c1, sum(cnt) AS pcnt FROM bi GROUP BY 1),
+      |v AS (
+      |  SELECT CAST(count(DISTINCT c) AS DOUBLE) AS v FROM (
+      |    SELECT unnest(list_transform(range(1, length(text) + 1),
+      |      i -> substr(text, CAST(i AS INT), 1))) AS c
+      |    FROM documents) u)
+      |SELECT g.doc_id, count(*) AS n_bigrams,
+      |  round(avg(ln(CAST(bi.cnt + 1 AS DOUBLE) / (pref.pcnt + v.v))), 6) AS logprob
+      |FROM g JOIN bi USING (gram) JOIN pref ON substr(g.gram, 1, 1) = pref.c1, v
+      |GROUP BY g.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val grams = docs.select(col("doc_id"),
+      explode(VectorExprs.charNgrams(col("text"), 2)).as("gram"))
+    val bi = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+    val pref = bi.groupBy(substring(col("gram"), 1, 1).as("c1"))
+      .agg(sum("cnt").as("pcnt"))
+    val vcnt = docs
+      .select(explode(VectorExprs.charNgrams(col("text"), 1)).as("c"))
+      .agg(countDistinct("c").cast("double").as("v"))
+    grams
+      .join(broadcast(bi), "gram")
+      .withColumn("c1", substring(col("gram"), 1, 1))
+      .join(broadcast(pref), "c1")
+      .crossJoin(broadcast(vcnt))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("cnt") + 1).cast("double") / (col("pcnt") + col("v")))), 6)
+          .as("logprob"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67)
 }
