@@ -456,5 +456,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46)
+  // q47 — benchmark DECONTAMINATION: flag training documents that share
+  // any long (20-char) n-gram with the held-out eval set (deterministic
+  // eval membership: doc_id % 50 == 0 stands in for a benchmark table).
+  // The eval gram set is tiny → broadcast; training grams stream through
+  // the map-side join — no shuffle of the corpus. The standard
+  // "13-gram overlap" contamination check at char granularity.
+  val q47: QueryDef = QueryDef.sql(
+    "q47_decontaminate",
+    """WITH eg AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, length(text) - 18),
+      |    i -> substr(text, CAST(i AS INT), 20)))) AS gram
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |tg AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(text) - 18),
+      |    i -> substr(text, CAST(i AS INT), 20)))) AS gram
+      |  FROM documents WHERE doc_id % 50 != 0)
+      |SELECT doc_id, count(*) AS n_shared
+      |FROM tg JOIN eg USING (gram)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val evalGrams = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(array_distinct(VectorExprs.charNgrams(col("text"), 20))).as("gram"))
+      .distinct()
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"),
+        explode(array_distinct(VectorExprs.charNgrams(col("text"), 20))).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47)
 }
