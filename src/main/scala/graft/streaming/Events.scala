@@ -192,5 +192,41 @@ object Events {
       .orderBy("purchase_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q80, q81, q82)
+  // q83 — Spark's NATIVE session_window operator (the built-in
+  // counterpart of q81's hand-rolled state machine): 30-min-gap sessions
+  // per user in one groupBy — at scale one shuffle on (user_id), with
+  // session merging handled by the operator. The oracle derives the same
+  // sessions from the SQL lag/cumsum formulation; Spark's session end =
+  // last event + gap by definition, mirrored in SQL.
+  val q83: QueryDef = QueryDef.sql(
+    "q83_session_window",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  count(*) AS n_events, round(sum(value), 2) AS session_value
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val all: Seq[QueryDef] = Seq(q80, q81, q82, q83)
 }

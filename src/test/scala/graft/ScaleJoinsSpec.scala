@@ -35,6 +35,36 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // the runtime counterpart of manual salting: with aggressive skew
+    // thresholds, AQE's OptimizeSkewedJoin splits the hot partition and
+    // marks the SortMergeJoin skew=true in the adaptive plan
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~90% of the left side lands on key 0
+      val big = spark.range(0, 60000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(0, 2000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = big.join(right, "k")
+      // key 0: 54000 ids with id%10!=0 plus id=0 itself = 54001 rows;
+      // other matching keys: 10,20,…,1990 = 199 rows.
+      // collect() (not count()) so the INSPECTED queryExecution is the
+      // one that ran — count() spawns its own execution and the adaptive
+      // plan here would stay un-finalized.
+      assert(joined.collect().length == 54001 + 199)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally confs.keys.foreach(spark.conf.unset)
+  }
+
   test("stream-static enrichment joins a broadcast dimension") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
