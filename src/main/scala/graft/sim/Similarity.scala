@@ -298,6 +298,99 @@ object Similarity {
       .limit(10)
   }
 
+  // q55 — IVF+PQ: the composed billion-scale ANN shape. Every vector
+  // stores (cell_id, 8 PQ code bytes); the query probes its nProbe
+  // nearest trained cells, ADC-scores ONLY the probed cells' members
+  // (8 table lookups per row over a pruned scan), and exact-reranks the
+  // top-100 survivors. Combines q53's partition pruning with q54's
+  // memory compression — the inverted-list file layout at 100 TB
+  // partitions the store BY cell_id so the probe reads only matching
+  // files.
+  val q55: QueryDef = QueryDef.rowsOnly("q55_ivfpq_ann") { (s, d) =>
+    val cents = graft.ml.Centroids.centers(s, d)
+    val books = graft.ml.Centroids.pqCodebooks(s, d)
+    val nSub = graft.ml.Centroids.PqSub
+    val nCodes = graft.ml.Centroids.PqCodes
+    val subDim = 64 / nSub
+    val bcBooks = s.sparkContext.broadcast(books)
+    val bcCents = s.sparkContext.broadcast(cents)
+    import s.implicits._
+    // one pass builds the compressed index row: spherical cell argmin +
+    // per-subspace PQ codes on the normalized vector
+    val indexed = Tables.embeddings(s, d).select("vec_id", "embedding").rdd
+      .mapPartitions { it =>
+        val bk = bcBooks.value
+        val cs = bcCents.value
+        it.map { r =>
+          val id = r.getLong(0)
+          val raw = r.getSeq[Float](1)
+          var n2 = 0.0
+          var i = 0
+          while (i < 64) { n2 += raw(i).toDouble * raw(i).toDouble; i += 1 }
+          val inv = 1.0 / math.sqrt(n2)
+          var bestCell = -1
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var dist = 0.0
+            i = 0
+            while (i < 64) { val dd = raw(i) * inv - cs(c)(i); dist += dd * dd; i += 1 }
+            if (dist < bestD) { bestD = dist; bestCell = c }
+            c += 1
+          }
+          val codes = new Array[Int](nSub)
+          var sub = 0
+          while (sub < nSub) {
+            var best = -1
+            var bd = Double.MaxValue
+            c = 0
+            while (c < nCodes) {
+              var dist = 0.0
+              i = 0
+              while (i < subDim) {
+                val dd = raw(sub * subDim + i) * inv - bk(sub)(c)(i)
+                dist += dd * dd
+                i += 1
+              }
+              if (dist < bd) { bd = dist; best = c }
+              c += 1
+            }
+            codes(sub) = best
+            sub += 1
+          }
+          (id, bestCell, codes.toSeq)
+        }
+      }.toDF("vec_id", "cell_id", "codes")
+    val probes = probeCells(cents, IvfNProbe)
+    val qn = math.sqrt(sqNorm(qvArray))
+    val table: Array[Double] = Array.tabulate(nSub * nCodes) { idx =>
+      val sub = idx / nCodes
+      val c = idx % nCodes
+      var dist = 0.0
+      var i = 0
+      while (i < subDim) {
+        val dd = qvArray(sub * subDim + i) / qn - books(sub)(c)(i)
+        dist += dd * dd
+        i += 1
+      }
+      dist
+    }
+    val tl = typedlit(table)
+    val adcCol = (0 until nSub).map { sub =>
+      element_at(tl, element_at(col("codes"), sub + 1) + lit(sub * nCodes) + 1)
+    }.reduce(_ + _)
+    val cand = indexed
+      .filter(col("cell_id").isin(probes: _*))
+      .select(col("vec_id"), col("cell_id"), adcCol.as("adc"))
+      .orderBy(asc("adc"), asc("vec_id"))
+      .limit(100)
+    Tables.embeddings(s, d)
+      .join(broadcast(cand), "vec_id")
+      .select(col("vec_id"), col("label"), col("cell_id"), cosToQv.as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** Approximate kNN graph (id_a, id_b): candidate pairs form only inside
     * shared seed-IVF cells (Dedup's blocking quantizer), then top-k per
     * vector by exact cosine with the map-side WindowGroupLimit cut — the
@@ -326,5 +419,5 @@ object Similarity {
       .distinct()
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54)
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55)
 }

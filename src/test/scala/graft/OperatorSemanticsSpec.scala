@@ -84,6 +84,15 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(recall >= 0.8, s"PQ recall@10 $recall")
   }
 
+  test("q55 IVF+PQ top-10 recall vs exact q50 top-10") {
+    val exact = sim.Similarity.q50.fn(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivfpq = sim.Similarity.q55.fn(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = exact.intersect(ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF+PQ recall@10 $recall (two approximations compose)")
+  }
+
   test("q42 minhash estimates stay in [0,1] with ordered pairs") {
     val rows = dedup.Dedup.q42.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
