@@ -156,11 +156,19 @@ object Events {
     * any input rate. Exercised by the streaming spec via MemoryStream;
     * q82 is the batch-equivalent with a DuckDB oracle.
     */
-  def intervalJoinStreams(purchases: DataFrame, views: DataFrame): DataFrame = {
+  /** `joinType` "inner" (default) or "leftOuter": the outer form emits a
+    * null-view row for an unmatched purchase once the watermark passes
+    * its join horizon — i.e. Spark PROVES no matching view can still
+    * arrive before emitting the negative, which is why outer stream-stream
+    * joins require both watermarks and the event-time bound.
+    */
+  def intervalJoinStreams(purchases: DataFrame, views: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val p = purchases.withWatermark("ts", "1 hour").as("p")
     val v = views.withWatermark("ts", "2 hours").as("v")
     p.join(v, expr(
-        "p.user_id = v.user_id AND v.ts >= p.ts - INTERVAL 30 MINUTES AND v.ts <= p.ts"))
+        "p.user_id = v.user_id AND v.ts >= p.ts - INTERVAL 30 MINUTES AND v.ts <= p.ts"),
+        joinType)
       .select(col("p.event_id").as("purchase_id"), col("p.user_id").as("user_id"),
         col("v.event_id").as("view_id"), col("v.value").as("view_value"))
   }

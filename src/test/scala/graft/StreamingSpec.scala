@@ -97,6 +97,31 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, 100L, 5.0)))
   }
 
+  test("left-outer interval join emits the unmatched purchase after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purch = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long, Double)]
+    val pDf = purch.toDF().toDF("event_id", "ts", "user_id")
+    val vDf = views.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = Events.intervalJoinStreams(pDf, vDf, joinType = "leftOuter").writeStream
+      .format("memory").queryName("ij_outer").outputMode(OutputMode.Append).start()
+    // a purchase with no view in its 30-min window
+    purch.addData((1L, Timestamp.valueOf("2024-01-01 10:10:00"), 1L))
+    views.addData((100L, Timestamp.valueOf("2024-01-01 08:00:00"), 1L, 5.0)) // too early
+    q.processAllAvailable()
+    // advance BOTH watermarks far past the purchase's join horizon so the
+    // engine can prove no matching view will arrive
+    purch.addData((2L, Timestamp.valueOf("2024-01-02 12:00:00"), 9L))
+    views.addData((101L, Timestamp.valueOf("2024-01-02 12:00:00"), 9L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ij_outer").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), Option(r.get(r.fieldIndex("view_id")))))
+    assert(out.exists { case (pid, vid) => pid == 1L && vid.isEmpty },
+      s"unmatched purchase should emit a null-view row, got ${out.mkString(", ")}")
+  }
+
   test("batch q82 agrees with a driver-side recheck of the interval semantics") {
     val rows = Events.q82.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
