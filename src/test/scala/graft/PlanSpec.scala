@@ -38,11 +38,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"q24 must not plan a window:\n$plan")
   }
 
-  test("q52 kNN graph: broadcast pair join + map-side window group limit") {
+  test("q52 kNN graph: broadcast pair join + map-side bounded top-k aggregate") {
     val plan = planOf("q52_knn_self_join")
     assert(plan.contains("BroadcastNestedLoopJoin"), s"no broadcast pair join in:\n$plan")
-    assert(plan.contains("WindowGroupLimit"),
-      s"top-k per vector should push a WindowGroupLimit before the exchange:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"top-k should partial-aggregate with bounded object buffers (no pair sort):\n$plan")
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window("),
+      s"the sorted-window formulation should be gone:\n$plan")
   }
 
   test("q44 blocked dedup plans no cartesian pair join") {
