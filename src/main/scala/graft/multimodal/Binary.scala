@@ -14,6 +14,14 @@ import graft.{QueryDef, Tables}
   * binary handling, batch shape, partition-parallel extraction — is real
   * and is what carries to 100 TB (each partition streams fixed-size
   * batches through the "decoder", no driver involvement).
+  *
+  * Batch shape note: `mapInPandas` is PySpark's surface for exactly this
+  * vectorized-decode pattern (a Python iterator of record batches). From
+  * Scala the same execution shape is `mapPartitions` pulling fixed-size
+  * batches (`grouped(DecodeBatchSize)`) — one decoder invocation per
+  * batch, columnar-batch-sized memory, identical partition parallelism —
+  * so swapping in a Python/Pandas decoder changes the UDF registration,
+  * not the distributed plan.
   */
 object Binary {
 
