@@ -26,40 +26,52 @@ object Dedup {
       .orderBy("h")
   }
 
-  // q41 — n-gram Jaccard near-dup: candidate pairs share a `source` bucket
-  // (bounded bucket size → bounded pair fan-out), similarity = Jaccard of
-  // distinct char-3-gram sets. Top-50 most similar pairs.
+  // q41 — n-gram Jaccard near-dup, LSH-blocked: candidate pairs come from
+  // MinHash band collisions (bounded band buckets — the same signature
+  // machinery as q42), then the exact Jaccard of distinct char-3-gram sets
+  // reranks ONLY the candidates. Top-50 most similar pairs. Only (band,
+  // key, doc_id) flows through the candidate shuffle — the gram arrays
+  // join in afterwards keyed by doc_id, so the heavy payload never rides
+  // the pair-generating self-join, and pair fan-out is O(Σ bucket²) over
+  // LSH buckets whose population does NOT grow with corpus size (only
+  // near-identical signatures share a bucket), unlike source/length
+  // blocking where blocks grow linearly with the corpus.
   val q41: QueryDef = QueryDef.sql(
     "q41_dedup_ngram_jaccard",
-    """WITH g AS (
-      |  SELECT doc_id, source, length(text) // 200 AS len_bucket,
-      |    list_distinct(list_transform(range(1, length(text) - 1),
-      |      i -> substr(text, CAST(i AS INT), 3))) AS grams
+    s"""WITH $minhashBandedDuck,
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS grams
       |  FROM documents)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |SELECT c.id_a, c.id_b,
       |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
-      |FROM g a JOIN g b ON a.source = b.source
-      |  AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      |FROM cand c JOIN g a ON c.id_a = a.doc_id JOIN g b ON c.id_b = b.doc_id
       |ORDER BY jaccard DESC, id_a, id_b
       |LIMIT 50""".stripMargin) { (s, d) =>
-    // Candidate blocking: same source AND same length band (near-dups have
-    // near-equal lengths) — bounds the pair fan-out; similarity itself is
-    // the native set-based JaccardSim expression (one fused loop per pair).
-    // The gram projection feeds both sides of the self-join — materialize
-    // it once (at cluster scale: a persisted signature table, the standard
-    // shape for LSH/near-dup pipelines) instead of recomputing per side.
-    val g = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        floor(length(col("text")) / 200).as("len_bucket"),
-        sort_array(array_distinct(VectorExprs.charNgrams(col("text"), 3))).as("grams"))
-      .cache()
-    val a = g.select(col("doc_id").as("id_a"), col("source").as("src_a"),
-      col("len_bucket").as("lb_a"), col("grams").as("grams_a"))
-    val b = g.select(col("doc_id").as("id_b"), col("source").as("src_b"),
-      col("len_bucket").as("lb_b"), col("grams").as("grams_b"))
-    a.join(b, col("src_a") === col("src_b") && col("lb_a") === col("lb_b") &&
-        col("id_a") < col("id_b"))
+    val docs = Tables.documents(s, d)
+    // LSH candidates: the band value is the shuffle key; a pair collides
+    // in ≤2 bands so the distinct is cheap. No gram/sig payload in the
+    // pair join — ids only.
+    val banded = bandedSignatures(docs).select("doc_id", "band", "key")
+    val cand = banded.select(col("band"), col("key"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("key"), col("doc_id").as("id_b")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // Exact rerank: join the (small) candidate set back to per-doc gram
+    // sets keyed by doc_id; similarity is the native set-based JaccardSim
+    // expression (one fused loop per pair).
+    val g = docs.select(col("doc_id"),
+      sort_array(array_distinct(VectorExprs.charNgrams(col("text"), 3))).as("grams"))
+    cand
+      .join(g.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         VectorExprs.jaccardSimSorted(col("grams_a"), col("grams_b")).as("jaccard"))
       .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
@@ -75,11 +87,12 @@ object Dedup {
   private val MinhashPerms = 16
   private val BandSize = 8
 
-  /** DuckDB replay of [[graft.functions.MinHashSig]] — shingle hashes per
-    * doc, then the 16 affine-permutation minima. Shared by the q42 and q45
-    * oracles.
+  /** DuckDB replay of [[graft.functions.MinHashSig]] up to the banded
+    * signatures — shingle hashes per doc, the 16 affine-permutation
+    * minima, then the 2×8 band keys. Shared by every oracle that blocks
+    * on MinHash bands (q41 rerank, q42 candidates, q45/q46 clusters).
     */
-  private val minhashSigDuck =
+  private lazy val minhashBandedDuck =
     """shs AS (
       |  SELECT doc_id,
       |    list_transform(range(1, greatest(length(text) - 3, 1)),
@@ -97,7 +110,13 @@ object Dedup {
       |banded AS (
       |  SELECT doc_id, sig, t.band AS band,
       |    array_to_string(list_slice(sig, CAST(t.band * 8 + 1 AS INT), CAST(t.band * 8 + 8 AS INT)), ',') AS key
-      |  FROM sig, (SELECT unnest(range(0, 2)) AS band) t),
+      |  FROM sig, (SELECT unnest(range(0, 2)) AS band) t)""".stripMargin
+
+  /** [[minhashBandedDuck]] plus the bounded top-1000 candidate-pair CTE —
+    * the full q42 replay, shared by the q42 and q45/q46 oracles.
+    */
+  private lazy val minhashSigDuck =
+    s"""$minhashBandedDuck,
       |cpairs AS (
       |  SELECT id_a, id_b, count(*) AS n_bands, max(est_jaccard) AS est_jaccard
       |  FROM (

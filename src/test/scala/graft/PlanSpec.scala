@@ -47,6 +47,18 @@ class PlanSpec extends SparkSpec {
       s"the sorted-window formulation should be gone:\n$plan")
   }
 
+  test("q41 pair join carries no gram arrays and is equi-keyed on bands") {
+    val plan = planOf("q41_dedup_ngram_jaccard")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q41 candidates must come from MinHash band buckets, not an all-pairs join:\n$plan")
+    // the pair-generating join must not ship gram arrays; grams join in
+    // afterwards keyed by doc_id
+    val pairJoin = plan.linesIterator.find(l =>
+      l.contains("Join") && l.contains("band") && l.contains("key"))
+    assert(pairJoin.exists(!_.contains("grams")),
+      s"band-collision join must not carry gram arrays:\n$plan")
+  }
+
   test("q44 blocked dedup plans no cartesian pair join") {
     val plan = planOf("q44_dedup_embedding")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
