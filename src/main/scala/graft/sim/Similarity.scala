@@ -254,6 +254,40 @@ object Similarity {
       .limit(10)
   }
 
+  /** ADC lookup table: the query's squared distance to every PQ code,
+    * computed driver-side (O(sub·codes·subDim) math over the codebooks).
+    */
+  private def adcTable(books: Array[Array[Array[Double]]]): Array[Double] = {
+    val nSub = graft.ml.Centroids.PqSub
+    val nCodes = graft.ml.Centroids.PqCodes
+    val subDim = 64 / nSub
+    val qn = math.sqrt(sqNorm(qvArray))
+    Array.tabulate(nSub * nCodes) { idx =>
+      val sub = idx / nCodes
+      val c = idx % nCodes
+      var dist = 0.0
+      var i = 0
+      while (i < subDim) {
+        val dd = qvArray(sub * subDim + i) / qn - books(sub)(c)(i)
+        dist += dd * dd
+        i += 1
+      }
+      dist
+    }
+  }
+
+  /** Approximate (ADC) distance of a `codes` row: 8 lookups into the
+    * broadcast-literal table, summed inside whole-stage codegen.
+    */
+  private def adcCol(table: Array[Double]): Column = {
+    val nSub = graft.ml.Centroids.PqSub
+    val nCodes = graft.ml.Centroids.PqCodes
+    val tl = typedlit(table)
+    (0 until nSub).map { sub =>
+      element_at(tl, element_at(col("codes"), sub + 1) + lit(sub * nCodes) + 1)
+    }.reduce(_ + _)
+  }
+
   // q54 — PRODUCT-QUANTIZATION ANN: every vector compresses to 8 code
   // bytes (8 subspaces × 16 trained centroids each, spherical) — at
   // 100 TB this is the operator that makes the vector store fit in
@@ -307,26 +341,8 @@ object Similarity {
           (id, codes.toSeq)
         }
       }.toDF("vec_id", "codes")
-    // ADC lookup table: query-to-code squared distances (driver-side)
-    val qn = math.sqrt(sqNorm(qvArray))
-    val table: Array[Double] = Array.tabulate(nSub * nCodes) { idx =>
-      val sub = idx / nCodes
-      val c = idx % nCodes
-      var dist = 0.0
-      var i = 0
-      while (i < subDim) {
-        val dd = qvArray(sub * subDim + i) / qn - books(sub)(c)(i)
-        dist += dd * dd
-        i += 1
-      }
-      dist
-    }
-    val tl = typedlit(table)
-    val adcCol = (0 until nSub).map { sub =>
-      element_at(tl, element_at(col("codes"), sub + 1) + lit(sub * nCodes) + 1)
-    }.reduce(_ + _)
     val cand = encoded
-      .select(col("vec_id"), adcCol.as("adc"))
+      .select(col("vec_id"), adcCol(adcTable(books)).as("adc"))
       .orderBy(asc("adc"), asc("vec_id"))
       .limit(100)
     // exact rerank over the 100 survivors only
@@ -346,7 +362,14 @@ object Similarity {
   // memory compression — the inverted-list file layout at 100 TB
   // partitions the store BY cell_id so the probe reads only matching
   // files.
-  val q55: QueryDef = QueryDef.rowsOnly("q55_ivfpq_ann") { (s, d) =>
+  /** One-pass compressed-index build: each vector's (cell_id, codes) row —
+    * spherical coarse-cell argmin + per-subspace PQ codes on the
+    * normalized vector. Genuine per-row custom compute → mapPartitions
+    * over the broadcast centroid/codebook matrices; output is an int + 8
+    * small ints per row, the O(n) compressed representation everything
+    * downstream probes.
+    */
+  private[graft] def compressedIndex(s: SparkSession, d: String): DataFrame = {
     val cents = graft.ml.Centroids.centers(s, d)
     val books = graft.ml.Centroids.pqCodebooks(s, d)
     val nSub = graft.ml.Centroids.PqSub
@@ -355,9 +378,7 @@ object Similarity {
     val bcBooks = s.sparkContext.broadcast(books)
     val bcCents = s.sparkContext.broadcast(cents)
     import s.implicits._
-    // one pass builds the compressed index row: spherical cell argmin +
-    // per-subspace PQ codes on the normalized vector
-    val indexed = Tables.embeddings(s, d).select("vec_id", "embedding").rdd
+    Tables.embeddings(s, d).select("vec_id", "embedding").rdd
       .mapPartitions { it =>
         val bk = bcBooks.value
         val cs = bcCents.value
@@ -401,27 +422,19 @@ object Similarity {
           (id, bestCell, codes.toSeq)
         }
       }.toDF("vec_id", "cell_id", "codes")
+  }
+
+  /** ADC probe over a compressed-index DataFrame: filter to the query's
+    * probed cells, 8-lookup ADC score, top-100 TakeOrdered, then exact
+    * cosine rerank of the 100 survivors for the final top-10.
+    */
+  private def probeCompressed(s: SparkSession, d: String, index: DataFrame): DataFrame = {
+    val cents = graft.ml.Centroids.centers(s, d)
+    val books = graft.ml.Centroids.pqCodebooks(s, d)
     val probes = probeCells(cents, IvfNProbe)
-    val qn = math.sqrt(sqNorm(qvArray))
-    val table: Array[Double] = Array.tabulate(nSub * nCodes) { idx =>
-      val sub = idx / nCodes
-      val c = idx % nCodes
-      var dist = 0.0
-      var i = 0
-      while (i < subDim) {
-        val dd = qvArray(sub * subDim + i) / qn - books(sub)(c)(i)
-        dist += dd * dd
-        i += 1
-      }
-      dist
-    }
-    val tl = typedlit(table)
-    val adcCol = (0 until nSub).map { sub =>
-      element_at(tl, element_at(col("codes"), sub + 1) + lit(sub * nCodes) + 1)
-    }.reduce(_ + _)
-    val cand = indexed
+    val cand = index
       .filter(col("cell_id").isin(probes: _*))
-      .select(col("vec_id"), col("cell_id"), adcCol.as("adc"))
+      .select(col("vec_id"), col("cell_id"), adcCol(adcTable(books)).as("adc"))
       .orderBy(asc("adc"), asc("vec_id"))
       .limit(100)
     Tables.embeddings(s, d)
@@ -429,6 +442,42 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cell_id"), cosToQv.as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(10)
+  }
+
+  val q55: QueryDef = QueryDef.rowsOnly("q55_ivfpq_ann") { (s, d) =>
+    probeCompressed(s, d, compressedIndex(s, d))
+  }
+
+  /** Materialize the compressed index as a catalog table PARTITIONED BY
+    * cell_id — the inverted-list file layout: a probe's
+    * `cell_id IN (...)` filter becomes PartitionFilters at the scan, so
+    * only the probed cells' files are read (and the per-vector encode
+    * cost is paid once per corpus snapshot, not per query). The dedup
+    * family's persisted-signature-table treatment, applied to ANN.
+    */
+  def writeIndexTable(s: SparkSession, d: String, table: String): Unit =
+    compressedIndex(s, d).write.mode("overwrite")
+      .partitionBy("cell_id")
+      .option("path", s"${System.getProperty("java.io.tmpdir")}/graft-annindex/$table")
+      .saveAsTable(table)
+
+  /** The session's persisted index table for `d`, built on first use. */
+  private val indexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private[graft] def indexTable(s: SparkSession, d: String): String =
+    indexMemo.computeIfAbsent((s, d), { _ =>
+      val t = s"graft_ann_idx_${java.lang.Integer.toHexString(d.hashCode)}"
+      writeIndexTable(s, d, t)
+      t
+    })
+
+  // q56 — IVF+PQ over the PERSISTED index: identical search to q55, but
+  // the probe reads the cell_id-partitioned index table, so the scan
+  // prunes to the probed cells' partitions (PartitionFilters — asserted
+  // in PlanSpec) and the encode is amortized across queries. This is the
+  // production read path; q55 demonstrates the one-shot build+search.
+  val q56: QueryDef = QueryDef.rowsOnly("q56_ann_index_probe") { (s, d) =>
+    probeCompressed(s, d, s.table(indexTable(s, d)))
   }
 
   /** Approximate kNN graph (id_a, id_b): candidate pairs form only inside
@@ -459,5 +508,5 @@ object Similarity {
       .distinct()
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55)
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56)
 }

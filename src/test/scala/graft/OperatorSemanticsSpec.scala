@@ -93,6 +93,13 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF+PQ recall@10 $recall (two approximations compose)")
   }
 
+  test("q56 persisted-index probe returns exactly q55's one-shot results") {
+    val oneShot = sim.Similarity.q55.fn(spark, sfDir).collect().toSeq
+    val indexed = sim.Similarity.q56.fn(spark, sfDir).collect().toSeq
+    assert(indexed == oneShot,
+      s"index probe must match the in-flight build:\n$indexed\nvs\n$oneShot")
+  }
+
   test("q42 minhash estimates stay in [0,1] with ordered pairs") {
     val rows = dedup.Dedup.q42.fn(spark, sfDir).collect()
     assert(rows.nonEmpty)

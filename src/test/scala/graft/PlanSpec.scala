@@ -65,6 +65,13 @@ class PlanSpec extends SparkSpec {
       s"q44 candidates must come from LSH buckets, not an all-pairs join:\n$plan")
   }
 
+  test("q56 persisted-index probe prunes partitions at the scan") {
+    val plan = planOf("q56_ann_index_probe")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cell_id") && l.contains(" IN ")),
+      s"probe must push cell_id IN (...) as PartitionFilters:\n$plan")
+  }
+
   test("q53 IVF cell assignment plans no window and no cross join") {
     val plan = planOf("q53_ivf_ann")
     assert(!plan.contains("Window"), s"q53 assignment must be a projection, not a window:\n$plan")
