@@ -93,6 +93,14 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF+PQ recall@10 $recall (two approximations compose)")
   }
 
+  test("q52 grid join with small chunks matches the single-broadcast result") {
+    val whole = sim.Similarity.q52.fn(spark, sfDir).collect().toSeq
+    // force a real multi-chunk grid (sf0.001 has ~100 vectors)
+    val grid = sim.Similarity.q52TopKAgg(spark, sfDir, maxBuildRows = 16L)
+      .collect().toSeq
+    assert(grid == whole, s"chunked pair join must cover the same pair set")
+  }
+
   test("q56 persisted-index probe returns exactly q55's one-shot results") {
     val oneShot = sim.Similarity.q55.fn(spark, sfDir).collect().toSeq
     val indexed = sim.Similarity.q56.fn(spark, sfDir).collect().toSeq
