@@ -390,15 +390,34 @@ object Dedup {
       // join+agg per iteration and deep clusters hit planner/stack limits
       // long before the data does.
       next = if ((iter + 1) % 5 == 0) next.localCheckpoint() else next.cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old_label"), "id")
-        .filter(col("label") =!= col("old_label")).limit(1).count()
+      // The convergence probe is a full job (join + limit-1 count), so
+      // run it every 2nd iteration only — propagation past the fixpoint
+      // is a no-op, and near-dup components have tiny diameters, so at
+      // most one redundant iteration runs.
+      if (iter % 2 == 1 || iter == maxIters - 1) {
+        val changed = next.join(labels.withColumnRenamed("label", "old_label"), "id")
+          .filter(col("label") =!= col("old_label")).limit(1).count()
+        converged = changed == 0
+      }
       labels.unpersist()
       labels = next
-      converged = changed == 0
       iter += 1
     }
     labels
   }
+
+  /** Near-dup cluster labels shared by q45 (cluster audit) and q46 (clean
+    * corpus): ONE banded-signature pipeline + candidate join + label
+    * propagation per (session, corpus), memoized — the two consumers used
+    * to recompute the whole MinHash pipeline each.
+    */
+  private val labelsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  private def clusterLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    labelsMemo.computeIfAbsent((s, d), { _ =>
+      connectedComponents(q42.fn(s, d).select("id_a", "id_b"))
+    })
 
   // q45 — near-dup clusters: MinHash candidate pairs → connected
   // components → per-cluster keep-first (the end-to-end LLM dedup
@@ -422,9 +441,7 @@ object Dedup {
        |FROM labels
        |GROUP BY label
        |ORDER BY cluster_id""".stripMargin) { (s, d) =>
-    val pairs = q42.fn(s, d).select("id_a", "id_b")
-    val labels = connectedComponents(pairs)
-    labels
+    clusterLabels(s, d)
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"), min("id").as("keep_id"))
       .orderBy("cluster_id")
@@ -462,8 +479,7 @@ object Dedup {
        |WHERE doc_id NOT IN (SELECT doc_id FROM drop_near UNION SELECT doc_id FROM drop_exact)
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val pairs = q42.fn(s, d).select("id_a", "id_b")
-    val labels = connectedComponents(pairs)
+    val labels = clusterLabels(s, d)
     val keeps = labels.groupBy("label").agg(min("id").as("keep"))
     val dropNear = labels.join(keeps, "label")
       .filter(col("id") =!= col("keep")).select(col("id").as("doc_id"))
