@@ -153,8 +153,17 @@ object Dedup {
     */
   def writeSignatureTable(s: org.apache.spark.sql.SparkSession, dir: String,
       table: String, buckets: Int): Unit =
+    writeSignatureTableFor(Tables.documents(s, dir), table, buckets)
+
+  /** [[writeSignatureTable]] over an arbitrary document set — the corpus
+    * snapshot and each incremental batch get their own bucketed table
+    * with the SAME bucket count, so batch-vs-corpus candidate joins stay
+    * exchange-free.
+    */
+  def writeSignatureTableFor(docs: org.apache.spark.sql.DataFrame,
+      table: String, buckets: Int): Unit =
     graft.operators.ScaleJoins.writeBucketed(
-      bandedSignatures(Tables.documents(s, dir))
+      bandedSignatures(docs)
         .select(col("doc_id"), concat_ws(":", col("band"), col("key")).as("bkey")),
       table, "bkey", buckets)
 
@@ -524,5 +533,81 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47)
+  /** The two persisted signature tables of the incremental flow — the
+    * standing corpus (doc_id % 10 != 0) and the newly-arrived batch
+    * (doc_id % 10 = 0) — written once per (session, corpus) with equal
+    * bucket counts on `bkey` so every candidate join below reads
+    * co-located buckets with no Exchange.
+    */
+  private val incMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (String, String)]()
+  private[graft] def incrementalSigTables(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) =
+    incMemo.computeIfAbsent((s, d), { _ =>
+      val suffix = java.lang.Integer.toHexString(d.hashCode)
+      val docs = Tables.documents(s, d)
+      val ct = s"graft_sig_corpus_$suffix"
+      val bt = s"graft_sig_batch_$suffix"
+      writeSignatureTableFor(docs.filter(col("doc_id") % 10 =!= 0), ct, 8)
+      writeSignatureTableFor(docs.filter(col("doc_id") % 10 === 0), bt, 8)
+      (ct, bt)
+    })
+
+  // q48 — INCREMENTAL dedup: the production corpus-refresh flow. The
+  // standing corpus keeps a persisted bucketed signature table; a new
+  // batch arrives, writes its (small) signature table with the same
+  // bucketing, and the keep-list update is two exchange-free joins over
+  // co-located buckets: batch-vs-corpus (already-seen content) and
+  // batch-vs-batch (duplicates inside the batch, keep-first by id). A
+  // batch doc enters the corpus iff it collides with nothing older.
+  // The corpus is NEVER re-scanned or re-shuffled — at 100 TB the
+  // refresh cost is O(batch), not O(corpus). Band keys are the
+  // engine-portable signature values, so the DuckDB oracle replays the
+  // full incremental decision.
+  val q48: QueryDef = QueryDef.sql(
+    "q48_incremental_dedup",
+    s"""WITH $minhashBandedDuck,
+      |corpus AS (SELECT doc_id, band, key FROM banded WHERE doc_id % 10 != 0),
+      |batch AS (SELECT doc_id, band, key FROM banded WHERE doc_id % 10 = 0),
+      |cross_hits AS (
+      |  SELECT b.doc_id, count(DISTINCT c.doc_id) AS n_corpus_hits
+      |  FROM batch b JOIN corpus c ON b.band = c.band AND b.key = c.key
+      |  GROUP BY b.doc_id),
+      |self_hits AS (
+      |  SELECT b.doc_id, count(DISTINCT a.doc_id) AS n_batch_hits
+      |  FROM batch b JOIN batch a
+      |    ON b.band = a.band AND b.key = a.key AND a.doc_id < b.doc_id
+      |  GROUP BY b.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(ch.n_corpus_hits, 0) AS BIGINT) AS n_corpus_hits,
+      |  CAST(coalesce(sh.n_batch_hits, 0) AS BIGINT) AS n_batch_hits,
+      |  coalesce(ch.n_corpus_hits, 0) = 0 AND coalesce(sh.n_batch_hits, 0) = 0 AS keep
+      |FROM (SELECT DISTINCT doc_id FROM batch) d
+      |LEFT JOIN cross_hits ch ON d.doc_id = ch.doc_id
+      |LEFT JOIN self_hits sh ON d.doc_id = sh.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val (corpusT, batchT) = incrementalSigTables(s, d)
+    val corpus = s.table(corpusT)
+    val batch = s.table(batchT)
+    val crossHits = batch.as("b")
+      .join(corpus.as("c"), col("b.bkey") === col("c.bkey"))
+      .groupBy(col("b.doc_id").as("doc_id"))
+      .agg(count_distinct(col("c.doc_id")).as("n_corpus_hits"))
+    val selfHits = batch.as("b")
+      .join(batch.as("a"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("b.doc_id").as("doc_id"))
+      .agg(count_distinct(col("a.doc_id")).as("n_batch_hits"))
+    batch.select("doc_id").distinct()
+      .join(crossHits, Seq("doc_id"), "left")
+      .join(selfHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_hits"), lit(0L)).as("n_corpus_hits"),
+        coalesce(col("n_batch_hits"), lit(0L)).as("n_batch_hits"),
+        (coalesce(col("n_corpus_hits"), lit(0L)) === 0 &&
+          coalesce(col("n_batch_hits"), lit(0L)) === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }

@@ -37,4 +37,25 @@ class DedupPipelineSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS sig_corpus")
     }
   }
+
+  test("q48 incremental batch-vs-corpus join reads co-located buckets, no shuffle") {
+    val (corpusT, batchT) = Dedup.incrementalSigTables(spark, sfDir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table(batchT).as("b")
+        .join(spark.table(corpusT).as("c"), col("b.bkey") === col("c.bkey"))
+        .select(col("b.doc_id"), col("c.doc_id"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"incremental candidate join must not re-shuffle the corpus:\n$plan")
+      // the refresh decision itself runs and covers every batch doc
+      val out = Dedup.q48.fn(spark, sfDir)
+      val batchDocs = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 10 === 0).count()
+      assert(out.count() == batchDocs)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
