@@ -236,5 +236,21 @@ object Events {
       .orderBy("user_id", "session_start")
   }
 
+  /** q83's native session_window as a TRUE streaming query: watermarked
+    * append-mode sessions whose state the operator itself merges — when a
+    * late-but-within-watermark event lands between two open sessions and
+    * bridges the gap, the operator collapses them into one (asserted by
+    * the streaming spec; the batch oracle can't observe merge behavior).
+    * A session emits once the watermark proves no event can extend it.
+    */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
   val all: Seq[QueryDef] = Seq(q80, q81, q82, q83)
 }

@@ -75,6 +75,38 @@ class StreamingSpec extends SparkSpec {
     assert(w10.forall(_.getAs[Double]("total") == 1.0))
   }
 
+  test("native session_window merges open sessions bridged by a late event") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+    val q = Events.sessionWindowStream(df).writeStream
+      .format("memory").queryName("native_sessions")
+      .outputMode(OutputMode.Append).start()
+    // two events 40 min apart → two OPEN sessions [10:00,10:30) [10:40,11:10)
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+      (Timestamp.valueOf("2024-01-01 10:40:00"), 1L, 2.0))
+    q.processAllAvailable()
+    // late but within the 2h watermark: lands in the gap and BRIDGES them
+    mem.addData((Timestamp.valueOf("2024-01-01 10:20:00"), 1L, 4.0))
+    q.processAllAvailable()
+    // advance the watermark past the merged session's end to emit it
+    mem.addData((Timestamp.valueOf("2024-01-02 00:00:00"), 1L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("native_sessions")
+      .filter(col("session_start") < Timestamp.valueOf("2024-01-01 23:00:00"))
+      .collect()
+    assert(rows.length == 1,
+      s"bridged sessions must merge into one, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[Timestamp]("session_start") == Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(r.getAs[Timestamp]("session_end") == Timestamp.valueOf("2024-01-01 11:10:00"))
+    assert(r.getAs[Long]("n_events") == 3L)
+    assert(r.getAs[Double]("session_value") == 7.0)
+  }
+
   test("intervalJoinStreams joins views to purchases within the 30-min bound") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
