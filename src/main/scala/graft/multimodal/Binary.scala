@@ -16,12 +16,14 @@ import graft.{QueryDef, Tables}
   * batches through the "decoder", no driver involvement).
   *
   * Batch shape note: `mapInPandas` is PySpark's surface for exactly this
-  * vectorized-decode pattern (a Python iterator of record batches). From
-  * Scala the same execution shape is `mapPartitions` pulling fixed-size
-  * batches (`grouped(DecodeBatchSize)`) — one decoder invocation per
-  * batch, columnar-batch-sized memory, identical partition parallelism —
-  * so swapping in a Python/Pandas decoder changes the UDF registration,
-  * not the distributed plan.
+  * vectorized-decode pattern (a Python iterator of record batches). Here
+  * the same execution shape is realized natively: each partition packs
+  * fixed-size COLUMNAR batches ([[Binary.BinaryBatch]] — one contiguous
+  * byte buffer + offsets, the Arrow binary layout) and hands each batch
+  * to a [[Binary.BatchDecoder]] in a single call that returns the dense
+  * feature matrix. Swapping in a real vectorized/GPU codec means
+  * implementing BatchDecoder; the packing, batching, and distributed
+  * plan are unchanged.
   */
 object Binary {
 
@@ -61,6 +63,81 @@ object Binary {
     hist.map(_ / n)
   }
 
+  /** COLUMNAR decode batch — the Arrow binary-array layout: all payloads
+    * of a batch packed into ONE contiguous byte buffer with an offsets
+    * array (`offsets.length == size + 1`, item i = data[offsets(i),
+    * offsets(i+1))). This is the memory shape a vectorized/GPU codec
+    * consumes directly — no per-item objects, one buffer handoff per
+    * batch. `aux` carries a per-item int (frame index for the video
+    * path, unused for whole-payload decode).
+    */
+  final case class BinaryBatch(ids: Array[Long], aux: Array[Int],
+      offsets: Array[Int], data: Array[Byte]) {
+    def size: Int = ids.length
+    def itemLength(i: Int): Int = offsets(i + 1) - offsets(i)
+  }
+
+  object BinaryBatch {
+    /** Pack per-item payloads into the contiguous columnar layout. */
+    def pack(items: Iterator[(Long, Int, Array[Byte])]): BinaryBatch = {
+      val ids = Array.newBuilder[Long]
+      val aux = Array.newBuilder[Int]
+      val payloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      items.foreach { case (id, a, p) => ids += id; aux += a; payloads += p }
+      val offsets = new Array[Int](payloads.length + 1)
+      var i = 0
+      while (i < payloads.length) {
+        offsets(i + 1) = offsets(i) + payloads(i).length
+        i += 1
+      }
+      val data = new Array[Byte](offsets(payloads.length))
+      i = 0
+      while (i < payloads.length) {
+        System.arraycopy(payloads(i), 0, data, offsets(i), payloads(i).length)
+        i += 1
+      }
+      BinaryBatch(ids.result(), aux.result(), offsets, data)
+    }
+  }
+
+  /** Vectorized decoder contract: ONE invocation per columnar batch,
+    * returning the dense feature matrix (row-major, `batch.size ×
+    * nFeatures`) — the signature a GPU/SIMD codec implements. A real
+    * codec replaces [[HistBatchDecoder]]; the batching, packing, and
+    * unpacking around it are codec-agnostic.
+    */
+  trait BatchDecoder extends Serializable {
+    def nFeatures: Int
+    def decode(batch: BinaryBatch): Array[Double]
+  }
+
+  /** The stub as a vectorized decoder: iterates items inside one call
+    * over the contiguous buffer. Arithmetic is identical to
+    * [[decodeStub]] per item (asserted by spec), so the catalog oracle
+    * hashes are unchanged by the batched path.
+    */
+  object HistBatchDecoder extends BatchDecoder {
+    val nFeatures = 8
+    def decode(batch: BinaryBatch): Array[Double] = {
+      val out = new Array[Double](batch.size * nFeatures)
+      val hist = new Array[Long](nFeatures)
+      var i = 0
+      while (i < batch.size) {
+        java.util.Arrays.fill(hist, 0L)
+        var j = batch.offsets(i)
+        while (j < batch.offsets(i + 1)) {
+          hist((batch.data(j) & 0xff) >> 5) += 1
+          j += 1
+        }
+        val n = math.max(batch.itemLength(i), 1).toDouble
+        var k = 0
+        while (k < nFeatures) { out(i * nFeatures + k) = hist(k) / n; k += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
   private val DecodeBatchSize = 64
 
   // q71 — batched partition-parallel feature extraction over the binary
@@ -84,24 +161,42 @@ object Binary {
       |  round_even(list_max(fr), 6) AS feat_max
       |FROM h
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    decodeFeaturesDf(s, d, DecodeBatchSize)
+  }
+
+  /** q71's implementation: each partition packs fixed-size COLUMNAR
+    * batches (contiguous buffer + offsets) and hands each to the
+    * vectorized decoder in one call — the mapInPandas/Arrow execution
+    * shape, with per-item digests unpacked from the returned feature
+    * matrix. `batchSize` is exposed so the spec can prove batch-boundary
+    * independence.
+    */
+  private[graft] def decodeFeaturesDf(s: SparkSession, d: String,
+      batchSize: Int): DataFrame = {
     val src = Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-        octet_length(col("text")).as("n_bytes"))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("n_bytes", IntegerType),
       StructField("n_features", IntegerType),
       StructField("feat_sum", DoubleType),
       StructField("feat_max", DoubleType)))
-    // Batched decode: each partition pulls fixed-size batches through the
-    // stub decoder — mirrors a vectorized media-decode UDF's batch shape.
     val rows = src.rdd.mapPartitions { it =>
-      it.grouped(DecodeBatchSize).flatMap { batch =>
-        batch.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          val f = decodeStub(payload)
-          Row(r.getAs[Long]("doc_id"), r.getAs[Int]("n_bytes"), f.length,
-            math.rint(f.sum * 1e6) / 1e6, math.rint(f.max * 1e6) / 1e6)
+      it.grouped(batchSize).flatMap { group =>
+        val batch = BinaryBatch.pack(group.iterator.map(r =>
+          (r.getAs[Long]("doc_id"), 0, r.getAs[Array[Byte]]("payload"))))
+        val feats = HistBatchDecoder.decode(batch)
+        val nf = HistBatchDecoder.nFeatures
+        (0 until batch.size).iterator.map { i =>
+          var sum = 0.0
+          var mx = Double.NegativeInfinity
+          var k = 0
+          while (k < nf) {
+            val v = feats(i * nf + k)
+            sum += v; if (v > mx) mx = v; k += 1
+          }
+          Row(batch.ids(i), batch.itemLength(i), nf,
+            math.rint(sum * 1e6) / 1e6, math.rint(mx * 1e6) / 1e6)
         }
       }
     }
@@ -129,6 +224,17 @@ object Binary {
       |  round_even(list_max(feats), 6) AS feat_max
       |FROM fr
       |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    frameSampleDf(s, d, DecodeBatchSize)
+  }
+
+  /** q72's implementation: sampled frames (fixed 64-byte items) from all
+    * documents in a partition are packed into columnar batches — frames
+    * from one document can straddle batches, exactly how a GPU video
+    * decoder consumes frame batches — and each batch decodes in one
+    * vectorized call. Per-frame digests unpack from the feature matrix.
+    */
+  private[graft] def frameSampleDf(s: SparkSession, d: String,
+      batchSize: Int): DataFrame = {
     val src = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     val outSchema = StructType(Seq(
@@ -139,14 +245,28 @@ object Binary {
       StructField("feat_max", DoubleType)))
     // Per-frame features emitted as a sortable digest — see q71 note.
     val rows = src.rdd.mapPartitions { it =>
-      it.flatMap { r =>
+      val frames = it.flatMap { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val nFrames = payload.length / FrameBytes
         (0 until nFrames by FrameStride).iterator.map { f =>
-          val frame = java.util.Arrays.copyOfRange(payload, f * FrameBytes, (f + 1) * FrameBytes)
-          val feats = decodeStub(frame)
-          Row(r.getAs[Long]("doc_id"), f, feats.length,
-            math.rint(feats.sum * 1e6) / 1e6, math.rint(feats.max * 1e6) / 1e6)
+          (r.getAs[Long]("doc_id"), f,
+            java.util.Arrays.copyOfRange(payload, f * FrameBytes, (f + 1) * FrameBytes))
+        }
+      }
+      frames.grouped(batchSize).flatMap { group =>
+        val batch = BinaryBatch.pack(group.iterator)
+        val feats = HistBatchDecoder.decode(batch)
+        val nf = HistBatchDecoder.nFeatures
+        (0 until batch.size).iterator.map { i =>
+          var sum = 0.0
+          var mx = Double.NegativeInfinity
+          var k = 0
+          while (k < nf) {
+            val v = feats(i * nf + k)
+            sum += v; if (v > mx) mx = v; k += 1
+          }
+          Row(batch.ids(i), batch.aux(i), nf,
+            math.rint(sum * 1e6) / 1e6, math.rint(mx * 1e6) / 1e6)
         }
       }
     }
