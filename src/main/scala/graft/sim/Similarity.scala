@@ -142,83 +142,12 @@ object Similarity {
     q52TopKAgg(s, d)
   }
 
-  /** Bounded top-k neighbor aggregator over UNROUNDED cosines: the buffer
-    * holds the (cos desc, id asc)-ordered candidates within `Eps` of the
-    * running k-th best, so map-side partial aggregation reduces every
-    * partition's pair fan-out to ~k rows per query vector BEFORE the
-    * shuffle — a hash aggregate over objects, no sort of the O(n²) pair
-    * stream (the Window/WindowGroupLimit alternative sorts every map
-    * partition first).
-    *
-    * Rounding to 8 decimals happens once per SURVIVOR in [[finish]]
-    * (bit-identical to Spark's `round`: BigDecimal.valueOf → setScale
-    * HALF_UP), not once per pair — at sf0.1 that removes ~4M BigDecimal
-    * allocations (~1.5 s measured). The ε-slack makes this provably
-    * identical to rounding per pair: |round(x,8) − x| ≤ 5e-9, so if a
-    * candidate trails the unrounded k-th best by > Eps = 2e-8 there are
-    * ≥ k pairs whose ROUNDED value strictly beats its rounded value, and
-    * it can never enter the final rounded-ordered top-k. Entries tied at
-    * the exact same unrounded cosine round identically and rank by id, so
-    * only the k lowest ids of a tie run are retained.
-    */
-  private class TopKNbr(k: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[
-        (Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
-    private val Eps = 2e-8
-    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-    /** Drop candidates that provably cannot make the rounded top-k:
-      * cos < (k-th best) − Eps, or > k entries at one exact cosine.
-      */
-    private def prune(buf: List[(Double, Long)]): List[(Double, Long)] = {
-      if (buf.lengthCompare(k) <= 0) return buf
-      val kth = buf(k - 1)._1
-      val out = scala.collection.mutable.ListBuffer.empty[(Double, Long)]
-      var rest = buf
-      var runCos = Double.NaN
-      var runLen = 0
-      while (rest.nonEmpty && rest.head._1 >= kth - Eps) {
-        val e = rest.head
-        if (e._1 == runCos) runLen += 1 else { runCos = e._1; runLen = 1 }
-        if (runLen <= k) out += e
-        rest = rest.tail
-      }
-      out.toList
-    }
-    override def zero: List[(Double, Long)] = Nil
-    override def reduce(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] = {
-      // fast reject against the k-th best before any allocation
-      if (buf.lengthCompare(k) >= 0 && in._1 < buf(k - 1)._1 - Eps) buf
-      else {
-        val (pre, post) = buf.span(e => better(e, in))
-        prune(pre ::: in :: post)
-      }
-    }
-    override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] = {
-      val out = scala.collection.mutable.ListBuffer.empty[(Double, Long)]
-      var (x, y) = (a, b)
-      while (x.nonEmpty || y.nonEmpty) {
-        if (y.isEmpty || (x.nonEmpty && better(x.head, y.head))) { out += x.head; x = x.tail }
-        else { out += y.head; y = y.tail }
-      }
-      prune(out.toList)
-    }
-    /** Spark's round(x, 8) semantics exactly (mathExpressions RoundBase
-      * double path: BigDecimal.valueOf → setScale HALF_UP → doubleValue).
-      */
-    private def round8(x: Double): Double =
-      if (x.isNaN || x.isInfinite) x
-      else java.math.BigDecimal.valueOf(x)
-        .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
-    override def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] =
-      buf.map { case (c, id) => (round8(c), id) }
-        .sortWith((a, b) => better(a, b))
-        .take(k)
-    override def bufferEncoder: org.apache.spark.sql.Encoder[List[(Double, Long)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
-    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
-  }
+  // q52's per-group top-k runs as graft.functions.TopKNbrAgg — a native
+  // TypedImperativeAggregate over primitive buffers (no per-row tuple
+  // deserialization, no immutable-List churn) that orders by UNROUNDED
+  // cosines with an ε-slack candidate window and applies the exact
+  // round-8 once per survivor in eval. See TopKNbrAgg's scaladoc for the
+  // ε-equivalence proof.
 
   /** Upper bound on rows in any single broadcast build chunk of the exact
     * pair join — executor memory for a chunk is O(MaxBuildRows·d), a
@@ -258,9 +187,13 @@ object Similarity {
           (VectorExprs.dotProduct(col("a.embedding"), col("b.embedding"))
             / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
     }.reduce(_ unionByName _)
-    val topk = udaf(new TopKNbr(k))
+    val topk = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.TopKNbrAgg(
+        org.apache.spark.sql.GraftBridge.expression(col("cos_sim")),
+        org.apache.spark.sql.GraftBridge.expression(col("id_b")),
+        k).toAggregateExpression())
     pairs.groupBy("id_a")
-      .agg(topk(col("cos_sim"), col("id_b")).as("nbrs"))
+      .agg(topk.as("nbrs"))
       .select(col("id_a"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
       .select(col("id_a"), (col("pos") + 1).cast("int").as("rn"),
         col("nbr._2").as("id_b"), col("nbr._1").as("cos_sim"))
