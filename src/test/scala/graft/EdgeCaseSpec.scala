@@ -47,4 +47,32 @@ class EdgeCaseSpec extends SparkSpec {
     val totalEvents = sessions.agg(sum("n_events")).head.getLong(0)
     assert(totalEvents == Tables.events(spark, sfDir).count())
   }
+
+  test("TopKNbrAgg: exact ties rank by id, epsilon-close values all survive to the rounded order") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    // group 1: an exact three-way tie at 0.5 plus a better 0.9 — the tie
+    // ranks by id; group 2: two values 3e-9 apart that round to the SAME
+    // 8-decimal value, so the final order flips to the smaller id even
+    // though the larger id had the (unrounded) larger cosine
+    val rows = Seq(
+      (1L, 10L, 0.5), (1L, 12L, 0.5), (1L, 11L, 0.5), (1L, 13L, 0.9),
+      (2L, 21L, 0.123456784), (2L, 20L, 0.123456781),
+      (3L, 30L, 0.7)) // fewer than k entries
+      .toDF("id_a", "id_b", "cos_sim")
+    val topk = GraftBridge.column(functions.TopKNbrAgg(
+      GraftBridge.expression(col("cos_sim")),
+      GraftBridge.expression(col("id_b")), 3).toAggregateExpression())
+    val out = rows.repartition(4).groupBy("id_a").agg(topk.as("nbrs"))
+      .select(col("id_a"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("id_a"), col("pos"), col("nbr._1").as("c"), col("nbr._2").as("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(out.filter(_._1 == 1L).map(t => (t._3, t._4)) ==
+      List((0.9, 13L), (0.5, 10L), (0.5, 11L)))
+    // both round to 0.12345678; smaller id wins the rounded tie
+    assert(out.filter(_._1 == 2L).map(t => (t._3, t._4)) ==
+      List((0.12345678, 20L), (0.12345678, 21L)))
+    assert(out.filter(_._1 == 3L).map(t => (t._3, t._4)) == List((0.7, 30L)))
+  }
 }
