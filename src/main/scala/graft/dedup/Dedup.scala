@@ -307,7 +307,18 @@ object Dedup {
     * graph; consumers that only need (vec_id, cell) rely on Catalyst
     * column pruning to drop the carried vector.
     */
+  private val cellsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  /** [[seedCellAssignmentsUncached]] memoized and CACHED per (session,
+    * corpus): q44 self-joins the assignments (both sides would re-score
+    * all 16 seed cosines per row) and q35's neighbor graph reuses them.
+    */
   private[graft] def seedCellAssignments(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    cellsMemo.computeIfAbsent((s, d), { _ => seedCellAssignmentsUncached(s, d).cache() })
+
+  private def seedCellAssignmentsUncached(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
       sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))).as("nrm"))
