@@ -93,6 +93,20 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF+PQ recall@10 $recall (two approximations compose)")
   }
 
+  test("q90 sketches stay inside their error bounds vs the exact columns") {
+    val rows = operators.Relational.q90.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      // HLL++ at rsd=0.02: allow 5 sigma
+      assert(math.abs(approx - exact) <= math.max(0.1 * exact, 5),
+        s"HLL estimate $approx too far from exact $exact")
+      val med = r.getAs[Double]("approx_median")
+      assert(med > 0, "median sketch must be positive on prices")
+    }
+  }
+
   test("q52 grid join with small chunks matches the single-broadcast result") {
     val whole = sim.Similarity.q52.fn(spark, sfDir).collect().toSeq
     // force a real multi-chunk grid (sf0.001 has ~100 vectors)
