@@ -579,6 +579,26 @@ object Dedup {
       (ct, bt)
     })
 
+  /** STREAMING incremental dedup flags — q48's decision as documents
+    * ARRIVE: each micro-batch computes its banded MinHash signatures
+    * in-stream (a stateless projection + explode, so no watermark or
+    * state store is needed) and stream-static joins the PERSISTED corpus
+    * signature table on the band key. A new doc emits one flag row per
+    * colliding band (at-least-once — consumers keep-first per doc_id);
+    * docs with no flag are novel. The corpus side is the bucketed
+    * catalog table, never re-shuffled. Exercised by StreamDedupSpec via
+    * MemoryStream.
+    */
+  def streamDupFlags(newDocs: org.apache.spark.sql.DataFrame,
+      corpusSigTable: String): org.apache.spark.sql.DataFrame = {
+    val corpus = newDocs.sparkSession.table(corpusSigTable)
+      .withColumnRenamed("doc_id", "corpus_doc_id")
+    bandedSignatures(newDocs)
+      .select(col("doc_id"), concat_ws(":", col("band"), col("key")).as("bkey"))
+      .join(corpus, "bkey")
+      .select(col("doc_id"), col("corpus_doc_id"), col("bkey"))
+  }
+
   // q48 — INCREMENTAL dedup: the production corpus-refresh flow. The
   // standing corpus keeps a persisted bucketed signature table; a new
   // batch arrives, writes its (small) signature table with the same

@@ -510,5 +510,16 @@ object Similarity {
       .distinct()
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56)
+  // q57 — the kNN graph's documented SCALE path as a first-class catalog
+  // entry: candidate pairs form only inside shared seed-IVF cells (one
+  // shuffle on the cell key — O(n²·m²/cells) pair volume instead of
+  // q52's exact O(n²)), top-k per vector cut map-side by
+  // WindowGroupLimit. Approximate by design → rows-only; recall ≥ 0.6
+  // vs the exact q52 graph is asserted in OperatorSemanticsSpec
+  // (measured ~0.76 at sf0.001-0.01).
+  val q57: QueryDef = QueryDef.rowsOnly("q57_approx_knn_graph") { (s, d) =>
+    approxKnnGraph(s, d, 3).orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56, q57)
 }

@@ -115,6 +115,15 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(grid == whole, s"chunked pair join must cover the same pair set")
   }
 
+  test("q57 approximate kNN graph recalls >= 0.6 of the exact q52 edges") {
+    val exact = sim.Similarity.q52.fn(spark, sfDir).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = sim.Similarity.q57.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"approx kNN graph recall $recall")
+  }
+
   test("q56 persisted-index probe returns exactly q55's one-shot results") {
     val oneShot = sim.Similarity.q55.fn(spark, sfDir).collect().toSeq
     val indexed = sim.Similarity.q56.fn(spark, sfDir).collect().toSeq

@@ -28,4 +28,35 @@ class StreamDedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L))
   }
+
+  test("streamDupFlags: arriving docs flag against the persisted corpus signatures") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.dedup.Dedup.writeSignatureTable(spark, sfDir, "stream_sig_corpus", buckets = 4)
+    try {
+      // one arriving doc duplicates an existing corpus doc verbatim
+      // (identical text → identical signatures, collision guaranteed);
+      // the other is novel gibberish
+      val known = Tables.documents(spark, sfDir)
+        .orderBy("doc_id").select("doc_id", "text").limit(1).take(1).head
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.dedup.Dedup.streamDupFlags(
+          mem.toDF().toDF("doc_id", "text"), "stream_sig_corpus")
+        .writeStream.format("memory").queryName("dup_flags")
+        .outputMode(OutputMode.Append).start()
+      mem.addData(
+        (900001L, known.getString(1)),
+        (900002L, "zq xv kj wq pf mz gx bt dn lr cw yh zq xv kj wq pf mz"))
+      q.processAllAvailable()
+      q.stop()
+      val flagged = spark.table("dup_flags").collect()
+      assert(flagged.map(_.getLong(0)).toSet == Set(900001L),
+        s"only the verbatim duplicate must flag, got ${flagged.toSeq}")
+      // the flag names the colliding corpus doc
+      assert(flagged.map(_.getAs[Long]("corpus_doc_id")).contains(known.getLong(0)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS stream_sig_corpus")
+    }
+  }
 }
