@@ -56,6 +56,12 @@ object VectorExprs {
     */
   def minWindowHash(text: Column, w: Int = 16): Column =
     toColumn(MinWindowHash(ex(text), w))
+
+  /** Asymmetric-distance (ADC) score of a PQ `codes` row against a
+    * query's precomputed code-distance table — see [[AdcScore]].
+    */
+  def adcScore(codes: Column, table: Array[Double], nSub: Int, nCodes: Int): Column =
+    toColumn(AdcScore(ex(codes), table, nSub, nCodes))
 }
 
 /** Cosine similarity between two numeric arrays; whole-stage-codegen
@@ -588,5 +594,47 @@ case class MinWindowHash(child: Expression, w: Int) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinWindowHash =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) PQ scoring: the query's squared distance to
+  * every codebook entry is precomputed driver-side into `table`
+  * (nSub·nCodes doubles), and each row's approximate distance is nSub
+  * table lookups summed left-to-right — one fused codegen loop with the
+  * table attached ONCE as a referenced object, instead of nSub
+  * `element_at` calls each embedding the full table literal in the plan.
+  */
+case class AdcScore(child: Expression, table: Array[Double], nSub: Int, nCodes: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  def compute(codes: ArrayData): Double = {
+    var s = 0.0
+    var sub = 0
+    while (sub < nSub) {
+      s += table(codes.getInt(sub) + sub * nCodes)
+      sub += 1
+    }
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tbl = ctx.addReferenceObj("adcTable", table, "double[]")
+      val s = ctx.freshName("s")
+      val sub = ctx.freshName("sub")
+      s"""
+         |double $s = 0.0;
+         |for (int $sub = 0; $sub < $nSub; $sub++) {
+         |  $s += $tbl[$c.getInt($sub) + $sub * $nCodes];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AdcScore =
     copy(child = newChild)
 }

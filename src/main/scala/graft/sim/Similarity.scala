@@ -278,17 +278,15 @@ object Similarity {
     }
   }
 
-  /** Approximate (ADC) distance of a `codes` row: 8 lookups into the
-    * broadcast-literal table, summed inside whole-stage codegen.
+  /** Approximate (ADC) distance of a `codes` row: one native fused-loop
+    * expression ([[graft.functions.AdcScore]]) with the distance table
+    * attached once as a referenced object — identical left-to-right sum
+    * to the previous 8-element_at formulation, without embedding the
+    * 128-double literal 8× in the plan.
     */
-  private def adcCol(table: Array[Double]): Column = {
-    val nSub = graft.ml.Centroids.PqSub
-    val nCodes = graft.ml.Centroids.PqCodes
-    val tl = typedlit(table)
-    (0 until nSub).map { sub =>
-      element_at(tl, element_at(col("codes"), sub + 1) + lit(sub * nCodes) + 1)
-    }.reduce(_ + _)
-  }
+  private def adcCol(table: Array[Double]): Column =
+    VectorExprs.adcScore(col("codes"), table,
+      graft.ml.Centroids.PqSub, graft.ml.Centroids.PqCodes)
 
   // q54 — PRODUCT-QUANTIZATION ANN: every vector compresses to 8 code
   // bytes (8 subspaces × 16 trained centroids each, spherical) — at

@@ -68,4 +68,28 @@ class CodegenSpec extends SparkSpec {
       }
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
+
+  test("AdcScore: codegen and interpreted agree, runs inside WSCG") {
+    import graft.functions.AdcScore
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val nSub = 8
+    val nCodes = 16
+    val table = Array.tabulate(nSub * nCodes)(i => math.sin(i) * 0.5 + 0.5)
+    val codeRows = Seq(Seq(0, 1, 2, 3, 4, 5, 6, 7), Seq(15, 14, 0, 7, 3, 9, 11, 2))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import spark.implicits._
+      // repartition blocks ConvertToLocalRelation from folding the
+      // projection at plan time — the expression must run executor-side
+      val df = codeRows.toDF("codes").repartition(1)
+        .select(col("codes"), VectorExprs.adcScore(col("codes"), table, nSub, nCodes).as("adc"))
+      assert(df.queryExecution.executedPlan.toString.contains("Project"))
+      val got = df.collect().map(r => r.getSeq[Int](0) -> r.getDouble(1)).toMap
+      codeRows.foreach { cs =>
+        val interp = AdcScore(null, table, nSub, nCodes)
+          .compute(new GenericArrayData(cs.toArray))
+        assert(got(cs) == interp, s"ADC diverged for $cs")
+      }
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
