@@ -96,11 +96,30 @@ case class TopKNbrAgg(
     prune(buf)
   }
 
+  // After binding, plain column children become BoundReferences — read
+  // those primitively (eval would box a Double per pair on the O(n²)
+  // update path).
+  private lazy val cosOrd = cosChild match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+      if b.dataType == DoubleType => b.ordinal
+    case _ => -1
+  }
+  private lazy val idOrd = idChild match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+      if b.dataType == LongType => b.ordinal
+    case _ => -1
+  }
+
   override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
-    val c = cosChild.eval(input)
-    val id = idChild.eval(input)
-    if (c != null && id != null)
-      insert(buf, c.asInstanceOf[Double], id.asInstanceOf[Long])
+    if (cosOrd >= 0 && idOrd >= 0) {
+      if (!input.isNullAt(cosOrd) && !input.isNullAt(idOrd))
+        insert(buf, input.getDouble(cosOrd), input.getLong(idOrd))
+    } else {
+      val c = cosChild.eval(input)
+      val id = idChild.eval(input)
+      if (c != null && id != null)
+        insert(buf, c.asInstanceOf[Double], id.asInstanceOf[Long])
+    }
     buf
   }
 
