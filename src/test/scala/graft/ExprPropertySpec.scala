@@ -69,4 +69,35 @@ class ExprPropertySpec extends SparkSpec {
       assert(r.getSeq[Long](0).size == 16)
     }
   }
+
+  test("TopKNbrAgg equals brute-force round-then-sort top-k on adversarial near-ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    def round8(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+    // values clustered tightly around few centers → rounded collisions,
+    // sub-1e-8 gaps, and exact duplicates all occur
+    val center = Gen.oneOf(0.1, 0.5, 0.123456785)
+    val jitter = Gen.oneOf(0.0, 1e-9, 2e-9, -3e-9, 5e-9, -5e-9, 1e-7, -1e-7)
+    val rowGen = Gen.zip(Gen.choose(1L, 5L), Gen.zip(center, jitter), Gen.choose(100L, 140L))
+    val rows = samples(rowGen, 400)
+      .map { case (g, (c, j), id) => (g, c + j, id) }
+      .distinctBy(t => (t._1, t._3)) // one cosine per (group, neighbor)
+    val k = 3
+    val topk = GraftBridge.column(functions.TopKNbrAgg(
+      GraftBridge.expression(col("cos_sim")),
+      GraftBridge.expression(col("id_b")), k).toAggregateExpression())
+    val got = rows.toDF("id_a", "cos_sim", "id_b").repartition(7)
+      .groupBy("id_a").agg(topk.as("nbrs"))
+      .select(col("id_a"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getStruct(2).getDouble(0), r.getStruct(2).getLong(1)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toList).toMap
+    val want = rows.groupBy(_._1).view.mapValues { rs =>
+      rs.map(t => (round8(t._2), t._3))
+        .sortBy { case (c, id) => (-c, id) }
+        .take(k).toList
+    }.toMap
+    assert(got == want, s"mismatch:\n got=$got\nwant=$want")
+  }
 }
