@@ -276,5 +276,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67)
+  // q68 — REPETITION filter (the Gopher/RefinedWeb-style within-doc
+  // duplication signal): fraction of duplicated whitespace tokens and of
+  // duplicated 10-char grams, plus the keep/drop decision at the standard
+  // 0.30 dup-gram threshold. Ratios are (n − n_distinct)/n — one IEEE
+  // division of exact ints, identical in both engines unrounded. A doc
+  // shorter than one gram scores 0 (CASE-guarded in both engines).
+  val q68: QueryDef = QueryDef.sql(
+    "q68_repetition_filter",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks,
+      |    list_transform(range(1, greatest(length(text) - 8, 1)),
+      |      i -> substr(text, CAST(i AS INT), 10)) AS grams
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS INTEGER) AS n_tok,
+      |  CASE WHEN len(toks) = 0 THEN 0.0
+      |       ELSE CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) END
+      |    AS dup_tok_frac,
+      |  CASE WHEN len(grams) = 0 THEN 0.0
+      |       ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) END
+      |    AS dup_gram_frac,
+      |  (CASE WHEN len(grams) = 0 THEN 0.0
+      |        ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) END)
+      |    <= 0.30 AS keep
+      |FROM t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = expr(tokensExpr)
+    val grams = VectorExprs.charNgrams(col("text"), 10)
+    val dupFrac = (c: org.apache.spark.sql.Column) =>
+      when(size(c) === 0, 0.0)
+        .otherwise((size(c) - size(array_distinct(c))).cast("double") / size(c))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"), grams.as("grams"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tok"),
+        dupFrac(col("toks")).as("dup_tok_frac"),
+        dupFrac(col("grams")).as("dup_gram_frac"),
+        (dupFrac(col("grams")) <= 0.30).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68)
 }
