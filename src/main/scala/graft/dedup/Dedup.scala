@@ -331,13 +331,21 @@ object Dedup {
       d: String): org.apache.spark.sql.DataFrame =
     cellsMemo.computeIfAbsent((s, d), { _ => seedCellAssignmentsUncached(s, d).cache() })
 
+  /** The deterministic seed vectors (`NCells` lowest vec_ids) that define
+    * the blocking quantizer's cells — O(cells) bounded driver rows, like
+    * a centroid matrix. Shared with q58's cell-balanced sampling.
+    */
+  private[graft] def seedVectors(s: org.apache.spark.sql.SparkSession,
+      d: String): Array[(Long, Array[Double])] =
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(NCells).take(NCells)
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+
   private def seedCellAssignmentsUncached(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
       sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))).as("nrm"))
-    // O(cells) seed rows on the driver — bounded like a centroid matrix
-    val seeds = v.orderBy("vec_id").limit(NCells).take(NCells)
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val seeds = seedVectors(s, d)
     // per-row top-m cells in one codegen'd projection: sort (−cos, cell)
     // structs ascending, keep the first m
     val cellsCol = slice(array_sort(array(seeds.toIndexedSeq.map { case (cid, sv) =>

@@ -519,5 +519,60 @@ object Similarity {
     approxKnnGraph(s, d, 3).orderBy("id_a", "id_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56, q57)
+  // q58 — CELL-BALANCED sampling: the cluster-quota data-selection shape
+  // (cap each embedding-space region's contribution so dense regions
+  // don't dominate the training mix). Primary cell = argmax cosine over
+  // the 16 deterministic seed vectors (one codegen'd projection — the
+  // DuckDB oracle replays the seeds exactly, like q44), then the first
+  // `QuotaPerCell` vectors per cell by vec_id. One shuffle on the cell
+  // key; the per-cell cap is a map-side WindowGroupLimit at scale.
+  private val QuotaPerCell = 5
+  val q58: QueryDef = QueryDef.sql(
+    "q58_balanced_sample",
+    s"""WITH seeds AS (
+      |  SELECT vec_id AS cell, embedding AS semb,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS snrm
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |v AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT v.vec_id, v.label, s.cell,
+      |    round(list_sum(list_transform(range(1, 65),
+      |        i -> CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(s.semb[CAST(i AS INT)] AS DOUBLE)))
+      |      / (v.nrm * s.snrm), 8) AS c
+      |  FROM v, seeds s),
+      |prim AS (
+      |  SELECT vec_id, label, cell FROM (
+      |    SELECT vec_id, label, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cell) AS rn
+      |    FROM scored) t
+      |  WHERE rn = 1)
+      |SELECT cell, vec_id, label FROM (
+      |  SELECT cell, vec_id, label,
+      |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+      |  FROM prim) t
+      |WHERE rn <= $QuotaPerCell
+      |ORDER BY cell, vec_id""".stripMargin) { (s, d) =>
+    val seeds = graft.dedup.Dedup.seedVectors(s, d)
+    // primary cell in ONE codegen'd projection: max (rounded cos, -cell)
+    // struct == row_number()=1 under (c DESC, cell ASC)
+    val nrm = sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding")))
+    val cellScores = array(seeds.toIndexedSeq.map { case (cid, sv) =>
+      struct(round(VectorExprs.cosineSim(col("embedding"), typedlit(sv)), 8).as("c"),
+        lit(-cid).as("nid"))
+    }: _*)
+    val prim = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        (-array_max(cellScores).getField("nid")).as("cell"))
+    val w = Window.partitionBy("cell").orderBy("vec_id")
+    prim
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= QuotaPerCell)
+      .select("cell", "vec_id", "label")
+      .orderBy("cell", "vec_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58)
 }
