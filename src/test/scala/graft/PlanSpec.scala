@@ -72,6 +72,14 @@ class PlanSpec extends SparkSpec {
       s"probe must push cell_id IN (...) as PartitionFilters:\n$plan")
   }
 
+  test("q58 balanced sample assigns cells without a cross join, caps map-side") {
+    val plan = planOf("q58_balanced_sample")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cell assignment must be a projection, not a seed join:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-cell quota should push a map-side group limit:\n$plan")
+  }
+
   test("q53 IVF cell assignment plans no window and no cross join") {
     val plan = planOf("q53_ivf_ann")
     assert(!plan.contains("Window"), s"q53 assignment must be a projection, not a window:\n$plan")
