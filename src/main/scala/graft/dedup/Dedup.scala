@@ -676,5 +676,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48)
+  // q49 — cross-document SUBSTRING duplication (the train-vs-train
+  // repeated-long-substring signal; doc-level dedup misses passages
+  // copied between otherwise-different docs). Strided 50-char grams
+  // (every 10th position — the shuffle-friendly approximation of the
+  // suffix-array formulation) key ONE shuffle; a gram seen in ≥2 docs is
+  // duplicated text, and each doc reports how much of it it carries.
+  // Fractions are one IEEE division of exact ints — unrounded, engines
+  // agree bit-for-bit.
+  val q49: QueryDef = QueryDef.sql(
+    "q49_substring_dup",
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, u.gram
+      |  FROM documents,
+      |    unnest(list_transform(range(1, greatest(length(text) - 48, 1), 10),
+      |      i -> substr(text, CAST(i AS INT), 50))) AS u(gram)),
+      |dup AS (
+      |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+      |per_doc AS (
+      |  SELECT g.doc_id, count(*) AS n_grams,
+      |    count(*) FILTER (WHERE dup.gram IS NOT NULL) AS n_dup_grams
+      |  FROM g LEFT JOIN dup ON g.gram = dup.gram
+      |  GROUP BY g.doc_id)
+      |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+      |  CAST(n_dup_grams AS INTEGER) AS n_dup_grams,
+      |  CAST(n_dup_grams AS DOUBLE) / n_grams AS dup_frac
+      |FROM per_doc
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // sequence() errors on start > stop, so short docs keep a 1-element
+    // sequence whose undersized gram the length filter drops (mirrors
+    // DuckDB's empty range for len < 50)
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(sequence(1, greatest(length(text) - 49, 1), 10), i -> substring(text, i, 50)), x -> length(x) = 50)")).as("gram"))
+      .distinct()
+    val dup = g.groupBy("gram")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("gram")
+    g.join(dup.withColumn("is_dup", lit(1)), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("is_dup")).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams").cast("int").as("n_grams"),
+        col("n_dup_grams").cast("int").as("n_dup_grams"),
+        (col("n_dup_grams").cast("double") / col("n_grams")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }

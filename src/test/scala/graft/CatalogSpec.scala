@@ -39,4 +39,23 @@ class CatalogSpec extends SparkSpec {
     val copies = out.agg(sum("n_copies")).head.getLong(0)
     assert(copies == Tables.documents(spark, sfDir).count())
   }
+
+  test("q49 substring-dup fractions are consistent and exact copies score 1.0") {
+    import org.apache.spark.sql.functions._
+    val out = dedup.Dedup.q49.fn(spark, sfDir).cache()
+    assert(out.filter(col("n_dup_grams") > col("n_grams")).isEmpty)
+    assert(out.filter(col("dup_frac") < 0 || col("dup_frac") > 1).isEmpty)
+    // q40's duplicate groups are byte-identical docs, so every gram of a
+    // long-enough exact copy is shared: dup_frac must be exactly 1.0 there.
+    val dupHashes = dedup.Dedup.q40.fn(spark, sfDir)
+      .filter(col("n_copies") > 1).select("h")
+    val copies = Tables.documents(spark, sfDir)
+      .withColumn("h", md5(col("text")))
+      .join(dupHashes, "h")
+      .filter(length(col("text")) >= 50)
+      .select("doc_id")
+    val mismatch = out.join(copies, "doc_id").filter(col("dup_frac") =!= 1.0)
+    assert(mismatch.isEmpty)
+    out.unpersist()
+  }
 }
