@@ -166,6 +166,17 @@ object Similarity {
     * IO trade: G sequential scans, each cheap and pruned to 3 columns).
     * Map-side partial aggregation cuts every chunk's pair stream to ≤k
     * rows per vector before the single exchange.
+    *
+    * SYMMETRIC HALVING: cosine is symmetric, so the join enumerates only
+    * ordered pairs `a.vec_id < b.vec_id` (each unordered pair lands in
+    * exactly one chunk — the one holding its larger id — so the union
+    * still covers every pair exactly once) and a generator then emits the
+    * pair in BOTH directions from the one computed dot product. The
+    * aggregation input is the same n·(n−1) directed-pair stream as
+    * before — identical result hash — but the O(d) dot-product work is
+    * cut in half. The cos projection materializes BEFORE the explode so
+    * Catalyst's CollapseProject cannot duplicate the non-cheap dot
+    * product into both struct branches.
     */
   private[graft] def q52TopKAgg(s: SparkSession, d: String,
       maxBuildRows: Long = MaxBuildRows): DataFrame = {
@@ -179,13 +190,20 @@ object Similarity {
     val pairs = (0 until nChunks).map { g =>
       val chunk = v.filter(pmod(xxhash64(col("vec_id")), lit(nChunks)) === g)
       v.as("a")
-        .join(broadcast(chunk.as("b")), col("a.vec_id") =!= col("b.vec_id"))
+        .join(broadcast(chunk.as("b")), col("a.vec_id") < col("b.vec_id"))
         // UNROUNDED cosine through the hot path: TopKNbr keeps an ε-safe
         // candidate buffer and applies the exact round-8 once per
         // survivor in finish() — identical output, no per-pair BigDecimal
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        .select(col("a.vec_id").as("lo"), col("b.vec_id").as("hi"),
           (VectorExprs.dotProduct(col("a.embedding"), col("b.embedding"))
             / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+        .select(explode(array(
+          struct(col("lo").as("id_a"), col("hi").as("id_b"),
+            col("cos_sim")),
+          struct(col("hi").as("id_a"), col("lo").as("id_b"),
+            col("cos_sim")))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+          col("p.cos_sim").as("cos_sim"))
     }.reduce(_ unionByName _)
     val topk = org.apache.spark.sql.GraftBridge.column(
       graft.functions.TopKNbrAgg(
