@@ -39,6 +39,59 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Memoized `embeddings` row count per (session, corpus dir) — one
+    * metadata-cheap action shared by every consumer that sizes a
+    * structure from n (the blocking quantizer's √n cell count, q52's
+    * grid-chunk count). At cluster scale this is the value a catalog
+    * statistic would provide; the memo is the local stand-in.
+    */
+  private val embCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+  Memos.register { () => embCountMemo.clear() }
+  def embeddingsCount(s: SparkSession, d: String): Long =
+    embCountMemo.computeIfAbsent((s, d),
+      { _ => java.lang.Long.valueOf(embeddings(s, d).count()) }).longValue()
+}
+
+/** Registry for the engine's session-lifetime memo caches (cached
+  * signature DataFrames, trained quantizers, persisted index tables).
+  *
+  * The memos assume a STATIC corpus per (session, dir) — the right trade
+  * for batch pipelines where one snapshot is queried many times. A
+  * long-lived session that rewrites a corpus dir, or needs to bound
+  * cached-plan/storage memory, calls [[clearAll]]: every registered memo
+  * unpersists its cached DataFrames and forgets its state, so the next
+  * query rebuilds from the current files. Storage-memory pressure from
+  * the memos is visible in the bench harness' `storage_mem_high_water`
+  * field.
+  */
+object Memos {
+  private val clearers =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  /** Called once per memo site at class-init; `f` drops that memo's state
+    * (unpersisting any cached DataFrames it holds).
+    */
+  def register(f: () => Unit): Unit = clearers.add(f)
+
+  /** Drop every registered memo: cached plans unpersist, trained models
+    * and table registrations forget. Persisted table FILES under the
+    * warehouse dir survive (they are corpus-snapshot artifacts); their
+    * next use rebuilds the catalog entry via overwrite.
+    */
+  def clearAll(): Unit = clearers.forEach(f => f())
+
+  /** Collision-free table-name token for a corpus dir: the first 16 hex
+    * chars of SHA-256 over the CANONICAL path (a 32-bit `hashCode` can
+    * collide across two dirs within one session and silently share a
+    * persisted table).
+    */
+  def pathToken(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+  }
 }
 
 /** One engine operator: a Spark implementation plus (when SQL-expressible)

@@ -138,6 +138,7 @@ object Dedup {
     */
   private val bandedMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  graft.Memos.register { () => bandedMemo.values.forEach(_.unpersist()); bandedMemo.clear() }
   private def bandedCached(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     bandedMemo.computeIfAbsent((s, d), { _ =>
@@ -253,6 +254,7 @@ object Dedup {
     */
   private val simhashMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  graft.Memos.register { () => simhashMemo.values.forEach(_.unpersist()); simhashMemo.clear() }
   private def simhashBandedCached(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     simhashMemo.computeIfAbsent((s, d), { _ =>
@@ -302,16 +304,38 @@ object Dedup {
   }
 
   /** q44's candidate blocking: a deterministic seed-vector IVF quantizer.
-    * `NCells` seed vectors (lowest vec_ids) define the cells; every vector
-    * multi-assigns to its `MAssign` nearest cells by cosine, and candidate
-    * pairs must share a cell — candidate volume is O(n²·m²/cells) instead
-    * of O(n²), and at 100 TB the cell count grows with n (seeds from a
-    * sample, or q33's trained centroids) so buckets stay bounded. Seeds
-    * are deterministic data rows so the DuckDB oracle replays the EXACT
-    * blocked pipeline — the hash check covers the scale-safe plan itself.
+    * `nCells(n)` seed vectors (lowest vec_ids) define the cells; every
+    * vector multi-assigns to its `MAssign` nearest cells by cosine, and
+    * candidate pairs must share a cell. The cell count SCALES WITH THE
+    * CORPUS — k = max(16, ⌈√n⌉) — so per-cell population grows like √n
+    * and candidate volume is O(n^1.5·m²), not the O(n²) a fixed cell
+    * count degrades to at 100× data (per-cell population would grow
+    * linearly and pair fan-out quadratically). Seeds are deterministic
+    * data rows (the k lowest vec_ids) so the DuckDB oracle replays the
+    * EXACT blocked pipeline — the hash check covers the scale-safe plan
+    * itself; sub-quadratic candidate growth across scale factors is
+    * asserted in OperatorSemanticsSpec. Beyond seeds-from-data, the
+    * trained `ml.Centroids` quantizer is the drop-in upgrade (same cell
+    * interface) when replayability is not required.
     */
-  private val NCells = 16
-  private val MAssign = 3
+  private[graft] def nCells(s: org.apache.spark.sql.SparkSession, d: String): Int =
+    math.max(16, math.ceil(math.sqrt(Tables.embeddingsCount(s, d).toDouble)).toInt)
+  private val MAssign = 4
+
+  /** DuckDB replay of [[seedVectors]]: the max(16, ⌈√n⌉) lowest-vec_id
+    * rows with their norms — shared by the q44 and q58 oracles. The
+    * window-function form (not LIMIT) keeps the seed count a pure SQL
+    * expression of the corpus itself.
+    */
+  private[graft] lazy val seedsDuck: String =
+    """seeds AS (
+      |  SELECT vec_id AS cell, embedding AS semb,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS snrm
+      |  FROM (SELECT vec_id, embedding,
+      |          row_number() OVER (ORDER BY vec_id) AS srn,
+      |          count(*) OVER () AS n
+      |        FROM embeddings) seedsrc
+      |  WHERE srn <= greatest(16, CAST(ceil(sqrt(n)) AS BIGINT)))""".stripMargin
 
   /** Per-vector top-`MAssign` seed-cell assignments
     * (vec_id, cell, embedding, nrm) — the shared blocking quantizer: one
@@ -322,24 +346,28 @@ object Dedup {
     */
   private val cellsMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  graft.Memos.register { () => cellsMemo.values.forEach(_.unpersist()); cellsMemo.clear() }
 
   /** [[seedCellAssignmentsUncached]] memoized and CACHED per (session,
     * corpus): q44 self-joins the assignments (both sides would re-score
-    * all 16 seed cosines per row) and q35's neighbor graph reuses them.
+    * every seed cosine per row) and q35's neighbor graph reuses them.
     */
   private[graft] def seedCellAssignments(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     cellsMemo.computeIfAbsent((s, d), { _ => seedCellAssignmentsUncached(s, d).cache() })
 
-  /** The deterministic seed vectors (`NCells` lowest vec_ids) that define
-    * the blocking quantizer's cells — O(cells) bounded driver rows, like
-    * a centroid matrix. Shared with q58's cell-balanced sampling.
+  /** The deterministic seed vectors (the `nCells(n)` lowest vec_ids) that
+    * define the blocking quantizer's cells — O(√n·d) bounded driver rows,
+    * like a centroid matrix (n=10⁹ → ~32k seeds × 64 d ≈ 16 MB). Shared
+    * with q58's cell-balanced sampling.
     */
   private[graft] def seedVectors(s: org.apache.spark.sql.SparkSession,
-      d: String): Array[(Long, Array[Double])] =
+      d: String): Array[(Long, Array[Double])] = {
+    val k = nCells(s, d)
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .orderBy("vec_id").limit(NCells).take(NCells)
+      .orderBy("vec_id").limit(k).take(k)
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+  }
 
   private def seedCellAssignmentsUncached(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
@@ -356,6 +384,22 @@ object Dedup {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("sc.cell").as("cell"))
   }
 
+  /** The blocked candidate-pair set (id_a < id_b, distinct): pairs form
+    * only inside a shared quantizer cell. With √n cells the candidate
+    * volume grows as O(n^1.5·m²) — OperatorSemanticsSpec measures the
+    * growth exponent across scale factors. Shared by q44's rerank and
+    * the spec.
+    */
+  private[graft] def embeddingCandidatePairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val cells = seedCellAssignments(s, d).select("vec_id", "cell")
+    cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+  }
+
   // q44 — embedding-cosine near-dup pairs, IVF-cell blocked: per-vector
   // top-m cells come from ONE codegen'd projection against seed literals
   // (array_sort of (−cos, cell) structs — no window, no crossJoin), pairs
@@ -367,10 +411,7 @@ object Dedup {
   // association order is engine-internal.
   val q44: QueryDef = QueryDef.sql(
     "q44_dedup_embedding",
-    """WITH seeds AS (
-      |  SELECT vec_id AS cell, embedding AS semb,
-      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS snrm
-      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+    s"""WITH $seedsDuck,
       |v AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -386,7 +427,7 @@ object Dedup {
       |    SELECT vec_id, cell,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cell) AS rn
       |    FROM scored) t
-      |  WHERE rn <= 3),
+      |  WHERE rn <= $MAssign),
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id)
@@ -398,12 +439,7 @@ object Dedup {
       |ORDER BY cos_sim DESC, id_a, id_b
       |LIMIT 50""".stripMargin) { (s, d) =>
     val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val cells = seedCellAssignments(s, d)
-    val cand = cells.as("a")
-      .join(cells.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+    val cand = embeddingCandidatePairs(s, d)
     // rerank with per-vector norms precomputed (dot + divide per pair;
     // bit-identical to CosineSim / the oracle's nrm-product form)
     val nrmCol = sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding")))
@@ -469,6 +505,7 @@ object Dedup {
     */
   private val labelsMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  graft.Memos.register { () => labelsMemo.values.forEach(_.unpersist()); labelsMemo.clear() }
   private def clusterLabels(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     labelsMemo.computeIfAbsent((s, d), { _ =>
@@ -588,10 +625,11 @@ object Dedup {
     */
   private val incMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), (String, String)]()
+  graft.Memos.register { () => incMemo.clear() }
   private[graft] def incrementalSigTables(s: org.apache.spark.sql.SparkSession,
       d: String): (String, String) =
     incMemo.computeIfAbsent((s, d), { _ =>
-      val suffix = java.lang.Integer.toHexString(d.hashCode)
+      val suffix = graft.Memos.pathToken(d)
       val docs = Tables.documents(s, d)
       val ct = s"graft_sig_corpus_$suffix"
       val bt = s"graft_sig_batch_$suffix"

@@ -62,6 +62,16 @@ object VectorExprs {
     */
   def adcScore(codes: Column, table: Array[Double], nSub: Int, nCodes: Int): Column =
     toColumn(AdcScore(ex(codes), table, nSub, nCodes))
+
+  /** PQ code assignment of an `array<float>` vector against flattened
+    * codebooks — see [[PqEncode]]. `books` is laid out
+    * `[(sub·nCodes + code)·subDim + i]`; pass `nSub = 1, subDim = dim`
+    * with a flattened centroid matrix for whole-vector nearest-cell
+    * assignment.
+    */
+  def pqEncode(emb: Column, books: Array[Double], nSub: Int, nCodes: Int,
+      subDim: Int): Column =
+    toColumn(PqEncode(ex(emb), books, nSub, nCodes, subDim))
 }
 
 /** Cosine similarity between two numeric arrays; whole-stage-codegen
@@ -636,5 +646,101 @@ case class AdcScore(child: Expression, table: Array[Double], nSub: Int, nCodes: 
     })
 
   override protected def withNewChildInternal(newChild: Expression): AdcScore =
+    copy(child = newChild)
+}
+
+/** Product-quantization encoder: L2-normalizes the input `array<float>`
+  * vector, then for each of `nSub` contiguous subspaces picks the
+  * argmin-‖·‖² entry of that subspace's codebook (ties keep the lowest
+  * code id). Returns the `array<int>` code word.
+  *
+  * The codebook matrix rides along as ONE referenced object
+  * (`addReferenceObj`) — the per-row work is a fused primitive loop
+  * inside whole-stage codegen, so the index build stays a pure DataFrame
+  * projection (columnar scan, pushdown, WSCG) instead of an RDD
+  * `mapPartitions` pass. With `nSub = 1, subDim = dim` and a flattened
+  * coarse-centroid matrix this same expression is the nearest-cell
+  * assigner (argmin over whole-vector distances), so the IVF+PQ index
+  * build is two PqEncode columns in one projection.
+  */
+case class PqEncode(child: Expression, books: Array[Double], nSub: Int,
+    nCodes: Int, subDim: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  def compute(raw: ArrayData): ArrayData = {
+    val dim = nSub * subDim
+    var n2 = 0.0
+    var i = 0
+    while (i < dim) { val v = raw.getFloat(i).toDouble; n2 += v * v; i += 1 }
+    val inv = 1.0 / math.sqrt(n2)
+    val codes = new Array[Int](nSub)
+    var sub = 0
+    while (sub < nSub) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < nCodes) {
+        var dist = 0.0
+        i = 0
+        while (i < subDim) {
+          val dd = raw.getFloat(sub * subDim + i) * inv -
+            books((sub * nCodes + c) * subDim + i)
+          dist += dd * dd
+          i += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      codes(sub) = best
+      sub += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, cIn => {
+      val bk = ctx.addReferenceObj("pqBooks", books, "double[]")
+      val n2 = ctx.freshName("n2")
+      val inv = ctx.freshName("inv")
+      val v = ctx.freshName("v")
+      val codes = ctx.freshName("codes")
+      val sub = ctx.freshName("sub")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val cc = ctx.freshName("cc")
+      val dist = ctx.freshName("dist")
+      val dd = ctx.freshName("dd")
+      val i = ctx.freshName("i")
+      s"""
+         |double $n2 = 0.0;
+         |for (int $i = 0; $i < ${nSub * subDim}; $i++) {
+         |  double $v = (double) $cIn.getFloat($i);
+         |  $n2 += $v * $v;
+         |}
+         |double $inv = 1.0 / java.lang.Math.sqrt($n2);
+         |int[] $codes = new int[$nSub];
+         |for (int $sub = 0; $sub < $nSub; $sub++) {
+         |  int $best = -1;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $cc = 0; $cc < $nCodes; $cc++) {
+         |    double $dist = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      double $dd = $cIn.getFloat($sub * $subDim + $i) * $inv
+         |        - $bk[($sub * $nCodes + $cc) * $subDim + $i];
+         |      $dist += $dd * $dd;
+         |    }
+         |    if ($dist < $bestD) { $bestD = $dist; $best = $cc; }
+         |  }
+         |  $codes[$sub] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
 }

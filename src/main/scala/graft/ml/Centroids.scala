@@ -32,6 +32,7 @@ object Centroids {
 
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), KMeansModel]()
+  graft.Memos.register { () => memo.clear() }
 
   def model(s: SparkSession, dir: String): KMeansModel =
     memo.computeIfAbsent((s, dir), { _ =>
@@ -57,6 +58,7 @@ object Centroids {
   val PqCodes = 16
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[Array[Double]]]]()
+  graft.Memos.register { () => pqMemo.clear() }
 
   def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
     pqMemo.computeIfAbsent((s, dir), { _ =>

@@ -309,6 +309,7 @@ object Gan {
 
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Config), (Model, DataFrame)]()
+  graft.Memos.register { () => memo.values.forEach(v => v._2.unpersist()); memo.clear() }
 
   /** Train on the sf `embeddings` table, min-max scaled. Memoized per
     * (session, dir, config): the catalog's feature/generate/classify

@@ -156,9 +156,11 @@ object Similarity {
   private val MaxBuildRows = 4096L
 
   /** q52's implementation: GRID pair join + bounded top-k object
-    * aggregation (see [[TopKNbr]]). The build side broadcasts in bounded
-    * chunks (≤ [[MaxBuildRows]] rows each, hash-assigned so the bound
-    * holds for any id distribution) instead of one whole-table broadcast:
+    * aggregation (see [[graft.functions.TopKNbrAgg]]). The build side
+    * broadcasts in bounded chunks (hash-assigned, so ~[[MaxBuildRows]]
+    * rows each IN EXPECTATION — a skewed hash bucket can exceed it; use
+    * ntile over vec_id if a hard cap is required) instead of one
+    * whole-table broadcast:
     * the pair SET is identical — ∪_g (probe × chunk_g) covers every
     * ordered pair exactly once — so the result hash is unchanged, but no
     * executor ever holds more than a constant-sized build relation. The
@@ -183,10 +185,12 @@ object Similarity {
     val k = 3
     val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
       sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))).as("nrm"))
-    // one metadata-cheap count sizes the grid; n ≤ maxBuildRows keeps the
-    // original single-broadcast plan
+    // the MEMOIZED corpus count sizes the grid (one action per (session,
+    // dir), not per invocation — at cluster scale this is a catalog
+    // statistic); n ≤ maxBuildRows keeps the original single-broadcast
+    // plan
     val nChunks = math.max(1,
-      math.ceil(v.count().toDouble / maxBuildRows).toInt)
+      math.ceil(Tables.embeddingsCount(s, d).toDouble / maxBuildRows).toInt)
     val pairs = (0 until nChunks).map { g =>
       val chunk = v.filter(pmod(xxhash64(col("vec_id")), lit(nChunks)) === g)
       v.as("a")
@@ -310,56 +314,19 @@ object Similarity {
   // bytes (8 subspaces × 16 trained centroids each, spherical) — at
   // 100 TB this is the operator that makes the vector store fit in
   // memory: the scan reads 8 bytes + a 128-entry lookup table instead of
-  // 256 float bytes per row. Scoring is asymmetric-distance (ADC): the
-  // query precomputes its squared distance to every code driver-side
+  // 256 float bytes per row. The codes come from the PERSISTED index
+  // table (built once per corpus snapshot by the codegen'd [[PqEncode]]
+  // projection — no RDD pass, no per-query re-encode; plan-asserted in
+  // PlanSpec). Scoring is asymmetric-distance (ADC): the query
+  // precomputes its squared distance to every code driver-side
   // (O(sub·codes·subDim) math), each row's approximate distance is 8
   // table lookups (one codegen'd fold), the top-100 ADC candidates come
   // out of a TakeOrderedAndProject, and the final top-10 is an exact
-  // cosine rerank over those 100 rows only.
+  // cosine rerank over those 100 rows only. Pure PQ scans every cell's
+  // codes (no IVF filter) — q55/q56 add the cell-pruned probe.
   val q54: QueryDef = QueryDef.rowsOnly("q54_pq_ann") { (s, d) =>
     val books = graft.ml.Centroids.pqCodebooks(s, d) // [nSub][nCodes][subDim]
-    val nSub = graft.ml.Centroids.PqSub
-    val nCodes = graft.ml.Centroids.PqCodes
-    val subDim = 64 / nSub
-    val bcBooks = s.sparkContext.broadcast(books)
-    import s.implicits._
-    // encode: per-row per-subspace argmin ‖u_sub − code‖² on the
-    // NORMALIZED vector (genuine per-row custom compute → mapPartitions
-    // over the broadcast codebooks; output is 8 small ints per row)
-    val encoded = Tables.embeddings(s, d).select("vec_id", "embedding").rdd
-      .mapPartitions { it =>
-        val bk = bcBooks.value
-        it.map { r =>
-          val id = r.getLong(0)
-          val raw = r.getSeq[Float](1)
-          var n2 = 0.0
-          var i = 0
-          while (i < 64) { n2 += raw(i).toDouble * raw(i).toDouble; i += 1 }
-          val inv = 1.0 / math.sqrt(n2)
-          val codes = new Array[Int](nSub)
-          var sub = 0
-          while (sub < nSub) {
-            var best = -1
-            var bestD = Double.MaxValue
-            var c = 0
-            while (c < nCodes) {
-              var dist = 0.0
-              i = 0
-              while (i < subDim) {
-                val dd = raw(sub * subDim + i) * inv - bk(sub)(c)(i)
-                dist += dd * dd
-                i += 1
-              }
-              if (dist < bestD) { bestD = dist; best = c }
-              c += 1
-            }
-            codes(sub) = best
-            sub += 1
-          }
-          (id, codes.toSeq)
-        }
-      }.toDF("vec_id", "codes")
-    val cand = encoded
+    val cand = s.table(indexTable(s, d))
       .select(col("vec_id"), adcCol(adcTable(books)).as("adc"))
       .orderBy(asc("adc"), asc("vec_id"))
       .limit(100)
@@ -382,9 +349,12 @@ object Similarity {
   // files.
   /** One-pass compressed-index build: each vector's (cell_id, codes) row —
     * spherical coarse-cell argmin + per-subspace PQ codes on the
-    * normalized vector. Genuine per-row custom compute → mapPartitions
-    * over the broadcast centroid/codebook matrices; output is an int + 8
-    * small ints per row, the O(n) compressed representation everything
+    * normalized vector, both as [[graft.functions.PqEncode]] columns in a
+    * SINGLE codegen'd projection (the cell assigner is PqEncode with
+    * `nSub = 1, subDim = 64` over the flattened centroid matrix). A pure
+    * DataFrame plan — columnar scan, column pruning, whole-stage codegen;
+    * no RDD pass (plan-asserted in PlanSpec). Output is an int + 8 small
+    * ints per row, the O(n) compressed representation everything
     * downstream probes.
     */
   private[graft] def compressedIndex(s: SparkSession, d: String): DataFrame = {
@@ -393,53 +363,12 @@ object Similarity {
     val nSub = graft.ml.Centroids.PqSub
     val nCodes = graft.ml.Centroids.PqCodes
     val subDim = 64 / nSub
-    val bcBooks = s.sparkContext.broadcast(books)
-    val bcCents = s.sparkContext.broadcast(cents)
-    import s.implicits._
-    Tables.embeddings(s, d).select("vec_id", "embedding").rdd
-      .mapPartitions { it =>
-        val bk = bcBooks.value
-        val cs = bcCents.value
-        it.map { r =>
-          val id = r.getLong(0)
-          val raw = r.getSeq[Float](1)
-          var n2 = 0.0
-          var i = 0
-          while (i < 64) { n2 += raw(i).toDouble * raw(i).toDouble; i += 1 }
-          val inv = 1.0 / math.sqrt(n2)
-          var bestCell = -1
-          var bestD = Double.MaxValue
-          var c = 0
-          while (c < cs.length) {
-            var dist = 0.0
-            i = 0
-            while (i < 64) { val dd = raw(i) * inv - cs(c)(i); dist += dd * dd; i += 1 }
-            if (dist < bestD) { bestD = dist; bestCell = c }
-            c += 1
-          }
-          val codes = new Array[Int](nSub)
-          var sub = 0
-          while (sub < nSub) {
-            var best = -1
-            var bd = Double.MaxValue
-            c = 0
-            while (c < nCodes) {
-              var dist = 0.0
-              i = 0
-              while (i < subDim) {
-                val dd = raw(sub * subDim + i) * inv - bk(sub)(c)(i)
-                dist += dd * dd
-                i += 1
-              }
-              if (dist < bd) { bd = dist; best = c }
-              c += 1
-            }
-            codes(sub) = best
-            sub += 1
-          }
-          (id, bestCell, codes.toSeq)
-        }
-      }.toDF("vec_id", "cell_id", "codes")
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      VectorExprs.pqEncode(col("embedding"), cents.flatten, 1, cents.length, 64)
+        .getItem(0).as("cell_id"),
+      VectorExprs.pqEncode(col("embedding"), books.flatten.flatten, nSub, nCodes, subDim)
+        .as("codes"))
   }
 
   /** ADC probe over a compressed-index DataFrame: filter to the query's
@@ -476,15 +405,26 @@ object Similarity {
   def writeIndexTable(s: SparkSession, d: String, table: String): Unit =
     compressedIndex(s, d).write.mode("overwrite")
       .partitionBy("cell_id")
-      .option("path", s"${System.getProperty("java.io.tmpdir")}/graft-annindex/$table")
+      // external table under the session's OWN warehouse dir (not a
+      // shared java.io.tmpdir): a fresh session can overwrite files left
+      // by a previous JVM (a managed table would refuse the orphaned
+      // location — the catalog is per-JVM, the files are not)
+      .option("path", s"${s.sessionState.conf.warehousePath}/graft-annindex/$table")
       .saveAsTable(table)
 
-  /** The session's persisted index table for `d`, built on first use. */
+  /** The session's persisted index table for `d`, built on first use.
+    * The table name carries a SHA-256 prefix of the CANONICAL corpus
+    * path (collision-free, unlike a 32-bit hashCode) and the data lives
+    * under the session's own warehouse dir, so two corpora — or two
+    * concurrent sessions with different warehouses — never share or
+    * clobber a table. Registered with [[graft.Memos]].
+    */
   private val indexMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  graft.Memos.register { () => indexMemo.clear() }
   private[graft] def indexTable(s: SparkSession, d: String): String =
     indexMemo.computeIfAbsent((s, d), { _ =>
-      val t = s"graft_ann_idx_${java.lang.Integer.toHexString(d.hashCode)}"
+      val t = s"graft_ann_idx_${graft.Memos.pathToken(d)}"
       writeIndexTable(s, d, t)
       t
     })
@@ -540,17 +480,15 @@ object Similarity {
   // q58 — CELL-BALANCED sampling: the cluster-quota data-selection shape
   // (cap each embedding-space region's contribution so dense regions
   // don't dominate the training mix). Primary cell = argmax cosine over
-  // the 16 deterministic seed vectors (one codegen'd projection — the
-  // DuckDB oracle replays the seeds exactly, like q44), then the first
-  // `QuotaPerCell` vectors per cell by vec_id. One shuffle on the cell
-  // key; the per-cell cap is a map-side WindowGroupLimit at scale.
+  // the max(16, ⌈√n⌉) deterministic seed vectors (one codegen'd
+  // projection — the DuckDB oracle replays the corpus-scaled seeds
+  // exactly, like q44), then the first `QuotaPerCell` vectors per cell
+  // by vec_id. One shuffle on the cell key; the per-cell cap is a
+  // map-side WindowGroupLimit at scale.
   private val QuotaPerCell = 5
   val q58: QueryDef = QueryDef.sql(
     "q58_balanced_sample",
-    s"""WITH seeds AS (
-      |  SELECT vec_id AS cell, embedding AS semb,
-      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS snrm
-      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+    s"""WITH ${graft.dedup.Dedup.seedsDuck},
       |v AS (
       |  SELECT vec_id, label, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm

@@ -92,4 +92,43 @@ class CodegenSpec extends SparkSpec {
       }
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
+
+  test("PqEncode: codegen and interpreted agree, encodes like a hand argmin") {
+    import graft.functions.PqEncode
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val nSub = 4
+    val nCodes = 5
+    val subDim = 4
+    // deterministic codebooks, laid out [(sub*nCodes + code)*subDim + i]
+    val books = Array.tabulate(nSub * nCodes * subDim)(i =>
+      math.cos(i * 0.7) * 0.4)
+    val vecs = Seq(
+      Array.tabulate(16)(i => (i % 7 - 3).toFloat / 3f),
+      Array.tabulate(16)(i => math.sin(i).toFloat))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import spark.implicits._
+      val df = vecs.map(_.toSeq).toDF("embedding").repartition(1)
+        .select(col("embedding"),
+          VectorExprs.pqEncode(col("embedding"), books, nSub, nCodes, subDim).as("codes"))
+      assert(df.queryExecution.executedPlan.toString.contains("Project"))
+      val got = df.collect().map(r => r.getSeq[Float](0) -> r.getSeq[Int](1)).toMap
+      vecs.foreach { v =>
+        val interp = PqEncode(null, books, nSub, nCodes, subDim)
+          .compute(new GenericArrayData(v)).toIntArray().toSeq
+        assert(got(v.toSeq) == interp, s"PqEncode codegen diverged for ${v.toSeq}")
+        // independent hand argmin over the normalized vector
+        val inv = 1.0 / math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+        val hand = (0 until nSub).map { sub =>
+          (0 until nCodes).minBy { c =>
+            (0 until subDim).map { i =>
+              val dd = v(sub * subDim + i) * inv - books((sub * nCodes + c) * subDim + i)
+              dd * dd
+            }.sum
+          }
+        }
+        assert(interp == hand, s"PqEncode argmin wrong for ${v.toSeq}")
+      }
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }

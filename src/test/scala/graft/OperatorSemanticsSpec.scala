@@ -115,13 +115,32 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(grid == whole, s"chunked pair join must cover the same pair set")
   }
 
-  test("q57 approximate kNN graph recalls >= 0.6 of the exact q52 edges") {
-    val exact = sim.Similarity.q52.fn(spark, sfDir).select("id_a", "id_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = sim.Similarity.q57.fn(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.6, s"approx kNN graph recall $recall")
+  test("q57 approximate kNN graph recalls >= 0.75 of the exact q52 edges (sf0.001 and sf0.01)") {
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val exact = sim.Similarity.q52.fn(spark, dir).select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = sim.Similarity.q57.fn(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      assert(recall >= 0.75, s"approx kNN graph recall $recall at $dir")
+    }
+  }
+
+  test("blocked candidate pairs grow sub-quadratically across scale factors") {
+    // The quantizer's cell count scales as max(16, ceil(sqrt(n))), so the
+    // blocked pair volume should grow ~n^1.5, not the n^2 a fixed cell
+    // count degrades to. Measure the realized growth exponent between
+    // sf0.01 (n=500, 23 cells) and sf0.1 (n=2000, 45 cells) — the two
+    // test corpora whose row counts actually differ.
+    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val Seq((n1, c1), (n2, c2)) = dirs.map { d =>
+      (Tables.embeddingsCount(spark, d).toDouble,
+        dedup.Dedup.embeddingCandidatePairs(spark, d).count().toDouble)
+    }
+    val exponent = math.log(c2 / c1) / math.log(n2 / n1)
+    assert(exponent <= 1.85,
+      s"candidate growth exponent $exponent ($c1 pairs @ n=$n1 -> $c2 pairs @ n=$n2); " +
+        "quadratic would be 2.0 — the cell count must scale with the corpus")
   }
 
   test("q56 persisted-index probe returns exactly q55's one-shot results") {

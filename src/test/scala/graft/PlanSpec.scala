@@ -65,6 +65,17 @@ class PlanSpec extends SparkSpec {
       s"q44 candidates must come from LSH buckets, not an all-pairs join:\n$plan")
   }
 
+  test("q54/q55 PQ index build is a pure DataFrame plan — no RDD scan") {
+    // the PqEncode expression keeps the encode inside a codegen'd
+    // projection; an RDD mapPartitions pass would surface as
+    // ExistingRDD/SerializeFromObject and pay an O(n) re-encode per query
+    for (q <- Seq("q54_pq_ann", "q55_ivfpq_ann")) {
+      val plan = planOf(q)
+      assert(!plan.contains("ExistingRDD") && !plan.contains("SerializeFromObject"),
+        s"$q must not round-trip through an RDD:\n$plan")
+    }
+  }
+
   test("q56 persisted-index probe prunes partitions at the scan") {
     val plan = planOf("q56_ann_index_probe")
     assert(plan.linesIterator.exists(l =>
