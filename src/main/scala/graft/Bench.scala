@@ -1,9 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Steady-state benchmark over every catalog query.
+  *
+  * Protocol (designed so two back-to-back runs agree per-query, not just
+  * in total, on a noisy shared box):
+  *   - pass 0 (warm-up, untimed result): every query once in name order —
+  *     charges one-time memoized builds (trained quantizers, persisted
+  *     index tables, cluster labels) and JIT/codegen to warm-up, not to
+  *     rep 1 of whichever query runs first;
+  *   - passes 1..3 INTERLEAVED across queries (q1,q2,…,qN, q1,q2,…):
+  *     a noise burst lands on one rep of many queries instead of all
+  *     three consecutive reps of one query, so per-query min-of-3 stays
+  *     comparable between runs;
+  *   - per-query time = min of the 3 interleaved reps.
+  *
+  * Artifacts:
+  *   - stdout: ONE JSON line {"metric","value","unit","queries","sf"} —
+  *     the driver contract, unchanged;
+  *   - `SPARK_GRAFT_BENCH_OUT` (default BENCH_FULL.json in the cwd): the
+  *     COMPLETE per-query result — all reps, storage-memory high-water
+  *     (visibility into the session memos' cache pressure), and, when
+  *     BASELINE_QUERIES.json is present, the per-query ratio vs baseline
+  *     with >2x outliers called out. Log-tail truncation of the stdout
+  *     line cannot lose queries from this file.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,30 +37,58 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen paths so per-query timings measure the
-    // operators, not first-query JIT + session bring-up.
-    try {
-      SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
-      SparkEntry.queries.get("q60_token_count").foreach(_(spark, sfDir).count())
-    } catch { case _: Throwable => }
-    // min of three runs per query after a dedicated warm-up rep:
-    // steady-state cost, robust to noisy-neighbor load on a shared box
-    // (min-of-2 with no warm-up swung unchanged queries 2-4x between
-    // rounds). The warm-up rep also charges one-time memoized builds
-    // (trained quantizers, persisted indexes, cluster labels) to warm-up
-    // instead of rep 1.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val reps = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    var storageHighWater = 0L
+    def noteStorage(): Unit = {
+      val used = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+      if (used > storageHighWater) storageHighWater = used
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    for (rep <- 0 to 3; name <- names) {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (rep > 0) reps(name) = reps(name) :+ dt
+      noteStorage()
+    }
+    val best = names.map(n => n -> reps(n).min).toMap
+
+    // optional baseline gate: BASELINE_QUERIES.json = {"qNN_name": sec}
+    val baseline: Map[String, Double] =
+      scala.util.Try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BASELINE_QUERIES.json")), "UTF-8")
+        """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    val outliers = best.flatMap { case (n, t) =>
+      baseline.get(n).collect { case b if b > 0 && t > 2 * b => n -> (t / b) }
+    }
+
+    def fmtMap(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val qs = fmtMap(best.map { case (k, v) => k -> v.toString })
+    val total = best.values.sum
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",
+         |"storage_mem_high_water_bytes":$storageHighWater,
+         |"queries":$qs,
+         |"reps":${fmtMap(reps.toMap.map { case (k, v) => k -> v.mkString("[", ",", "]") })},
+         |"baseline_ratio":${fmtMap(best.flatMap { case (n, t) =>
+              baseline.get(n).collect { case b if b > 0 =>
+                n -> f"${t / b}%.3f" } })},
+         |"baseline_outliers_over_2x":${fmtMap(outliers.map { case (k, v) => k -> f"$v%.2f" })}}"""
+        .stripMargin.replace("\n", "")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      full.getBytes("UTF-8"))
+    if (outliers.nonEmpty)
+      System.err.println(s"[bench] >2x-vs-baseline outliers: " +
+        outliers.toSeq.sortBy(-_._2).map { case (n, r) => f"$n $r%.2fx" }.mkString(", "))
+
+    // the driver contract: exactly one JSON line, same keys as ever
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

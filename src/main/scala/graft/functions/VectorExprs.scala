@@ -72,6 +72,15 @@ object VectorExprs {
   def pqEncode(emb: Column, books: Array[Double], nSub: Int, nCodes: Int,
       subDim: Int): Column =
     toColumn(PqEncode(ex(emb), books, nSub, nCodes, subDim))
+
+  /** ADC distance of a PQ `codes` row against an IN-ROW `array<double>`
+    * query vector (normalized inside the expression — no per-query
+    * driver-side distance table), for streaming probes where the query
+    * arrives as data — see [[AdcScoreVec]].
+    */
+  def adcScoreVec(query: Column, codes: Column, books: Array[Double],
+      nSub: Int, nCodes: Int, subDim: Int): Column =
+    toColumn(AdcScoreVec(ex(query), ex(codes), books, nSub, nCodes, subDim))
 }
 
 /** Cosine similarity between two numeric arrays; whole-stage-codegen
@@ -743,4 +752,82 @@ case class PqEncode(child: Expression, books: Array[Double], nSub: Int,
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
+}
+
+/** ADC distance Σ_sub ‖q_sub/‖q‖ − books[sub][codes[sub]]‖² of a PQ
+  * `codes` row (right) against an `array<double>` query vector (left)
+  * carried IN THE ROW — the streaming-probe variant of [[AdcScore]],
+  * where the query arrives as data and no driver-side per-query distance
+  * table exists. Arithmetic mirrors the driver-side `adcTable` build
+  * exactly (per-element division by the query norm, left-to-right
+  * accumulation), so for the same query vector the scores are
+  * bit-identical to the batch path.
+  */
+case class AdcScoreVec(left: Expression, right: Expression,
+    books: Array[Double], nSub: Int, nCodes: Int, subDim: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  def compute(q: ArrayData, codes: ArrayData): Double = {
+    val dim = nSub * subDim
+    var n2 = 0.0
+    var i = 0
+    while (i < dim) { val v = q.getDouble(i); n2 += v * v; i += 1 }
+    val qn = math.sqrt(n2)
+    var s = 0.0
+    var sub = 0
+    while (sub < nSub) {
+      val base = (sub * nCodes + codes.getInt(sub)) * subDim
+      var dist = 0.0
+      i = 0
+      while (i < subDim) {
+        val dd = q.getDouble(sub * subDim + i) / qn - books(base + i)
+        dist += dd * dd
+        i += 1
+      }
+      s += dist
+      sub += 1
+    }
+    s
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (qa, ca) => {
+      val bk = ctx.addReferenceObj("adcVecBooks", books, "double[]")
+      val n2 = ctx.freshName("n2")
+      val v = ctx.freshName("v")
+      val qn = ctx.freshName("qn")
+      val s = ctx.freshName("s")
+      val sub = ctx.freshName("sub")
+      val base = ctx.freshName("base")
+      val dist = ctx.freshName("dist")
+      val dd = ctx.freshName("dd")
+      val i = ctx.freshName("i")
+      s"""
+         |double $n2 = 0.0;
+         |for (int $i = 0; $i < ${nSub * subDim}; $i++) {
+         |  double $v = $qa.getDouble($i);
+         |  $n2 += $v * $v;
+         |}
+         |double $qn = java.lang.Math.sqrt($n2);
+         |double $s = 0.0;
+         |for (int $sub = 0; $sub < $nSub; $sub++) {
+         |  int $base = ($sub * $nCodes + $ca.getInt($sub)) * $subDim;
+         |  double $dist = 0.0;
+         |  for (int $i = 0; $i < $subDim; $i++) {
+         |    double $dd = $qa.getDouble($sub * $subDim + $i) / $qn - $bk[$base + $i];
+         |    $dist += $dd * $dd;
+         |  }
+         |  $s += $dist;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AdcScoreVec =
+    copy(left = newLeft, right = newRight)
 }

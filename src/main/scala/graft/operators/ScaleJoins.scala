@@ -36,7 +36,11 @@ object ScaleJoins {
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
-      .option("path", s"${System.getProperty("java.io.tmpdir")}/graft-bucketed/$table")
+      // external path under the session's OWN warehouse dir — survives a
+      // stale catalog (files outlive the per-JVM metastore) and two
+      // sessions with different warehouses never clobber each other
+      .option("path",
+        s"${df.sparkSession.sessionState.conf.warehousePath}/graft-bucketed/$table")
       .saveAsTable(table)
 
   /** Join two same-bucketed catalog tables on `key` — plans without a

@@ -438,6 +438,83 @@ object Similarity {
     probeCompressed(s, d, s.table(indexTable(s, d)))
   }
 
+  /** The ADC probe pipeline shared by [[annProbe]] (batch) and
+    * [[annProbeStream]] (streaming) — identical code path, so the
+    * streaming spec's per-batch-equals-batch check is equality of the
+    * same plan over the same rows. `queries`: (query_id long,
+    * qvec array<double>).
+    *
+    * Per query row, entirely IN-ROW (no driver work per query):
+    *   1. probe-cell selection — one projection scoring every centroid
+    *      literal, ordered exactly like the driver-side [[probeCells]]
+    *      (normalized dot, ties to the lower cell id);
+    *   2. an equi-join on cell_id to the compressed index (stream-static
+    *      when `queries` is a stream) — each query meets only its probed
+    *      cells' code rows, the inverted-list read pattern;
+    *   3. ADC scoring via the in-row [[graft.functions.AdcScoreVec]]
+    *      (bit-identical to the driver-table batch path);
+    *   4. a bounded per-query top-k object aggregation
+    *      ([[graft.functions.TopKNbrAgg]] on −distance — map-side
+    *      partials cut the candidate stream to k per query before the
+    *      exchange; in streaming this is the stateful update-mode agg).
+    * Output: (query_id, rank, vec_id, adc) — adc rounded to 8 (the
+    * aggregate's ε-safe rounding).
+    */
+  private[graft] def probeScored(queries: DataFrame, index: DataFrame,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      nProbe: Int, k: Int): DataFrame = {
+    val nSub = graft.ml.Centroids.PqSub
+    val nCodes = graft.ml.Centroids.PqCodes
+    val subDim = 64 / nSub
+    val qdiv = transform(col("qvec"),
+      x => x / sqrt(VectorExprs.dotProduct(col("qvec"), col("qvec"))))
+    val cellScore = array(cents.indices.map { ci =>
+      struct(
+        (-(VectorExprs.dotProduct(col("qdiv"), typedlit(cents(ci))) * 2
+          - lit(sqNorm(cents(ci))))).as("ns"),
+        lit(ci).as("ci"))
+    }: _*)
+    val topk = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.TopKNbrAgg(
+        org.apache.spark.sql.GraftBridge.expression(col("nadc")),
+        org.apache.spark.sql.GraftBridge.expression(col("vec_id")),
+        k).toAggregateExpression())
+    queries
+      .withColumn("qdiv", qdiv)
+      .withColumn("pc", explode(slice(array_sort(cellScore), 1, nProbe)))
+      .select(col("query_id"), col("qvec"), col("pc.ci").as("cell_id"))
+      .join(index, "cell_id")
+      .select(col("query_id"), col("vec_id"),
+        (-VectorExprs.adcScoreVec(col("qvec"), col("codes"),
+          books.flatten.flatten, nSub, nCodes, subDim)).as("nadc"))
+      .groupBy("query_id")
+      .agg(topk.as("cand"))
+      .select(col("query_id"), posexplode(col("cand")).as(Seq("pos", "c")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("c._2").as("vec_id"), (-col("c._1")).as("adc"))
+  }
+
+  /** Batch ANN probe for a DataFrame of query vectors over the persisted
+    * cell-partitioned index — the equality oracle for the streaming path.
+    */
+  def annProbe(s: SparkSession, d: String, queries: DataFrame, k: Int = 100): DataFrame =
+    probeScored(queries, s.table(indexTable(s, d)),
+      graft.ml.Centroids.centers(s, d), graft.ml.Centroids.pqCodebooks(s, d),
+      IvfNProbe, k)
+
+  /** STREAMING ANN probe: a stream of (query_id, qvec) rows stream-static
+    * joins the persisted cell-partitioned index — in-stream cell
+    * assignment, in-row ADC scoring, per-query top-k as the update-mode
+    * stateful aggregation. The static index side is never re-shuffled per
+    * batch; per-query cost is O(probed cells' rows). Pairs with
+    * Dedup.streamDupFlags as the streaming face of the persisted-index
+    * pattern. Exercised by StreamAnnSpec (per-batch results == [[annProbe]]
+    * on the same rows, and the fixed query's rerank == q56).
+    */
+  def annProbeStream(s: SparkSession, d: String, queries: DataFrame,
+      k: Int = 100): DataFrame =
+    annProbe(s, d, queries, k)
+
   /** Approximate kNN graph (id_a, id_b): candidate pairs form only inside
     * shared seed-IVF cells (Dedup's blocking quantizer), then top-k per
     * vector by exact cosine with the map-side WindowGroupLimit cut — the

@@ -10,16 +10,27 @@ import graft.streaming.Events
 
 class ScaleJoinsSpec extends SparkSpec {
 
-  test("saltedJoin equals the plain join on a skewed key") {
+  test("saltedJoin equals the plain join on a skewed key and shuffles on (key, salt)") {
     import spark.implicits._
     // 90% of the big side lands on one hot key
     val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 42L, i)).toDF("k", "v")
     val small = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
       (3L, "d"), (4L, "e"), (5L, "f"), (6L, "g")).toDF("k", "name")
     val plain = big.join(small, Seq("k")).select("k", "v", "name")
-    val salted = ScaleJoins.saltedJoin(big, small, "k", salt = 8).select("k", "v", "name")
-    assert(salted.count() == plain.count())
-    assert(salted.collect().toSet == plain.collect().toSet)
+    // disable broadcast so the salting actually drives the exchange — the
+    // plan counterpart of the AQE skew-split test below: the shuffle key
+    // must be (k, _salt), spreading the hot key over `salt` reducers
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = ScaleJoins.saltedJoin(big, small, "k", salt = 8).select("k", "v", "name")
+      val rows = salted.collect()
+      assert(rows.length == plain.count())
+      assert(rows.toSet == plain.collect().toSet)
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+          l.contains("hashpartitioning") && l.contains("_salt")),
+        s"salted join must exchange on (k, _salt):\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("bucketed tables join without a shuffle exchange") {

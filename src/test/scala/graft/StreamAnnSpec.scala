@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.functions.VectorExprs
+
+/** Streaming ANN probe vs its batch oracle: query vectors arriving on a
+  * stream must get exactly the candidates the batch path computes over
+  * the same persisted index — including across multiple micro-batches —
+  * and the catalog's fixed query must reproduce q56 end-to-end.
+  */
+class StreamAnnSpec extends SparkSpec {
+
+  private val qv: Seq[Double] =
+    Seq.tabulate(64)(i0 => (((i0 + 1) * 37) % 19 - 9) / 10.0)
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+      r.getAs[Long]("vec_id"), r.getAs[Double]("adc"))
+
+  test("streaming ANN probe equals the batch path per micro-batch, and qv reranks to q56") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // queries: the catalog's fixed qv plus two corpus vectors
+    val corpusQs = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(2)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .take(2).map(r => (1000L + r.getLong(0), r.getSeq[Double](1)))
+    val queries: Seq[(Long, Seq[Double])] = (0L, qv) +: corpusQs.toSeq
+
+    val expected = sim.Similarity.annProbe(spark, sfDir,
+        queries.toDF("query_id", "qvec"), k = 100)
+      .collect().map(key).toSet
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val res = sim.Similarity.annProbeStream(spark, sfDir,
+      mem.toDF().toDF("query_id", "qvec"), k = 100)
+    val q = res.writeStream.format("memory").queryName("annprobe")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // two separate micro-batches: each query's group is touched by
+      // exactly one trigger, so the sink holds one update per query and
+      // per-batch results must equal the batch plan over the same rows
+      mem.addData(queries.head)
+      q.processAllAvailable()
+      val firstBatch = spark.table("annprobe").collect().map(key).toSet
+      assert(firstBatch == expected.filter(_._1 == 0L),
+        "first micro-batch must equal the batch path for the fed query")
+      mem.addData(queries.tail: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("annprobe").collect().map(key).toSet
+    assert(got == expected, "streamed candidates must equal the batch path")
+
+    // end-to-end tie to the catalog: exact-cosine rerank of qv's streamed
+    // top-100 reproduces q56's top-10 (same candidate set, same rerank)
+    val qvLit = expr("transform(sequence(1, 64), i -> (CAST((i * 37) % 19 AS DOUBLE) - 9) / 10)")
+    val rerank = spark.table("annprobe").filter(col("query_id") === 0L)
+      .select(col("vec_id"))
+      .join(Tables.embeddings(spark, sfDir), "vec_id")
+      .select(col("vec_id"),
+        round(VectorExprs.cosineSim(col("embedding"), qvLit), 8).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val q56 = sim.Similarity.q56.fn(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    assert(rerank == q56, s"qv rerank $rerank != q56 $q56")
+  }
+}
