@@ -21,7 +21,19 @@ import graft.Tables
   */
 object Centroids {
 
-  val K = 16
+  /** Floor on the cell count (sf0.001-sized corpora). */
+  val MinK = 16
+
+  /** Coarse-quantizer cell count — SCALES WITH THE CORPUS as
+    * max(16, ⌈√n⌉), the same invariant as the seed blocking quantizer
+    * (Dedup.nCells): per-cell population grows like √n instead of
+    * linearly, so IVF probe cost and any cell-blocked pair volume stay
+    * sub-quadratic at 100× data. Consumers read the count off the fitted
+    * model's centroid matrix, so nothing else hard-codes it.
+    */
+  def k(s: SparkSession, dir: String): Int =
+    math.max(MinK,
+      math.ceil(math.sqrt(graft.Tables.embeddingsCount(s, dir).toDouble)).toInt)
 
   /** The L2-normalized embedding as an MLlib vector column. */
   def unitVec: Column = {
@@ -38,7 +50,7 @@ object Centroids {
     memo.computeIfAbsent((s, dir), { _ =>
       val src = Tables.embeddings(s, dir).withColumn("fvec", unitVec)
       new KMeans()
-        .setK(K).setSeed(666L).setMaxIter(10).setFeaturesCol("fvec")
+        .setK(k(s, dir)).setSeed(666L).setMaxIter(10).setFeaturesCol("fvec")
         .fit(src)
     })
 

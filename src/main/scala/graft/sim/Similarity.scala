@@ -222,8 +222,16 @@ object Similarity {
       .orderBy("id_a", "rn")
   }
 
-  /** Number of IVF cells the query probes. */
+  /** Floor on the number of IVF cells a query probes. */
   val IvfNProbe = 6
+
+  /** Probe width for a `k`-cell quantizer: a fixed FRACTION (3/8, the
+    * recall-calibrated 6-of-16 ratio) of the cells with a floor of
+    * [[IvfNProbe]] — as the cell count scales with the corpus
+    * (Centroids.k ∝ √n), the probed row count stays ~(m/k)·n and recall
+    * holds instead of collapsing as k outgrows a fixed probe budget.
+    */
+  def ivfNProbe(k: Int): Int = math.max(IvfNProbe, math.ceil(3.0 * k / 8.0).toInt)
 
   /** |c|² of a centroid — plan-literal constant. */
   private def sqNorm(c: Array[Double]): Double = {
@@ -268,7 +276,7 @@ object Similarity {
           - lit(sqNorm(cents(ci)))).as("s"),
         lit(-ci).as("nid"))
     }: _*)
-    val probes = probeCells(cents, IvfNProbe)
+    val probes = probeCells(cents, ivfNProbe(cents.length))
     Tables.embeddings(s, d)
       .withColumn("nrm", sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))))
       .withColumn("cell_id", -array_max(cellScores).getField("nid"))
@@ -378,7 +386,7 @@ object Similarity {
   private def probeCompressed(s: SparkSession, d: String, index: DataFrame): DataFrame = {
     val cents = graft.ml.Centroids.centers(s, d)
     val books = graft.ml.Centroids.pqCodebooks(s, d)
-    val probes = probeCells(cents, IvfNProbe)
+    val probes = probeCells(cents, ivfNProbe(cents.length))
     val cand = index
       .filter(col("cell_id").isin(probes: _*))
       .select(col("vec_id"), col("cell_id"), adcCol(adcTable(books)).as("adc"))
@@ -500,7 +508,7 @@ object Similarity {
   def annProbe(s: SparkSession, d: String, queries: DataFrame, k: Int = 100): DataFrame =
     probeScored(queries, s.table(indexTable(s, d)),
       graft.ml.Centroids.centers(s, d), graft.ml.Centroids.pqCodebooks(s, d),
-      IvfNProbe, k)
+      ivfNProbe(graft.ml.Centroids.centers(s, d).length), k)
 
   /** STREAMING ANN probe: a stream of (query_id, qvec) rows stream-static
     * joins the persisted cell-partitioned index — in-stream cell
@@ -607,5 +615,87 @@ object Similarity {
       .orderBy("cell", "vec_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58)
+  // q38 — embedding-space OUTLIER detection, the vector-side curation
+  // filter (drop points far from any dense region before training):
+  // primary cell = argmax cosine over the corpus-scaled seed quantizer
+  // (ONE codegen'd projection, like q58), per-cell mean distance is an
+  // O(cells)-row aggregate broadcast back, and a vector is an outlier
+  // when its distance exceeds 1.15× its cell's mean (the synthetic
+  // embeddings are homogeneous — ~top decile; real corpora use 1.5-2×). The corpus itself
+  // never shuffles — the only exchange carries one row per cell.
+  // Determinism: cosines rounded to 8 before 1−c, the per-cell mean to 6;
+  // 1.5× a rounded double is exact in both engines.
+  val q38: QueryDef = QueryDef.sql(
+    "q38_embedding_outliers",
+    s"""WITH ${graft.dedup.Dedup.seedsDuck},
+      |v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT v.vec_id, s.cell,
+      |    round(list_sum(list_transform(range(1, 65),
+      |        i -> CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(s.semb[CAST(i AS INT)] AS DOUBLE)))
+      |      / (v.nrm * s.snrm), 8) AS c
+      |  FROM v, seeds s),
+      |prim AS (
+      |  SELECT vec_id, cell, c FROM (
+      |    SELECT vec_id, cell, c,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cell) AS rn
+      |    FROM scored) t
+      |  WHERE rn = 1),
+      |stats AS (
+      |  SELECT cell, round(avg(1 - c), 6) AS mean_dist FROM prim GROUP BY cell)
+      |SELECT p.vec_id, p.cell, 1 - p.c AS dist, s.mean_dist
+      |FROM prim p JOIN stats s ON p.cell = s.cell
+      |WHERE 1 - p.c > 1.15 * s.mean_dist
+      |ORDER BY p.vec_id""".stripMargin) { (s, d) =>
+    val seeds = graft.dedup.Dedup.seedVectors(s, d)
+    val cellScores = array(seeds.toIndexedSeq.map { case (cid, sv) =>
+      struct(round(VectorExprs.cosineSim(col("embedding"), typedlit(sv)), 8).as("c"),
+        lit(-cid).as("nid"))
+    }: _*)
+    val prim = Tables.embeddings(s, d)
+      .select(col("vec_id"), array_max(cellScores).as("m"))
+      .select(col("vec_id"), (-col("m.nid")).as("cell"),
+        (lit(1) - col("m.c")).as("dist"))
+    val stats = prim.groupBy("cell")
+      .agg(round(avg(col("dist")), 6).as("mean_dist"))
+    prim.join(broadcast(stats), "cell")
+      .filter(col("dist") > lit(1.15) * col("mean_dist"))
+      .select(col("vec_id"), col("cell"), col("dist"), col("mean_dist"))
+      .orderBy("vec_id")
+  }
+
+  // q59 — DOMAIN-MIX resampling: reweight the corpus to a uniform
+  // per-language target by keep/drop alone — the data-mixing operator of a
+  // training pipeline. Each row keeps with probability p_s = min_cnt/cnt_s
+  // decided by a DETERMINISTIC engine-portable hash threshold on doc_id
+  // (no rand(), replayable), and surviving rows carry weight = cnt_l/min_cnt
+  // (inverse keep probability). ZERO shuffles over the corpus: the only
+  // aggregations produce an O(groups)-row count table and a 1-row min,
+  // both broadcast — at 100 TB this is a single map-side pass.
+  val q59: QueryDef = QueryDef.sql(
+    "q59_domain_mix",
+    """WITH stats AS (
+      |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      |m AS (SELECT min(cnt) AS minc FROM stats)
+      |SELECT d.doc_id, d.lang, CAST(s.cnt AS DOUBLE) / m.minc AS weight
+      |FROM documents d JOIN stats s ON d.lang = s.lang CROSS JOIN m
+      |WHERE (d.doc_id * 1103515245 + 12345) % 2147483647
+      |      < CAST(floor(CAST(m.minc AS DOUBLE) / s.cnt * 2147483647) AS BIGINT)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val stats = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val minc = stats.agg(min(col("cnt")).as("minc"))
+    docs.join(broadcast(stats), "lang").crossJoin(broadcast(minc))
+      .filter(((col("doc_id") * 1103515245L + 12345L) % 2147483647L)
+        < floor(col("minc").cast("double") / col("cnt") * 2147483647L).cast("long"))
+      .select(col("doc_id"), col("lang"),
+        (col("cnt").cast("double") / col("minc")).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q38, q50, q51, q52, q53, q54, q55, q56, q57,
+    q58, q59)
 }

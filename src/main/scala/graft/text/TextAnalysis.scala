@@ -318,5 +318,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68)
+  // q69 — BM25 relevance scoring against a fixed query (terms: spark,
+  // join, filter) — the retrieval-grade upgrade of q65's TF-IDF, the
+  // scoring half of a data-curation "select documents like these" pass.
+  // Corpus stats (N, rounded avg doc length, per-term document
+  // frequencies) come from ONE aggregate row broadcast to a crossJoin —
+  // the corpus itself never shuffles; per-document term frequencies are
+  // array ops in a single projection. Okapi k1=1.2, b=0.75 with the
+  // Lucene +1 idf; term contributions are summed in fixed textual order
+  // and the score rounded to 6 (ln ulp — q65 precedent), avgdl rounded
+  // to 6 before use so both engines feed identical doubles.
+  val q69: QueryDef = QueryDef.sql(
+    "q69_bm25",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n, round(avg(len(tk)), 6) AS avgdl,
+      |    sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END) AS df1,
+      |    sum(CASE WHEN list_contains(tk, 'join') THEN 1 ELSE 0 END) AS df2,
+      |    sum(CASE WHEN list_contains(tk, 'filter') THEN 1 ELSE 0 END) AS df3
+      |  FROM toks),
+      |tf AS (
+      |  SELECT doc_id, len(tk) AS dl,
+      |    len(list_filter(tk, x -> x = 'spark')) AS tf1,
+      |    len(list_filter(tk, x -> x = 'join')) AS tf2,
+      |    len(list_filter(tk, x -> x = 'filter')) AS tf3
+      |  FROM toks)
+      |SELECT doc_id,
+      |  round(
+      |    ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |    + ln((n - df3 + 0.5) / (df3 + 0.5) + 1) * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+      |  6) AS bm25
+      |FROM tf, stats
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val terms = Seq("spark", "join", "filter")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
+    val statCols = Seq(
+      count(lit(1)).as("n"),
+      round(avg(size(col("tk"))), 6).as("avgdl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("tk"), t), 1L).otherwise(0L)).as(s"df${i + 1}")
+      }
+    val stats = toks.agg(statCols.head, statCols.tail: _*)
+    val tf = toks.select(
+      col("doc_id") +: size(col("tk")).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          expr(s"size(filter(tk, x -> x = '$t'))").as(s"tf${i + 1}")
+        }: _*)
+    def term(i: Int) = {
+      val (tfc, dfc) = (col(s"tf$i"), col(s"df$i"))
+      log((col("n") - dfc + 0.5) / (dfc + 0.5) + 1) * (tfc * 2.2) /
+        (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }
+    tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(term(1) + term(2) + term(3), 6).as("bm25"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
 }
