@@ -338,11 +338,15 @@ object Dedup {
       |  WHERE srn <= greatest(16, CAST(ceil(sqrt(n)) AS BIGINT)))""".stripMargin
 
   /** Per-vector top-`MAssign` seed-cell assignments
-    * (vec_id, cell, embedding, nrm) — the shared blocking quantizer: one
-    * codegen'd projection against seed literals, no window, no crossJoin.
-    * Used by q44's candidate blocking and q35's approximate neighbor
-    * graph; consumers that only need (vec_id, cell) rely on Catalyst
-    * column pruning to drop the carried vector.
+    * (vec_id, embedding, nrm, cell, crank, c) — the shared blocking
+    * quantizer: one codegen'd projection against seed literals, no
+    * window, no crossJoin. `crank` is the 1-based rank of the cell for
+    * that vector and `c` the round-8 cosine, so top-1 consumers (q38's
+    * outlier distance) read the cached rows instead of re-running the
+    * k-seed projection. Used by q44's candidate blocking, q35's
+    * approximate neighbor graph, and q38; consumers that only need
+    * (vec_id, cell) rely on Catalyst column pruning to drop the carried
+    * vector.
     */
   private val cellsMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
@@ -369,6 +373,21 @@ object Dedup {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
   }
 
+  /** round-8 cosine of the row's `embedding` against a seed vector, with
+    * the row norm PRECOMPUTED in col("nrm") and the seed norm folded to a
+    * driver constant: dot/(nrm·snrm) — bit-identical to CosineSim and
+    * the oracle's nrm-product form (the r2-verified identity), but a
+    * k-seed score array costs k dots + 1 norm per row instead of
+    * k·(dot + 2 norms).
+    */
+  private[graft] def seedCosine(sv: Array[Double]): org.apache.spark.sql.Column = {
+    var sn = 0.0
+    var i = 0
+    while (i < sv.length) { sn += sv(i) * sv(i); i += 1 }
+    round(VectorExprs.dotProduct(col("embedding"), typedlit(sv))
+      / (col("nrm") * lit(math.sqrt(sn))), 8)
+  }
+
   private def seedCellAssignmentsUncached(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
@@ -377,11 +396,14 @@ object Dedup {
     // per-row top-m cells in one codegen'd projection: sort (−cos, cell)
     // structs ascending, keep the first m
     val cellsCol = slice(array_sort(array(seeds.toIndexedSeq.map { case (cid, sv) =>
-      struct((-round(VectorExprs.cosineSim(col("embedding"), typedlit(sv)), 8)).as("negc"),
+      struct((-seedCosine(sv)).as("negc"),
         lit(cid).as("cell"))
     }: _*)), 1, MAssign)
-    v.select(col("vec_id"), col("embedding"), col("nrm"), explode(cellsCol).as("sc"))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("sc.cell").as("cell"))
+    v.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(cellsCol).as(Seq("crank0", "sc")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("sc.cell").as("cell"), (col("crank0") + 1).cast("int").as("crank"),
+        (-col("sc.negc")).as("c"))
   }
 
   /** The blocked candidate-pair set (id_a < id_b, distinct): pairs form

@@ -365,13 +365,19 @@ object Similarity {
     * ints per row, the O(n) compressed representation everything
     * downstream probes.
     */
-  private[graft] def compressedIndex(s: SparkSession, d: String): DataFrame = {
-    val cents = graft.ml.Centroids.centers(s, d)
-    val books = graft.ml.Centroids.pqCodebooks(s, d)
+  /** Encode (vec_id, embedding) rows against a FROZEN quantizer +
+    * codebooks: one codegen'd projection producing (vec_id, cell_id,
+    * codes). Shared by the full-corpus build and the incremental append —
+    * both epochs of an index must encode with the same cells or probes
+    * would mix geometries.
+    */
+  private[graft] def encodeVectors(vecs: DataFrame,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
     val nSub = graft.ml.Centroids.PqSub
     val nCodes = graft.ml.Centroids.PqCodes
     val subDim = 64 / nSub
-    Tables.embeddings(s, d).select(
+    vecs.select(
       col("vec_id"),
       VectorExprs.pqEncode(col("embedding"), cents.flatten, 1, cents.length, 64)
         .getItem(0).as("cell_id"),
@@ -379,11 +385,15 @@ object Similarity {
         .as("codes"))
   }
 
+  private[graft] def compressedIndex(s: SparkSession, d: String): DataFrame =
+    encodeVectors(Tables.embeddings(s, d).select("vec_id", "embedding"),
+      graft.ml.Centroids.centers(s, d), graft.ml.Centroids.pqCodebooks(s, d))
+
   /** ADC probe over a compressed-index DataFrame: filter to the query's
     * probed cells, 8-lookup ADC score, top-100 TakeOrdered, then exact
     * cosine rerank of the 100 survivors for the final top-10.
     */
-  private def probeCompressed(s: SparkSession, d: String, index: DataFrame): DataFrame = {
+  private[graft] def probeCompressed(s: SparkSession, d: String, index: DataFrame): DataFrame = {
     val cents = graft.ml.Centroids.centers(s, d)
     val books = graft.ml.Centroids.pqCodebooks(s, d)
     val probes = probeCells(cents, ivfNProbe(cents.length))
@@ -419,6 +429,23 @@ object Similarity {
       // location — the catalog is per-JVM, the files are not)
       .option("path", s"${s.sessionState.conf.warehousePath}/graft-annindex/$table")
       .saveAsTable(table)
+
+  /** INCREMENTAL index maintenance: append a new batch of (vec_id,
+    * embedding) rows to an existing persisted index table — the
+    * corpus-refresh path (q48's incremental-dedup posture applied to
+    * ANN). The batch is encoded with the snapshot's FROZEN quantizer and
+    * codebooks (same cells, same geometry), and the append writes only
+    * the batch's cell partitions: existing partitions are never
+    * rewritten, re-shuffled, or even read — O(batch) work per refresh.
+    * Probes over the table then see old + new vectors identically
+    * (spec-asserted equal to a one-shot build over the union).
+    */
+  def appendToIndexTable(s: SparkSession, d: String, table: String,
+      batch: DataFrame): Unit =
+    encodeVectors(batch.select("vec_id", "embedding"),
+      graft.ml.Centroids.centers(s, d), graft.ml.Centroids.pqCodebooks(s, d))
+      .select("vec_id", "codes", "cell_id") // partition column last
+      .write.mode("append").insertInto(table)
 
   /** The session's persisted index table for `d`, built on first use.
     * The table name carries a SHA-256 prefix of the CANONICAL corpus
@@ -598,13 +625,14 @@ object Similarity {
       |ORDER BY cell, vec_id""".stripMargin) { (s, d) =>
     val seeds = graft.dedup.Dedup.seedVectors(s, d)
     // primary cell in ONE codegen'd projection: max (rounded cos, -cell)
-    // struct == row_number()=1 under (c DESC, cell ASC)
-    val nrm = sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding")))
+    // struct == row_number()=1 under (c DESC, cell ASC); the row norm is
+    // hoisted so the k-seed array costs k dots, not k·(dot + 2 norms)
     val cellScores = array(seeds.toIndexedSeq.map { case (cid, sv) =>
-      struct(round(VectorExprs.cosineSim(col("embedding"), typedlit(sv)), 8).as("c"),
+      struct(graft.dedup.Dedup.seedCosine(sv).as("c"),
         lit(-cid).as("nid"))
     }: _*)
     val prim = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))))
       .select(col("vec_id"), col("label"),
         (-array_max(cellScores).getField("nid")).as("cell"))
     val w = Window.partitionBy("cell").orderBy("vec_id")
@@ -650,15 +678,13 @@ object Similarity {
       |FROM prim p JOIN stats s ON p.cell = s.cell
       |WHERE 1 - p.c > 1.15 * s.mean_dist
       |ORDER BY p.vec_id""".stripMargin) { (s, d) =>
-    val seeds = graft.dedup.Dedup.seedVectors(s, d)
-    val cellScores = array(seeds.toIndexedSeq.map { case (cid, sv) =>
-      struct(round(VectorExprs.cosineSim(col("embedding"), typedlit(sv)), 8).as("c"),
-        lit(-cid).as("nid"))
-    }: _*)
-    val prim = Tables.embeddings(s, d)
-      .select(col("vec_id"), array_max(cellScores).as("m"))
-      .select(col("vec_id"), (-col("m.nid")).as("cell"),
-        (lit(1) - col("m.c")).as("dist"))
+    // top-1 rows of the SESSION-CACHED shared quantizer assignments
+    // (crank = 1 under (c DESC, cell ASC) — the argmax) instead of
+    // re-running the k-seed projection: q38 shares the one cached
+    // pipeline with q44/q57/q35
+    val prim = graft.dedup.Dedup.seedCellAssignments(s, d)
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cell"), (lit(1) - col("c")).as("dist"))
     val stats = prim.groupBy("cell")
       .agg(round(avg(col("dist")), 6).as("mean_dist"))
     prim.join(broadcast(stats), "cell")

@@ -76,6 +76,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q38/q59/q69 corpus-stat operators broadcast the stats, never shuffle-join the corpus") {
+    for (q <- Seq("q38_embedding_outliers", "q59_domain_mix", "q69_bm25")) {
+      val plan = planOf(q)
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"$q must join its O(groups)/1-row stats by broadcast, not a corpus shuffle:\n$plan")
+      assert(plan.contains("BroadcastExchange"),
+        s"$q stats should broadcast:\n$plan")
+    }
+  }
+
   test("q56 persisted-index probe prunes partitions at the scan") {
     val plan = planOf("q56_ann_index_probe")
     assert(plan.linesIterator.exists(l =>
