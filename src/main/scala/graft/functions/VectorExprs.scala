@@ -674,7 +674,9 @@ case class AdcScore(child: Expression, table: Array[Double], nSub: Int, nCodes: 
   */
 case class PqEncode(child: Expression, books: Array[Double], nSub: Int,
     nCodes: Int, subDim: Int)
-  extends UnaryExpression {
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   def compute(raw: ArrayData): ArrayData = {
@@ -765,7 +767,10 @@ case class PqEncode(child: Expression, books: Array[Double], nSub: Int,
   */
 case class AdcScoreVec(left: Expression, right: Expression,
     books: Array[Double], nSub: Int, nCodes: Int, subDim: Int)
-  extends BinaryExpression {
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
   override def dataType: DataType = DoubleType
 
   def compute(q: ArrayData, codes: ArrayData): Double = {

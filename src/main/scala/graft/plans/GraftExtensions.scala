@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharNgrams, CosineSim, DotProduct, JaccardSim, MinHashSig, MinWindowHash, PolyHash, SimHash64}
+import graft.functions.{AdcScore, AdcScoreVec, CharNgrams, CosineSim, DotProduct, JaccardSim, MinHashSig, MinWindowHash, PolyHash, PqEncode, SimHash64}
 
 /** SQL-name registration of graft's native expressions.
   *
@@ -23,6 +23,26 @@ object GraftExtensions {
   private def intLit(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()
 
+  /** Fold a foldable numeric-array argument (e.g. an `array(1.0, …)` SQL
+    * literal — DECIMAL-typed under ANSI parsing) to the plan-constant
+    * double[] the expression carries as a reference object.
+    */
+  private def doubleArrayLit(e: Expression): Array[Double] = {
+    import org.apache.spark.sql.types._
+    val ad = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val et = e.dataType.asInstanceOf[ArrayType].elementType
+    Array.tabulate(ad.numElements()) { i =>
+      et match {
+        case DoubleType     => ad.getDouble(i)
+        case FloatType      => ad.getFloat(i).toDouble
+        case t: DecimalType => ad.getDecimal(i, t.precision, t.scale).toDouble
+        case IntegerType    => ad.getInt(i).toDouble
+        case LongType       => ad.getLong(i).toDouble
+        case other          => ad.get(i, other).toString.toDouble
+      }
+    }
+  }
+
   private[plans] val builders: Seq[(String, (ExpressionInfo, Seq[Expression] => Expression))] = Seq(
     "cosine_sim" -> (info("cosine_sim", "cosine similarity of two numeric arrays"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))),
@@ -39,7 +59,19 @@ object GraftExtensions {
     "poly_hash" -> (info("poly_hash", "engine-portable polynomial hash of a string"),
       (args: Seq[Expression]) => PolyHash(args(0))),
     "min_window_hash" -> (info("min_window_hash", "min w-window polynomial hash (fingerprint)"),
-      (args: Seq[Expression]) => MinWindowHash(args(0), intLit(args(1)))))
+      (args: Seq[Expression]) => MinWindowHash(args(0), intLit(args(1)))),
+    "pq_encode" -> (info("pq_encode",
+      "PQ codes of a float-array vector vs flattened codebooks (books, nSub, nCodes, subDim)"),
+      (args: Seq[Expression]) => PqEncode(args(0), doubleArrayLit(args(1)),
+        intLit(args(2)), intLit(args(3)), intLit(args(4)))),
+    "adc_score" -> (info("adc_score",
+      "ADC distance of a PQ codes row vs a precomputed query table (table, nSub, nCodes)"),
+      (args: Seq[Expression]) => AdcScore(args(0), doubleArrayLit(args(1)),
+        intLit(args(2)), intLit(args(3)))),
+    "adc_score_vec" -> (info("adc_score_vec",
+      "ADC distance of a PQ codes row vs an in-row double-array query (q, codes, books, nSub, nCodes, subDim)"),
+      (args: Seq[Expression]) => AdcScoreVec(args(0), args(1), doubleArrayLit(args(2)),
+        intLit(args(3)), intLit(args(4)), intLit(args(5)))))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "")

@@ -25,6 +25,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.forall(_.getSeq[String](0).isEmpty))
   }
 
+  test("PqEncode/AdcScoreVec propagate nulls; zero vector encodes without error") {
+    import spark.implicits._
+    val books = Array(1.0, 0.0, 0.0, 1.0) // 1 subspace, 2 codes, dim 2
+    val df = Seq(Some(Array(0.0f, 0.0f)), None).toDF("e")
+    val out = df.select(
+      VectorExprs.pqEncode(col("e"), books, 1, 2, 2).as("c")).collect()
+    // zero vector → 0/0 normalization is NaN-distance; argmin keeps the
+    // initial best=-1 … it must not throw, and ties/NaNs stay deterministic
+    assert(!out(0).isNullAt(0))
+    assert(out(1).isNullAt(0), "null embedding must encode to null")
+    val df2 = Seq((Some(Array(1.0, 0.0)), Some(Seq(0))), (None, Some(Seq(0))))
+      .toDF("q", "codes")
+    val adc = df2.select(
+      VectorExprs.adcScoreVec(col("q"), col("codes"), books, 1, 2, 2).as("a")).collect()
+    assert(adc(0).getDouble(0) == 0.0)
+    assert(adc(1).isNullAt(0), "null query must score null")
+  }
+
   test("decodeStub: empty payload yields finite features") {
     val f = Binary.decodeStub(Array.emptyByteArray)
     assert(f.length == 8 && f.forall(v => !v.isNaN && !v.isInfinite))

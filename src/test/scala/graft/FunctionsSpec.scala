@@ -45,6 +45,15 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT dot_product(array(2.0, 3.0), array(4.0, 5.0)) d").head.getDouble(0) == 23.0)
     assert(spark.sql("SELECT poly_hash('ab') p").head.getLong(0) == ('a'.toLong * 131 + 'b') % 1000000007L)
     assert(spark.sql("SELECT min_window_hash('abcdef', 3) w").head.getLong(0) >= 0L)
+    // PQ codecs: 1 subspace, 2 codes of dim 2 — the normalized vector
+    // (1,0) is nearer code 0 = (1,0) than code 1 = (0,1)
+    assert(spark.sql("SELECT pq_encode(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+      "array(1.0, 0.0, 0.0, 1.0), 1, 2, 2) c").head.getSeq[Int](0) == Seq(0))
+    assert(spark.sql("SELECT adc_score(array(1), array(0.5, 2.5), 1, 2) a")
+      .head.getDouble(0) == 2.5)
+    // in-row ADC of the unit query (1,0) vs code 0 = (1,0): distance 0
+    assert(spark.sql("SELECT adc_score_vec(array(1.0, 0.0), array(0), " +
+      "array(1.0, 0.0, 0.0, 1.0), 1, 2, 2) v").head.getDouble(0) == 0.0)
   }
 
   test("csv matrix roundtrip (reference's mnist csv interchange)") {
