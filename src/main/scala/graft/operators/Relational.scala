@@ -618,7 +618,68 @@ object Relational {
       .orderBy("day", "event_type")
   }
 
+  // q96 — event-RATE ANOMALY detection: hourly counts per event_type,
+  // each hour z-scored against its own trailing-24-hour window. The
+  // moments come from exact integer sums over the ROWS frame
+  // (n, Σcnt, Σcnt²) so mean/variance are single IEEE divisions both
+  // engines compute identically — no engine-specific Welford stream.
+  // Scale shape: the corpus collapses to O(types·hours) rows at the
+  // first aggregate (map-side partial), and the window shuffles only
+  // that tiny series, keyed by event_type.
+  val q96: QueryDef = QueryDef.sql(
+    "q96_anomaly_events",
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, hr, cnt,
+      |    COUNT(cnt) OVER tw AS n24,
+      |    SUM(cnt) OVER tw AS s,
+      |    SUM(cnt * cnt) OVER tw AS ss
+      |  FROM hourly
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |m AS (
+      |  SELECT event_type, hr, cnt, n24,
+      |    CASE WHEN n24 >= 2 THEN CAST(s AS DOUBLE) / n24 END AS mean24,
+      |    CASE WHEN n24 >= 2
+      |      THEN (ss - CAST(s AS DOUBLE) * s / n24) / (n24 - 1) END AS v
+      |  FROM w)
+      |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, cnt,
+      |  CAST(n24 AS INTEGER) AS n24, mean24,
+      |  CASE WHEN v > 0 THEN (cnt - mean24) / sqrt(v) END AS z,
+      |  COALESCE(CASE WHEN v > 0 THEN (cnt - mean24) / sqrt(v) END > 3,
+      |    FALSE) AS is_anomaly
+      |FROM m
+      |ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val tw = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(-24, -1)
+    // ANSI divide-by-zero guard: every division sits inside a lazy
+    // when(n24 >= 2, …) branch (CaseWhen codegen is branch-lazy), which
+    // also matches DuckDB's NULL-on-zero-denominator semantics.
+    val mean = when(col("n24") >= 2, col("s").cast("double") / col("n24"))
+    val variance = when(col("n24") >= 2,
+      (col("ss") - col("s").cast("double") * col("s") / col("n24")) /
+        (col("n24") - 1))
+    val z = when(variance > 0, (col("cnt") - mean) / sqrt(variance))
+    hourly
+      .select(col("event_type"), col("hr"), col("cnt"),
+        count("cnt").over(tw).as("n24"),
+        sum("cnt").over(tw).as("s"),
+        sum(col("cnt") * col("cnt")).over(tw).as("ss"))
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"), col("cnt"),
+        col("n24").cast("int").as("n24"),
+        mean.as("mean24"), z.as("z"),
+        coalesce(z > 3, lit(false)).as("is_anomaly"))
+      .orderBy("event_type", "hr")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
-    q94, q95)
+    q94, q95, q96)
 }

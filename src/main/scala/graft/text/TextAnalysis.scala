@@ -377,5 +377,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+  // q73 — SEQUENCE PACKING: assign documents to fixed-length token
+  // windows (PackLen tokens) the way LLM training pipelines concatenate a
+  // corpus stream and cut it every context-length tokens. Packing is
+  // per-shard (shard = doc_id % NShards), so each shard packs its own
+  // independent stream — the per-worker packing real pipelines run, and
+  // the shape that scales: the only shuffle is the window exchange on
+  // shard, each shard's running offset is a single-pass cumulative sum,
+  // and shard count grows with the cluster, never with the corpus. Emits
+  // per-doc placement: first pack, offset inside it, and how many packs
+  // the doc straddles (straddling is how packing achieves zero padding).
+  val q73: QueryDef = QueryDef.sql(
+    "q73_sequence_pack",
+    """WITH t AS (
+      |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, shard, n_tok,
+      |    COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      |  FROM t)
+      |SELECT doc_id, shard,
+      |  CAST(start_tok // 512 AS INTEGER) AS pack_id,
+      |  CAST(start_tok % 512 AS INTEGER) AS pack_offset,
+      |  CAST((start_tok + n_tok - 1) // 512 - start_tok // 512 + 1 AS INTEGER) AS n_spans,
+      |  CAST(n_tok AS INTEGER) AS n_tok
+      |FROM o
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("shard"),
+        expr(s"size($tokensExpr)").cast("long").as("n_tok"))
+      .withColumn("start_tok", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"),
+        expr("CAST(start_tok DIV 512 AS INT)").as("pack_id"),
+        (col("start_tok") % 512).cast("int").as("pack_offset"),
+        expr("CAST((start_tok + n_tok - 1) DIV 512 - start_tok DIV 512 + 1 AS INT)")
+          .as("n_spans"),
+        col("n_tok").cast("int").as("n_tok"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
+    q69, q73)
 }
