@@ -639,6 +639,80 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // q75 — decontamination BEHIND A BLOOM FILTER: q47's decision when the
+  // eval-gram set is too large to broadcast as strings. The filter is
+  // built DISTRIBUTED (Spark's BloomFilterAggregate — the same machinery
+  // as its runtime join filters, which graft exposes on the SQL surface
+  // as bloom_filter_agg/might_contain) and reaches the probe side as one
+  // scalar-subquery binary of ~6 MB for 2M grams — vs gigabytes of
+  // 20-char grams. The training side then never joins AT ALL: membership
+  // is a map-side predicate, so the only shuffle left is the final
+  // O(hits) groupBy(doc_id). Sized 24 bits/element so the PER-DOCUMENT
+  // false-positive rate (each doc probes ~1k grams) stays ~1e-4; exact
+  // q47 remains the precision rerank when needed. Bloom bit-ORs are
+  // order-independent → deterministic at any parallelism, but the hash
+  // layout is engine-specific → rows-only + the BloomDecontaminateSpec
+  // no-false-negative/VS-exact gate.
+  val q75: QueryDef = QueryDef.rowsOnly("q75_bloom_decontaminate") { (s, d) =>
+    graft.plans.GraftExtensions.register(s)
+    val v = s"docs_bloom_${graft.Memos.pathToken(d)}"
+    Tables.documents(s, d).createOrReplaceTempView(v)
+    s.sql(
+      s"""WITH eg AS (
+         |  SELECT explode(array_distinct(char_ngrams(text, 20))) AS gram
+         |  FROM $v WHERE doc_id % 50 = 0),
+         |bf AS (
+         |  SELECT bloom_filter_agg(xxhash64(gram), 2000000L, 48000000L) AS b
+         |  FROM eg),
+         |tg AS (
+         |  SELECT doc_id, explode(array_distinct(char_ngrams(text, 20))) AS gram
+         |  FROM $v WHERE doc_id % 50 != 0)
+         |SELECT doc_id, count(*) AS n_maybe
+         |FROM tg
+         |WHERE might_contain((SELECT b FROM bf), xxhash64(gram))
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The eval-set gram Bloom filter as driver-held bytes, built once per
+    * (session, corpus) by the same distributed aggregate as q75 — a
+    * model-like artifact (O(filter bits), not O(corpus)) for paths that
+    * need a FOLDABLE filter: [[contaminationFlags]] embeds it as a
+    * binary literal so the probe stays a stateless per-row predicate,
+    * which is what lets it run inside a streaming projection.
+    */
+  private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Array[Byte]]()
+  graft.Memos.register { () => bloomMemo.clear() }
+  private[graft] def evalGramBloom(s: org.apache.spark.sql.SparkSession,
+      d: String): Array[Byte] =
+    bloomMemo.computeIfAbsent((s, d), { _ =>
+      graft.plans.GraftExtensions.register(s)
+      Tables.documents(s, d).filter(col("doc_id") % 50 === 0)
+        .select(explode(array_distinct(
+          VectorExprs.charNgrams(col("text"), 20))).as("gram"))
+        .agg(expr("bloom_filter_agg(xxhash64(gram), 2000000L, 48000000L)")
+          .as("b"))
+        .take(1)(0).getAs[Array[Byte]](0)
+    })
+
+  /** Per-doc contamination flags from a prebuilt Bloom filter: adds
+    * `maybe_contaminated` = any 20-char gram might be in the eval set.
+    * A pure projection (exists over the gram array, Bloom probe per
+    * element) — no join, no shuffle, no state — so the same column works
+    * on a STREAM of arriving documents (see StreamDedupSpec).
+    */
+  def contaminationFlags(docs: org.apache.spark.sql.DataFrame,
+      bloom: Array[Byte]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    docs.withColumn("maybe_contaminated",
+      exists(array_distinct(VectorExprs.charNgrams(col("text"), 20)),
+        g => org.apache.spark.sql.GraftBridge.column(
+          BloomFilterMightContain(Literal(bloom, BinaryType),
+            org.apache.spark.sql.GraftBridge.expression(xxhash64(g))))))
+  }
+
   /** The two persisted signature tables of the incremental flow — the
     * standing corpus (doc_id % 10 != 0) and the newly-arrived batch
     * (doc_id % 10 = 0) — written once per (session, corpus) with equal
@@ -783,5 +857,6 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
+  val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
+    q49, q75)
 }

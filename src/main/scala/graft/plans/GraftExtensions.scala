@@ -71,7 +71,28 @@ object GraftExtensions {
     "adc_score_vec" -> (info("adc_score_vec",
       "ADC distance of a PQ codes row vs an in-row double-array query (q, codes, books, nSub, nCodes, subDim)"),
       (args: Seq[Expression]) => AdcScoreVec(args(0), args(1), doubleArrayLit(args(2)),
-        intLit(args(3)), intLit(args(4)), intLit(args(5)))))
+        intLit(args(3)), intLit(args(4)), intLit(args(5)))),
+    // Spark ships a distributed Bloom-filter build/probe pair for its
+    // runtime join filters but leaves both OFF the SQL surface; graft
+    // exposes them for set-membership pushdown (e.g. decontamination
+    // against a large eval-gram set, q75). Build input must be xxhash64
+    // longs; the probe side accepts the aggregate as a scalar subquery
+    // or a binary literal.
+    "bloom_filter_agg" -> (info("bloom_filter_agg",
+      "distributed Bloom filter over xxhash64 longs (child[, estimatedNumItems[, numBits]])"),
+      (args: Seq[Expression]) => args.length match {
+        case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0)).toAggregateExpression()
+        case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), args(1)).toAggregateExpression()
+        case _ => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), args(1), args(2)).toAggregateExpression()
+      }),
+    "might_contain" -> (info("might_contain",
+      "Bloom-filter membership probe (bloom binary, xxhash64 long)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1))))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "")

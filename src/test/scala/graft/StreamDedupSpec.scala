@@ -59,4 +59,30 @@ class StreamDedupSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS stream_sig_corpus")
     }
   }
+
+  test("contaminationFlags runs as a stateless streaming projection") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val bloom = graft.dedup.Dedup.evalGramBloom(spark, sfDir)
+    // one arriving doc IS an eval doc verbatim (every gram hits), one is
+    // novel gibberish (no 20-gram can be in the filter)
+    val evalDoc = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 === 0).orderBy("doc_id")
+      .select("text").take(1).head.getString(0)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.dedup.Dedup.contaminationFlags(
+        mem.toDF().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("contam_flags")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      (910001L, evalDoc),
+      (910002L, "zq xv kj wq pf mz gx bt dn lr cw yh zq xv kj wq pf mz"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("contam_flags")
+      .select("doc_id", "maybe_contaminated").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rows == Map(910001L -> true, 910002L -> false), s"got $rows")
+  }
 }
