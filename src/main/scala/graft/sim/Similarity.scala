@@ -722,6 +722,75 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** Per-dimension SQ8 quantization stats (min, scale) for the corpus,
+    * trained once per (session, dir). The aggregate shuffles O(dim ×
+    * partitions) partial min/max rows (map-side combine collapses the
+    * posexplode stream before the exchange); the driver holds dim-sized
+    * arrays only. `scale` is floored at 1e-9 so constant dimensions
+    * cannot divide by zero.
+    */
+  private val sqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Array[Double], Array[Double])]()
+  graft.Memos.register { () => sqMemo.clear() }
+  private[graft] def sqStats(s: SparkSession, d: String): (Array[Double], Array[Double]) =
+    sqMemo.computeIfAbsent((s, d), { _ =>
+      val rows = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(min(col("x").cast("double")).as("mn"),
+          max(col("x").cast("double")).as("mx"))
+        .orderBy("pos")
+        .take(4096)
+      val mn = rows.map(_.getAs[Double]("mn"))
+      val scale = rows.map(r =>
+        math.max((r.getAs[Double]("mx") - r.getAs[Double]("mn")) / 255.0, 1e-9))
+      (mn, scale)
+    })
+
+  // q77 — SCALAR-QUANTIZED (SQ8) ANN: the 4×-compression tier between
+  // raw floats and PQ codes (q54). Each vector is stored as one byte per
+  // dimension (code = round((x − mn_d)/scale_d) − 128, per-dim trained
+  // range); search scans CODES ONLY — approximate cosine folds the
+  // dequantization into the query constants (dot = Σ q_d·mn_d +
+  // Σ (c_d+128)·q_d·scale_d), one zip_with/aggregate pair inside whole-
+  // stage codegen — takes top-50 via TakeOrderedAndProject, and reranks
+  // exactly by fetching just those 50 raw vectors (a broadcast id join:
+  // the point-lookup read pattern of a real index). Byte math is
+  // deterministic but engine-specific in layout → rows-only + the
+  // recall ≥ 0.9 spec vs exact q50.
+  val q77: QueryDef = QueryDef.rowsOnly("q77_sq8_ann") { (s, d) =>
+    val (mn, scale) = sqStats(s, d)
+    val mnL = typedlit(mn)
+    val scL = typedlit(scale)
+    val codes = transform(col("embedding"), (x, i) =>
+      greatest(lit(-128), least(lit(127),
+        round((x.cast("double") - element_at(mnL, i + 1)) /
+          element_at(scL, i + 1)).cast("int") - 128)).cast("tinyint"))
+    // query-side constants: dot(q, dequant(c)) = bias + Σ (c_d+128)·wq_d
+    val wq = qvArray.zip(scale).map { case (q, sc) => q * sc }
+    val bias = qvArray.zip(mn).map { case (q, m) => q * m }.sum
+    val qnorm = math.sqrt(sqNorm(qvArray))
+    val adot = lit(bias) + aggregate(
+      zip_with(col("codes"), typedlit(wq),
+        (c, w) => (c.cast("double") + 128.0) * w),
+      lit(0.0), (a, x) => a + x)
+    val dq = transform(col("codes"), (c, i) =>
+      element_at(mnL, i + 1) + (c.cast("double") + 128.0) * element_at(scL, i + 1))
+    val nsq = aggregate(dq, lit(0.0), (a, x) => a + x * x)
+    val acos = when(nsq > 0, adot / (lit(qnorm) * sqrt(nsq)))
+    val cand = Tables.embeddings(s, d)
+      .select(col("vec_id"), codes.as("codes"))
+      .select(col("vec_id"), acos.as("approx_cos"))
+      .where(col("approx_cos").isNotNull)
+      .orderBy(desc("approx_cos"), asc("vec_id"))
+      .limit(50)
+    cand.join(Tables.embeddings(s, d), "vec_id")
+      .select(col("vec_id"), col("label"), cosToQv.as("cos_sim"),
+        round(col("approx_cos"), 8).as("approx_cos"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(q38, q50, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59)
+    q58, q59, q77)
 }

@@ -420,6 +420,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // q76 — HEAVY HITTERS by sketch: the corpus's top-20 tokens via
+  // approx_top_k (DataSketches frequent-items). At 100 TB the exact
+  // groupBy's shuffle is O(distinct tokens) — web-scale vocabularies
+  // reach billions of keys — while the sketch carries ONE bounded
+  // buffer per partition through a map-side-combined aggregate and
+  // never shuffles the key space. The exact counts ride along as the
+  // verification companion (q90 precedent: estimates asserted against
+  // exact in-row); output order keys on the exact column so the row
+  // set is deterministic even where sketch tie-order is not.
+  val q76: QueryDef = QueryDef.rowsOnly("q76_heavy_hitters") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(explode(expr(tokensExpr)).as("term"))
+    val est = toks
+      .agg(expr("approx_top_k(term, 20, 8192)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("term"), col("e.count").as("est_cnt"))
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+    est.join(exact, "term")
+      .select(col("term"), col("est_cnt"), col("exact_cnt"))
+      .orderBy(desc("exact_cnt"), asc("term"))
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q73)
+    q69, q73, q76)
 }

@@ -50,6 +50,38 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall@10 $recall (probes=${sim.Similarity.IvfNProbe})")
   }
 
+  test("q77 SQ8 top-10 recall >= 0.9 vs exact q50 top-10, scores within quantization error") {
+    val exact = sim.Similarity.q50.fn(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val sq8rows = sim.Similarity.q77.fn(spark, sfDir).collect()
+    val sq8 = sq8rows.map(_.getAs[Long]("vec_id")).toSet
+    val recall = exact.intersect(sq8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@10 $recall")
+    // 8-bit per-dim quantization: the approximate cosine must sit within
+    // a small absolute error of the exact rerank score
+    sq8rows.foreach { r =>
+      val err = math.abs(r.getAs[Double]("cos_sim") - r.getAs[Double]("approx_cos"))
+      assert(err < 0.02, s"vec ${r.getAs[Long]("vec_id")}: SQ8 cos error $err")
+    }
+  }
+
+  test("q76 sketch heavy hitters match exact counts and the exact top-k set") {
+    val rows = text.TextAnalysis.q76.fn(spark, sfDir).collect()
+    assert(rows.length == 20)
+    // the tracked-item budget (8192) dwarfs this corpus's vocabulary, so
+    // the frequent-items estimates must be exact here
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") == r.getAs[Long]("exact_cnt"),
+        s"term ${r.getAs[String]("term")}: est ${r.getAs[Long]("est_cnt")} != exact")
+    }
+    val exactTop = Tables.documents(spark, sfDir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy("term").count()
+      .orderBy(desc("count"), asc("term"))
+      .limit(20).collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getAs[String]("term")).toSet == exactTop)
+  }
+
   test("q35 projection preserves neighborhood structure (kNN pairs land close)") {
     // The sf test embeddings carry no label structure (1-NN label accuracy
     // ≈ the 10-class prior), so the honest invariant is the one the
