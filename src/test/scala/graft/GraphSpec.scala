@@ -1,0 +1,47 @@
+package graft
+
+/** Distributed PageRank vs a dense driver-side reference — the whole
+  * sf0.001 similarity graph, node for node.
+  */
+class GraphSpec extends SparkSpec {
+
+  test("pageRank matches a dense driver-side reference on the full sf0.001 graph") {
+    val edgesDf = sim.Similarity.approxKnnGraph(spark, sfDir, 3)
+    val e = edgesDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the kNN graph has no dangling nodes: anyone who IS a neighbor also
+    // HAS neighbors (same cell, >= 2 members) — the distributed dangling
+    // term must therefore contribute zero here
+    val srcs = e.map(_._1).toSet
+    assert(e.map(_._2).toSet.subsetOf(srcs), "unexpected dangling nodes")
+
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val out = e.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val in = e.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSeq }
+    var rank = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 10) {
+      rank = nodes.map { id =>
+        val inc = in.getOrElse(id, Seq.empty).map(s => rank(s) / out(s)).sum
+        id -> (0.15 + 0.85 * inc)
+      }.toMap
+    }
+
+    val dist = graph.Graph.pageRank(edgesDf, nIter = 10, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dist.keySet == rank.keySet)
+    rank.foreach { case (id, r) =>
+      assert(math.abs(dist(id) - r) < 1e-9, s"node $id: ref $r vs ${dist(id)}")
+    }
+    assert(math.abs(dist.values.sum - nodes.length) < 1e-6,
+      s"ranks must sum to N, got ${dist.values.sum} vs ${nodes.length}")
+  }
+
+  test("q78 returns the top-20 most central vectors, deterministically") {
+    val a = graph.Graph.q78.fn(spark, sfDir).collect()
+    val b = graph.Graph.q78.fn(spark, sfDir).collect()
+    assert(a.length == 20)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // descending rank with id tiebreak
+    val ranks = a.map(_.getAs[Double]("rank")).toSeq
+    assert(ranks == ranks.sorted.reverse)
+  }
+}
