@@ -28,13 +28,28 @@ object Graph {
     */
   def pageRank(edges0: DataFrame, nIter: Int = 10, damping: Double = 0.85,
       handleDangling: Boolean = true): DataFrame = {
-    val edges = edges0.toDF("src", "dst")
+    // cache the INPUT edge list first: deg, withDeg and nodes all scan it,
+    // and an expensive upstream (e.g. the kNN-graph window) must run once,
+    // not three times
+    val edges = edges0.toDF("src", "dst").cache()
+    val sess = edges.sparkSession
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, "src").cache()
     val nodes = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id")))
       .distinct().cache()
     val n = nodes.count()
+    withDeg.count() // fill the edge cache under FULL parallelism
+    // Size the iteration shuffles to the RANK TABLE's volume, not the
+    // session default: cached/checkpointed plans don't get AQE's
+    // post-shuffle coalescing, so a small graph would otherwise pay
+    // nIter × shufflePartitions near-empty tasks. ~50k ranks per
+    // partition, capped at 4× the cluster's parallelism for huge graphs.
+    val parts = math.max(1L, math.min(n / 50000L + 1L,
+      sess.sparkContext.defaultParallelism * 4L)).toString
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
     var ranks = nodes.withColumn("rank", lit(1.0))
     var iter = 0
     while (iter < nIter) {
@@ -66,7 +81,9 @@ object Graph {
     ranks.unpersist()
     withDeg.unpersist()
     nodes.unpersist()
+    edges.unpersist()
     out
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   // q78 — SIMILARITY-GRAPH CENTRALITY: PageRank over the approximate

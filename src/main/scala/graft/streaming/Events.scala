@@ -252,5 +252,67 @@ object Events {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("session_value"))
 
+  case class HourAnomaly(event_type: String, hr_us: Long, cnt: Long,
+      n24: Int, mean24: Option[Double], z: Option[Double], is_anomaly: Boolean)
+  /** Per-type state: hours still open (start-µs → count) and the last 24
+    * CLOSED hourly counts in close order — exactly q96's trailing frame.
+    */
+  case class TypeState(open: Map[Long, Long], history: List[(Long, Long)])
+
+  private val HourUs = 3600000000L
+
+  /** STREAMING anomaly detection — q96's verdict as events ARRIVE: one
+    * stateful operator per event_type accumulates open hourly counts and,
+    * when the watermark passes an hour's end, closes it in hour order,
+    * z-scoring against the trailing 24 previously-closed hours (the same
+    * exact-integer-moment formula as q96, so closed rows equal the batch
+    * rows bit-for-bit). State is bounded: ≤ watermark-horizon open hours
+    * + a 24-deep history ring per type. Emission depends only on
+    * event-time and watermark progress — batch-split independence is
+    * spec-asserted (StreamingSpec).
+    */
+  def anomalyStream(events: DataFrame, watermark: String = "2 hours"): Dataset[HourAnomaly] = {
+    import events.sparkSession.implicits._
+    events
+      // keep the watermark column itself through the projection — the
+      // stateful operator needs the event-time watermark attached to an
+      // input column, not just declared upstream
+      .select(col("event_type"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .withWatermark("ts", watermark)
+      .as[(String, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TypeState, HourAnomaly](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, batch: Iterator[(String, Timestamp, Long)], state: GroupState[TypeState]) =>
+          // a group's function only runs when the group has rows in the
+          // batch OR its event-time timeout fired — the timeout is what
+          // closes a quiet type's hours, set to the earliest open hour's
+          // end each time
+          val st = state.getOption.getOrElse(TypeState(Map.empty, Nil))
+          var open = st.open
+          batch.foreach { case (_, _, tsUs) =>
+            val hr = tsUs - java.lang.Math.floorMod(tsUs, HourUs)
+            open = open.updated(hr, open.getOrElse(hr, 0L) + 1L)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closing, stillOpen) = open.partition { case (hr, _) => hr + HourUs <= wmUs }
+          var history = st.history
+          val out = closing.toList.sortBy(_._1).map { case (hr, cnt) =>
+            val n24 = history.length
+            val s = history.map(_._2).sum
+            val ss = history.map(h => h._2 * h._2).sum
+            val mean = if (n24 >= 2) Some(s.toDouble / n24) else None
+            val v = if (n24 >= 2) Some((ss - s.toDouble * s / n24) / (n24 - 1)) else None
+            val z = v.filter(_ > 0).map(vv => (cnt - mean.get) / math.sqrt(vv))
+            history = (history :+ ((hr, cnt))).takeRight(24)
+            HourAnomaly(etype, hr, cnt, n24, mean, z, z.exists(_ > 3))
+          }
+          state.update(TypeState(stillOpen, history))
+          if (stillOpen.nonEmpty)
+            state.setTimeoutTimestamp((stillOpen.keys.min + HourUs) / 1000L)
+          out.iterator
+      }
+  }
+
   val all: Seq[QueryDef] = Seq(q80, q81, q82, q83)
 }

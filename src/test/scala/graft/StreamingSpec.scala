@@ -170,4 +170,59 @@ class StreamingSpec extends SparkSpec {
     val b = sqlw.select("user_id", "first_event", "n_events").collect().toSet
     assert(a == b)
   }
+
+  private def anomalyStreamRows(splitAt: Seq[Int]): Set[(String, String, Long, Int, Option[Double], Option[Double], Boolean)] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type")).orderBy("ts", "event_type")
+      .collect().map(r => (r.getAs[Timestamp]("ts"), r.getAs[String]("event_type")))
+    val mem = MemoryStream[(Timestamp, String)]
+    val name = s"anomaly_${splitAt.mkString("_")}"
+    val q = Events.anomalyStream(mem.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    val cuts = (0 +: splitAt :+ evs.length).distinct.sorted
+    cuts.sliding(2).foreach { case Seq(a, b) =>
+      mem.addData(evs.slice(a, b).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    // sentinel far past the data: pushes the watermark beyond every real
+    // hour so all real hours close (its own hour stays open, type-scoped)
+    val maxTs = evs.last._1.getTime
+    mem.addData((new Timestamp(maxTs + 48L * 3600 * 1000), "zz_sentinel"))
+    q.processAllAvailable()
+    q.stop()
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    spark.table(name).collect().map { r =>
+      (r.getAs[String]("event_type"),
+        fmt.format(java.time.Instant.ofEpochMilli(r.getAs[Long]("hr_us") / 1000L)),
+        r.getAs[Long]("cnt"), r.getAs[Int]("n24"),
+        Option(r.getAs[java.lang.Double]("mean24")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue),
+        r.getAs[Boolean]("is_anomaly"))
+    }.toSet
+  }
+
+  test("anomalyStream closed hours equal batch q96 rows, independent of batch splits") {
+    val streamed = anomalyStreamRows(Seq(1000, 5000))
+    val q96 = operators.Relational.q96.fn(spark, sfDir).collect().map { r =>
+      (r.getAs[String]("event_type"), r.getAs[String]("hr"),
+        r.getAs[Long]("cnt"), r.getAs[Int]("n24"),
+        Option(r.getAs[java.lang.Double]("mean24")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue),
+        r.getAs[Boolean]("is_anomaly"))
+    }.toSet
+    assert(streamed.nonEmpty)
+    // every emitted (closed) hour matches its batch row bit-for-bit —
+    // identical integer moments, identical IEEE divisions
+    val missing = streamed -- q96
+    assert(missing.isEmpty, s"streamed rows absent from batch q96: ${missing.take(3)}")
+    // only the tail hours inside the watermark horizon may be unemitted
+    assert(streamed.size >= q96.size - 24,
+      s"too few closed hours: ${streamed.size} vs batch ${q96.size}")
+    // batch-split independence
+    assert(anomalyStreamRows(Seq(300, 2000, 7000)) == streamed)
+  }
 }
