@@ -198,5 +198,42 @@ object MlPrep {
       .orderBy("label")
   }
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q32)
+  // q39 — FEATURE HASHING (the hashing trick, sklearn HashingVectorizer
+  // shape): token features hash into a fixed 256-bucket space with a
+  // ±1 sign hash to debias collisions — the vectorizer whose width is
+  // independent of vocabulary size, so at 100 TB there's no vocabulary
+  // dictionary to build, broadcast, or shuffle; the single exchange is
+  // the map-side-combined (doc, bucket) aggregation. Buckets come from
+  // the engine-portable polynomial hash, so DuckDB replays the exact
+  // vector: bucket = ph % 256, sign = parity of ph/256. Integer sums →
+  // unrounded.
+  val q39: QueryDef = QueryDef.sql(
+    "q39_hashed_features",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      |  FROM documents),
+      |ph AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(t) + 1),
+      |        c -> CAST(unicode(substr(t, CAST(c AS INT), 1)) AS BIGINT))),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS h
+      |  FROM tok)
+      |SELECT doc_id, CAST(h % 256 AS INTEGER) AS bucket,
+      |  CAST(sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS feat
+      |FROM ph
+      |GROUP BY doc_id, bucket
+      |ORDER BY doc_id, bucket""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.polyHash(col("t")).as("h"))
+      .groupBy(col("doc_id"), (col("h") % 256).cast("int").as("bucket"))
+      .agg(sum(when(expr("(h DIV 256) % 2") === 0, 1L).otherwise(-1L)).as("feat"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q32,
+    q39)
 }
