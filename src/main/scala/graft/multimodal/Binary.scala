@@ -138,6 +138,46 @@ object Binary {
     }
   }
 
+  /** Router stubs for the per-modality decode dispatch (q74): one digest
+    * feature each. Real deployments swap these for the actual audio/text
+    * featurizers; the routing, batching, and partition plan are fixed.
+    */
+  object AmplitudeBatchDecoder extends BatchDecoder { // "audio": mean byte
+    val nFeatures = 1
+    def decode(batch: BinaryBatch): Array[Double] = {
+      val out = new Array[Double](batch.size)
+      var i = 0
+      while (i < batch.size) {
+        var sum = 0L
+        var j = batch.offsets(i)
+        while (j < batch.offsets(i + 1)) { sum += (batch.data(j) & 0xff); j += 1 }
+        out(i) = sum.toDouble / math.max(batch.itemLength(i), 1) / 255.0
+        i += 1
+      }
+      out
+    }
+  }
+
+  object WhitespaceBatchDecoder extends BatchDecoder { // "text": ws fraction
+    val nFeatures = 1
+    def decode(batch: BinaryBatch): Array[Double] = {
+      val out = new Array[Double](batch.size)
+      var i = 0
+      while (i < batch.size) {
+        var ws = 0L
+        var j = batch.offsets(i)
+        while (j < batch.offsets(i + 1)) {
+          val b = batch.data(j) & 0xff
+          if (b == 32 || b == 10 || b == 9) ws += 1
+          j += 1
+        }
+        out(i) = ws.toDouble / math.max(batch.itemLength(i), 1)
+        i += 1
+      }
+      out
+    }
+  }
+
   private val DecodeBatchSize = 64
 
   // q71 — batched partition-parallel feature extraction over the binary
@@ -273,5 +313,93 @@ object Binary {
     s.createDataFrame(rows, outSchema).orderBy("doc_id", "frame_idx")
   }
 
-  val all: Seq[QueryDef] = Seq(q70, q71, q72)
+  // q74 — MODALITY ROUTER: a heterogeneous binary corpus dispatched to
+  // per-modality decoders. Modality is detected from the payload's MAGIC
+  // BYTES (the router's real job — here GIF8/RIFF headers synthesized
+  // deterministically from doc_id so the oracle can rebuild the same
+  // corpus), then rows repartition on (modality, salt): every partition
+  // is modality-PURE — the property a GPU codec needs, one kernel per
+  // batch — while the salt spreads each modality across the cluster
+  // instead of one partition per codec. Each partition then streams
+  // columnar batches through its modality's BatchDecoder. ASCII corpus +
+  // deterministic stubs → DuckDB replays detection, routing, and every
+  // digest exactly (q71 precedent).
+  val q74: QueryDef = QueryDef.sql(
+    "q74_modality_router",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'GIF8'
+      |         WHEN 1 THEN 'RIFF' ELSE '' END || text AS payload
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substr(payload, 1, 4) = 'GIF8' THEN 'image'
+      |         WHEN substr(payload, 1, 4) = 'RIFF' THEN 'audio'
+      |         ELSE 'text' END AS modality,
+      |    CASE WHEN substr(payload, 1, 4) IN ('GIF8', 'RIFF')
+      |         THEN substr(payload, 5) ELSE payload END AS body
+      |  FROM p)
+      |SELECT doc_id, modality, CAST(length(body) AS INTEGER) AS n_bytes,
+      |  round_even(CASE modality
+      |    WHEN 'image' THEN list_max(list_transform(range(0, 8),
+      |      b -> CAST(len(list_filter(range(1, length(body) + 1),
+      |             i -> (unicode(substr(body, CAST(i AS INT), 1)) // 32) = b)) AS DOUBLE)
+      |           / greatest(length(body), 1)))
+      |    WHEN 'audio' THEN list_sum(list_transform(range(1, length(body) + 1),
+      |      i -> CAST(unicode(substr(body, CAST(i AS INT), 1)) AS DOUBLE)))
+      |      / greatest(length(body), 1) / 255
+      |    ELSE CAST(len(list_filter(range(1, length(body) + 1),
+      |      i -> unicode(substr(body, CAST(i AS INT), 1)) IN (32, 10, 9))) AS DOUBLE)
+      |      / greatest(length(body), 1)
+      |  END, 6) AS feat
+      |FROM r
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val hdr = when(col("doc_id") % 3 === 0, lit("GIF8"))
+      .when(col("doc_id") % 3 === 1, lit("RIFF")).otherwise(lit(""))
+    val magic = substring(col("payload"), 1, 4)
+    val routed = Tables.documents(s, d)
+      .select(col("doc_id"), encode(concat(hdr, col("text")), "UTF-8").as("payload"))
+      .withColumn("modality",
+        when(magic === lit("GIF8".getBytes("UTF-8")), "image")
+          .when(magic === lit("RIFF".getBytes("UTF-8")), "audio")
+          .otherwise("text"))
+      .withColumn("body",
+        when(col("modality") === "text", col("payload"))
+          .otherwise(expr("substring(payload, 5, octet_length(payload) - 4)")))
+      .repartition(col("modality"), pmod(col("doc_id"), lit(8)))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("modality", StringType),
+      StructField("n_bytes", IntegerType),
+      StructField("feat", DoubleType)))
+    val rows = routed.select("doc_id", "modality", "body").rdd.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { group =>
+        // partitions are modality-pure by construction; the groupBy is a
+        // guard so a mixed batch would still decode correctly
+        group.groupBy(_.getAs[String]("modality")).iterator.flatMap { case (m, rs) =>
+          val batch = BinaryBatch.pack(rs.iterator.map(r =>
+            (r.getAs[Long]("doc_id"), 0, r.getAs[Array[Byte]]("body"))))
+          val dec: BatchDecoder = m match {
+            case "image" => HistBatchDecoder
+            case "audio" => AmplitudeBatchDecoder
+            case _       => WhitespaceBatchDecoder
+          }
+          val f = dec.decode(batch)
+          val nf = dec.nFeatures
+          (0 until batch.size).iterator.map { i =>
+            var feat = Double.NegativeInfinity
+            var k = 0
+            while (k < nf) { // nf==1 → the value itself; image → max bucket
+              if (f(i * nf + k) > feat) feat = f(i * nf + k)
+              k += 1
+            }
+            Row(batch.ids(i), m, batch.itemLength(i), math.rint(feat * 1e6) / 1e6)
+          }
+        }
+      }
+    }
+    s.createDataFrame(rows, outSchema).orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q70, q71, q72, q74)
 }
