@@ -30,8 +30,11 @@ object Graph {
       handleDangling: Boolean = true): DataFrame = {
     // cache the INPUT edge list first: deg, withDeg and nodes all scan it,
     // and an expensive upstream (e.g. the kNN-graph window) must run once,
-    // not three times
-    val edges = edges0.toDF("src", "dst").cache()
+    // not three times. A caller-cached input is respected (and not
+    // unpersisted on exit).
+    val preCached = edges0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val edges =
+      if (preCached) edges0.toDF("src", "dst") else edges0.toDF("src", "dst").cache()
     val sess = edges.sparkSession
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, "src").cache()
@@ -53,11 +56,15 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(1.0))
     var iter = 0
     while (iter < nIter) {
+      // ONE join + ONE aggregate per round: in-contributions union a zero
+      // row per node (keeps no-in-edge nodes without a second join), then
+      // one keyed sum. The union's zero side reuses the cached nodes scan.
       val contrib = withDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("rank") / col("deg")).as("inc"))
-      val joined = nodes.join(contrib, Seq("id"), "left")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .unionByName(nodes.withColumn("c", lit(0.0)))
+        .groupBy("id")
+        .agg(sum("c").as("inc"))
       // handleDangling=false skips an anti-join + 1-row broadcast PER
       // ITERATION — pass it when the graph has no sink nodes by
       // construction (a kNN graph: every neighbor also has neighbors).
@@ -65,11 +72,11 @@ object Graph {
         val danglingMass = ranks
           .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
           .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
-        joined.crossJoin(broadcast(danglingMass))
-      } else joined.withColumn("dm", lit(0.0)))
+        contrib.crossJoin(broadcast(danglingMass))
+      } else contrib.withColumn("dm", lit(0.0)))
         .select(col("id"),
           (lit(1 - damping) + lit(damping) *
-            (coalesce(col("inc"), lit(0.0)) + col("dm") / n)).as("rank"))
+            (col("inc") + col("dm") / n)).as("rank"))
       // truncate lineage: one join+agg of plan depth per iteration
       // otherwise (connectedComponents precedent)
       next = if ((iter + 1) % 4 == 0) next.localCheckpoint() else next.cache()
@@ -81,7 +88,7 @@ object Graph {
     ranks.unpersist()
     withDeg.unpersist()
     nodes.unpersist()
-    edges.unpersist()
+    if (!preCached) edges.unpersist()
     out
     } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
@@ -95,7 +102,7 @@ object Graph {
   // dense reference on the full sf0.001 graph (GraphSpec). Iterative →
   // rows-only; rank rounded to 8 (sum-order jitter) with id tiebreak.
   val q78: QueryDef = QueryDef.rowsOnly("q78_graph_centrality") { (s, d) =>
-    val edges = graft.sim.Similarity.approxKnnGraph(s, d, 3)
+    val edges = graft.sim.Similarity.approxKnnGraphCached(s, d, 3)
     pageRank(edges, nIter = 10, damping = 0.85, handleDangling = false)
       .select(col("id").as("vec_id"), round(col("rank"), 8).as("rank"))
       .orderBy(desc("rank"), asc("vec_id"))

@@ -578,6 +578,16 @@ object Similarity {
       .distinct()
   }
 
+  /** [[approxKnnGraph]] cached once per (session, dir, k) — the edge
+    * list is consumed by q57 (the graph itself) and q78 (centrality over
+    * it), and its window+join would otherwise recompute per consumer.
+    */
+  private val knnGraphMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+  graft.Memos.register { () => knnGraphMemo.values.forEach(_.unpersist()); knnGraphMemo.clear() }
+  def approxKnnGraphCached(s: SparkSession, d: String, k: Int): DataFrame =
+    knnGraphMemo.computeIfAbsent((s, d, k), { _ => approxKnnGraph(s, d, k).cache() })
+
   // q57 — the kNN graph's documented SCALE path as a first-class catalog
   // entry: candidate pairs form only inside shared seed-IVF cells (one
   // shuffle on the cell key — O(n²·m²/cells) pair volume instead of
@@ -586,7 +596,7 @@ object Similarity {
   // vs the exact q52 graph is asserted in OperatorSemanticsSpec
   // (measured ~0.76 at sf0.001-0.01).
   val q57: QueryDef = QueryDef.rowsOnly("q57_approx_knn_graph") { (s, d) =>
-    approxKnnGraph(s, d, 3).orderBy("id_a", "id_b")
+    approxKnnGraphCached(s, d, 3).orderBy("id_a", "id_b")
   }
 
   // q58 — CELL-BALANCED sampling: the cluster-quota data-selection shape
