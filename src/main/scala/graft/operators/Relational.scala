@@ -679,7 +679,37 @@ object Relational {
       .orderBy("event_type", "hr")
   }
 
+  // q97 — CUBE over (returnflag, ship-year) with explicit GROUPING
+  // flags: all four aggregation levels in one pass (the full-lattice
+  // complement to q10's rollup hierarchy). Spark expands the lattice
+  // map-side and partially aggregates before the single
+  // O(groups·levels) exchange — the cube never re-scans the fact per
+  // level.
+  val q97: QueryDef = QueryDef.sql(
+    "q97_cube_summary",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(CAST(year(l_shipdate) AS INTEGER), -1) AS shipyear,
+      |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+      |  CAST(grouping(year(l_shipdate)) AS INTEGER) AS g_year,
+      |  count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, year(l_shipdate))
+      |ORDER BY g_flag, g_year, returnflag, shipyear""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .withColumn("shipyear", year(col("l_shipdate")))
+      .cube("l_returnflag", "shipyear")
+      .agg(count(lit(1)).as("n_rows"),
+        rsum(col("l_extendedprice"), 2).as("sum_price"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("shipyear")).cast("int").as("g_year"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("shipyear"), lit(-1)).as("shipyear"),
+        col("g_flag"), col("g_year"), col("n_rows"), col("sum_price"))
+      .orderBy("g_flag", "g_year", "returnflag", "shipyear")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
-    q94, q95, q96)
+    q94, q95, q96, q97)
 }

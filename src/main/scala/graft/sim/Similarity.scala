@@ -801,6 +801,33 @@ object Similarity {
       .limit(10)
   }
 
+  // q79 — WEIGHTED reservoir sampling (Efraimidis–Spirtas A-Res): each
+  // doc draws key = ln(u)/w from a deterministic uniform u (the q59 LCG
+  // hash) and weight w = n_chars; the global top-k by key IS a weighted
+  // sample without replacement — longer docs proportionally likelier.
+  // One scan + TakeOrderedAndProject (partition heaps, driver merges k
+  // rows): no shuffle of the corpus, the distributed-sampling shape that
+  // holds at any scale. Keys round to 6 BEFORE ranking in both engines
+  // (ln ulp — q65 precedent) with doc_id tie-break, so selection is
+  // engine-identical and the oracle replays it exactly.
+  val q79: QueryDef = QueryDef.sql(
+    "q79_weighted_sample",
+    """SELECT doc_id, w, k FROM (
+      |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+      |    round(ln((CAST((doc_id * 1103515245 + 12345) % 2147483647 AS DOUBLE) + 1)
+      |          / 2147483648.0) / n_chars, 6) AS k
+      |  FROM documents) t
+      |ORDER BY k DESC, doc_id
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val u = ((col("doc_id") * 1103515245L + 12345L) % 2147483647L)
+      .cast("double") + 1.0
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("double").as("w"),
+        round(log(u / 2147483648.0) / col("n_chars"), 6).as("k"))
+      .orderBy(desc("k"), asc("doc_id"))
+      .limit(100)
+  }
+
   val all: Seq[QueryDef] = Seq(q38, q50, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q77)
+    q58, q59, q77, q79)
 }
