@@ -442,6 +442,35 @@ object TextAnalysis {
       .orderBy(desc("exact_cnt"), asc("term"))
   }
 
+  /** The STREAMING curation verdict — the filter an ingest pipeline runs
+    * on every arriving document, composing the batch operators' signals
+    * in one stateless projection (no joins, no state, so it drops into
+    * any streaming query):
+    * q61's quality gate ∧ q68's repetition gate ∧ NOT q75's Bloom
+    * contamination flag. Signal parity with the batch queries is
+    * spec-asserted row for row (StreamDedupSpec); the near-dup signal
+    * stays the separate at-least-once [[graft.dedup.Dedup.streamDupFlags]]
+    * (it needs the corpus join).
+    */
+  def curationStream(docs: org.apache.spark.sql.DataFrame,
+      bloom: Array[Byte]): org.apache.spark.sql.DataFrame = {
+    val toks = expr(tokensExpr)
+    val dupFrac = (c: org.apache.spark.sql.Column) =>
+      when(size(c) === 0, 0.0)
+        .otherwise((size(c) - size(array_distinct(c))).cast("double") / size(c))
+    graft.dedup.Dedup.contaminationFlags(docs, bloom)
+      .withColumn("n_tok", size(toks))
+      .withColumn("n_stop", expr(
+        s"size(filter($tokensExpr, t -> t = 'the' OR t = 'a' OR t = 'value'))"))
+      .withColumn("dup_gram_frac",
+        dupFrac(VectorExprs.charNgrams(col("text"), 10)))
+      .withColumn("keep_quality",
+        col("n_tok") >= 20 && length(col("text")) >= 100 && col("n_stop") > 0)
+      .withColumn("keep",
+        col("keep_quality") && col("dup_gram_frac") <= 0.30 &&
+          !col("maybe_contaminated"))
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q73, q76)
 }

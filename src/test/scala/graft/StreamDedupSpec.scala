@@ -85,4 +85,42 @@ class StreamDedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(rows == Map(910001L -> true, 910002L -> false), s"got $rows")
   }
+
+  test("curationStream verdicts match the batch operators row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val bloom = graft.dedup.Dedup.evalGramBloom(spark, sfDir)
+    // stream the non-eval half of the corpus through the curation filter
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 50 =!= 0)
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.text.TextAnalysis.curationStream(
+        mem.toDF().toDF("doc_id", "text"), bloom)
+      .select("doc_id", "keep_quality", "dup_gram_frac", "maybe_contaminated", "keep")
+      .writeStream.format("memory").queryName("curation")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(docs.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curation").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getDouble(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    assert(streamed.size == docs.length)
+    // batch signals: q61 quality keep, q68 dup_gram_frac, q75 bloom hits
+    val q61 = graft.text.TextAnalysis.q61.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val q68 = graft.text.TextAnalysis.q68.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_gram_frac")).toMap
+    val q75 = graft.dedup.Dedup.q75.fn(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    streamed.foreach { case (id, (kq, dg, mc, keep)) =>
+      assert(kq == q61(id), s"doc $id quality flag diverges from q61")
+      assert(dg == q68(id), s"doc $id dup_gram_frac diverges from q68")
+      assert(mc == q75.contains(id), s"doc $id contamination diverges from q75")
+      assert(keep == (kq && dg <= 0.30 && !mc))
+    }
+  }
 }
