@@ -313,6 +313,26 @@ object Binary {
     s.createDataFrame(rows, outSchema).orderBy("doc_id", "frame_idx")
   }
 
+  /** q74's routing stage as a DataFrame (exposed so PlanSpec can assert
+    * the (modality, salt) exchange — the downstream decode is an RDD
+    * pass whose plan hides it behind Scan ExistingRDD).
+    */
+  private[graft] def routedPayloads(s: SparkSession, d: String): DataFrame = {
+    val hdr = when(col("doc_id") % 3 === 0, lit("GIF8"))
+      .when(col("doc_id") % 3 === 1, lit("RIFF")).otherwise(lit(""))
+    val magic = substring(col("payload"), 1, 4)
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(concat(hdr, col("text")), "UTF-8").as("payload"))
+      .withColumn("modality",
+        when(magic === lit("GIF8".getBytes("UTF-8")), "image")
+          .when(magic === lit("RIFF".getBytes("UTF-8")), "audio")
+          .otherwise("text"))
+      .withColumn("body",
+        when(col("modality") === "text", col("payload"))
+          .otherwise(expr("substring(payload, 5, octet_length(payload) - 4)")))
+      .repartition(col("modality"), pmod(col("doc_id"), lit(8)))
+  }
+
   // q74 — MODALITY ROUTER: a heterogeneous binary corpus dispatched to
   // per-modality decoders. Modality is detected from the payload's MAGIC
   // BYTES (the router's real job — here GIF8/RIFF headers synthesized
@@ -354,19 +374,7 @@ object Binary {
       |  END, 6) AS feat
       |FROM r
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val hdr = when(col("doc_id") % 3 === 0, lit("GIF8"))
-      .when(col("doc_id") % 3 === 1, lit("RIFF")).otherwise(lit(""))
-    val magic = substring(col("payload"), 1, 4)
-    val routed = Tables.documents(s, d)
-      .select(col("doc_id"), encode(concat(hdr, col("text")), "UTF-8").as("payload"))
-      .withColumn("modality",
-        when(magic === lit("GIF8".getBytes("UTF-8")), "image")
-          .when(magic === lit("RIFF".getBytes("UTF-8")), "audio")
-          .otherwise("text"))
-      .withColumn("body",
-        when(col("modality") === "text", col("payload"))
-          .otherwise(expr("substring(payload, 5, octet_length(payload) - 4)")))
-      .repartition(col("modality"), pmod(col("doc_id"), lit(8)))
+    val routed = routedPayloads(s, d)
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("modality", StringType),

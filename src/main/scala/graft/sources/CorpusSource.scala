@@ -62,4 +62,23 @@ object CorpusSource {
   /** Read back one language partition — the path prunes at file listing. */
   def readLang(spark: SparkSession, path: String, lang: String): DataFrame =
     readJsonl(spark, path).filter(col("lang") === lang)
+
+  /** STREAMING corpus ingestion: the same explicit-schema PERMISSIVE
+    * parse as [[readJsonl]], but as a file-source stream — new JSONL
+    * files dropped into `path` arrive as micro-batches, corrupt lines
+    * included as quarantine rows (a bad line must never kill a standing
+    * ingest). `maxFilesPerTrigger` bounds each batch so a backlog drains
+    * at a controlled rate instead of one giant first batch. Compose with
+    * [[graft.text.TextAnalysis.curationStream]] /
+    * [[graft.dedup.Dedup.streamDupFlags]] for the full arriving-corpus
+    * pipeline (FileStreamSpec proves the parse + quarantine behavior).
+    */
+  def streamJsonl(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
 }

@@ -34,4 +34,33 @@ class FileStreamSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
   }
+
+  test("streamJsonl ingests arriving files with quarantine rows, batch-read parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-stream")
+    def write(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+    write("part1.jsonl", Seq(
+      """{"doc_id": 1, "lang": "en", "source": "s0", "text": "hello world"}""",
+      """this line is not json at all"""))
+    val q = sources.CorpusSource.streamJsonl(spark, dir.toString)
+      .writeStream.format("memory").queryName("jsonl_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    q.processAllAvailable()
+    // a second file arrives mid-stream
+    write("part2.jsonl", Seq(
+      """{"doc_id": 2, "lang": "de", "source": "s1", "text": "zweites dokument"}"""))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("jsonl_stream").collect()
+    assert(rows.length == 3)
+    val clean = rows.filter(_.getAs[String]("_corrupt_record") == null)
+    assert(clean.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L))
+    val dirty = rows.filter(_.getAs[String]("_corrupt_record") != null)
+    assert(dirty.length == 1 &&
+      dirty.head.getAs[String]("_corrupt_record").contains("not json"))
+    // same rows the batch reader produces over the final directory
+    val batch = sources.CorpusSource.readJsonl(spark, dir.toString).collect()
+    assert(batch.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+  }
 }

@@ -35,6 +35,23 @@ class GraphSpec extends SparkSpec {
       s"ranks must sum to N, got ${dist.values.sum} vs ${nodes.length}")
   }
 
+  test("pageRank fixed points are analytic on canonical toy graphs") {
+    import spark.implicits._
+    // 2-cycle: perfectly symmetric, rank stays exactly 1.0 at every
+    // iteration (0.15 + 0.85·(1/1) = 1)
+    val cycle = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r1 = graph.Graph.pageRank(cycle, nIter = 7).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r1 == Map(1L -> 1.0, 2L -> 1.0), s"cycle ranks: $r1")
+    // dangling sink: 1→2, 2 has no out-edges — with handleDangling the
+    // total mass must still sum to N exactly each round
+    val sink = Seq((1L, 2L)).toDF("src", "dst")
+    val r2 = graph.Graph.pageRank(sink, nIter = 12, handleDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r2.values.sum - 2.0) < 1e-9, s"sink mass leaked: $r2")
+    assert(r2(2L) > r2(1L), "the sink must accumulate more rank than its source")
+  }
+
   test("q78 returns the top-20 most central vectors, deterministically") {
     val a = graph.Graph.q78.fn(spark, sfDir).collect()
     val b = graph.Graph.q78.fn(spark, sfDir).collect()

@@ -107,4 +107,35 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"q53 must not expand rows through a cross join:\n$plan")
   }
+
+  test("q73 packs with exactly one data exchange (the shard window)") {
+    val plan = planOf("q73_sequence_pack")
+    assert(plan.contains("Window"), s"expected the per-shard window:\n$plan")
+    // one hash exchange for the window; the trailing range exchange is
+    // the output ORDER BY
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$plan")
+  }
+
+  test("q39 hashed features never build a vocabulary join") {
+    val plan = planOf("q39_hashed_features")
+    assert(!plan.contains("Join"), s"feature hashing must be join-free:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
+  test("q79 weighted sample is a shuffle-free TakeOrdered over one scan") {
+    val plan = planOf("q79_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$plan")
+    assert(!plan.contains("Exchange"), s"weighted sampling must not shuffle the corpus:\n$plan")
+  }
+
+  test("q74 modality routing partitions on (modality, salt)") {
+    // the decode is an RDD pass (Scan ExistingRDD hides its input plan),
+    // so assert the exchange on the routing stage itself
+    val plan = multimodal.Binary.routedPayloads(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(modality"),
+      s"expected the modality-pure salted repartition:\n$plan")
+  }
 }
