@@ -828,6 +828,32 @@ object Similarity {
       .limit(100)
   }
 
+  // q98 — HYBRID RETRIEVAL: the lexical→semantic two-stage ranker (the
+  // RAG / data-curation "select documents like this query" shape).
+  // Stage 1: BM25 (q69) picks the lexical top-100 — at 100 TB this is
+  // the cheap wide funnel (one broadcast stats row, no corpus shuffle);
+  // stage 2 joins ONLY those 100 to their embeddings (AQE broadcasts
+  // the 100-row side; the embedding table is probed, never scanned into
+  // a shuffle) and reranks by cosine to the fixed query vector. Both
+  // stages and the join replay exactly in DuckDB.
+  val q98: QueryDef = QueryDef.sql(
+    "q98_hybrid_retrieval",
+    s"""WITH ${graft.text.TextAnalysis.bm25Duck},
+       |top AS (
+       |  SELECT doc_id, bm25 FROM bm
+       |  ORDER BY bm25 DESC, doc_id LIMIT 100)
+       |SELECT t.doc_id, t.bm25, $cosToQvDuck AS cos_sim
+       |FROM top t JOIN embeddings ON vec_id = t.doc_id
+       |ORDER BY cos_sim DESC, t.doc_id
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    val top = graft.text.TextAnalysis.q69.fn(s, d)
+      .orderBy(desc("bm25"), asc("doc_id")).limit(100)
+    top.join(Tables.embeddings(s, d), top("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("bm25"), cosToQv.as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(q38, q50, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q77, q79)
+    q58, q59, q77, q79, q98)
 }

@@ -328,9 +328,12 @@ object TextAnalysis {
   // Lucene +1 idf; term contributions are summed in fixed textual order
   // and the score rounded to 6 (ln ulp — q65 precedent), avgdl rounded
   // to 6 before use so both engines feed identical doubles.
-  val q69: QueryDef = QueryDef.sql(
-    "q69_bm25",
-    """WITH toks AS (
+  /** The BM25 scoring CTEs as a reusable DuckDB fragment (defines `bm` =
+    * (doc_id, bm25)) — shared by the q69 oracle and q98's hybrid
+    * retrieval oracle.
+    */
+  private[graft] lazy val bm25Duck =
+    """toks AS (
       |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
       |stats AS (
       |  SELECT count(*) AS n, round(avg(len(tk)), 6) AS avgdl,
@@ -343,14 +346,21 @@ object TextAnalysis {
       |    len(list_filter(tk, x -> x = 'spark')) AS tf1,
       |    len(list_filter(tk, x -> x = 'join')) AS tf2,
       |    len(list_filter(tk, x -> x = 'filter')) AS tf3
-      |  FROM toks)
-      |SELECT doc_id,
-      |  round(
-      |    ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-      |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-      |    + ln((n - df3 + 0.5) / (df3 + 0.5) + 1) * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
-      |  6) AS bm25
-      |FROM tf, stats
+      |  FROM toks),
+      |bm AS (
+      |  SELECT doc_id,
+      |    round(
+      |      ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |      + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |      + ln((n - df3 + 0.5) / (df3 + 0.5) + 1) * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+      |    6) AS bm25
+      |  FROM tf, stats)""".stripMargin
+
+  val q69: QueryDef = QueryDef.sql(
+    "q69_bm25",
+    s"""WITH $bm25Duck
+      |SELECT doc_id, bm25
+      |FROM bm
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val terms = Seq("spark", "join", "filter")
     val toks = Tables.documents(s, d)
