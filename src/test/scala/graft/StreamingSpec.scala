@@ -205,6 +205,36 @@ class StreamingSpec extends SparkSpec {
     }.toSet
   }
 
+  test("anomalyStream flags an injected spike and only the spike") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = Events.anomalyStream(mem.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("anomaly_spike")
+      .outputMode(OutputMode.Append).start()
+    // 30 quiet hours at 5±1 events, then one 50-event spike hour
+    val base = Timestamp.valueOf("2024-03-01 00:30:00").getTime
+    val quiet = (0 until 30).flatMap { h =>
+      val n = 5 + (h % 3) - 1 // 4,5,6 — nonzero variance
+      (0 until n).map(i => (new Timestamp(base + h * 3600_000L + i * 1000L), "click"))
+    }
+    val spike = (0 until 50).map(i => (new Timestamp(base + 30 * 3600_000L + i * 1000L), "click"))
+    mem.addData(quiet ++ spike)
+    q.processAllAvailable()
+    mem.addData((new Timestamp(base + 80 * 3600_000L), "zz"))
+    q.processAllAvailable()
+    mem.addData((new Timestamp(base + 81 * 3600_000L), "zz"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("anomaly_spike")
+      .filter(col("event_type") === "click").collect()
+      .map(r => r.getAs[Long]("hr_us") -> r.getAs[Boolean]("is_anomaly")).toMap
+    assert(rows.size == 31, s"expected 31 closed click hours, got ${rows.size}")
+    val spikeHr = (base + 30 * 3600_000L) / 3600_000L * 3600_000_000L
+    assert(rows(spikeHr), "the 10x spike hour must flag as anomalous")
+    assert(rows.count(_._2) == 1, s"only the spike may flag: ${rows.filter(_._2)}")
+  }
+
   test("anomalyStream closed hours equal batch q96 rows, independent of batch splits") {
     val streamed = anomalyStreamRows(Seq(1000, 5000))
     val q96 = operators.Relational.q96.fn(spark, sfDir).collect().map { r =>
