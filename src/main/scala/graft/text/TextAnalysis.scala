@@ -481,6 +481,77 @@ object TextAnalysis {
           !col("maybe_contaminated"))
   }
 
+  /** Distributed BPE tokenizer training over the corpus vocabulary.
+    *
+    * Standard BPE trains on word TYPES weighted by frequency, so the
+    * distributed state is the (word, freq, symbols) table — at web scale
+    * the vocabulary alone is billions of types, which is exactly why the
+    * pair counting must be a cluster job. Each round: adjacent symbol
+    * pairs explode out of every word (zip_with over two slices — no
+    * per-word loop), partial-sum map-side, and ONE (pair, count) row
+    * reaches the driver (take(1) on the count-ordered aggregate — the
+    * O(1) driver read of a model artifact). The winning merge applies
+    * to the symbol arrays as a single expression fold; the table is
+    * re-cached and the previous round unpersists, so round cost is flat.
+    * Ties break lexically → fully deterministic, and the spec replays
+    * the whole merge sequence against a dense driver reference.
+    */
+  def bpeMerges(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int): Seq[(String, String, Long)] = {
+    var vocab = Tables.documents(s, d)
+      .select(explode(expr(tokensExpr)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("word"), ""))
+      .cache()
+    val merges = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+    var round = 0
+    while (round < k) {
+      val top = vocab
+        .select(col("freq"), explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+            |         slice(syms, 2, size(syms) - 1),
+            |         (x, y) -> struct(x AS l, y AS r))""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .take(1)
+      if (top.isEmpty) { round = k }
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((l, r, cnt))
+        // apply the merge: fold each word's symbol array left-to-right
+        val lq = l.replace("'", "\\'")
+        val rq = r.replace("'", "\\'")
+        val next = vocab.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>),
+             |  (acc, x) -> CASE WHEN size(acc) > 0
+             |      AND element_at(acc, -1) = '$lq' AND x = '$rq'
+             |    THEN concat(slice(acc, 1, size(acc) - 1), array('$lq$rq'))
+             |    ELSE concat(acc, array(x)) END)""".stripMargin))
+          .cache()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        round += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toList
+  }
+
+  // q86 — BPE TOKENIZER TRAINING as a catalog operator: the first 8
+  // merge rounds over the corpus vocabulary, emitted as the merge table
+  // (rank, left, right, merged, pair_count). Iterative driver-coordinated
+  // loop (one O(1) row read per round) → rows-only; the merge sequence is
+  // spec-replayed against a dense driver-side reference implementation.
+  val q86: QueryDef = QueryDef.rowsOnly("q86_bpe_train") { (s, d) =>
+    import s.implicits._
+    bpeMerges(s, d, 8).zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1, l, r, l + r, c) }
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q73, q76)
+    q69, q73, q76, q86)
 }

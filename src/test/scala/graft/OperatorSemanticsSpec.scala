@@ -82,6 +82,33 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("term")).toSet == exactTop)
   }
 
+  test("q86 BPE merge sequence replays a dense driver-side reference exactly") {
+    val words = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+    val freq = words.groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    var syms: Map[String, List[String]] =
+      freq.keys.map(w => w -> w.split("").toList).toMap
+    val ref = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+    for (_ <- 1 to 8) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, s) <- syms; p <- s.zip(s.tail))
+        counts(p) = counts.getOrElse(p, 0L) + freq(w)
+      val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      ref += ((l, r, c))
+      syms = syms.map { case (w, s) =>
+        val out = s.foldLeft(List.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r)
+            acc.init :+ (l + r)
+          else acc :+ x
+        }
+        w -> out
+      }
+    }
+    val dist = text.TextAnalysis.bpeMerges(spark, sfDir, 8)
+    assert(dist == ref.toList,
+      s"merge sequences diverge:\n  dist: $dist\n  ref:  ${ref.toList}")
+  }
+
   test("q35 projection preserves neighborhood structure (kNN pairs land close)") {
     // The sf test embeddings carry no label structure (1-NN label accuracy
     // ≈ the 10-class prior), so the honest invariant is the one the
