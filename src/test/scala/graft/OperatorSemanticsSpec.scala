@@ -107,6 +107,18 @@ class OperatorSemanticsSpec extends SparkSpec {
     val dist = text.TextAnalysis.bpeMerges(spark, sfDir, 8)
     assert(dist == ref.toList,
       s"merge sequences diverge:\n  dist: $dist\n  ref:  ${ref.toList}")
+
+    // and the ENCODE side: per-doc BPE token counts under those merges
+    // equal the reference encoder applied per word
+    val refTokens: Map[String, Int] = syms.map { case (w, s) => w -> s.length }
+    val expected = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").map(refTokens).sum).toMap
+    val got = text.TextAnalysis.q87.fn(spark, sfDir)
+      .select("doc_id", "n_bpe_tok").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected, "q87 encode counts diverge from the reference encoder")
   }
 
   test("q35 projection preserves neighborhood structure (kNN pairs land close)") {
