@@ -857,6 +857,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // q99 — the DATASET CARD: the one-row statistics sheet a curated
+  // corpus ships with (datasheet/dataset-card shape). Each signal is an
+  // O(1)-output aggregate over ONE corpus scan (Spark collapses the
+  // multi-aggregate into a single pass with map-side partials): corpus
+  // size, language spread, token volume, quality-keep rate (q61's
+  // rule), exact-duplicate rate (q40's rule, distinct-hash count), and
+  // mean doc length. At 100 TB this is one scan + O(1) rows moved.
+  val q99: QueryDef = QueryDef.sql(
+    "q99_dataset_card",
+    """WITH m AS (
+      |  SELECT doc_id, lang, md5(text) AS h,
+      |    length(text) AS n_char,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      t -> t = 'the' OR t = 'a' OR t = 'value')) AS n_stop
+      |  FROM documents)
+      |SELECT
+      |  count(*) AS n_docs,
+      |  count(DISTINCT lang) AS n_langs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_ws_tokens,
+      |  round(avg(CAST(n_char AS DOUBLE)), 4) AS avg_doc_chars,
+      |  CAST(sum(CASE WHEN n_tok >= 20 AND n_char >= 100 AND n_stop > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep,
+      |  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups
+      |FROM m""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
+        length(col("text")).as("n_char"),
+        expr("size(split(trim(text), '\\\\s+'))").as("n_tok"),
+        expr("size(filter(split(trim(text), '\\\\s+'), " +
+          "t -> t = 'the' OR t = 'a' OR t = 'value'))").as("n_stop"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum("n_tok").cast("long").as("total_ws_tokens"),
+        round(avg(col("n_char").cast("double")), 4).as("avg_doc_chars"),
+        sum(when(col("n_tok") >= 20 && col("n_char") >= 100 && col("n_stop") > 0, 1L)
+          .otherwise(0L)).as("n_quality_keep"),
+        (count(lit(1)) - count_distinct(col("h"))).cast("long").as("n_exact_dups"))
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q75)
+    q49, q75, q99)
 }
