@@ -81,6 +81,12 @@ object VectorExprs {
   def adcScoreVec(query: Column, codes: Column, books: Array[Double],
       nSub: Int, nCodes: Int, subDim: Int): Column =
     toColumn(AdcScoreVec(ex(query), ex(codes), books, nSub, nCodes, subDim))
+
+  /** Whole-document BPE token count under a trained merge table
+    * (flattened (left, right, merged) triples) — see [[BpeTokenCount]].
+    */
+  def bpeTokenCount(text: Column, merges: Array[String]): Column =
+    toColumn(BpeTokenCount(ex(text), merges))
 }
 
 /** Cosine similarity between two numeric arrays; whole-stage-codegen
@@ -835,4 +841,80 @@ case class AdcScoreVec(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): AdcScoreVec =
     copy(left = newLeft, right = newRight)
+}
+
+/** Whole-document BPE token counter: whitespace-tokenizes `child` (the
+  * \s+ regex's char class, matching the engine's `tokensExpr`) and
+  * applies the trained merge table to every token's character symbols,
+  * returning the document's total post-merge token count.
+  *
+  * The merge table rides along as ONE referenced `String[]` of
+  * (left, right, merged) triples; the per-row work is a single scan
+  * over the text with an in-place symbol-buffer fold per token — no
+  * higher-order-function lambdas, no per-step array allocation, and the
+  * expression stays inside whole-stage codegen (the generated code calls
+  * the static fold once per row). Replaces q87's k-nested interpreted
+  * `aggregate(...)` folds.
+  */
+object BpeTokenCount {
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Post-merge symbol count of ONE token held in `buf[0, n)`. */
+  private def foldToken(buf: Array[String], n0: Int, merges: Array[String]): Int = {
+    var n = n0
+    var m = 0
+    while (m < merges.length) {
+      val l = merges(m); val r = merges(m + 1); val lr = merges(m + 2)
+      var out = 0
+      var j = 0
+      while (j < n) {
+        if (out > 0 && buf(out - 1).equals(l) && buf(j).equals(r)) buf(out - 1) = lr
+        else { buf(out) = buf(j); out += 1 }
+        j += 1
+      }
+      n = out
+      m += 3
+    }
+    n
+  }
+
+  /** Total post-merge token count of a whole document. */
+  def count(text: String, merges: Array[String]): Int = {
+    var total = 0
+    var i = 0
+    val len = text.length
+    var buf = new Array[String](16)
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      var n = 0
+      while (i < len && !isWs(text.charAt(i))) {
+        if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n * 2)
+        buf(n) = String.valueOf(text.charAt(i))
+        n += 1
+        i += 1
+      }
+      if (n > 0) total += foldToken(buf, n, merges)
+    }
+    total
+  }
+}
+
+case class BpeTokenCount(child: Expression, merges: Array[String])
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeTokenCount.count(input.asInstanceOf[UTF8String].toString, merges)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[]")
+      s"${ev.value} = graft.functions.BpeTokenCount$$.MODULE$$.count($c.toString(), $m);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
 }

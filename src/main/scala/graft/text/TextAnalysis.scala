@@ -559,38 +559,23 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
-  /** The symbol-fold for one merge as a SQL expression over `inner` (an
-    * array<string> expression) — identical to the training fold.
-    */
-  private def mergeFoldExpr(inner: String, l: String, r: String): String = {
-    val lq = l.replace("'", "\\'")
-    val rq = r.replace("'", "\\'")
-    s"""aggregate($inner, cast(array() as array<string>),
-       |  (acc, x) -> CASE WHEN size(acc) > 0
-       |      AND element_at(acc, -1) = '$lq' AND x = '$rq'
-       |    THEN concat(slice(acc, 1, size(acc) - 1), array('$lq$rq'))
-       |    ELSE concat(acc, array(x)) END)""".stripMargin
-  }
-
   // q87 — BPE ENCODE (the inference side of q86): tokenize the corpus
   // under the trained merge table. The merges are a model artifact
-  // (O(k) rows, memoized with q86's training), and encoding is a pure
-  // per-row expression — the 8 merge folds compose into one projection,
-  // so the encode is a single scan with NO shuffle and no state. Emits
-  // per-doc whitespace-token vs BPE-token counts and the chars-per-BPE-
-  // token compression ratio (exact integer division). Iteratively
-  // trained artifact → rows-only; per-doc counts spec-replayed against
-  // the dense reference encoder.
+  // (O(k) rows, memoized with q86's training) riding along as ONE
+  // referenced object inside the native [[VectorExprs.bpeTokenCount]]
+  // expression — tokenization + all merge folds + the sum happen in a
+  // single codegen'd call per row (the k-nested interpreted
+  // `aggregate(...)` HOF formulation cost a closure and an array
+  // allocation per fold step per token), so the encode is one scan with
+  // NO shuffle and no state. Iteratively trained artifact → rows-only;
+  // per-doc counts spec-replayed against the dense reference encoder.
   val q87: QueryDef = QueryDef.rowsOnly("q87_bpe_encode") { (s, d) =>
-    val merges = bpeMerges(s, d, 8)
-    val folded = merges.foldLeft("split(t, '')") {
-      case (inner, (l, r, _)) => mergeFoldExpr(inner, l, r)
-    }
+    val flat = bpeMerges(s, d, 8).toArray
+      .flatMap { case (l, r, _) => Array(l, r, l + r) }
     Tables.documents(s, d)
       .select(col("doc_id"), length(col("text")).as("n_char"),
-        expr(s"aggregate(transform($tokensExpr, t -> size($folded)), 0, (a, x) -> a + x)")
-          .as("n_bpe_tok"),
-        expr(s"size($tokensExpr)").as("n_ws_tok"))
+        expr(s"size($tokensExpr)").as("n_ws_tok"),
+        VectorExprs.bpeTokenCount(col("text"), flat).as("n_bpe_tok"))
       .select(col("doc_id"), col("n_char"), col("n_ws_tok"), col("n_bpe_tok"),
         (col("n_char").cast("double") / col("n_bpe_tok")).as("chars_per_tok"))
       .orderBy("doc_id")

@@ -69,6 +69,31 @@ class CodegenSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("BpeTokenCount: codegen and interpreted agree, incl quote/merge-chain cases") {
+    import graft.functions.BpeTokenCount
+    // merges: (a,b)->ab then (ab,c)->abc — exercises chained merges; the
+    // quote merge exercises referenced-object strings that would break a
+    // naive SQL-literal embedding
+    val merges = Array("a", "b", "ab", "ab", "c", "abc", "'", "'", "''")
+    val samples = Seq("", "abc", "ab c abc", "a b a", "'' ' ''", "  ab\tabc\nx  ")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import spark.implicits._
+      val rows = samples.toDF("t")
+        .select(col("t"), VectorExprs.bpeTokenCount(col("t"), merges).as("n"))
+        .collect().map(r => r.getAs[String]("t") -> r.getAs[Int]("n")).toMap
+      samples.foreach { s0 =>
+        assert(rows(s0) == BpeTokenCount.count(s0, merges), s"'$s0'")
+      }
+      // hand-checked: "abc" folds a,b->ab then ab,c->abc = 1 symbol
+      assert(rows("abc") == 1)
+      assert(rows("ab c abc") == 1 + 1 + 1)
+      assert(rows("a b a") == 3)
+      assert(rows("'' ' ''") == 1 + 1 + 1)
+      assert(rows("") == 0)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("AdcScore: codegen and interpreted agree, runs inside WSCG") {
     import graft.functions.AdcScore
     import org.apache.spark.sql.catalyst.util.GenericArrayData
