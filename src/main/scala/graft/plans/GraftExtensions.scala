@@ -92,7 +92,19 @@ object GraftExtensions {
       "Bloom-filter membership probe (bloom binary, xxhash64 long)"),
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          args(0), args(1))))
+          args(0), args(1))),
+    "bpe_token_count" -> (info("bpe_token_count",
+      "whole-document BPE token count (text, merge table as a flat string array of (left, right, merged) triples)"),
+      (args: Seq[Expression]) =>
+        graft.functions.BpeTokenCount(args(0), stringArrayLit(args(1)))))
+
+  /** Fold a foldable string-array argument to the plan-constant String[]
+    * the expression carries as a reference object.
+    */
+  private def stringArrayLit(e: Expression): Array[String] = {
+    val ad = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getUTF8String(i).toString)
+  }
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "")

@@ -54,6 +54,9 @@ class FunctionsSpec extends SparkSpec {
     // in-row ADC of the unit query (1,0) vs code 0 = (1,0): distance 0
     assert(spark.sql("SELECT adc_score_vec(array(1.0, 0.0), array(0), " +
       "array(1.0, 0.0, 0.0, 1.0), 1, 2, 2) v").head.getDouble(0) == 0.0)
+    // BPE count under merges (a,b)->ab, (ab,c)->abc: 'abc ab x' -> 1+1+1
+    assert(spark.sql("SELECT bpe_token_count('abc ab x', " +
+      "array('a','b','ab', 'ab','c','abc')) n").head.getInt(0) == 3)
   }
 
   test("csv matrix roundtrip (reference's mnist csv interchange)") {
