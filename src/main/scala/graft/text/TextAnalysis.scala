@@ -484,17 +484,30 @@ object TextAnalysis {
   /** Distributed BPE tokenizer training over the corpus vocabulary.
     *
     * Standard BPE trains on word TYPES weighted by frequency, so the
-    * distributed state is the (word, freq, symbols) table — at web scale
-    * the vocabulary alone is billions of types, which is exactly why the
-    * pair counting must be a cluster job. Each round: adjacent symbol
-    * pairs explode out of every word (zip_with over two slices — no
-    * per-word loop), partial-sum map-side, and ONE (pair, count) row
-    * reaches the driver (take(1) on the count-ordered aggregate — the
-    * O(1) driver read of a model artifact). The winning merge applies
-    * to the symbol arrays as a single expression fold; the table is
-    * re-cached and the previous round unpersists, so round cost is flat.
-    * Ties break lexically → fully deterministic, and the spec replays
-    * the whole merge sequence against a dense driver reference.
+    * distributed work is the corpus scan that builds the (word, freq)
+    * table — at web scale the corpus is 100 TB but the type table is
+    * merely billions of rows, and Zipf's law concentrates nearly all
+    * token mass in a tiny prefix of it. Training therefore runs in three
+    * stages, a CONSTANT number of Spark jobs regardless of merge count
+    * (round 4 ran one sequential cluster job per merge — O(k) driver
+    * rounds, which at a production 32k-merge vocabulary is days of fixed
+    * job overhead):
+    *
+    *  1. corpus scan → (word, freq) type table, one shuffle;
+    *  2. frequency-histogram prune: aggregate (freq → n_types) — a tiny
+    *     table, NO global sort of the type table (a running-sum window
+    *     would single-partition billions of rows) — and pick the largest
+    *     frequency floor whose types cover ≥ [[bpeCoverage]] of total
+    *     token mass, capped at [[bpeMaxTypes]] types. The kept set is
+    *     frequency-defined (every type at the floor stays), so the rule
+    *     is deterministic and replays exactly with no per-word tie-break;
+    *  3. collect the pruned table — a bounded model artifact, same class
+    *     as k-means centroids, NOT data-proportional — and run all k
+    *     merges in [[BpeTrainer]] with incremental pair-count updates.
+    *
+    * Ties break (count desc, left asc, right asc) → fully deterministic;
+    * the spec replays the merge sequence against an independent dense
+    * reference that applies the same documented prune rule.
     */
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, Int), Seq[(String, String, Long)]]()
@@ -503,57 +516,81 @@ object TextAnalysis {
       k: Int): Seq[(String, String, Long)] =
     bpeMemo.computeIfAbsent((s, d, k), { _ => trainBpe(s, d, k) })
 
-  private def trainBpe(s: org.apache.spark.sql.SparkSession, d: String,
-      k: Int): Seq[(String, String, Long)] = {
-    var vocab = Tables.documents(s, d)
+  /** Fraction of total token mass the pruned type table must cover. */
+  private[graft] val bpeCoverage = 0.999
+  /** Hard cap on pruned type-table rows (the driver-side artifact). */
+  private[graft] val bpeMaxTypes = 1 << 17
+
+  /** The (word, freq) type table — the distributed training state. */
+  private[graft] def bpeTypeTable(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
       .select(explode(expr(tokensExpr)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Distributed pair counts over unmerged single-char symbols — the
+    * map-side-partial aggregation shape the cluster runs at corpus scale;
+    * the spec cross-checks its top row against [[BpeTrainer]]'s first
+    * in-memory selection.
+    */
+  private[graft] def bpePairCounts(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    bpeTypeTable(s, d)
       .withColumn("syms", split(col("word"), ""))
-      .cache()
-    val merges = scala.collection.mutable.ListBuffer[(String, String, Long)]()
-    var round = 0
-    while (round < k) {
-      val top = vocab
-        .select(col("freq"), explode(expr(
-          """zip_with(slice(syms, 1, size(syms) - 1),
-            |         slice(syms, 2, size(syms) - 1),
-            |         (x, y) -> struct(x AS l, y AS r))""".stripMargin)).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("freq").as("cnt"))
-        .orderBy(desc("cnt"), asc("l"), asc("r"))
-        .take(1)
-      if (top.isEmpty) { round = k }
-      else {
-        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((l, r, cnt))
-        // apply the merge: fold each word's symbol array left-to-right
-        val lq = l.replace("'", "\\'")
-        val rq = r.replace("'", "\\'")
-        val next = vocab.withColumn("syms", expr(
-          s"""aggregate(syms, cast(array() as array<string>),
-             |  (acc, x) -> CASE WHEN size(acc) > 0
-             |      AND element_at(acc, -1) = '$lq' AND x = '$rq'
-             |    THEN concat(slice(acc, 1, size(acc) - 1), array('$lq$rq'))
-             |    ELSE concat(acc, array(x)) END)""".stripMargin))
-          .cache()
-        next.count()
-        vocab.unpersist()
-        vocab = next
-        round += 1
+      .select(col("freq"), explode(expr(
+        """zip_with(slice(syms, 1, size(syms) - 1),
+          |         slice(syms, 2, size(syms) - 1),
+          |         (x, y) -> struct(x AS l, y AS r))""".stripMargin)).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").as("cnt"))
+      .orderBy(desc("cnt"), asc("l"), asc("r"))
+
+  private def trainBpe(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int): Seq[(String, String, Long)] = {
+    val types = bpeTypeTable(s, d).cache()
+    try {
+      // (freq → n_types) histogram. Distinct frequencies are bounded by
+      // √(2·total tokens) (m distinct values each ≥1 occurrence of mass
+      // sum to ≥ m(m+1)/2), so even a 2e13-token corpus yields ≤ ~6M
+      // rows — a bounded driver read, asserted not truncated.
+      val histCap = 1 << 23
+      val hist = types.groupBy("freq").agg(count(lit(1)).as("n_types"))
+        .take(histCap).map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(-_._1)
+      require(hist.length < histCap, "BPE frequency histogram overflow")
+      val total = hist.map { case (f, n) => f * n }.sum.toDouble
+      var mass = 0L; var kept = 0L
+      var floor = if (hist.nonEmpty) hist(0)._1 else 1L
+      var done = false
+      val it = hist.iterator
+      while (it.hasNext && !done) {
+        val (f, n) = it.next()
+        if (kept + n > bpeMaxTypes && kept > 0) done = true
+        else {
+          mass += f * n; kept += n; floor = f
+          if (mass >= bpeCoverage * total) done = true
+        }
       }
-    }
-    vocab.unpersist()
-    merges.toList
+      // `kept` counts exactly the types at or above the floor, so the
+      // read is bounded by the histogram before it happens.
+      val pruned = types.filter(col("freq") >= floor)
+        .take(kept.toInt + 1).map(r => (r.getString(0), r.getLong(1)))
+      require(pruned.length == kept,
+        s"pruned type table read ${pruned.length} rows, histogram said $kept")
+      BpeTrainer.train(pruned, k)
+    } finally { types.unpersist(); () }
   }
 
-  // q86 — BPE TOKENIZER TRAINING as a catalog operator: the first 8
-  // merge rounds over the corpus vocabulary, emitted as the merge table
-  // (rank, left, right, merged, pair_count). Iterative driver-coordinated
-  // loop (one O(1) row read per round) → rows-only; the merge sequence is
-  // spec-replayed against a dense driver-side reference implementation.
+  // q86 — BPE TOKENIZER TRAINING as a catalog operator: 64 merge rounds
+  // over the corpus vocabulary, emitted as the merge table
+  // (rank, left, right, merged, pair_count). The Spark job count is
+  // CONSTANT in the merge count (scan → histogram prune → bounded
+  // collect; see trainBpe) → rows-only; the merge sequence is
+  // spec-replayed against a dense driver-side reference implementation
+  // applying the same prune rule.
   val q86: QueryDef = QueryDef.rowsOnly("q86_bpe_train") { (s, d) =>
     import s.implicits._
-    bpeMerges(s, d, 8).zipWithIndex
+    bpeMerges(s, d, 64).zipWithIndex
       .map { case ((l, r, c), i) => (i + 1, l, r, l + r, c) }
       .toDF("rank", "left", "right", "merged", "pair_count")
       .orderBy("rank")
@@ -570,7 +607,7 @@ object TextAnalysis {
   // NO shuffle and no state. Iteratively trained artifact → rows-only;
   // per-doc counts spec-replayed against the dense reference encoder.
   val q87: QueryDef = QueryDef.rowsOnly("q87_bpe_encode") { (s, d) =>
-    val flat = bpeMerges(s, d, 8).toArray
+    val flat = bpeMerges(s, d, 64).toArray
       .flatMap { case (l, r, _) => Array(l, r, l + r) }
     Tables.documents(s, d)
       .select(col("doc_id"), length(col("text")).as("n_char"),

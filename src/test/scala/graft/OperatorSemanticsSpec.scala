@@ -83,34 +83,75 @@ class OperatorSemanticsSpec extends SparkSpec {
   }
 
   test("q86 BPE merge sequence replays a dense driver-side reference exactly") {
+    val kMerges = 64
     val words = Tables.documents(spark, sfDir).select("text").collect()
       .flatMap(_.getString(0).trim.split("\\s+"))
-    val freq = words.groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    val fullFreq = words.groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    // the documented prune contract, implemented independently: largest
+    // frequency floor whose types cover >= bpeCoverage of token mass,
+    // capped at bpeMaxTypes types (every type at the floor is kept)
+    val hist = fullFreq.values.groupBy(identity)
+      .map { case (f, a) => f -> a.size.toLong }.toArray.sortBy(-_._1)
+    val total = hist.map { case (f, n) => f * n }.sum.toDouble
+    var mass = 0L; var kept = 0L
+    var floor = if (hist.nonEmpty) hist(0)._1 else 1L
+    var done = false
+    for ((f, n) <- hist if !done) {
+      if (kept + n > text.TextAnalysis.bpeMaxTypes && kept > 0) done = true
+      else {
+        mass += f * n; kept += n; floor = f
+        if (mass >= text.TextAnalysis.bpeCoverage * total) done = true
+      }
+    }
+    val freq = fullFreq.filter { case (_, f) => f >= floor }
     var syms: Map[String, List[String]] =
       freq.keys.map(w => w -> w.split("").toList).toMap
     val ref = scala.collection.mutable.ListBuffer[(String, String, Long)]()
-    for (_ <- 1 to 8) {
+    var exhausted = false
+    for (_ <- 1 to kMerges if !exhausted) {
       val counts = scala.collection.mutable.Map[(String, String), Long]()
       for ((w, s) <- syms; p <- s.zip(s.tail))
         counts(p) = counts.getOrElse(p, 0L) + freq(w)
-      val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
-      ref += ((l, r, c))
-      syms = syms.map { case (w, s) =>
-        val out = s.foldLeft(List.empty[String]) { (acc, x) =>
-          if (acc.nonEmpty && acc.last == l && x == r)
-            acc.init :+ (l + r)
-          else acc :+ x
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l2, r2), c2) => (-c2, l2, r2) }
+        ref += ((l, r, c))
+        syms = syms.map { case (w, s) =>
+          val out = s.foldLeft(List.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == r)
+              acc.init :+ (l + r)
+            else acc :+ x
+          }
+          w -> out
         }
-        w -> out
       }
     }
-    val dist = text.TextAnalysis.bpeMerges(spark, sfDir, 8)
+    val dist = text.TextAnalysis.bpeMerges(spark, sfDir, kMerges)
     assert(dist == ref.toList,
       s"merge sequences diverge:\n  dist: $dist\n  ref:  ${ref.toList}")
+    assert(dist.length >= 64, s"corpus saturated at ${dist.length} merges; " +
+      "the k>=64 contract needs a deeper vocabulary")
+
+    // the DISTRIBUTED pair-count shape (map-side partials over the type
+    // table) agrees with the in-memory trainer's first selection
+    val topPair = text.TextAnalysis.bpePairCounts(spark, sfDir).take(1).head
+    assert((topPair.getString(0), topPair.getString(1), topPair.getLong(2)) ==
+      ((dist.head._1, dist.head._2, dist.head._3)),
+      "distributed pair count disagrees with the in-memory first merge")
 
     // and the ENCODE side: per-doc BPE token counts under those merges
-    // equal the reference encoder applied per word
-    val refTokens: Map[String, Int] = syms.map { case (w, s) => w -> s.length }
+    // equal the reference encoder — merges applied in rank order, one
+    // full greedy pass each, over EVERY corpus word (including any the
+    // prune dropped from training)
+    val refTokens: Map[String, Int] = fullFreq.keys.map { w =>
+      var s = w.split("").toList
+      for ((l, r, _) <- ref)
+        s = s.foldLeft(List.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        }
+      w -> s.length
+    }.toMap
     val expected = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) ->
