@@ -86,6 +86,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q77 SQ8 candidate stage scans the persisted code table, never raw vectors") {
+    val plan = sim.Similarity.sq8Candidates(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("embedding"),
+      s"candidate scan must read codes only — raw vectors are rerank-only:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 should be partition heaps, not a global sort:\n$plan")
+  }
+
   test("q56 persisted-index probe prunes partitions at the scan") {
     val plan = planOf("q56_ann_index_probe")
     assert(plan.linesIterator.exists(l =>
