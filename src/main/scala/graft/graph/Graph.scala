@@ -27,7 +27,27 @@ object Graph {
     * before returning.
     */
   def pageRank(edges0: DataFrame, nIter: Int = 10, damping: Double = 0.85,
-      handleDangling: Boolean = true): DataFrame = {
+      handleDangling: Boolean = true): DataFrame =
+    pageRankCore(edges0, nIter, damping, handleDangling, tol = 0.0)._1
+
+  /** PageRank run to CONVERGENCE: max per-node |rank delta| is probed
+    * every 2nd round (the connectedComponents cadence — the probe is a
+    * full job, and one extra round past the fixpoint is cheaper than
+    * probing every round) and iteration stops once it falls to
+    * `tol × N`, or at `maxIter`. Returns (ranks, rounds executed) so
+    * callers and specs can see how far the fixpoint actually ran —
+    * a fixed round count wastes wall time on converged graphs at any
+    * scale, and silently under-converges on slow-mixing ones.
+    */
+  def pageRankConverged(edges0: DataFrame, maxIter: Int = 40,
+      damping: Double = 0.85, tol: Double = 1e-6,
+      handleDangling: Boolean = true): (DataFrame, Int) = {
+    require(tol > 0, "tol must be positive (use pageRank for fixed rounds)")
+    pageRankCore(edges0, maxIter, damping, handleDangling, tol)
+  }
+
+  private def pageRankCore(edges0: DataFrame, maxIter: Int, damping: Double,
+      handleDangling: Boolean, tol: Double): (DataFrame, Int) = {
     // cache the INPUT edge list first: deg, withDeg and nodes all scan it,
     // and an expensive upstream (e.g. the kNN-graph window) must run once,
     // not three times. A caller-cached input is respected (and not
@@ -37,34 +57,49 @@ object Graph {
       if (preCached) edges0.toDF("src", "dst") else edges0.toDF("src", "dst").cache()
     val sess = edges.sparkSession
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src").cache()
-    val nodes = edges.select(col("src").as("id"))
+    val nodes0 = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id")))
-      .distinct().cache()
-    val n = nodes.count()
-    withDeg.count() // fill the edge cache under FULL parallelism
+      .distinct()
+    val n = nodes0.count()
     // Size the iteration shuffles to the RANK TABLE's volume, not the
     // session default: cached/checkpointed plans don't get AQE's
     // post-shuffle coalescing, so a small graph would otherwise pay
     // nIter × shufflePartitions near-empty tasks. ~50k ranks per
     // partition, capped at 4× the cluster's parallelism for huge graphs.
+    // Applied as explicit repartitions on the join/grouping keys — the
+    // same plan shape as flipping spark.sql.shuffle.partitions, WITHOUT
+    // mutating session-global conf that concurrent queries on the same
+    // session would observe mid-flight.
     val parts = math.max(1L, math.min(n / 50000L + 1L,
-      sess.sparkContext.defaultParallelism * 4L)).toString
-    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions", parts)
-    try {
+      sess.sparkContext.defaultParallelism * 4L)).toInt
+    // Both loop-invariant tables cache PRE-PARTITIONED at the iteration
+    // width — withDeg on src, nodes on id — so the per-round joins
+    // exchange only the O(N) rank table (checkpoint truncation erases
+    // its partitioning metadata each round, and re-deriving it is
+    // exactly the one rank shuffle the algorithm owes); the edge table
+    // never moves after this point.
+    val withDeg = edges.join(deg, "src").repartition(parts, col("src")).cache()
+    val nodes = nodes0.repartition(parts, col("id")).cache()
     var ranks = nodes.withColumn("rank", lit(1.0))
+    var matPrev: DataFrame = ranks // last MATERIALIZED state (2 rounds back)
     var iter = 0
-    while (iter < nIter) {
-      // ONE join + ONE aggregate per round: in-contributions union a zero
-      // row per node (keeps no-in-edge nodes without a second join), then
-      // one keyed sum. The union's zero side reuses the cached nodes scan.
-      val contrib = withDeg
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // ONE join + ONE aggregate + ONE keep-every-node join per round.
+      // The rank side carries a shuffle-hash hint: broadcasting the O(N)
+      // rank table is wrong at scale (it IS the big mutable state), and
+      // locally a per-round broadcast costs a driver collect+publish
+      // round-trip per iteration. Nodes with no in-edges survive through
+      // the left join + coalesce(0) — a union of zero rows would break
+      // the id partitioning and force a second exchange per round.
+      val inc = withDeg
+        .join(ranks.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
-        .unionByName(nodes.withColumn("c", lit(0.0)))
+        .repartition(parts, col("id"))
         .groupBy("id")
         .agg(sum("c").as("inc"))
+      val contrib = nodes.join(inc.hint("shuffle_hash"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("inc"), lit(0.0)).as("inc"))
       // handleDangling=false skips an anti-join + 1-row broadcast PER
       // ITERATION — pass it when the graph has no sink nodes by
       // construction (a kNN graph: every neighbor also has neighbors).
@@ -77,33 +112,58 @@ object Graph {
         .select(col("id"),
           (lit(1 - damping) + lit(damping) *
             (col("inc") + col("dm") / n)).as("rank"))
-      // truncate lineage: one join+agg of plan depth per iteration
-      // otherwise (connectedComponents precedent)
-      next = if ((iter + 1) % 4 == 0) next.localCheckpoint() else next.cache()
-      ranks.unpersist()
-      ranks = next
       iter += 1
+      // LAZY localCheckpoint EVERY round: each round's Catalyst plan is
+      // depth-1 over the previous round's RDD. This is the load-bearing
+      // line of the whole loop — left to accumulate, the logical plan
+      // grows by one round every iteration and per-round PLANNING cost
+      // (analysis + optimization, all driver-side) swamps the actual
+      // 2-stage execution; measured here, probe jobs ballooned
+      // 2 s → 11 s by round 12 under cache()-only lineage, and stayed
+      // flat at ~0.8 s with checkpoint truncation. Lazy (not eager) so
+      // the RDD blocks materialize in bulk at the next probe or the
+      // terminal action instead of paying one job per round.
+      next = next.localCheckpoint(false)
+      if (tol > 0 && iter % 2 == 0 && iter < maxIter) {
+        // convergence probe — the only materializing action in the loop:
+        // compare against the state from 2 rounds back
+        val mx = next
+          .join(matPrev.withColumnRenamed("rank", "prev").hint("shuffle_hash"), "id")
+          .agg(max(abs(col("rank") - col("prev"))).as("mx"))
+          .take(1).head.getAs[Double]("mx")
+        if (mx <= tol * n) converged = true
+        matPrev = next
+      }
+      ranks = next
     }
-    val out = ranks.localCheckpoint() // materialize, then drop the caches
-    ranks.unpersist()
+    // a convergence exit leaves `ranks` just materialized by its probe —
+    // only a maxIter/fixed-round exit still holds a pending lazy tail
+    val out = if (converged) ranks else ranks.localCheckpoint()
     withDeg.unpersist()
     nodes.unpersist()
     if (!preCached) edges.unpersist()
-    out
-    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+    (out, iter)
   }
 
   // q78 — SIMILARITY-GRAPH CENTRALITY: PageRank over the approximate
   // kNN graph (q57's edges) picks the corpus's most "referenced"
   // vectors — the representative-selection / coreset shape for data
   // curation (a vector many others count among their nearest neighbors
-  // is central to its region). 10 rounds, damping 0.85; ranks sum to N
-  // and the distributed fixpoint is spec-matched against a driver-side
-  // dense reference on the full sf0.001 graph (GraphSpec). Iterative →
-  // rows-only; rank rounded to 8 (sum-order jitter) with id tiebreak.
+  // is central to its region). Damping 0.85, run to a CONVERGENCE
+  // TOLERANCE (max |rank delta over 2 rounds| ≤ 1e-4·N, probed at each
+  // materialization) instead of a fixed round count: an already-mixed
+  // graph exits in 2 probes, a slow-mixing one keeps going to maxIter.
+  // On this graph's ~0.73/round delta decay 1e-4 stops near the old
+  // fixed-10 cost; tighter tolerances (the 1e-6 GraphSpec exercises)
+  // buy more digits linearly in rounds — that knob is the operator's
+  // precision/cost trade, not a hidden constant. Ranks sum to N; the
+  // stopping rule and fixpoint are spec-matched round-for-round against
+  // a dense driver reference (GraphSpec). Iterative → rows-only; rank
+  // rounded to 8 (sum-order jitter) with id tiebreak.
   val q78: QueryDef = QueryDef.rowsOnly("q78_graph_centrality") { (s, d) =>
     val edges = graft.sim.Similarity.approxKnnGraphCached(s, d, 3)
-    pageRank(edges, nIter = 10, damping = 0.85, handleDangling = false)
+    pageRankConverged(edges, maxIter = 40, damping = 0.85, tol = 1e-4,
+      handleDangling = false)._1
       .select(col("id").as("vec_id"), round(col("rank"), 8).as("rank"))
       .orderBy(desc("rank"), asc("vec_id"))
       .limit(20)

@@ -52,6 +52,59 @@ class GraphSpec extends SparkSpec {
     assert(r2(2L) > r2(1L), "the sink must accumulate more rank than its source")
   }
 
+  test("pageRankConverged matches the dense reference under the same stopping rule") {
+    val edgesDf = sim.Similarity.approxKnnGraph(spark, sfDir, 3)
+    val e = edgesDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val out = e.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val in = e.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSeq }
+    val n = nodes.length
+    val (maxIter, tol) = (40, 1e-6)
+    var rank = nodes.map(_ -> 1.0).toMap
+    // the distributed loop materializes every 2nd round and probes the
+    // delta between consecutive MATERIALIZED states (2 rounds apart)
+    var prevMat = rank
+    var rounds = 0
+    var stop = false
+    while (rounds < maxIter && !stop) {
+      val next = nodes.map { id =>
+        val inc = in.getOrElse(id, Seq.empty).map(s => rank(s) / out(s)).sum
+        id -> (0.15 + 0.85 * inc)
+      }.toMap
+      rounds += 1
+      if (rounds % 2 == 0) {
+        if (rounds < maxIter) {
+          val mx = nodes.map(id => math.abs(next(id) - prevMat(id))).max
+          if (mx <= tol * n) stop = true
+        }
+        prevMat = next
+      }
+      rank = next
+    }
+    val (distDf, distRounds) =
+      graph.Graph.pageRankConverged(edgesDf, maxIter = maxIter, tol = tol,
+        handleDangling = false)
+    info(s"converged after $distRounds rounds (n=$n)")
+    assert(distRounds == rounds,
+      s"round counts diverge: dist $distRounds vs ref $rounds")
+    val dist = distDf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dist.keySet == rank.keySet)
+    rank.foreach { case (id, r) =>
+      assert(math.abs(dist(id) - r) < 1e-9, s"node $id: ref $r vs ${dist(id)}")
+    }
+    // the fixpoint really is (near-)stationary: one more dense round
+    // moves no node by more than ~the tolerance (only meaningful when
+    // the tolerance tripped, not a maxIter bail-out)
+    if (rounds < maxIter) {
+      val extra = nodes.map { id =>
+        val inc = in.getOrElse(id, Seq.empty).map(s => rank(s) / out(s)).sum
+        math.abs((0.15 + 0.85 * inc) - rank(id))
+      }.max
+      assert(extra <= tol * n * 2,
+        s"stopping rule fired while still moving: next-round max delta $extra")
+    }
+  }
+
   test("q78 returns the top-20 most central vectors, deterministically") {
     val a = graph.Graph.q78.fn(spark, sfDir).collect()
     val b = graph.Graph.q78.fn(spark, sfDir).collect()
