@@ -65,6 +65,35 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q100 NSW beam search: recall >= 0.9 vs exact q50, sub-linear visit growth") {
+    def run(d: String): (Double, Int, Long) = {
+      val exact = sim.Similarity.q50.fn(spark, d).collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      val (top, visitedCount) = sim.Similarity.nswSearch(spark, d, 10)
+      val recall = exact.intersect(top.map(_._1).toSet).size.toDouble / exact.size
+      (recall, visitedCount, Tables.embeddings(spark, d).count())
+    }
+    val (r1, v1, n1) = run(sfDir)
+    assert(r1 >= 0.9, s"NSW recall@10 $r1 at $sfDir (visited $v1)")
+    val (r2, v2, n2) = run("/root/testdata/sf0.01")
+    assert(r2 >= 0.9, s"NSW recall@10 $r2 at sf0.01 (visited $v2)")
+    // the scale story: the visited fraction FALLS as the corpus grows —
+    // per-query work is O(hops·expand·√n) against every flat tier's
+    // Ω(n) scan (at these tiny test corpora the fraction is large;
+    // what the spec pins is its direction of travel)
+    val (r3, v3, n3) = run("/root/testdata/sf0.1")
+    assert(r3 >= 0.9, s"NSW recall@10 $r3 at sf0.1 (visited $v3)")
+    assert(n3 > n1 && v3 < n3, s"sf0.1 search must not visit the whole graph ($v3/$n3)")
+    assert(v3.toDouble / n3 < v1.toDouble / n1,
+      s"visited fraction must shrink with n: ${v1}/$n1 -> ${v3}/$n3")
+    info(f"recall $r1%.2f/$r2%.2f/$r3%.2f, visited frac ${v1.toDouble / n1}%.2f -> ${v3.toDouble / n3}%.2f")
+    // the catalog entry surfaces the same ids with exact rerank scores
+    val viaCatalog = sim.Similarity.q100.fn(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val (top1, _) = sim.Similarity.nswSearch(spark, sfDir, 10)
+    assert(viaCatalog == top1.map(_._1).toSet)
+  }
+
   test("q76 sketch heavy hitters match exact counts and the exact top-k set") {
     val rows = text.TextAnalysis.q76.fn(spark, sfDir).collect()
     assert(rows.length == 20)

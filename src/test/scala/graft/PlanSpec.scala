@@ -95,6 +95,15 @@ class PlanSpec extends SparkSpec {
       s"top-50 should be partition heaps, not a global sort:\n$plan")
   }
 
+  test("q100 NSW hop prunes to the frontier's buckets at the adjacency scan") {
+    sim.Similarity.nswTables(spark, sfDir) // ensure built
+    val plan = sim.Similarity.nswHop(spark, sfDir, Seq(1L, 2L, 3L))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("pbucket") && l.contains(" IN ")),
+      s"hop scan must prune to the frontier's pbucket partitions:\n$plan")
+  }
+
   test("q56 persisted-index probe prunes partitions at the scan") {
     val plan = planOf("q56_ann_index_probe")
     assert(plan.linesIterator.exists(l =>
