@@ -19,11 +19,17 @@ import org.apache.spark.sql.SparkSession
   *   - stdout: ONE JSON line {"metric","value","unit","queries","sf"} —
   *     the driver contract, unchanged;
   *   - `SPARK_GRAFT_BENCH_OUT` (default BENCH_FULL.json in the cwd): the
-  *     COMPLETE per-query result — all reps, storage-memory high-water
-  *     (visibility into the session memos' cache pressure), and, when
-  *     BASELINE_QUERIES.json is present, the per-query ratio vs baseline
-  *     with >2x outliers called out. Log-tail truncation of the stdout
-  *     line cannot lose queries from this file.
+  *     COMPLETE per-query result — all reps, the per-query coefficient
+  *     of variation over those reps (queries with cv > 0.35 are listed
+  *     under `high_variance`: mechanically computed shared-box noise,
+  *     replacing BASELINE.md's hand-maintained bimodal list),
+  *     storage-memory high-water (visibility into the session memos'
+  *     cache pressure), and, when BASELINE_QUERIES.json is present, the
+  *     per-query ratio vs baseline with >2x outliers called out — both
+  *     the raw list and `baseline_outliers_over_2x_stable`, the
+  *     subset whose reps agree (low cv): the list that actually means
+  *     "regression". Log-tail truncation of the stdout line cannot lose
+  *     queries from this file.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -55,6 +61,18 @@ object Bench {
       noteStorage()
     }
     val best = names.map(n => n -> reps(n).min).toMap
+    // per-query dispersion over the interleaved reps: cv = stddev/mean.
+    // A query whose reps swing wildly on a shared box (bimodal cache /
+    // scheduler behavior) is NOISE-flagged mechanically — BASELINE.md
+    // used to hand-list such queries; the artifact now computes it.
+    val cv = names.map { n =>
+      val r = reps(n)
+      val mean = r.sum / r.size
+      val sd = math.sqrt(r.map(x => (x - mean) * (x - mean)).sum / r.size)
+      n -> (if (mean > 0) sd / mean else 0.0)
+    }.toMap
+    val HighCv = 0.35
+    val highVariance = names.filter(cv(_) > HighCv)
 
     // optional baseline gate: BASELINE_QUERIES.json = {"qNN_name": sec}
     val baseline: Map[String, Double] =
@@ -67,6 +85,10 @@ object Bench {
     val outliers = best.flatMap { case (n, t) =>
       baseline.get(n).collect { case b if b > 0 && t > 2 * b => n -> (t / b) }
     }
+    // the gate that means "regression": over 2x baseline AND the reps
+    // agree with each other (low cv) — a >2x flag with scattered reps
+    // is the box, not the code
+    val stableOutliers = outliers.filter { case (n, _) => cv(n) <= HighCv }
 
     def fmtMap(m: Map[String, String]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
@@ -77,16 +99,21 @@ object Bench {
          |"storage_mem_high_water_bytes":$storageHighWater,
          |"queries":$qs,
          |"reps":${fmtMap(reps.toMap.map { case (k, v) => k -> v.mkString("[", ",", "]") })},
+         |"cv":${fmtMap(cv.map { case (k, v) => k -> f"$v%.3f" })},
+         |"high_variance":${highVariance.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")},
          |"baseline_ratio":${fmtMap(best.flatMap { case (n, t) =>
               baseline.get(n).collect { case b if b > 0 =>
                 n -> f"${t / b}%.3f" } })},
-         |"baseline_outliers_over_2x":${fmtMap(outliers.map { case (k, v) => k -> f"$v%.2f" })}}"""
+         |"baseline_outliers_over_2x":${fmtMap(outliers.map { case (k, v) => k -> f"$v%.2f" })},
+         |"baseline_outliers_over_2x_stable":${fmtMap(stableOutliers.map { case (k, v) => k -> f"$v%.2f" })}}"""
         .stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes("UTF-8"))
     if (outliers.nonEmpty)
-      System.err.println(s"[bench] >2x-vs-baseline outliers: " +
-        outliers.toSeq.sortBy(-_._2).map { case (n, r) => f"$n $r%.2fx" }.mkString(", "))
+      System.err.println(s"[bench] >2x-vs-baseline outliers " +
+        s"(${stableOutliers.size} stable of ${outliers.size}): " +
+        outliers.toSeq.sortBy(-_._2).map { case (n, r) =>
+          f"$n $r%.2fx${if (cv(n) > HighCv) " (high-cv)" else ""}" }.mkString(", "))
 
     // the driver contract: exactly one JSON line, same keys as ever
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

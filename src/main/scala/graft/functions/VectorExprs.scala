@@ -903,6 +903,12 @@ object BpeTokenCount {
 case class BpeTokenCount(child: Expression, merges: Array[String])
   extends UnaryExpression
   with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  // shape-check at construction (= analysis time on the SQL surface):
+  // foldToken strides the table in threes, so a ragged table would
+  // otherwise throw ArrayIndexOutOfBounds per ROW at execution
+  require(merges.length % 3 == 0,
+    s"BPE merge table must be flat (left, right, merged) triples; " +
+      s"got ${merges.length} elements")
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
 

@@ -99,11 +99,26 @@ object GraftExtensions {
         graft.functions.BpeTokenCount(args(0), stringArrayLit(args(1)))))
 
   /** Fold a foldable string-array argument to the plan-constant String[]
-    * the expression carries as a reference object.
+    * the expression carries as a reference object. Validated HERE, at
+    * resolution time, so a malformed merge table is one clear error at
+    * analysis instead of an opaque per-row failure at execution.
     */
   private def stringArrayLit(e: Expression): Array[String] = {
-    val ad = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    Array.tabulate(ad.numElements())(i => ad.getUTF8String(i).toString)
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        "bpe_token_count merge table must be a constant array<string> " +
+          s"literal, got the non-foldable expression ${e.sql}")
+    val folded = e.eval(null)
+    if (folded == null)
+      throw new IllegalArgumentException(
+        "bpe_token_count merge table must not be NULL")
+    val ad = folded.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(ad.numElements()) { i =>
+      val v = ad.getUTF8String(i)
+      if (v == null) throw new IllegalArgumentException(
+        s"bpe_token_count merge table must not contain NULL (element $i)")
+      v.toString
+    }
   }
 
   private def info(name: String, usage: String): ExpressionInfo =

@@ -59,6 +59,25 @@ class FunctionsSpec extends SparkSpec {
       "array('a','b','ab', 'ab','c','abc')) n").head.getInt(0) == 3)
   }
 
+  test("bpe_token_count rejects malformed merge tables at analysis, not per row") {
+    // ragged table (not a multiple of 3)
+    val ragged = intercept[Exception] {
+      spark.sql("SELECT bpe_token_count('x', array('a','b')) n").collect()
+    }
+    assert(ragged.getMessage.contains("triples"), ragged.getMessage)
+    // non-foldable table argument
+    val nonConst = intercept[Exception] {
+      Tables.documents(spark, sfDir)
+        .selectExpr("bpe_token_count(text, array(text, text, text)) n").collect()
+    }
+    assert(nonConst.getMessage.contains("constant"), nonConst.getMessage)
+    // NULL table
+    val nul = intercept[Exception] {
+      spark.sql("SELECT bpe_token_count('x', CAST(NULL AS ARRAY<STRING>)) n").collect()
+    }
+    assert(nul.getMessage.contains("NULL"), nul.getMessage)
+  }
+
   test("csv matrix roundtrip (reference's mnist csv interchange)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString

@@ -95,7 +95,7 @@ class OperatorSemanticsSpec extends SparkSpec {
   }
 
   test("q76 sketch heavy hitters match exact counts and the exact top-k set") {
-    val rows = text.TextAnalysis.q76.fn(spark, sfDir).collect()
+    val rows = text.TextAnalysis.q76Sketch(spark, sfDir).collect()
     assert(rows.length == 20)
     // the tracked-item budget (8192) dwarfs this corpus's vocabulary, so
     // the frequent-items estimates must be exact here
