@@ -252,6 +252,30 @@ object Events {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** STREAMING heavy hitters — q76's live sibling: one BOUNDED
+    * frequent-items sketch per event-time window (approx_top_k's
+    * DataSketches buffer rides in the state store), updated
+    * incrementally under the watermark. A window's top-k is
+    * continuously current while state stays O(windows × budget)
+    * regardless of item cardinality — the only shape that survives an
+    * unbounded item domain on an infinite stream; a per-(window, item)
+    * count table would grow with distinct items and still need a
+    * post-hoc rank. Update mode: each batch re-emits the windows it
+    * touched; per-window results equal the batch sketch over the same
+    * rows (StreamingSpec).
+    */
+  def heavyHittersStream(events: DataFrame, item: String = "user_id",
+      k: Int = 5, budget: Int = 8192,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr(s"approx_top_k($item, $k, $budget)").as("tk"))
+      .select(col("w.start").as("win_start"),
+        posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("win_start"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.item").as("item"), col("e.count").as("cnt"))
+
   case class HourAnomaly(event_type: String, hr_us: Long, cnt: Long,
       n24: Int, mean24: Option[Double], z: Option[Double], is_anomaly: Boolean)
   /** Per-type state: hours still open (start-µs → count) and the last 24

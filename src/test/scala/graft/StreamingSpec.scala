@@ -31,6 +31,54 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("heavyHittersStream per-window top-k equals the batch sketch on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = Events.heavyHittersStream(df, k = 3).writeStream
+      .format("memory").queryName("hh_win").outputMode(OutputMode.Update).start()
+    def ev(m: String, u: Long) = (Timestamp.valueOf(s"2024-01-01 $m:00"), u)
+    // two windows, fed across THREE batches so the per-window sketch
+    // must accumulate incrementally in the state store
+    val batch1 = Seq(ev("10:05", 7L), ev("10:06", 7L), ev("10:07", 3L), ev("10:40", 9L))
+    val batch2 = Seq(ev("10:10", 7L), ev("10:12", 3L), ev("10:13", 3L), ev("11:05", 5L))
+    // counts kept tie-free inside each window's top-k: the sketch's
+    // ORDER among equal counts is insertion-dependent, so a tie at the
+    // k-boundary would compare two equally-correct answers
+    val batch3 = Seq(ev("10:20", 3L), ev("10:21", 9L), ev("11:10", 5L), ev("11:30", 2L))
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    mem.addData(batch3: _*); q.processAllAvailable()
+    q.stop()
+    // update mode re-emits a window each batch it changes: keep only the
+    // LAST emission per (window, rank) — dedupe via max batch order not
+    // needed because the memory sink appends updates in order; group and
+    // take the final cnt per key
+    val out = spark.table("hh_win").collect()
+      .map(r => ((r.getAs[Timestamp]("win_start").toString, r.getAs[Int]("rank")),
+        (r.getAs[Long]("item"), r.getAs[Long]("cnt"))))
+    val finalPerKey = out.zipWithIndex.groupBy(_._1._1)
+      .map { case (key, vs) => key -> vs.maxBy(_._2)._1._2 }
+    // the batch sketch over the SAME rows
+    val batch = (batch1 ++ batch2 ++ batch3).toDF("ts", "user_id")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr("approx_top_k(user_id, 3, 8192)").as("tk"))
+      .select(col("w.start").as("win_start"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("win_start"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.item").as("item"), col("e.count").as("cnt"))
+      .collect()
+      .map(r => ((r.getAs[Timestamp]("win_start").toString, r.getAs[Int]("rank")),
+        (r.getAs[Long]("item"), r.getAs[Long]("cnt"))))
+      .toMap
+    assert(finalPerKey == batch,
+      s"stream final state $finalPerKey != batch sketch $batch")
+    // and the counts themselves are the true frequencies (budget >> items)
+    assert(finalPerKey(("2024-01-01 10:00:00.0", 1)) == (3L, 4L))
+    assert(finalPerKey(("2024-01-01 10:00:00.0", 2)) == (7L, 3L))
+    assert(finalPerKey(("2024-01-01 10:00:00.0", 3)) == (9L, 2L))
+  }
+
   test("sessionizeStream closes sessions across batches on the 30-min gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
