@@ -644,6 +644,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // q101 — VOCABULARY BUILD: the (term, freq, vocab_id) dictionary every
+  // tokenizer / feature pipeline needs — frequency floor (≥ 2 drops
+  // hapax noise), size cap, ids dense by (freq desc, term) rank. Scale
+  // shape: one shuffle builds the term counts with map-side partials;
+  // the cap applies as TakeOrderedAndProject (partition heaps — the
+  // global ORDER BY ... LIMIT never materializes a full sort), and only
+  // the CAPPED set (≤ 32k rows — a bounded model artifact, the k-means-
+  // centroid class) flows through the id-assigning window, so the
+  // single-partition window input is bounded by construction, not by
+  // luck. Fully deterministic → DuckDB replays it exactly.
+  val q101: QueryDef = QueryDef.sql(
+    "q101_vocab_build",
+    """WITH tf AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |        FROM documents) t
+      |  GROUP BY term
+      |  HAVING count(*) >= 2)
+      |SELECT term, freq,
+      |  CAST(row_number() OVER (ORDER BY freq DESC, term) AS INTEGER) AS vocab_id
+      |FROM (SELECT * FROM tf ORDER BY freq DESC, term LIMIT 32768) c
+      |ORDER BY vocab_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(expr(tokensExpr)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 2)
+      .orderBy(desc("freq"), asc("term"))
+      .limit(32768)
+      .withColumn("vocab_id",
+        row_number().over(Window.orderBy(desc("freq"), asc("term"))).cast("int"))
+      .orderBy("vocab_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q73, q76, q86, q87)
+    q69, q73, q76, q86, q87, q101)
 }

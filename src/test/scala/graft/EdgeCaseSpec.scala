@@ -7,6 +7,46 @@ import graft.multimodal.Binary
 
 class EdgeCaseSpec extends SparkSpec {
 
+  test("BpeTrainer degenerate vocabularies: empty, single-char, exhaustion, ties") {
+    import graft.text.BpeTrainer
+    // empty type table → no merges
+    assert(BpeTrainer.train(Array.empty, 10) == Nil)
+    // single-character words carry no pairs → no merges
+    assert(BpeTrainer.train(Array(("a", 5L), ("b", 3L)), 10) == Nil)
+    // exhaustion: "ab"×2 fully merges in 1 round even with k=10
+    assert(BpeTrainer.train(Array(("ab", 2L)), 10) == List(("a", "b", 2L)))
+    // deterministic tie-break (count desc, left asc, right asc):
+    // "ab" and "cd" both freq 1 → (a,b) merges first
+    val merges = BpeTrainer.train(Array(("ab", 1L), ("cd", 1L)), 2)
+    assert(merges == List(("a", "b", 1L), ("c", "d", 1L)))
+    // overlapping run "aaa": greedy left fold counts (a,a) twice per
+    // word occurrence, merges to [aa, a], then (aa, a)
+    val run = BpeTrainer.train(Array(("aaa", 2L)), 3)
+    assert(run == List(("a", "a", 4L), ("aa", "a", 2L)))
+    // incremental bookkeeping equals a naive recount after many merges
+    val types = Array(("abab", 3L), ("abc", 2L), ("bc", 5L), ("cab", 1L))
+    val inc = BpeTrainer.train(types, 6)
+    var syms = types.map { case (w, f) => (w.split("").toList, f) }
+    val naive = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+    var stop = false
+    for (_ <- 1 to 6 if !stop) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((s, f) <- syms; p <- s.zip(s.tail)) counts(p) = counts.getOrElse(p, 0L) + f
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l2, r2), c2) => (-c2, l2, r2) }
+        naive += ((l, r, c))
+        syms = syms.map { case (s, f) =>
+          (s.foldLeft(List.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+            else acc :+ x
+          }, f)
+        }
+      }
+    }
+    assert(inc == naive.toList, s"incremental $inc vs naive ${naive.toList}")
+  }
+
   test("CosineSim handles nulls and length mismatch gracefully") {
     import spark.implicits._
     val df = Seq(

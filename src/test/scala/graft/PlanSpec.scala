@@ -95,6 +95,18 @@ class PlanSpec extends SparkSpec {
       s"top-50 should be partition heaps, not a global sort:\n$plan")
   }
 
+  test("q101 vocab cap is TakeOrderedAndProject feeding the id window, one exchange") {
+    val plan = planOf("q101_vocab_build")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the vocab cap must be partition heaps, not a global sort:\n$plan")
+    // the id-assigning window reads only the capped (bounded) set: it
+    // must sit ABOVE the TakeOrderedAndProject in the plan text
+    val winAt = plan.indexOf("Window")
+    val topAt = plan.indexOf("TakeOrderedAndProject")
+    assert(winAt >= 0 && topAt >= 0 && winAt < topAt,
+      s"window must consume the capped set, not the raw term counts:\n$plan")
+  }
+
   test("q100 NSW hop prunes to the frontier's buckets at the adjacency scan") {
     sim.Similarity.nswTables(spark, sfDir) // ensure built
     val plan = sim.Similarity.nswHop(spark, sfDir, Seq(1L, 2L, 3L))
