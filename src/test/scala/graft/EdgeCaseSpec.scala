@@ -47,6 +47,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(inc == naive.toList, s"incremental $inc vs naive ${naive.toList}")
   }
 
+  test("BpeTrainer sustains a realistic merge count over a deep synthetic vocabulary") {
+    // deterministic Zipfian type table with enough combinatorial depth
+    // that 1024 merges don't exhaust: words are length-4..12 strings
+    // over a 26-letter alphabet from an LCG, freq ~ 1/rank
+    val rnd = new java.util.Random(42)
+    val types = Array.tabulate(5000) { i =>
+      val len = 4 + rnd.nextInt(9)
+      val w = new StringBuilder
+      (0 until len).foreach(_ => w += ('a' + rnd.nextInt(26)).toChar)
+      (w.toString, math.max(1L, 100000L / (i + 1)))
+    }.distinctBy(_._1)
+    val k = 1024
+    val t0 = System.nanoTime()
+    val merges = graft.text.BpeTrainer.train(types, k)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == k, s"vocabulary exhausted at ${merges.length} merges")
+    // counts must be non-increasing is NOT guaranteed by BPE (a merged
+    // symbol can create a more frequent pair), but every count must be
+    // positive and the first equals the true max adjacent-pair mass
+    assert(merges.forall(_._3 > 0))
+    val firstCounts = scala.collection.mutable.Map[(String, String), Long]()
+    for ((w, f) <- types; p <- w.split("").toSeq.zip(w.split("").toSeq.tail))
+      firstCounts(p) = firstCounts.getOrElse(p, 0L) + f
+    val trueMax = firstCounts.minBy { case ((l, r), c) => (-c, l, r) }
+    assert(merges.head == ((trueMax._1._1, trueMax._1._2, trueMax._2)))
+    // the in-memory loop is the point of the constant-job design: a
+    // thousand merges must complete in seconds, not as 1024 cluster jobs
+    assert(secs < 30.0, f"BpeTrainer took $secs%.1f s for $k merges")
+    info(f"$k merges over ${types.length} types in $secs%.2f s")
+  }
+
   test("CosineSim handles nulls and length mismatch gracefully") {
     import spark.implicits._
     val df = Seq(
