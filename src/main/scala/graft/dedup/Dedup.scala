@@ -388,11 +388,16 @@ object Dedup {
       / (col("nrm") * lit(math.sqrt(sn))), 8)
   }
 
-  private def seedCellAssignmentsUncached(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+  /** [[seedCellAssignmentsUncached]] over an ARBITRARY (vec_id,
+    * embedding) frame with a caller-supplied frozen seed set — the
+    * incremental-maintenance entry point: a new batch must assign under
+    * the SNAPSHOT's geometry, not re-derive seeds that would shift every
+    * existing assignment.
+    */
+  private[graft] def seedCellAssignmentsFor(vecs: org.apache.spark.sql.DataFrame,
+      seeds: Array[(Long, Array[Double])]): org.apache.spark.sql.DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding"),
       sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))).as("nrm"))
-    val seeds = seedVectors(s, d)
     // per-row top-m cells in one codegen'd projection: sort (−cos, cell)
     // structs ascending, keep the first m
     val cellsCol = slice(array_sort(array(seeds.toIndexedSeq.map { case (cid, sv) =>
@@ -405,6 +410,12 @@ object Dedup {
         col("sc.cell").as("cell"), (col("crank0") + 1).cast("int").as("crank"),
         (-col("sc.negc")).as("c"))
   }
+
+  private def seedCellAssignmentsUncached(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    seedCellAssignmentsFor(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      seedVectors(s, d))
 
   /** The blocked candidate-pair set (id_a < id_b, distinct): pairs form
     * only inside a shared quantizer cell. With √n cells the candidate

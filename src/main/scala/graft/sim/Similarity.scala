@@ -1022,10 +1022,10 @@ object Similarity {
     * pass over the corpus.
     */
   private[graft] def nswHop(s: SparkSession, d: String,
-      frontier: Seq[Long]): DataFrame = {
+      frontier: Seq[Long], adjTable: Option[String] = None): DataFrame = {
     val qn = math.sqrt(sqNorm(qvArray))
     val buckets = frontier.map(_ % NswBuckets).distinct
-    s.table(nswTables(s, d)._1)
+    s.table(adjTable.getOrElse(nswTables(s, d)._1))
       .filter(col("pbucket").isin(buckets: _*) && col("src").isin(frontier: _*))
       .select(col("dst"),
         (VectorExprs.dotProduct(col("emb"), qvLit) / (col("nrm") * lit(qn)))
@@ -1044,8 +1044,9 @@ object Similarity {
     * Returns (top-k, nodes visited).
     */
   private[graft] def nswSearch(s: SparkSession, d: String, k: Int,
-      beam: Int = 96, expand: Int = 8, maxHops: Int = 20): (Seq[(Long, Double)], Int) = {
-    val (_, entryT) = nswTables(s, d)
+      beam: Int = 96, expand: Int = 8, maxHops: Int = 20,
+      tables: Option[(String, String)] = None): (Seq[(Long, Double)], Int) = {
+    val (adjT, entryT) = tables.getOrElse(nswTables(s, d))
     val qn = math.sqrt(sqNorm(qvArray))
     // seed the WHOLE beam from the hub layer (the entry scan is O(√n)
     // either way): if a region disappoints, the queue falls back to the
@@ -1072,7 +1073,7 @@ object Similarity {
     while (hops < maxHops && frontier.nonEmpty) {
       expanded ++= frontier
       val perHopCap = 1 << 16
-      val rows = nswHop(s, d, frontier).take(perHopCap)
+      val rows = nswHop(s, d, frontier, Some(adjT)).take(perHopCap)
       require(rows.length < perHopCap, "NSW hop read overflow")
       val fresh = rows.map(r => r.getLong(0) -> r.getDouble(1))
         .filter { case (id, _) => !visited.contains(id) }
@@ -1083,6 +1084,60 @@ object Similarity {
       hops += 1
     }
     (best.take(k), visited.size)
+  }
+
+  /** INCREMENTAL NSW maintenance: append a batch of (vec_id, embedding)
+    * rows to a persisted adjacency under the snapshot's FROZEN geometry
+    * — same seed cells, same hubs; new nodes never become hubs (the
+    * appendToIndexTable posture, applied to the graph). Per batch
+    * vector, three undirected edge families land: top-[[NswM]]
+    * same-cell cosine neighbors among snapshot ∪ batch, the REVERSE
+    * links into those neighbors' pbucket partitions (parquet partition
+    * dirs take NEW files — existing files are never read or rewritten,
+    * spec-asserted), and hub portals for its two nearest cells. Work is
+    * O(batch × cell population) per refresh; the hub entry table is
+    * unchanged.
+    */
+  def appendToNswTables(s: SparkSession, d: String, adjTable: String,
+      batch: DataFrame): Unit = {
+    val bc = graft.dedup.Dedup.seedCellAssignmentsFor(
+      batch.select("vec_id", "embedding"),
+      graft.dedup.Dedup.seedVectors(s, d)).cache()
+    try {
+      val (_, hubs) = nswCells(s, d)
+      // kNN candidates over ALL multi-assigned cells on both sides —
+      // the same candidate space the one-shot approxKnnGraph build uses
+      val snapC = graft.dedup.Dedup.seedCellAssignments(s, d)
+        .select(col("cell"), col("vec_id").as("id_b"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+      val cands = snapC.unionByName(bc.select(col("cell"),
+        col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")))
+      val w = Window.partitionBy("id_a").orderBy(desc("cos"), asc("id_b"))
+      val knn = bc
+        .select(col("cell"), col("vec_id").as("id_a"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        .join(cands, Seq("cell"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (VectorExprs.dotProduct(col("ea"), col("eb")) / (col("na") * col("nb")))
+            .as("cos"))
+        .withColumn("rk", dense_rank().over(w))
+        .filter(col("rk") <= NswM)
+        .select("id_a", "id_b")
+      val memberHub = bc.filter(col("crank") <= 2).join(hubs, "cell")
+        .filter(col("vec_id") =!= col("hub"))
+        .select(col("vec_id").as("id_a"), col("hub").as("id_b"))
+      val undirected = (df: DataFrame) => df.unionByName(
+        df.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      val allVecs = nswEmb(s, d).unionByName(
+        bc.filter(col("crank") === 1).select("vec_id", "embedding", "nrm"))
+      undirected(knn).unionByName(undirected(memberHub)).distinct()
+        .join(allVecs.withColumnRenamed("vec_id", "id_b"), "id_b")
+        .select(col("id_a").as("src"), col("id_b").as("dst"),
+          col("embedding").as("emb"), col("nrm"),
+          pmod(col("id_a"), lit(NswBuckets.toLong)).as("pbucket"))
+        .write.mode("append").insertInto(adjTable)
+    } finally { bc.unpersist(); () }
   }
 
   // q100 — NSW GRAPH ANN: the highest-recall-per-probe tier of the ANN

@@ -59,4 +59,49 @@ class IndexMaintenanceSpec extends SparkSpec {
 
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("appendToNswTables: appended vectors become searchable, old partition files untouched") {
+    val adj = "graft_test_nsw_adj"
+    val ent = "graft_test_nsw_entry"
+    sim.Similarity.writeNswTables(spark, sfDir, adj, ent)
+
+    val root = new java.io.File(
+      spark.sessionState.conf.warehousePath.stripPrefix("file:"),
+      s"graft-nsw/$adj")
+    def partFiles(): Map[String, Set[String]] =
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("pbucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val filesBefore = partFiles()
+    val edgesBefore = spark.table(adj).count()
+
+    // the batch: CLONES of the exact top-10 vectors for the fixed query
+    // (shifted ids) — after the append, a search must surface them
+    // alongside their originals, proving new nodes are reachable through
+    // the appended (forward + reverse + hub) edges
+    val batch = sim.Similarity.q50.fn(spark, sfDir)
+      .select("vec_id").join(Tables.embeddings(spark, sfDir), "vec_id")
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    sim.Similarity.appendToNswTables(spark, sfDir, adj, batch)
+
+    // (a) partitions whose bucket got no new edges keep their exact
+    // files; touched buckets only GAIN files
+    val filesAfter = partFiles()
+    val newEdges = spark.table(adj).count() - edgesBefore
+    assert(newEdges > 0, "append added no edges")
+    filesBefore.foreach { case (bucket, files) =>
+      assert(files.subsetOf(filesAfter(bucket)),
+        s"append must never rewrite $bucket's existing files")
+    }
+
+    // (b) the clones are found: search top-20 must contain >= 9 of the
+    // 10 clone ids (each ties its original's cosine exactly)
+    val (top, _) = sim.Similarity.nswSearch(spark, sfDir, 20,
+      tables = Some((adj, ent)))
+    val cloneHits = top.map(_._1).count(_ >= 1000000L)
+    assert(cloneHits >= 9, s"only $cloneHits/10 appended clones reachable: " +
+      top.map(_._1).mkString(","))
+
+    spark.sql(s"DROP TABLE IF EXISTS $adj")
+    spark.sql(s"DROP TABLE IF EXISTS $ent")
+  }
 }
