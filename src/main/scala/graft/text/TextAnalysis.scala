@@ -78,20 +78,29 @@ object TextAnalysis {
     "fr" -> Seq("order", "merge", "small"),
     "zh" -> Seq("window", "join", "batch"))
 
+  // the marker-score projection and argmax, shared by q62 and the
+  // streaming curation filter (a stateless expression tree either way)
+  private def langHitsSpark(ws: Seq[String]) =
+    s"size(filter($tokensExpr, t -> ${ws.map(w => s"t = '$w'").mkString(" OR ")}))"
+  // argmax with fixed priority en>es>de>fr>zh on ties
+  private[graft] val langCaseExpr =
+    """CASE
+      |  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |  WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |  WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |  WHEN s_fr >= s_zh THEN 'fr'
+      |  ELSE 'zh' END""".stripMargin
+  private[graft] def withLangScores(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    markers.foldLeft(df) { case (acc, (l, ws)) =>
+      acc.withColumn(s"s_$l", expr(langHitsSpark(ws)))
+    }
+
   val q62: QueryDef = {
     def hitsSqlDuck(ws: Seq[String]) =
       s"CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> ${ws.map(w => s"t = '$w'").mkString(" OR ")})) AS INTEGER)"
-    def hitsSpark(ws: Seq[String]) =
-      s"size(filter($tokensExpr, t -> ${ws.map(w => s"t = '$w'").mkString(" OR ")}))"
     val duckScores = markers.map { case (l, ws) => s"${hitsSqlDuck(ws)} AS s_$l" }.mkString(",\n      |    ")
-    // argmax with fixed priority en>es>de>fr>zh on ties
-    val caseExpr =
-      """CASE
-        |  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-        |  WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
-        |  WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
-        |  WHEN s_fr >= s_zh THEN 'fr'
-        |  ELSE 'zh' END""".stripMargin
+    val caseExpr = langCaseExpr
     QueryDef.sql(
       "q62_langid",
       s"""SELECT doc_id, lang, pred,
@@ -102,10 +111,7 @@ object TextAnalysis {
          |    SELECT doc_id, lang, $duckScores
          |    FROM documents) t) p
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val scored = markers.foldLeft(Tables.documents(s, d)) { case (df, (l, ws)) =>
-        df.withColumn(s"s_$l", expr(hitsSpark(ws)))
-      }
-      scored
+      withLangScores(Tables.documents(s, d))
         .withColumn("pred", expr(caseExpr))
         .withColumn("correct", col("lang") === col("pred"))
         .select("doc_id", "lang", "pred", "correct", "s_en", "s_es", "s_de", "s_fr", "s_zh")
@@ -483,18 +489,27 @@ object TextAnalysis {
     * in one stateless projection (no joins, no state, so it drops into
     * any streaming query):
     * q61's quality gate ∧ q68's repetition gate ∧ NOT q75's Bloom
-    * contamination flag. Signal parity with the batch queries is
-    * spec-asserted row for row (StreamDedupSpec); the near-dup signal
-    * stays the separate at-least-once [[graft.dedup.Dedup.streamDupFlags]]
-    * (it needs the corpus join).
+    * contamination flag ∧ (when `allowedLangs` is non-empty) q62's
+    * language-ID prediction landing in the allowed set — the standard
+    * "keep English-ish, clean, uncontaminated" ingest verdict. Signal
+    * parity with the batch queries is spec-asserted row for row
+    * (StreamDedupSpec); the near-dup signal stays the separate
+    * at-least-once [[graft.dedup.Dedup.streamDupFlags]] (it needs the
+    * corpus join).
     */
   def curationStream(docs: org.apache.spark.sql.DataFrame,
-      bloom: Array[Byte]): org.apache.spark.sql.DataFrame = {
+      bloom: Array[Byte],
+      allowedLangs: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val toks = expr(tokensExpr)
     val dupFrac = (c: org.apache.spark.sql.Column) =>
       when(size(c) === 0, 0.0)
         .otherwise((size(c) - size(array_distinct(c))).cast("double") / size(c))
-    graft.dedup.Dedup.contaminationFlags(docs, bloom)
+    withLangScores(graft.dedup.Dedup.contaminationFlags(docs, bloom))
+      .withColumn("lang_pred", expr(langCaseExpr))
+      .drop(markers.map { case (l, _) => s"s_$l" }: _*)
+      .withColumn("keep_lang",
+        if (allowedLangs.isEmpty) lit(true)
+        else col("lang_pred").isin(allowedLangs: _*))
       .withColumn("n_tok", size(toks))
       .withColumn("n_stop", expr(
         s"size(filter($tokensExpr, t -> t = 'the' OR t = 'a' OR t = 'value'))"))
@@ -504,7 +519,7 @@ object TextAnalysis {
         col("n_tok") >= 20 && length(col("text")) >= 100 && col("n_stop") > 0)
       .withColumn("keep",
         col("keep_quality") && col("dup_gram_frac") <= 0.30 &&
-          !col("maybe_contaminated"))
+          !col("maybe_contaminated") && col("keep_lang"))
   }
 
   /** Distributed BPE tokenizer training over the corpus vocabulary.

@@ -99,28 +99,47 @@ class StreamDedupSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val q = graft.text.TextAnalysis.curationStream(
         mem.toDF().toDF("doc_id", "text"), bloom)
-      .select("doc_id", "keep_quality", "dup_gram_frac", "maybe_contaminated", "keep")
+      .select("doc_id", "keep_quality", "dup_gram_frac", "maybe_contaminated",
+        "lang_pred", "keep")
       .writeStream.format("memory").queryName("curation")
       .outputMode(OutputMode.Append).start()
     mem.addData(docs.toIndexedSeq)
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("curation").collect()
-      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getDouble(2), r.getBoolean(3), r.getBoolean(4)))
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getDouble(2), r.getBoolean(3),
+        r.getString(4), r.getBoolean(5)))
       .toMap
     assert(streamed.size == docs.length)
-    // batch signals: q61 quality keep, q68 dup_gram_frac, q75 bloom hits
+    // batch signals: q61 quality keep, q68 dup_gram_frac, q75 bloom
+    // hits, q62 language prediction
     val q61 = graft.text.TextAnalysis.q61.fn(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
     val q68 = graft.text.TextAnalysis.q68.fn(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_gram_frac")).toMap
     val q75 = graft.dedup.Dedup.q75.fn(spark, sfDir).collect()
       .map(_.getLong(0)).toSet
-    streamed.foreach { case (id, (kq, dg, mc, keep)) =>
+    val q62 = graft.text.TextAnalysis.q62.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred")).toMap
+    streamed.foreach { case (id, (kq, dg, mc, lp, keep)) =>
       assert(kq == q61(id), s"doc $id quality flag diverges from q61")
       assert(dg == q68(id), s"doc $id dup_gram_frac diverges from q68")
       assert(mc == q75.contains(id), s"doc $id contamination diverges from q75")
+      assert(lp == q62(id), s"doc $id lang_pred diverges from q62")
       assert(keep == (kq && dg <= 0.30 && !mc))
+    }
+    // and with a language allow-list, keep additionally requires it
+    val batchRun = graft.text.TextAnalysis.curationStream(
+        Tables.documents(spark, sfDir).select("doc_id", "text"), bloom,
+        allowedLangs = Seq("en"))
+      .select("doc_id", "lang_pred", "keep").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    batchRun.foreach { case (id, (lp, keep)) =>
+      if (streamed.contains(id)) {
+        val (kq, dg, mc, _, _) = streamed(id)
+        assert(keep == (kq && dg <= 0.30 && !mc && lp == "en"),
+          s"doc $id: allow-list keep wrong")
+      }
     }
   }
 }
