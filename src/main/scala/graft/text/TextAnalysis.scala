@@ -613,7 +613,13 @@ object TextAnalysis {
         }
       }
       // `kept` counts exactly the types at or above the floor, so the
-      // read is bounded by the histogram before it happens.
+      // read is bounded by the histogram before it happens. The one
+      // escape from the cap — a single frequency class alone larger
+      // than bpeMaxTypes (frequency can't split it) — must fail loudly
+      // rather than quietly pull an unbounded table to the driver.
+      require(kept <= 4L * bpeMaxTypes,
+        s"BPE prune floor $floor keeps $kept types (> 4×$bpeMaxTypes): " +
+          "one frequency class exceeds the cap; raise bpeMaxTypes")
       val pruned = types.filter(col("freq") >= floor)
         .take(kept.toInt + 1).map(r => (r.getString(0), r.getLong(1)))
       require(pruned.length == kept,
