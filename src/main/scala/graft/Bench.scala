@@ -47,6 +47,9 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val reps = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
+    // a query that THROWS must not masquerade as a fast rep — record the
+    // failure so the artifact (and the 2x gate's reader) can see it
+    val errors = scala.collection.mutable.Map[String, String]()
     var storageHighWater = 0L
     def noteStorage(): Unit = {
       val used = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
@@ -55,7 +58,11 @@ object Bench {
     for (rep <- 0 to 3; name <- names) {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => }
+      catch { case e: Throwable =>
+        errors(name) = e.getClass.getSimpleName +
+          Option(e.getMessage).map(m => ": " + m.linesIterator.next().take(120))
+            .getOrElse("")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       if (rep > 0) reps(name) = reps(name) :+ dt
       noteStorage()
@@ -105,10 +112,15 @@ object Bench {
               baseline.get(n).collect { case b if b > 0 =>
                 n -> f"${t / b}%.3f" } })},
          |"baseline_outliers_over_2x":${fmtMap(outliers.map { case (k, v) => k -> f"$v%.2f" })},
-         |"baseline_outliers_over_2x_stable":${fmtMap(stableOutliers.map { case (k, v) => k -> f"$v%.2f" })}}"""
+         |"baseline_outliers_over_2x_stable":${fmtMap(stableOutliers.map { case (k, v) => k -> f"$v%.2f" })},
+         |"errors":${fmtMap(errors.toMap.map { case (k, v) =>
+              k -> ("\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"") })}}"""
         .stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes("UTF-8"))
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] QUERIES THREW: " +
+        errors.toSeq.sortBy(_._1).map { case (n, e) => s"$n ($e)" }.mkString(", "))
     if (outliers.nonEmpty)
       System.err.println(s"[bench] >2x-vs-baseline outliers " +
         s"(${stableOutliers.size} stable of ${outliers.size}): " +

@@ -403,6 +403,43 @@ object TextAnalysis {
   // and shard count grows with the cluster, never with the corpus. Emits
   // per-doc placement: first pack, offset inside it, and how many packs
   // the doc straddles (straddling is how packing achieves zero padding).
+  /** q73's placement table without the presentation ORDER BY — shared
+    * with [[writeTrainingShards]], which re-sorts per shard anyway.
+    */
+  private def packPlacement(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("shard"),
+        expr(s"size($tokensExpr)").cast("long").as("n_tok"))
+      .withColumn("start_tok", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"),
+        expr("CAST(start_tok DIV 512 AS INT)").as("pack_id"),
+        (col("start_tok") % 512).cast("int").as("pack_offset"),
+        expr("CAST((start_tok + n_tok - 1) DIV 512 - start_tok DIV 512 + 1 AS INT)")
+          .as("n_spans"),
+        col("n_tok").cast("int").as("n_tok"))
+  }
+
+  /** Terminal training-data sink: materialize the packed corpus as
+    * `shard=`-partitioned parquet, each shard written by ONE task with
+    * rows sorted (pack_id, pack_offset) — so a per-worker reader streams
+    * its shard file start to finish and sees exactly the contiguous
+    * token stream the packing promised, no shuffle or sort at TRAINING
+    * time (that cost is paid once here, at write). One exchange (the
+    * shard repartition); shard count is q73's doc_id % 8 round-robin,
+    * which also balances token mass (spec-asserted). At scale, shards
+    * grow with the cluster — never with the corpus.
+    */
+  def writeTrainingShards(s: org.apache.spark.sql.SparkSession, d: String,
+      path: String): Unit =
+    packPlacement(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "text"), "doc_id")
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "pack_id", "pack_offset")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   val q73: QueryDef = QueryDef.sql(
     "q73_sequence_pack",
     """WITH t AS (
@@ -421,19 +458,7 @@ object TextAnalysis {
       |  CAST(n_tok AS INTEGER) AS n_tok
       |FROM o
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
-      .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("shard"),
-        expr(s"size($tokensExpr)").cast("long").as("n_tok"))
-      .withColumn("start_tok", coalesce(sum("n_tok").over(w), lit(0L)))
-      .select(col("doc_id"), col("shard"),
-        expr("CAST(start_tok DIV 512 AS INT)").as("pack_id"),
-        (col("start_tok") % 512).cast("int").as("pack_offset"),
-        expr("CAST((start_tok + n_tok - 1) DIV 512 - start_tok DIV 512 + 1 AS INT)")
-          .as("n_spans"),
-        col("n_tok").cast("int").as("n_tok"))
-      .orderBy("doc_id")
+    packPlacement(s, d).orderBy("doc_id")
   }
 
   // q76 — HEAVY HITTERS by sketch: the corpus's top-20 tokens via

@@ -45,4 +45,40 @@ class CorpusSourceSpec extends SparkSpec {
     assert(dirty.count() == 1)
     assert(dirty.head.getString(0).contains("broken json"))
   }
+
+  test("writeTrainingShards: one sorted file per shard, token mass balanced, no doc lost") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft_shards").toString
+    graft.text.TextAnalysis.writeTrainingShards(spark, sfDir, out)
+
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 8, s"expected 8 shard dirs, got ${shardDirs.length}")
+
+    // every document lands exactly once
+    val back = spark.read.parquet(out)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(back.count() == nDocs)
+    assert(back.select("doc_id").distinct().count() == nDocs)
+
+    // token mass balance across shards (the doc_id round-robin's doing)
+    val masses = back.groupBy("shard").agg(sum("n_tok").as("m"))
+      .collect().map(_.getAs[Long]("m"))
+    val mean = masses.sum.toDouble / masses.length
+    masses.foreach(m =>
+      assert(math.abs(m - mean) / mean < 0.2, s"shard mass $m vs mean $mean"))
+
+    // each shard: ONE file whose physical row order is the packed
+    // stream — (pack_id, pack_offset) monotonic when read back alone
+    shardDirs.foreach { dir =>
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${dir.getName}: expected 1 file, got ${files.length}")
+      val rows = spark.read.parquet(files.head.getPath)
+        .select("pack_id", "pack_offset").collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+      assert(rows.zip(rows.tail).forall { case (a, b) =>
+        a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2) },
+        s"${dir.getName}: rows not in packed-stream order")
+    }
+  }
 }
