@@ -1022,13 +1022,14 @@ object Similarity {
     * pass over the corpus.
     */
   private[graft] def nswHop(s: SparkSession, d: String,
-      frontier: Seq[Long], adjTable: Option[String] = None): DataFrame = {
-    val qn = math.sqrt(sqNorm(qvArray))
+      frontier: Seq[Long], adjTable: Option[String] = None,
+      qv: Array[Double] = qvArray): DataFrame = {
+    val qn = math.sqrt(sqNorm(qv))
     val buckets = frontier.map(_ % NswBuckets).distinct
     s.table(adjTable.getOrElse(nswTables(s, d)._1))
       .filter(col("pbucket").isin(buckets: _*) && col("src").isin(frontier: _*))
       .select(col("dst"),
-        (VectorExprs.dotProduct(col("emb"), qvLit) / (col("nrm") * lit(qn)))
+        (VectorExprs.dotProduct(col("emb"), typedlit(qv)) / (col("nrm") * lit(qn)))
           .as("cos"))
   }
 
@@ -1045,16 +1046,17 @@ object Similarity {
     */
   private[graft] def nswSearch(s: SparkSession, d: String, k: Int,
       beam: Int = 96, expand: Int = 8, maxHops: Int = 20,
-      tables: Option[(String, String)] = None): (Seq[(Long, Double)], Int) = {
+      tables: Option[(String, String)] = None,
+      qv: Array[Double] = qvArray): (Seq[(Long, Double)], Int) = {
     val (adjT, entryT) = tables.getOrElse(nswTables(s, d))
-    val qn = math.sqrt(sqNorm(qvArray))
+    val qn = math.sqrt(sqNorm(qv))
     // seed the WHOLE beam from the hub layer (the entry scan is O(√n)
     // either way): if a region disappoints, the queue falls back to the
     // next-best hub instead of dead-ending — IVF multi-probe ordering,
     // but adaptive
     val entry = s.table(entryT)
       .select(col("vec_id"),
-        (VectorExprs.dotProduct(col("embedding"), qvLit) / (col("nrm") * lit(qn)))
+        (VectorExprs.dotProduct(col("embedding"), typedlit(qv)) / (col("nrm") * lit(qn)))
           .as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .take(beam)
@@ -1073,7 +1075,7 @@ object Similarity {
     while (hops < maxHops && frontier.nonEmpty) {
       expanded ++= frontier
       val perHopCap = 1 << 16
-      val rows = nswHop(s, d, frontier, Some(adjT)).take(perHopCap)
+      val rows = nswHop(s, d, frontier, Some(adjT), qv).take(perHopCap)
       require(rows.length < perHopCap, "NSW hop read overflow")
       val fresh = rows.map(r => r.getLong(0) -> r.getDouble(1))
         .filter { case (id, _) => !visited.contains(id) }
@@ -1140,6 +1142,120 @@ object Similarity {
     } finally { bc.unpersist(); () }
   }
 
+  /** One BATCH hop: every live query's frontier out-edges scored in a
+    * single partition-pruned adjacency pass. The frontier — O(live
+    * queries × expand) rows with the query vector denormalized on —
+    * BROADCASTS; the adjacency is the streamed probe side, so it never
+    * shuffles (plan-asserted), and the literal `pbucket IN (...)` filter
+    * (the union of the frontier's buckets, a ≤[[NswBuckets]]-element
+    * set collected per hop) reaches the scan as PartitionFilters exactly
+    * like the single-query hop's. Returns (qid, node, cos).
+    */
+  private[graft] def nswBatchHop(s: SparkSession, adjTable: String,
+      frontier: DataFrame, buckets: Seq[Long]): DataFrame = {
+    val adj = s.table(adjTable).filter(col("pbucket").isin(buckets: _*))
+    adj.join(broadcast(frontier), adj("src") === frontier("node"))
+      .select(col("qid"), col("dst").as("node"),
+        (VectorExprs.dotProduct(col("emb"), col("qvec")) / (col("nrm") * col("qnrm")))
+          .as("cos"))
+  }
+
+  /** Multi-query NSW probe: [[nswSearch]] for a query TABLE. The
+    * per-query search state — beam (qid, node, cos, expanded) and
+    * visited (qid, node) — lives in DataFrames, never on the driver, so
+    * a 10k-query batch costs the same ~maxHops driver-coordinated rounds
+    * as ONE query: each hop amortizes a single partition-pruned
+    * adjacency pass across every query still searching (the per-query
+    * economics that make graph ANN serve an offline top-k join, not
+    * just point lookups). Per-query semantics are IDENTICAL to the
+    * single-query search — same whole-beam hub seeding, same
+    * best-unexpanded frontier rule, same visited-set admission, same
+    * (cos desc, id asc) tie-breaks — node-for-node parity is
+    * spec-asserted. A query whose beam is fully expanded simply stops
+    * contributing frontier rows; the loop ends when every query has
+    * (or at maxHops). Lineage is truncated per hop (localCheckpoint,
+    * the PageRank treatment) so round-N planning cost stays flat.
+    *
+    * `queries`: (qid: Long, qvec: Array[Double|Float]). For corpora
+    * where O(queries·expand) overflows a broadcast, chunk the query
+    * table and union — rounds stay ~maxHops per chunk.
+    * Returns (qid, node, cos) — top-`k` per qid.
+    */
+  def nswBatchSearch(s: SparkSession, d: String, queries: DataFrame, k: Int,
+      beam: Int = 96, expand: Int = 8, maxHops: Int = 20,
+      tables: Option[(String, String)] = None): DataFrame = {
+    val (adjT, entryT) = tables.getOrElse(nswTables(s, d))
+    val q = queries.select(col("qid"), col("qvec"),
+      sqrt(VectorExprs.dotProduct(col("qvec"), col("qvec"))).as("qnrm")).cache()
+    val byCos = Window.partitionBy("qid").orderBy(desc("cos"), asc("node"))
+    // seed every query's WHOLE beam from the √n hub layer (one
+    // broadcast-entry pass over the query table), exactly like the
+    // single-query take(beam)
+    val entry = s.table(entryT)
+      .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
+    var beamDf = q.crossJoin(broadcast(entry))
+      .select(col("qid"), col("node"),
+        (VectorExprs.dotProduct(col("embedding"), col("qvec")) /
+          (col("nrm") * col("qnrm"))).as("cos"))
+      .withColumn("rk", row_number().over(byCos)).filter(col("rk") <= beam)
+      .select(col("qid"), col("node"), col("cos"), lit(false).as("expanded"))
+      .localCheckpoint()
+    var visitedDf = beamDf.select("qid", "node").localCheckpoint()
+    var hops = 0
+    var live = true
+    while (hops < maxHops && live) {
+      val frontier = beamDf.filter(!col("expanded"))
+        .withColumn("rk", row_number().over(byCos)).filter(col("rk") <= expand)
+        .select(col("qid"), col("node"),
+          pmod(col("node"), lit(NswBuckets.toLong)).as("nbucket"))
+        .join(q, "qid")
+        .localCheckpoint()
+      // one tiny driver read doubles as the liveness probe and the
+      // partition-pruning literal (≤ NswBuckets values)
+      val buckets = frontier.select("nbucket").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (buckets.isEmpty) live = false
+      else {
+        val fresh = nswBatchHop(s, adjT, frontier, buckets)
+          .join(visitedDf, Seq("qid", "node"), "left_anti")
+          .groupBy("qid", "node").agg(max("cos").as("cos"))
+          .select(col("qid"), col("node"), col("cos"), lit(false).as("expanded"))
+        val marked = beamDf
+          .join(broadcast(frontier.select(col("qid"), col("node"),
+            lit(true).as("f"))), Seq("qid", "node"), "left")
+          .select(col("qid"), col("node"), col("cos"),
+            (col("expanded") || coalesce(col("f"), lit(false))).as("expanded"))
+        beamDf = marked.unionByName(fresh)
+          .withColumn("rk", row_number().over(byCos)).filter(col("rk") <= beam)
+          .drop("rk")
+          .localCheckpoint()
+        visitedDf = visitedDf.unionByName(fresh.select("qid", "node"))
+          .localCheckpoint()
+        hops += 1
+      }
+    }
+    q.unpersist()
+    beamDf
+      .withColumn("rk", row_number().over(byCos)).filter(col("rk") <= k)
+      .select(col("qid"), col("node"), col("cos"))
+  }
+
+  // q102 — BATCH NSW ANN: the multi-query probe as a catalog operator.
+  // Every ~53rd corpus vector becomes a query; one distributed beam
+  // search returns all of their top-10 neighbor lists (self-match
+  // included — rank 1 sanity). Approximate by design → rows-only;
+  // node-for-node single-query parity, recall ≥ 0.9 vs exact, and the
+  // broadcast-frontier/no-adjacency-shuffle plan are spec-asserted.
+  val q102: QueryDef = QueryDef.rowsOnly("q102_nsw_batch_ann") { (s, d) =>
+    val queries = Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(53L)) === lit(1L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    nswBatchSearch(s, d, queries, 10)
+      .select(col("qid"), col("node").as("vec_id"),
+        round(col("cos"), 8).as("cos_sim"))
+      .orderBy(asc("qid"), desc("cos_sim"), asc("vec_id"))
+  }
+
   // q100 — NSW GRAPH ANN: the highest-recall-per-probe tier of the ANN
   // family (q51 LSH, q53 IVF, q54/q55 PQ, q77 SQ8 are flat compressed
   // scans; this walks a persisted 2-layer neighbor graph). Greedy beam
@@ -1159,5 +1275,5 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(q38, q50, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q77, q79, q98, q100)
+    q58, q59, q77, q79, q98, q100, q102)
 }

@@ -94,6 +94,49 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(viaCatalog == top1.map(_._1).toSet)
   }
 
+  test("q102 batch NSW probe: node-for-node single-query parity, recall >= 0.9 vs exact") {
+    val queries = Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(53L)) === lit(1L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = sim.Similarity.nswBatchSearch(spark, sfDir, queries, 10)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r.getLong(1), r.getDouble(2)))
+          .sortBy { case (id, c) => (-c, id) }.toSeq
+      }
+    val qvecs = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    assert(batch.keySet == qvecs.map(_._1).toSet, "one result group per query")
+    // node-for-node, score-for-score parity with the single-query search:
+    // DotProduct promotes floats to double per element, so the batch
+    // probe's float qvec scores bit-match the double-literal path
+    qvecs.foreach { case (qid, qv) =>
+      val (single, _) = sim.Similarity.nswSearch(spark, sfDir, 10, qv = qv)
+      assert(batch(qid).map(_._1) == single.map(_._1),
+        s"qid $qid: batch nodes ${batch(qid).map(_._1)} != single ${single.map(_._1)}")
+      batch(qid).zip(single).foreach { case ((_, bc), (_, sc)) =>
+        assert(math.abs(bc - sc) < 1e-12, s"qid $qid: cos $bc != $sc")
+      }
+    }
+    // recall vs the exact brute-force top-10 of each query
+    val all = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val recalls = qvecs.map { case (qid, qv) =>
+      val exact = all.map { case (id, v) => id -> cos(qv, v) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      exact.intersect(batch(qid).map(_._1).toSet).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"batch NSW mean recall@10 $mean (${recalls.toList})")
+    info(f"batch NSW: ${qvecs.length} queries, mean recall@10 $mean%.3f")
+  }
+
   test("q76 sketch heavy hitters match exact counts and the exact top-k set") {
     val rows = text.TextAnalysis.q76Sketch(spark, sfDir).collect()
     assert(rows.length == 20)

@@ -116,6 +116,25 @@ class PlanSpec extends SparkSpec {
       s"hop scan must prune to the frontier's pbucket partitions:\n$plan")
   }
 
+  test("q102 batch hop broadcasts the frontier; the adjacency never shuffles") {
+    import org.apache.spark.sql.functions._
+    val (adjT, _) = sim.Similarity.nswTables(spark, sfDir)
+    val frontier = Tables.embeddings(spark, sfDir).limit(3)
+      .select(col("vec_id").as("qid"), col("vec_id").as("node"),
+        col("embedding").as("qvec"),
+        sqrt(graft.functions.VectorExprs.dotProduct(
+          col("embedding"), col("embedding"))).as("qnrm"))
+    val plan = sim.Similarity.nswBatchHop(spark, adjT, frontier, Seq(1L, 2L, 3L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frontier must broadcast against the adjacency:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"adjacency side must stream, never shuffle:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("pbucket") && l.contains(" IN ")),
+      s"batch hop must prune to the frontier's pbucket partitions:\n$plan")
+  }
+
   test("q56 persisted-index probe prunes partitions at the scan") {
     val plan = planOf("q56_ann_index_probe")
     assert(plan.linesIterator.exists(l =>
