@@ -1,5 +1,6 @@
 package graft.text
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -723,6 +724,105 @@ object TextAnalysis {
       .orderBy("vocab_id")
   }
 
+  /** q103's scoring projection: per doc its source, whitespace-token
+    * count, quality key (stopword density in thousandths — an integer in
+    * [0, 1000], which is what bounds the histogram below), and source
+    * weight (1-4 from the source index, a stand-in for a user-supplied
+    * mix table).
+    */
+  private[graft] def budgetScored(s: SparkSession, d: String) =
+    Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      expr(s"size($tokensExpr)").as("n_tok"),
+      expr(s"cast(round(1000.0 * size(filter($tokensExpr, " +
+        "t -> t = 'the' OR t = 'a' OR t = 'value')) / " +
+        s"size($tokensExpr)) as int)").as("qkey"),
+      (expr("cast(substring(source, 4, 8) as int)") % 4 + 1).as("w"))
+
+  /** The lossless candidate prune behind q103: a (source, qkey) token
+    * histogram — bounded at sources × ≤1001 integer keys, the BPE-prune
+    * treatment — finds each source's boundary quality key on the driver,
+    * and only docs at-or-above their source's boundary stay. A doc in a
+    * strictly worse bucket starts at offset ≥ its source's quota, so the
+    * greedy rule `cum − n_tok < quota` can never admit it: the prune
+    * changes nothing (DuckDB replays the UNPRUNED window hash-exactly),
+    * it just keeps the per-source sort at O(quota) tokens instead of the
+    * corpus. Returns (candidates, totalTokens).
+    */
+  private[graft] def budgetCandidates(s: SparkSession, d: String):
+      (org.apache.spark.sql.DataFrame, Long) = {
+    import s.implicits._
+    val scored = budgetScored(s, d)
+    val tt = scored.agg(sum("n_tok")).take(1).head.getLong(0)
+    val histCap = 64 * 1024
+    val hist = scored.groupBy("source", "w", "qkey")
+      .agg(sum("n_tok").as("btok"))
+      .take(histCap)
+    require(hist.length < histCap, "budget-mix histogram read overflow")
+    val boundary = hist.groupBy(_.getAs[String]("source")).map { case (src, rows) =>
+      // greedy margin: one token of driver/plan double drift can't move
+      // the boundary past a doc the plan-side rule would still admit
+      val quota = math.floor(0.25 * tt * rows.head.getAs[Int]("w") / 50.0) + 64
+      var run = 0L
+      var t = Int.MinValue
+      val desc = rows.sortBy(-_.getAs[Int]("qkey"))
+      var i = 0
+      while (i < desc.length && run < quota) {
+        t = desc(i).getAs[Int]("qkey")
+        run += desc(i).getAs[Long]("btok")
+        i += 1
+      }
+      (src, t)
+    }.toSeq
+    val cands = scored.join(
+      broadcast(boundary.toDF("source", "tmin")), Seq("source"))
+      .filter(col("qkey") >= col("tmin"))
+    (cands, tt)
+  }
+
+  // q103 — TOKEN-BUDGET MIX: fill a global token budget (25% of corpus
+  // tokens) across sources at weighted proportions, taking each source's
+  // highest-quality docs first (stopword-density key desc, doc_id
+  // tie-break; the doc that crosses its source's quota is included).
+  // The naive shape is a per-source cumulative window over the WHOLE
+  // corpus — a multi-TB sort partition per source at 100 TB. This plan
+  // windows only the histogram-pruned candidates (≈ quota tokens per
+  // source, see budgetCandidates); the oracle runs the naive window and
+  // must hash-match, proving the prune lossless.
+  val q103: QueryDef = QueryDef.sql(
+    "q103_token_budget_mix",
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+      |    CAST(ROUND(1000.0 * len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      t -> t = 'the' OR t = 'a' OR t = 'value')) /
+      |      len(regexp_split_to_array(trim(text), '\s+'))) AS INTEGER) AS qkey,
+      |    (CAST(substr(source, 4) AS INTEGER) % 4) + 1 AS w
+      |  FROM documents),
+      |tot AS (SELECT SUM(n_tok) AS tt FROM scored),
+      |win AS (
+      |  SELECT s.*, FLOOR(0.25 * tt * w / 50.0) AS quota,
+      |    SUM(n_tok) OVER (PARTITION BY source ORDER BY qkey DESC, doc_id
+      |                     ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM scored s, tot)
+      |SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok, qkey,
+      |  CAST(cum AS BIGINT) AS cum_tok
+      |FROM win WHERE cum - n_tok < quota
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val (cands, tt) = budgetCandidates(s, d)
+    val byQ = Window.partitionBy("source")
+      .orderBy(desc("qkey"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cands
+      .withColumn("cum", sum("n_tok").over(byQ))
+      .withColumn("quota", floor(lit(0.25) * lit(tt) * col("w") / lit(50.0)))
+      .filter(col("cum") - col("n_tok") < col("quota"))
+      .select(col("doc_id"), col("source"),
+        col("n_tok").cast("int").as("n_tok"), col("qkey"),
+        col("cum").cast("bigint").as("cum_tok"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q73, q76, q86, q87, q101)
+    q69, q73, q76, q86, q87, q101, q103)
 }

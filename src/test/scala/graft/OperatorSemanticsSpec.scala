@@ -137,6 +137,43 @@ class OperatorSemanticsSpec extends SparkSpec {
     info(f"batch NSW: ${qvecs.length} queries, mean recall@10 $mean%.3f")
   }
 
+  test("q103 budget mix: histogram prune shrinks the window input and is lossless") {
+    import org.apache.spark.sql.expressions.Window
+    val (cands, tt) = text.TextAnalysis.budgetCandidates(spark, sfDir)
+    val corpus = Tables.documents(spark, sfDir).count()
+    val nc = cands.count()
+    assert(nc < corpus,
+      s"the quality-histogram prune must shrink the window input ($nc/$corpus)")
+    // the UNPRUNED greedy replay — the naive whole-corpus window the
+    // plan deliberately avoids — must select the exact same rows
+    val byQ = Window.partitionBy("source")
+      .orderBy(desc("qkey"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = text.TextAnalysis.budgetScored(spark, sfDir)
+      .withColumn("cum", sum("n_tok").over(byQ))
+      .withColumn("quota", floor(lit(0.25) * lit(tt) * col("w") / lit(50.0)))
+      .filter(col("cum") - col("n_tok") < col("quota"))
+      .select("doc_id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q103_token_budget_mix")(spark, sfDir)
+      .select("doc_id", "cum_tok").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive, "pruned selection diverges from the naive window")
+    // greedy semantics: each source fills to (or crosses) its quota
+    // unless it ran out of documents entirely
+    val perSrc = SparkEntry.queries("q103_token_budget_mix")(spark, sfDir)
+      .groupBy("source").agg(max("cum_tok").as("got"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val srcDocs = Tables.documents(spark, sfDir).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSrc.foreach { case (src, (cum, n)) =>
+      val w = src.drop(3).toInt % 4 + 1
+      val quota = math.floor(0.25 * tt * w / 50.0).toLong
+      assert(cum >= quota || n == srcDocs(src),
+        s"$src stopped at $cum tokens below quota $quota with docs left")
+    }
+  }
+
   test("q76 sketch heavy hitters match exact counts and the exact top-k set") {
     val rows = text.TextAnalysis.q76Sketch(spark, sfDir).collect()
     assert(rows.length == 20)
