@@ -44,7 +44,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // dev-only: extra args restrict the run to the named queries (the
+    // driver always invokes with no args → full catalog)
+    val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     val reps = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     // a query that THROWS must not masquerade as a fast rep — record the

@@ -1070,9 +1070,20 @@ object Similarity {
     // while promising beam nodes remain unexplored)
     def pickFrontier(): Seq[Long] =
       best.collect { case (id, _) if !expanded.contains(id) => id }.take(expand)
+    // ef-search termination: once the current top-k are all expanded and
+    // the best unexpanded candidate scores below the k-th, another hop
+    // can only shuffle ranks past k — stop. (Strict <: an unexpanded
+    // tie with the k-th still gets its hop. The batch search applies
+    // the IDENTICAL rule per query — parity is spec-asserted.)
+    def converged(): Boolean = {
+      val kth = best(math.min(k, best.length) - 1)._2
+      best.take(k).forall { case (id, _) => expanded.contains(id) } &&
+        best.collectFirst { case (id, c) if !expanded.contains(id) => c }
+          .forall(_ < kth)
+    }
     var frontier = pickFrontier()
     var hops = 0
-    while (hops < maxHops && frontier.nonEmpty) {
+    while (hops < maxHops && frontier.nonEmpty && !converged()) {
       expanded ++= frontier
       val perHopCap = 1 << 16
       val rows = nswHop(s, d, frontier, Some(adjT), qv).take(perHopCap)
@@ -1204,12 +1215,33 @@ object Similarity {
     var hops = 0
     var live = true
     while (hops < maxHops && live) {
-      val frontier = beamDf.filter(!col("expanded"))
-        .withColumn("rk", row_number().over(byCos)).filter(col("rk") <= expand)
+      // ONE window pass over the beam computes everything the hop needs:
+      // per-query ef-search liveness (the single-query rule verbatim — a
+      // query stays live while some top-k beam node is unexpanded OR its
+      // best unexpanded candidate still ties/beats its k-th score,
+      // strict-< stop) and the frontier flag (top-`expand` among the
+      // unexpanded — ranked within the (qid, expanded) partition so no
+      // second filtered window is needed). All of it shuffles once on
+      // qid; converged queries contribute no frontier rows, so the
+      // amortized hop shrinks as the batch drains.
+      val wq = Window.partitionBy("qid")
+      val byCosU = Window.partitionBy(col("qid"), col("expanded"))
+        .orderBy(desc("cos"), asc("node"))
+      val annotated = beamDf
+        .withColumn("rk", row_number().over(byCos))
+        .withColumn("urk", row_number().over(byCosU))
+        .withColumn("tu",
+          max(when(col("rk") <= k && !col("expanded"), 1).otherwise(0)).over(wq))
+        .withColumn("kth", min(when(col("rk") <= k, col("cos"))).over(wq))
+        .withColumn("bestu", max(when(!col("expanded"), col("cos"))).over(wq))
+        .withColumn("fr", !col("expanded") && col("urk") <= expand &&
+          col("bestu").isNotNull && (col("tu") === 1 || col("bestu") >= col("kth")))
+        .select("qid", "node", "cos", "expanded", "fr")
+        .localCheckpoint()
+      val frontier = annotated.filter(col("fr"))
         .select(col("qid"), col("node"),
           pmod(col("node"), lit(NswBuckets.toLong)).as("nbucket"))
         .join(q, "qid")
-        .localCheckpoint()
       // one tiny driver read doubles as the liveness probe and the
       // partition-pruning literal (≤ NswBuckets values)
       val buckets = frontier.select("nbucket").distinct()
@@ -1220,12 +1252,10 @@ object Similarity {
           .join(visitedDf, Seq("qid", "node"), "left_anti")
           .groupBy("qid", "node").agg(max("cos").as("cos"))
           .select(col("qid"), col("node"), col("cos"), lit(false).as("expanded"))
-        val marked = beamDf
-          .join(broadcast(frontier.select(col("qid"), col("node"),
-            lit(true).as("f"))), Seq("qid", "node"), "left")
+        beamDf = annotated
           .select(col("qid"), col("node"), col("cos"),
-            (col("expanded") || coalesce(col("f"), lit(false))).as("expanded"))
-        beamDf = marked.unionByName(fresh)
+            (col("expanded") || col("fr")).as("expanded"))
+          .unionByName(fresh)
           .withColumn("rk", row_number().over(byCos)).filter(col("rk") <= beam)
           .drop("rk")
           .localCheckpoint()
