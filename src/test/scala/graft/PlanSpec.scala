@@ -135,6 +135,18 @@ class PlanSpec extends SparkSpec {
       s"batch hop must prune to the frontier's pbucket partitions:\n$plan")
   }
 
+  test("q104 incremental agg: only the delta side shuffles, the snapshot scan is exchange-free") {
+    val plan = planOf("q104_incremental_agg")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // a from-scratch refresh would shuffle the whole orders table into
+    // the aggregate; the incremental merge may exchange ONLY the
+    // O(delta-keys) aggregate to meet the snapshot's bucketing
+    assert(hashExchanges <= 1,
+      s"expected at most one hash exchange (the delta side), got $hashExchanges:\n$plan")
+    assert(plan.contains("FullOuter") || plan.contains("full_outer"),
+      s"merge must be a full-outer join to admit new keys:\n$plan")
+  }
+
   test("q56 persisted-index probe prunes partitions at the scan") {
     val plan = planOf("q56_ann_index_probe")
     assert(plan.linesIterator.exists(l =>
