@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustered writes — multi-dimensional data
+  * layout for scan pruning. Sorting a table on one column makes range
+  * predicates on THAT column skip files via parquet min/max footers, but
+  * destroys locality on every other column; interleaving the bits of two
+  * (or more) dimensions into one sort key gives every dimension partial
+  * locality, so a selective predicate on EITHER column — or a box on
+  * both — touches a small fraction of the files. This is the lakehouse
+  * OPTIMIZE/ZORDER layout rewrite, expressed as plain Spark: one stats
+  * job, a codegen'd bit-interleave projection, a range repartition on
+  * the z-value, and a sorted parquet write. At 100 TB the payoff is at
+  * the FILE LISTING and row-group level: footer stats bound each file's
+  * (dim1, dim2) box, and the reader prunes without touching data. The
+  * spec measures exactly that — per-file bounding boxes under a box
+  * predicate vs a hash layout of the same file count.
+  */
+object ZOrder {
+
+  /** Interleave the low `bits` bits of two non-negative longs into a
+    * z-value: bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
+    * A fold of shift/mask Column ops — whole-stage-codegen-friendly, no
+    * UDF.
+    */
+  def zValue2(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Scale a numeric column into [0, 2^bits) from its (lo, hi) stats —
+    * the quantized coordinate the curve interleaves.
+    */
+  private def scaleTo(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val span = math.max(hi - lo, 1e-300)
+    val cells = (1L << bits) - 1
+    least(greatest(
+      floor((c.cast("double") - lit(lo)) / lit(span) * lit(cells + 1)),
+      lit(0L)), lit(cells))
+  }
+
+  /** Write `df` to `path` as `files` parquet files z-ordered on
+    * (`c1`, `c2`): one O(1)-row stats job, then a single range exchange
+    * on the z-value (the only shuffle) with an in-partition sort so
+    * every file's footer carries a tight (c1, c2) bounding box.
+    */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+      files: Int, bits: Int = 16): Unit = {
+    val st = df.agg(
+      min(col(c1).cast("double")), max(col(c1).cast("double")),
+      min(col(c2).cast("double")), max(col(c2).cast("double")))
+      .take(1).head
+    val z = zValue2(
+      scaleTo(col(c1), st.getDouble(0), st.getDouble(1), bits),
+      scaleTo(col(c2), st.getDouble(2), st.getDouble(3), bits), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

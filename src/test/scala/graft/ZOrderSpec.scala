@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.ZOrder
+
+/** The z-order layout's whole value is measurable from parquet footers:
+  * each file's (dim1, dim2) bounding box must be TIGHT, so a selective
+  * box predicate intersects few files, where a hash layout of the same
+  * file count smears every file across the full key space and a reader
+  * can skip nothing.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  private def fileBoxes(path: String) =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_partkey")).as("lo1"), max(col("l_partkey")).as("hi1"),
+        min(col("l_suppkey")).as("lo2"), max(col("l_suppkey")).as("hi2"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+  test("z-ordered files bound a box predicate to a small fraction; hash layout can't skip") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val (zp, hp, sp) = (s"$base/z", s"$base/h", s"$base/s")
+    val files = 16
+    ZOrder.writeZOrdered(li, zp, "l_partkey", "l_suppkey", files)
+    li.repartition(files).write.mode("overwrite").parquet(hp)
+    li.repartitionByRange(files, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(sp)
+
+    // box predicate: an eighth of each dimension's range — area ~1/64
+    // of the key space (off the curve's center seam, where Morton
+    // locality is at its documented worst)
+    val (b1lo, b1hi, b2lo, b2hi) = (250L, 500L, 12L, 25L)
+    def touched(boxes: Seq[(Long, Long, Long, Long)]): Int =
+      boxes.count { case (lo1, hi1, lo2, hi2) =>
+        !(hi1 < b1lo || lo1 > b1hi || hi2 < b2lo || lo2 > b2hi)
+      }
+    val (zb, hb) = (fileBoxes(zp).toSeq, fileBoxes(hp).toSeq)
+    assert(zb.size == files && hb.size == files)
+    val (zt, ht) = (touched(zb), touched(hb))
+    info(s"files intersecting the box: z-order $zt/$files, hash $ht/$files")
+    assert(zt <= files / 2,
+      s"z-order must localize the box to few files, touched $zt/$files")
+    assert(ht >= files - 1,
+      s"hash layout should smear across ~all files, touched only $ht/$files")
+    assert(zt < ht, "z-order must beat the hash layout")
+
+    // the layout rewrite must not change the data: the box query returns
+    // identical row multisets from both layouts
+    def boxRows(p: String) = spark.read.parquet(p)
+      .filter(col("l_partkey").between(b1lo, b1hi) &&
+        col("l_suppkey").between(b2lo, b2hi))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(boxRows(zp) == boxRows(hp), "layouts must hold identical data")
+
+    // single-dimension locality survives the interleave: a predicate on
+    // EITHER column alone still skips a meaningful file fraction (this
+    // is what a plain sort on one column destroys for the other)
+    def touched1(boxes: Seq[(Long, Long, Long, Long)],
+        lo: Long, hi: Long, dim2: Boolean): Int =
+      boxes.count { case (lo1, hi1, lo2, hi2) =>
+        if (dim2) !(hi2 < lo || lo2 > hi) else !(hi1 < lo || lo1 > hi)
+      }
+    val zt1 = touched1(zb, 875L, 1125L, dim2 = false)
+    val zt2 = touched1(zb, 43L, 56L, dim2 = true)
+    info(s"single-dim eighth-range scans: partkey $zt1/$files, suppkey $zt2/$files")
+    assert(zt1 < files && zt2 < files,
+      s"both single-dim predicates must skip at least one file ($zt1, $zt2)")
+
+    // ...which is exactly what a plain one-column sort cannot do: it
+    // skips perfectly on ITS column and not at all on the other
+    val sb = fileBoxes(sp).toSeq
+    val st1 = touched1(sb, 875L, 1125L, dim2 = false)
+    val st2 = touched1(sb, 12L, 25L, dim2 = true)
+    info(s"single-sort layout: partkey $st1/$files, suppkey $st2/$files")
+    assert(st2 == files, "a partkey-sorted layout cannot skip on suppkey")
+    assert(zt2 < st2, "z-order must beat the single-column sort on the second dim")
+  }
+}
