@@ -1286,6 +1286,33 @@ object Similarity {
       .orderBy(asc("qid"), desc("cos_sim"), asc("vec_id"))
   }
 
+  // q105 — HARD-NEGATIVE MINING (contrastive training pairs): for each
+  // query vector, the nearest neighbors whose LABEL DIFFERS — the
+  // near-miss examples a contrastive/embedding trainer wants. One
+  // distributed batch beam search (q102's machinery, k widened to a
+  // funnel) supplies candidates; labels arrive by an ids-only join
+  // (O(queries·k) rows, never the corpus); same-label hits — and the
+  // query itself — drop; the top-5 negatives per query survive. At
+  // corpus scale this is THE shape: ANN funnel + narrow label join, no
+  // O(n²) pair stage. Approximate by design → rows-only; a spec pins
+  // the label property, per-query bounds, and recall vs the exact
+  // different-label top-5.
+  val q105: QueryDef = QueryDef.rowsOnly("q105_hard_negatives") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(pmod(col("vec_id"), lit(53L)) === lit(1L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val byCos = Window.partitionBy("qid").orderBy(desc("cos"), asc("node"))
+    nswBatchSearch(s, d, queries.select("qid", "qvec"), 15, expand = 24, maxHops = 8)
+      .join(emb.select(col("vec_id").as("node"), col("label")), "node")
+      .join(broadcast(queries.select("qid", "qlabel")), "qid")
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("rk", row_number().over(byCos)).filter(col("rk") <= 5)
+      .select(col("qid"), col("node").as("neg_id"), col("label").as("neg_label"),
+        round(col("cos"), 8).as("cos_sim"))
+      .orderBy(asc("qid"), desc("cos_sim"), asc("neg_id"))
+  }
+
   // q100 — NSW GRAPH ANN: the highest-recall-per-probe tier of the ANN
   // family (q51 LSH, q53 IVF, q54/q55 PQ, q77 SQ8 are flat compressed
   // scans; this walks a persisted 2-layer neighbor graph). Greedy beam
@@ -1305,5 +1332,5 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(q38, q50, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q77, q79, q98, q100, q102)
+    q58, q59, q77, q79, q98, q100, q102, q105)
 }

@@ -174,6 +174,40 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q105 hard negatives: labels differ, bounds hold, recall >= 0.8 vs exact") {
+    val rows = sim.Similarity.q105.fn(spark, sfDir).collect()
+    val emb = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val labelOf = emb.map(e => e._1 -> e._3).toMap
+    // every mined negative carries a label different from its query's,
+    // never IS the query, and each query yields at most 5
+    rows.foreach { r =>
+      val (qid, neg) = (r.getAs[Long]("qid"), r.getAs[Long]("neg_id"))
+      assert(neg != qid, s"query $qid mined itself")
+      assert(r.getAs[Int]("neg_label") == labelOf(neg), "neg_label must be the corpus label")
+      assert(labelOf(neg) != labelOf(qid), s"qid $qid mined a same-label 'negative' $neg")
+    }
+    val perQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(perQ.values.forall(_.length <= 5))
+    // recall vs the EXACT different-label top-5 (driver-side brute force)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val recalls = emb.filter(_._1 % 53 == 1).map { case (qid, qv, ql) =>
+      val exact = emb.filter(e => e._3 != ql)
+        .map { case (id, v, _) => id -> cos(qv, v) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      val got = perQ.getOrElse(qid, Array.empty)
+        .map(_.getAs[Long]("neg_id")).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, s"hard-negative mean recall@5 $mean")
+    info(f"hard negatives: ${recalls.length} queries, mean recall@5 $mean%.3f")
+  }
+
   test("q76 sketch heavy hitters match exact counts and the exact top-k set") {
     val rows = text.TextAnalysis.q76Sketch(spark, sfDir).collect()
     assert(rows.length == 20)
