@@ -78,6 +78,30 @@ class EdgeCaseSpec extends SparkSpec {
     info(f"$k merges over ${types.length} types in $secs%.2f s")
   }
 
+  test("BpeTrainer reaches a production 32k-merge vocabulary in seconds") {
+    // the merge count a real tokenizer ships with, over a type table at
+    // the bpeMaxTypes scale: the lazy-heap winner selection makes the
+    // whole fit O(updates log H) — no per-merge scan of the pair space,
+    // no per-merge cluster job
+    val rnd = new java.util.Random(7)
+    val types = Array.tabulate(60000) { i =>
+      val len = 6 + rnd.nextInt(11)
+      val w = new StringBuilder
+      (0 until len).foreach(_ => w += ('a' + rnd.nextInt(26)).toChar)
+      (w.toString, math.max(1L, 1000000L / (i + 1)))
+    }.distinctBy(_._1)
+    val k = 32768
+    val t0 = System.nanoTime()
+    val merges = graft.text.BpeTrainer.train(types, k)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == k, s"vocabulary exhausted at ${merges.length} merges")
+    assert(merges.forall(_._3 > 0))
+    assert(merges.map(m => (m._1, m._2)).distinct.length == k,
+      "a pair must never be selected twice")
+    assert(secs < 60.0, f"BpeTrainer took $secs%.1f s for $k merges")
+    info(f"$k merges over ${types.length} types in $secs%.2f s")
+  }
+
   test("CosineSim handles nulls and length mismatch gracefully") {
     import spark.implicits._
     val df = Seq(
