@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.Incremental
+
+import scala.jdk.CollectionConverters._
+
+/** Streaming materialized-view maintenance: micro-batches append
+  * partial-aggregate rows (never rewriting existing files — the LSM
+  * posture), the read-time view compacts per key, and offline
+  * compaction collapses partials without changing the view.
+  */
+class StreamMvSpec extends SparkSpec {
+
+  private def tableFiles(name: String): Map[String, Long] = {
+    val loc = Paths.get(
+      spark.sessionState.conf.warehousePath.stripPrefix("file:"), name)
+    if (!Files.exists(loc)) Map.empty
+    else Files.walk(loc).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.size(p)).toMap
+  }
+
+  test("streaming MV: appended partials compose to the batch aggregate; appends never rewrite") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val snap = "graft_test_mv_stream"
+    spark.sql(s"DROP TABLE IF EXISTS $snap")
+    val mem = MemoryStream[(Long, Long, Double)]
+    val stream = mem.toDF().toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val q = Incremental.refreshStream(stream, snap).start()
+    try {
+      mem.addData((1L, 10L, 100.50), (2L, 11L, 20.25))
+      q.processAllAvailable()
+      val after1 = tableFiles(snap)
+      assert(after1.nonEmpty, "first batch must create snapshot files")
+      mem.addData((3L, 10L, 9.99), (4L, 12L, 1.00))
+      q.processAllAvailable()
+      val after2 = tableFiles(snap)
+      // LSM append contract: every batch-1 file survives byte-identical
+      after1.foreach { case (f, sz) =>
+        assert(after2.get(f).contains(sz), s"batch-1 file rewritten: $f")
+      }
+      assert(after2.size > after1.size, "second batch must add new files")
+    } finally q.stop()
+
+    def viewRows: Map[Long, (Long, Long)] =
+      Incremental.readView(spark, snap).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = Map(
+      10L -> (2L, 11049L), // 100.50 and 9.99 → 10050 + 999 cents
+      11L -> (1L, 2025L),
+      12L -> (1L, 100L))
+    assert(viewRows == expected, s"merge-on-read view diverges: $viewRows")
+
+    // partials: customer 10 has one row per batch until compaction
+    assert(spark.table(snap).count() == 4)
+    Incremental.compact(spark, snap)
+    assert(spark.table(snap).count() == 3, "compaction must leave one row per key")
+    assert(viewRows == expected, "compaction must not change the view")
+  }
+}
