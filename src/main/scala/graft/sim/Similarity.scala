@@ -1171,6 +1171,53 @@ object Similarity {
           .as("cos"))
   }
 
+  /** HIERARCHICAL entry seeding for huge query tables (opt-in via
+    * [[nswBatchSearch]]'s `entryProbes`). Flat seeding scores every
+    * query against ALL H ≈ √n hubs — the quadratic corner of the batch
+    * probe at, say, 1M queries × 10k hubs. Here ⌈√H⌉ SUPER-HUBS (a
+    * deterministic stride over the hub table — IVF with unrefined
+    * centers; hubs are already cell-central, so a stride sample spreads
+    * over the space) route first: each query scores the super-hubs,
+    * keeps `probes`, and scores only the hubs ASSIGNED to those
+    * super-hubs (one broadcast nearest-super assignment, computed
+    * per call over the √n-row hub table). Per-query hub scores drop
+    * from H to ⌈√H⌉ + probes·H/⌈√H⌉ = O(n^(1/4)) — spec-measured. The
+    * beam may seed below `beam` rows; hops refill it.
+    */
+  private[graft] def nswHierarchicalSeeds(s: SparkSession, entryT: String,
+      q: DataFrame, beam: Int, probes: Int = 4): DataFrame = {
+    val hubs = s.table(entryT)
+      .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
+    val hcount = hubs.count()
+    val stride = math.max(1L, math.round(math.sqrt(hcount.toDouble)))
+    val supers = hubs
+      .withColumn("hrk", row_number().over(Window.orderBy(asc("node"))))
+      .filter(pmod(col("hrk"), lit(stride)) === lit(1L))
+      .select(col("node").as("gid"), col("embedding").as("ge"),
+        col("nrm").as("gn"))
+    val byHub = Window.partitionBy("node").orderBy(desc("gcos"), asc("gid"))
+    val assign = hubs.crossJoin(broadcast(supers))
+      .select(col("node"), col("embedding"), col("nrm"), col("gid"),
+        (VectorExprs.dotProduct(col("embedding"), col("ge")) /
+          (col("nrm") * col("gn"))).as("gcos"))
+      .withColumn("rk", row_number().over(byHub)).filter(col("rk") === 1)
+      .select("gid", "node", "embedding", "nrm")
+    val byQ = Window.partitionBy("qid").orderBy(desc("gcos"), asc("gid"))
+    val routed = q.crossJoin(broadcast(supers))
+      .select(col("qid"), col("qvec"), col("qnrm"), col("gid"),
+        (VectorExprs.dotProduct(col("qvec"), col("ge")) /
+          (col("qnrm") * col("gn"))).as("gcos"))
+      .withColumn("rk", row_number().over(byQ)).filter(col("rk") <= probes)
+      .select("qid", "qvec", "qnrm", "gid")
+    val byCos = Window.partitionBy("qid").orderBy(desc("cos"), asc("node"))
+    routed.join(broadcast(assign), "gid")
+      .select(col("qid"), col("node"),
+        (VectorExprs.dotProduct(col("embedding"), col("qvec")) /
+          (col("nrm") * col("qnrm"))).as("cos"))
+      .withColumn("rk", row_number().over(byCos)).filter(col("rk") <= beam)
+      .select(col("qid"), col("node"), col("cos"), lit(false).as("expanded"))
+  }
+
   /** Multi-query NSW probe: [[nswSearch]] for a query TABLE. The
     * per-query search state — beam (qid, node, cos, expanded) and
     * visited (qid, node) — lives in DataFrames, never on the driver, so
@@ -1194,22 +1241,27 @@ object Similarity {
     */
   def nswBatchSearch(s: SparkSession, d: String, queries: DataFrame, k: Int,
       beam: Int = 96, expand: Int = 8, maxHops: Int = 20,
-      tables: Option[(String, String)] = None): DataFrame = {
+      tables: Option[(String, String)] = None,
+      entryProbes: Option[Int] = None): DataFrame = {
     val (adjT, entryT) = tables.getOrElse(nswTables(s, d))
     val q = queries.select(col("qid"), col("qvec"),
       sqrt(VectorExprs.dotProduct(col("qvec"), col("qvec"))).as("qnrm")).cache()
     val byCos = Window.partitionBy("qid").orderBy(desc("cos"), asc("node"))
     // seed every query's WHOLE beam from the √n hub layer (one
     // broadcast-entry pass over the query table), exactly like the
-    // single-query take(beam)
+    // single-query take(beam) — or, for huge query tables, route
+    // through the super-hub layer first (entryProbes, O(n^1/4) hub
+    // scores per query instead of O(√n))
     val entry = s.table(entryT)
       .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
-    var beamDf = q.crossJoin(broadcast(entry))
-      .select(col("qid"), col("node"),
-        (VectorExprs.dotProduct(col("embedding"), col("qvec")) /
-          (col("nrm") * col("qnrm"))).as("cos"))
-      .withColumn("rk", row_number().over(byCos)).filter(col("rk") <= beam)
-      .select(col("qid"), col("node"), col("cos"), lit(false).as("expanded"))
+    var beamDf = entryProbes.map(p =>
+        nswHierarchicalSeeds(s, entryT, q, beam, p))
+      .getOrElse(q.crossJoin(broadcast(entry))
+        .select(col("qid"), col("node"),
+          (VectorExprs.dotProduct(col("embedding"), col("qvec")) /
+            (col("nrm") * col("qnrm"))).as("cos"))
+        .withColumn("rk", row_number().over(byCos)).filter(col("rk") <= beam)
+        .select(col("qid"), col("node"), col("cos"), lit(false).as("expanded")))
       .localCheckpoint()
     var visitedDf = beamDf.select("qid", "node").localCheckpoint()
     var hops = 0

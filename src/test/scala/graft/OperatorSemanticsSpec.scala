@@ -174,6 +174,64 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("hierarchical batch-NSW entry: recall holds while hub scores per query shrink") {
+    // sf0.1: ~71 hubs — the smallest corpus where a √H super-layer has
+    // room to undercut the flat entry (at sf0.01's 23 hubs the two
+    // tiers cost the same, which is itself the asymptotic point: the
+    // win GROWS with n)
+    val d = "/root/testdata/sf0.1"
+    val queries = Tables.embeddings(spark, d)
+      .filter(pmod(col("vec_id"), lit(53L)) === lit(1L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val probes = 4
+    val got = sim.Similarity
+      .nswBatchSearch(spark, d, queries, 10, entryProbes = Some(probes))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val emb = Tables.embeddings(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dd = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dd += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dd / math.sqrt(na * nb)
+    }
+    val qvecs = emb.filter(_._1 % 53 == 1)
+    val recalls = qvecs.map { case (qid, qv) =>
+      val exact = emb.map { case (id, v) => id -> cos(qv, v) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      exact.intersect(got.getOrElse(qid, Set.empty)).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.85, s"hierarchical-entry mean recall@10 $mean")
+
+    // accounting, independently re-derived: per-query hub scores under
+    // the stride-super routing = |supers| + Σ sizes of the probed
+    // groups, which must undercut the flat H hub scores per query
+    val (_, entryT) = sim.Similarity.nswTables(spark, d)
+    val hubs = emb.map(_._1).toSet
+      .intersect(spark.table(entryT).select("vec_id")
+        .collect().map(_.getLong(0)).toSet)
+      .toSeq.sorted
+    val hCount = hubs.length
+    val stride = math.max(1L, math.round(math.sqrt(hCount.toDouble)))
+    val supers = hubs.zipWithIndex
+      .collect { case (n, i) if (i + 1) % stride == 1 => n }
+    val hubVec = emb.toMap
+    def nearestSuper(h: Long) =
+      supers.map(g => g -> cos(hubVec(h), hubVec(g)))
+        .minBy { case (g, c) => (-c, g) }._1
+    val groupSize = hubs.groupBy(nearestSuper).map { case (g, m) => g -> m.size }
+    val scored = qvecs.map { case (_, qv) =>
+      val top = supers.map(g => g -> cos(qv, hubVec(g)))
+        .sortBy { case (g, c) => (-c, g) }.take(probes).map(_._1)
+      supers.length + top.map(groupSize).sum
+    }
+    val meanScored = scored.sum.toDouble / scored.length
+    info(f"mean recall@10 $mean%.3f; hub scores/query $meanScored%.1f vs flat $hCount")
+    assert(meanScored < 0.8 * hCount,
+      s"routing must undercut the flat entry: $meanScored vs $hCount")
+  }
+
   test("q105 hard negatives: labels differ, bounds hold, recall >= 0.8 vs exact") {
     val rows = sim.Similarity.q105.fn(spark, sfDir).collect()
     val emb = Tables.embeddings(spark, sfDir).collect()

@@ -28,6 +28,14 @@ class StreamMvSpec extends SparkSpec {
     import spark.implicits._
     val snap = "graft_test_mv_stream"
     spark.sql(s"DROP TABLE IF EXISTS $snap")
+    // a previous JVM's run leaves files under the warehouse path that
+    // THIS JVM's catalog has never heard of — the drop above can't see
+    // them, and the first append would land on top of stale data
+    val loc = Paths.get(
+      spark.sessionState.conf.warehousePath.stripPrefix("file:"), snap)
+    if (Files.exists(loc))
+      Files.walk(loc).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
     val mem = MemoryStream[(Long, Long, Double)]
     val stream = mem.toDF().toDF("o_orderkey", "o_custkey", "o_totalprice")
     val q = Incremental.refreshStream(stream, snap).start()
