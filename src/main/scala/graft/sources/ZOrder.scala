@@ -43,20 +43,30 @@ object ZOrder {
       lit(0L)), lit(cells))
   }
 
-  /** Write `df` to `path` as `files` parquet files z-ordered on
+  /** Write `df` to `path` as `files` parquet files clustered on
     * (`c1`, `c2`): one O(1)-row stats job, then a single range exchange
-    * on the z-value (the only shuffle) with an in-partition sort so
+    * on the curve value (the only shuffle) with an in-partition sort so
     * every file's footer carries a tight (c1, c2) bounding box.
+    * `curve`: "morton" (the bit-interleave above — cheapest, but a box
+    * straddling the space's center seam touches many curve segments) or
+    * "hilbert" (the codegen'd [[graft.functions.HilbertIndex]] walk —
+    * adjacent indices are always adjacent cells, no seam; preferred
+    * when hot predicates sit mid-range).
     */
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
-      files: Int, bits: Int = 16): Unit = {
+      files: Int, bits: Int = 16, curve: String = "morton"): Unit = {
     val st = df.agg(
       min(col(c1).cast("double")), max(col(c1).cast("double")),
       min(col(c2).cast("double")), max(col(c2).cast("double")))
       .take(1).head
-    val z = zValue2(
+    val (sx, sy) = (
       scaleTo(col(c1), st.getDouble(0), st.getDouble(1), bits),
-      scaleTo(col(c2), st.getDouble(2), st.getDouble(3), bits), bits)
+      scaleTo(col(c2), st.getDouble(2), st.getDouble(3), bits))
+    val z = curve match {
+      case "morton"  => zValue2(sx, sy, bits)
+      case "hilbert" => graft.functions.SpatialExprs.hilbertIndex(sx, sy, bits)
+      case other     => throw new IllegalArgumentException(s"unknown curve: $other")
+    }
     df.withColumn("_z", z)
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")

@@ -81,4 +81,46 @@ class ZOrderSpec extends SparkSpec {
     assert(st2 == files, "a partkey-sorted layout cannot skip on suppkey")
     assert(zt2 < st2, "z-order must beat the single-column sort on the second dim")
   }
+
+  test("HilbertIndex: codegen == interpreted, bijective over the grid, unit-step curve") {
+    import spark.implicits._
+    val bits = 5 // the full 32x32 grid, exhaustively
+    val cells = (0L until 32L).flatMap(x => (0L until 32L).map(y => (x, y)))
+    val viaSpark = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.SpatialExprs.hilbertIndex(col("x"), col("y"), bits).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cells.foreach { case (x, y) =>
+      assert(viaSpark((x, y)) == graft.functions.HilbertIndex.xy2d(x, y, bits),
+        s"codegen/interpreted divergence at ($x,$y)")
+    }
+    // bijection onto [0, 1024) and the defining locality property:
+    // consecutive indices are edge-adjacent cells (|dx|+|dy| == 1)
+    val byD = viaSpark.toSeq.map { case ((x, y), d) => d -> (x, y) }.sortBy(_._1)
+    assert(byD.map(_._1) == (0L until 1024L))
+    byD.map(_._2).sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
+
+  test("hilbert layout beats morton where morton is weakest: the center-seam box") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val base = java.nio.file.Files.createTempDirectory("hilbert").toString
+    val files = 16
+    ZOrder.writeZOrdered(li, s"$base/m", "l_partkey", "l_suppkey", files)
+    ZOrder.writeZOrdered(li, s"$base/h", "l_partkey", "l_suppkey", files,
+      curve = "hilbert")
+    // the centered box straddles Morton's high-bit seam in both dims
+    val (b1lo, b1hi, b2lo, b2hi) = (875L, 1125L, 43L, 56L)
+    def touched(path: String): Int = fileBoxes(path).count {
+      case (lo1, hi1, lo2, hi2) =>
+        !(hi1 < b1lo || lo1 > b1hi || hi2 < b2lo || lo2 > b2hi)
+    }
+    val (mt, ht) = (touched(s"$base/m"), touched(s"$base/h"))
+    info(s"center-box files touched: morton $mt/$files, hilbert $ht/$files")
+    assert(ht <= mt, s"hilbert must not lose to morton at the seam ($ht vs $mt)")
+    assert(ht <= files / 2, s"hilbert must localize the centered box ($ht/$files)")
+  }
 }
