@@ -709,7 +709,70 @@ object Relational {
       .orderBy("g_flag", "g_year", "returnflag", "shipyear")
   }
 
+  // q106 — DATA-QUALITY CONSTRAINT VALIDATION (the Deequ/expectations
+  // staple): a rule table over the fact table, verified in ONE corpus
+  // scan — every column rule is a conditional map-side sum in the same
+  // aggregate, so adding rules never adds passes — plus one broadcast
+  // anti-join for referential integrity (orphan lineitems). At 100 TB
+  // that is the only honest shape: N rules cost one scan, and the FK
+  // check streams the fact side against the broadcast key set. The
+  // oracle recomputes every count from scratch in DuckDB.
+  val q106: QueryDef = QueryDef.sql(
+    "q106_data_quality",
+    """WITH checks AS (
+      |  SELECT
+      |    CAST(COUNT(*) AS BIGINT) AS checked,
+      |    CAST(SUM(CASE WHEN NOT (l_quantity >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+      |    CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1) THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+      |    CAST(SUM(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+      |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
+      |    CAST(SUM(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R')) THEN 1 ELSE 0 END) AS BIGINT) AS v_flag
+      |  FROM lineitem),
+      |orphans AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n
+      |  FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |SELECT rule, violations, checked, violations = 0 AS pass FROM (
+      |  SELECT 'discount_in_unit_range' AS rule, v_disc AS violations, checked FROM checks
+      |  UNION ALL SELECT 'extendedprice_positive', v_price, checked FROM checks
+      |  UNION ALL SELECT 'orderkey_fk_orders', v, n FROM orphans
+      |  UNION ALL SELECT 'quantity_nonnegative', v_qty, checked FROM checks
+      |  UNION ALL SELECT 'returnflag_in_domain', v_flag, checked FROM checks
+      |  UNION ALL SELECT 'shipdate_not_null', v_ship, checked FROM checks)
+      |ORDER BY rule""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    def viol(name: String, bad: org.apache.spark.sql.Column) =
+      sum(when(bad, 1L).otherwise(0L)).as(name)
+    val checks = li.agg(
+      count(lit(1)).as("checked"),
+      viol("v_qty", !(col("l_quantity") >= 0)),
+      viol("v_disc", !(col("l_discount").between(0, 1))),
+      viol("v_price", !(col("l_extendedprice") > 0)),
+      viol("v_ship", col("l_shipdate").isNull),
+      viol("v_flag", !col("l_returnflag").isin("A", "N", "R")))
+    val orphans = li.select("l_orderkey")
+      .join(broadcast(Tables.orders(s, d).select("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .crossJoin(checks.select(col("checked").as("n")))
+    val unpivoted = checks.selectExpr(
+      "stack(5, " +
+        "'quantity_nonnegative', v_qty, " +
+        "'discount_in_unit_range', v_disc, " +
+        "'extendedprice_positive', v_price, " +
+        "'shipdate_not_null', v_ship, " +
+        "'returnflag_in_domain', v_flag) AS (rule, violations)",
+      "checked")
+      .unionByName(orphans.select(lit("orderkey_fk_orders").as("rule"),
+        col("v").as("violations"), col("n").as("checked")))
+    unpivoted
+      .select(col("rule"), col("violations"), col("checked"),
+        (col("violations") === 0L).as("pass"))
+      .orderBy("rule")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
-    q94, q95, q96, q97)
+    q94, q95, q96, q97, q106)
 }
