@@ -823,6 +823,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // q107 — CROSS-DOMAIN VOCABULARY OVERLAP via sketch set algebra: one
+  // pass builds a per-source HLL sketch of the term set (map-side
+  // mergeable, O(sketch) per source moved); every source PAIR is then
+  // pure sketch arithmetic — union via hll_union, intersection by
+  // inclusion-exclusion — with NO second corpus scan. The exact
+  // companions (distinct-term join counts) ride along at test scale so
+  // the estimates are verifiable in-row; at 100 TB only the sketch path
+  // survives, and the per-pair cost is O(1). Estimates → rows-only;
+  // the spec bounds relative error against the exact columns.
+  val q107: QueryDef = QueryDef.rowsOnly("q107_vocab_overlap") { (s, d) =>
+    // character 3-grams, not whitespace terms: the corpus draws every
+    // doc from one shared word list, so word vocabularies are identical
+    // across sources — but cross-word trigrams depend on word ORDER and
+    // give each source a large, partially-overlapping set worth
+    // estimating
+    val terms = Tables.documents(s, d)
+      .filter(expr("cast(substring(source, 4, 8) as int)") < 4)
+      .select(col("source"),
+        explode(VectorExprs.charNgrams(col("text"), 3)).as("term"))
+      .distinct()
+    val sk = terms.groupBy("source").agg(
+      expr("hll_sketch_agg(term)").as("sk"),
+      countDistinct(col("term")).as("exact_n"))
+    val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"),
+      col("exact_n").as("exact_a"))
+    val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"),
+      col("exact_n").as("exact_b"))
+    val exactInter = terms.select(col("source").as("src_a"), col("term"))
+      .join(terms.select(col("source").as("src_b"), col("term")), "term")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("exact_inter"))
+    a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      .withColumn("est_a", expr("hll_sketch_estimate(sk_a)"))
+      .withColumn("est_b", expr("hll_sketch_estimate(sk_b)"))
+      .withColumn("est_union",
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b))"))
+      .withColumn("est_inter",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .join(exactInter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+        col("exact_a"), col("exact_b"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+      .orderBy("src_a", "src_b")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q73, q76, q86, q87, q101, q103)
+    q69, q73, q76, q86, q87, q101, q103, q107)
 }

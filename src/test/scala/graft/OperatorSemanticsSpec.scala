@@ -266,6 +266,26 @@ class OperatorSemanticsSpec extends SparkSpec {
     info(f"hard negatives: ${recalls.length} queries, mean recall@5 $mean%.3f")
   }
 
+  test("q107 sketch set algebra: union/intersection estimates track the exact overlaps") {
+    val rows = text.TextAnalysis.q107.fn(spark, sfDir).collect()
+    assert(rows.length == 6) // C(4,2) source pairs
+    rows.foreach { r =>
+      val (ea, eb, eu, ei) = (r.getAs[Long]("est_a"), r.getAs[Long]("est_b"),
+        r.getAs[Long]("est_union"), r.getAs[Long]("est_inter"))
+      val (xa, xb, xi) = (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"),
+        r.getAs[Long]("exact_inter"))
+      def relErr(est: Long, exact: Long) =
+        math.abs(est - exact).toDouble / math.max(exact, 1L)
+      assert(relErr(ea, xa) <= 0.05 && relErr(eb, xb) <= 0.05,
+        s"per-source estimate drift: $ea/$xa, $eb/$xb")
+      assert(relErr(ei, xi) <= 0.10,
+        s"inclusion-exclusion intersection drift: $ei vs $xi")
+      // set-algebra sanity on the estimates themselves
+      assert(eu >= math.max(ea, eb) && eu <= ea + eb, s"union outside bounds: $eu")
+      assert(ei <= math.min(ea, eb), s"intersection above min: $ei")
+    }
+  }
+
   test("q76 sketch heavy hitters match exact counts and the exact top-k set") {
     val rows = text.TextAnalysis.q76Sketch(spark, sfDir).collect()
     assert(rows.length == 20)
