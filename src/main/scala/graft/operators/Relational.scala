@@ -772,7 +772,48 @@ object Relational {
       .orderBy("rule")
   }
 
+  // q108 — JOIN-KEY SKEW DIAGNOSIS: the report an engineer reads before
+  // choosing saltedJoin vs AQE skew-split (ScaleJoins). First level is
+  // the one real shuffle (count per key, map-side partials); everything
+  // after runs on the O(keys) count table — exact percentiles over
+  // counts, max/median skew factor, and the heavy-hitter keys that
+  // would own the hot partitions. Oracle recomputes the whole report.
+  val q108: QueryDef = QueryDef.sql(
+    "q108_skew_report",
+    """WITH c AS (
+      |  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY l_orderkey),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+      |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt) AS BIGINT) AS p50_cnt,
+      |    CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt) AS BIGINT) AS p99_cnt
+      |  FROM c),
+      |top AS (
+      |  SELECT k, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, k) AS INTEGER) AS rk
+      |  FROM c ORDER BY cnt DESC, k LIMIT 3)
+      |SELECT t.rk, t.k AS heavy_key, t.cnt AS heavy_cnt,
+      |  s.n_keys, s.max_cnt, s.p50_cnt, s.p99_cnt,
+      |  ROUND(CAST(s.max_cnt AS DOUBLE) / s.p50_cnt, 4) AS skew_factor
+      |FROM top t, s ORDER BY t.rk""".stripMargin) { (s, d) =>
+    val c = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cnt"))
+    val stats = c.agg(
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)").cast("bigint").as("p50_cnt"),
+      expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)").cast("bigint").as("p99_cnt"))
+    c.orderBy(desc("cnt"), asc("k")).limit(3)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("cnt"), asc("k"))).cast("int"))
+      .crossJoin(broadcast(stats))
+      .select(col("rk"), col("k").as("heavy_key"), col("cnt").as("heavy_cnt"),
+        col("n_keys"), col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+        round(col("max_cnt").cast("double") / col("p50_cnt"), 4).as("skew_factor"))
+      .orderBy("rk")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
-    q94, q95, q96, q97, q106)
+    q94, q95, q96, q97, q106, q108)
 }
