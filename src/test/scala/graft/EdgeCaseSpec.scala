@@ -188,4 +188,45 @@ class EdgeCaseSpec extends SparkSpec {
       List((0.12345678, 20L), (0.12345678, 21L)))
     assert(out.filter(_._1 == 3L).map(t => (t._3, t._4)) == List((0.7, 30L)))
   }
+
+  test("ZOrder degenerate inputs: constant dimension, single file, tiny table") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("zedge").toString
+    // constant second dimension: scale span guards against /0, every row
+    // quantizes to cell 0 on that axis, the write still round-trips
+    val const = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("a", "b")
+    graft.sources.ZOrder.writeZOrdered(const, s"$base/c", "a", "b", 2)
+    assert(spark.read.parquet(s"$base/c").count() == 3)
+    // one file requested: range partitioning to a single partition
+    val one = Seq((5L, 5L)).toDF("a", "b")
+    graft.sources.ZOrder.writeZOrdered(one, s"$base/o", "a", "b", 1, curve = "hilbert")
+    assert(spark.read.parquet(s"$base/o").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 5L)))
+  }
+
+  test("mergeAggregates edges: empty delta is identity, disjoint keys union") {
+    import spark.implicits._
+    val base = Seq((1L, 2L, 100L), (2L, 1L, 50L)).toDF("k", "n", "cents")
+    val emptyDelta = Seq.empty[(Long, Long, Long)].toDF("k", "n", "cents")
+    val same = graft.operators.Incremental
+      .mergeAggregates(base, emptyDelta, "k", Seq("n", "cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(same.toSeq == Seq((1L, 2L, 100L), (2L, 1L, 50L)))
+    val disjoint = Seq((3L, 4L, 7L)).toDF("k", "n", "cents")
+    val merged = graft.operators.Incremental
+      .mergeAggregates(base, disjoint, "k", Seq("n", "cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(merged.toSeq == Seq((1L, 2L, 100L), (2L, 1L, 50L), (3L, 4L, 7L)))
+  }
+
+  test("HilbertIndex null and boundary behavior") {
+    import spark.implicits._
+    val df = Seq((Some(0L), Some(0L)), (Some(31L), Some(31L)), (None, Some(1L)))
+      .toDF("x", "y")
+    val out = df.select(
+      graft.functions.SpatialExprs.hilbertIndex(col("x"), col("y"), 5).as("d"))
+      .collect()
+    assert(out(0).getLong(0) == 0L)              // origin is curve start
+    assert(!out(1).isNullAt(0) && out(1).getLong(0) < 1024L)
+    assert(out(2).isNullAt(0), "null input must yield null, not a crash")
+  }
 }
