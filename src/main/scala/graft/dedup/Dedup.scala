@@ -909,6 +909,52 @@ object Dedup {
         (count(lit(1)) - count_distinct(col("h"))).cast("long").as("n_exact_dups"))
   }
 
+  // q109 — EDIT-DISTANCE near-dup verification: the same LSH candidate
+  // funnel as q41 (band value is the shuffle key, ids-only pair join),
+  // reranked by exact Levenshtein distance instead of n-gram Jaccard —
+  // the check a pipeline runs when "near duplicate" must mean "few
+  // character edits" (templated spam, boilerplate variants), not just
+  // shared shingles. One codegen'd levenshtein per CANDIDATE pair —
+  // the corpus never enters a pair join. Integer distances → the
+  // DuckDB oracle replays the whole funnel hash-exactly.
+  val q109: QueryDef = QueryDef.sql(
+    "q109_dedup_edit_distance",
+    s"""WITH $minhashBandedDuck,
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist
+      |FROM cand c JOIN documents da ON c.id_a = da.doc_id
+      |            JOIN documents db ON c.id_b = db.doc_id
+      |WHERE levenshtein(da.text, db.text) <= 40
+      |ORDER BY edit_dist, id_a, id_b
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val banded = bandedCached(s, d).select("doc_id", "band", "key")
+    val cand = banded.select(col("band"), col("key"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("key"), col("doc_id").as("id_b")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+      // both pruning steps are semantically free against the ≤40 gate:
+      // a length gap > 40 already implies distance > 40, and the
+      // THRESHOLD levenshtein runs the banded O(k·len) DP with early
+      // exit (-1 past the bound) instead of the full O(len²) table —
+      // 24 s → ~1 s at sf0.1 over the same candidates
+      .filter(abs(length(col("text_a")) - length(col("text_b"))) <= 40)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b"), 40).cast("int").as("edit_dist"))
+      .filter(col("edit_dist") =!= -1)
+      .orderBy(asc("edit_dist"), asc("id_a"), asc("id_b"))
+      .limit(50)
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q75, q99)
+    q49, q75, q99, q109)
 }
