@@ -813,7 +813,36 @@ object Relational {
       .orderBy("rk")
   }
 
+  // q110 — SCD2 DIMENSION HISTORY: the slowly-changing-dimension build.
+  // Each order is a state change for its customer; the history table
+  // assigns every version a [valid_from, valid_to) interval via lead()
+  // over the per-customer timeline, open-ended (is_current) on the
+  // latest. One window shuffle on the dimension key — at 100 TB the
+  // history build shuffles the CHANGE LOG, never a fact table. Interval
+  // edges leave as formatted strings so both engines hash identically.
+  val q110: QueryDef = QueryDef.sql(
+    "q110_scd2_history",
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+      |  coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+      |  (lead(o_orderdate) OVER w IS NULL) AS is_current,
+      |  round(o_totalprice, 2) AS state_totalprice
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("nxt", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("nxt"), "yyyy-MM-dd"), lit("9999-12-31"))
+          .as("valid_to"),
+        col("nxt").isNull.as("is_current"),
+        round(col("o_totalprice"), 2).as("state_totalprice"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
-    q94, q95, q96, q97, q106, q108)
+    q94, q95, q96, q97, q106, q108, q110)
 }
