@@ -842,7 +842,53 @@ object Relational {
       .orderBy("o_custkey", "valid_from", "o_orderkey")
   }
 
+  // q111 — TABLE DIFF / CDC EXTRACTION: given two snapshots of a keyed
+  // table, emit the change set (insert / update / delete with old and
+  // new values) — what a data platform computes when upstream can't
+  // produce a change log. Both snapshots are deterministic slices of
+  // orders (old: keys %10 != 0; new: keys %10 != 1, prices drifted on
+  // %7 == 0), so the oracle constructs them identically. ONE full-outer
+  // shuffle join on the key; change classification is a projection. At
+  // scale both sides would be bucketed on the key (q104's snapshot
+  // treatment) and the join goes exchange-free.
+  val q111: QueryDef = QueryDef.sql(
+    "q111_table_diff",
+    """WITH old_snap AS (
+      |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+      |  FROM orders WHERE o_orderkey % 10 != 0),
+      |new_snap AS (
+      |  SELECT o_orderkey AS k,
+      |    round(o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 10.0 ELSE 0.0 END, 2) AS price
+      |  FROM orders WHERE o_orderkey % 10 != 1)
+      |SELECT coalesce(o.k, n.k) AS k,
+      |  CASE WHEN o.k IS NULL THEN 'insert'
+      |       WHEN n.k IS NULL THEN 'delete'
+      |       ELSE 'update' END AS change_type,
+      |  o.price AS old_price, n.price AS new_price
+      |FROM old_snap o FULL OUTER JOIN new_snap n ON o.k = n.k
+      |WHERE o.k IS NULL OR n.k IS NULL OR o.price != n.price
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val oldSnap = orders.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice"), 2).as("old_price"))
+    val newSnap = orders.filter(col("o_orderkey") % 10 =!= 1)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") +
+          when(col("o_orderkey") % 7 === 0, 10.0).otherwise(0.0), 2)
+          .as("new_price"))
+    oldSnap.join(newSnap, Seq("k"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_price").isNull, "insert")
+          .when(col("new_price").isNull, "delete")
+          .otherwise("update"))
+      .filter(col("old_price").isNull || col("new_price").isNull ||
+        col("old_price") =!= col("new_price"))
+      .select(col("k"), col("change_type"), col("old_price"), col("new_price"))
+      .orderBy("k")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
-    q94, q95, q96, q97, q106, q108, q110)
+    q94, q95, q96, q97, q106, q108, q110, q111)
 }
