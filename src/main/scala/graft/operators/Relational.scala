@@ -888,7 +888,61 @@ object Relational {
       .orderBy("k")
   }
 
+  // q112 — MULTI-TOUCH ATTRIBUTION: every purchase's value is shared
+  // across the user's view touches in the trailing 1-day window —
+  // linear credit (value/n per touch, one IEEE division per row, so no
+  // rounding is needed for engine parity) plus a recency rank that a
+  // position-weighted model would consume. Purchases with no touches
+  // surface as rank-0 orphan rows (left join), which is the number a
+  // marketing pipeline actually audits. The user-keyed range join is
+  // the q82 interval shape run as a batch; the per-purchase window runs
+  // over the O(purchases × touches-in-window) join output, never the
+  // raw event stream.
+  val q112: QueryDef = QueryDef.sql(
+    "q112_touch_attribution",
+    """WITH p AS (
+      |  SELECT event_id AS pid, user_id, ts AS pts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT event_id AS tid, user_id, ts AS tts
+      |  FROM events WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT p.user_id, p.pid, p.value, t.tid, t.tts
+      |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+      |    AND t.tts >= p.pts - INTERVAL 1 DAY AND t.tts < p.pts),
+      |r AS (
+      |  SELECT user_id, pid, tid,
+      |    CASE WHEN tid IS NULL THEN 0 ELSE
+      |      CAST(row_number() OVER (PARTITION BY pid ORDER BY tts DESC, tid) AS INTEGER)
+      |    END AS touch_rank,
+      |    CAST(COUNT(tid) OVER (PARTITION BY pid) AS INTEGER) AS n_touches,
+      |    value
+      |  FROM j)
+      |SELECT user_id, pid, tid, touch_rank, n_touches,
+      |  value / nullif(n_touches, 0) AS credit
+      |FROM r ORDER BY pid, touch_rank""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").as("pts"), col("value"))
+    val t = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("tid"), col("user_id").as("t_user"),
+        col("ts").as("tts"))
+    val byRecency = Window.partitionBy("pid").orderBy(desc("tts"), asc("tid"))
+    p.join(t, col("user_id") === col("t_user") &&
+        col("tts") >= col("pts") - expr("INTERVAL 1 DAY") &&
+        col("tts") < col("pts"), "left")
+      .withColumn("n_touches", count("tid").over(Window.partitionBy("pid")).cast("int"))
+      .withColumn("touch_rank",
+        when(col("tid").isNull, 0)
+          .otherwise(row_number().over(byRecency)).cast("int"))
+      .select(col("user_id"), col("pid"), col("tid"),
+        col("touch_rank"), col("n_touches"),
+        (col("value") / nullif(col("n_touches"), lit(0))).as("credit"))
+      .orderBy("pid", "touch_rank")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
-    q94, q95, q96, q97, q106, q108, q110, q111)
+    q94, q95, q96, q97, q106, q108, q110, q111, q112)
 }
