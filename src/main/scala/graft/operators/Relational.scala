@@ -942,7 +942,43 @@ object Relational {
       .orderBy("pid", "touch_rank")
   }
 
+  // q113 — EVENT TRANSITION MATRIX (first-order Markov model of user
+  // behavior): consecutive same-user events within a 30-minute gap form
+  // a transition; counts normalize per from-state into probabilities.
+  // One window shuffle on user (the sequence), one tiny groupBy on the
+  // (from, to) pairs — the model itself is O(|event types|²) rows no
+  // matter the corpus. Probabilities are one BIGINT/DOUBLE division per
+  // output row, so the oracle hash-matches unrounded.
+  val q113: QueryDef = QueryDef.sql(
+    "q113_transition_matrix",
+    """WITH seq AS (
+      |  SELECT event_type AS from_t,
+      |    lead(event_type) OVER w AS to_t,
+      |    ts, lead(ts) OVER w AS to_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |c AS (
+      |  SELECT from_t, to_t, CAST(count(*) AS BIGINT) AS n
+      |  FROM seq
+      |  WHERE to_t IS NOT NULL AND to_ts <= ts + INTERVAL 30 MINUTE
+      |  GROUP BY from_t, to_t)
+      |SELECT from_t, to_t, n,
+      |  n / CAST(SUM(n) OVER (PARTITION BY from_t) AS DOUBLE) AS p
+      |FROM c ORDER BY from_t, to_t""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val c = Tables.events(s, d)
+      .select(col("event_type").as("from_t"), col("ts"),
+        lead(col("event_type"), 1).over(w).as("to_t"),
+        lead(col("ts"), 1).over(w).as("to_ts"))
+      .filter(col("to_t").isNotNull &&
+        col("to_ts") <= col("ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy("from_t", "to_t").agg(count(lit(1)).as("n"))
+    c.withColumn("p",
+        col("n") / sum("n").over(Window.partitionBy("from_t")).cast("double"))
+      .orderBy("from_t", "to_t")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
-    q94, q95, q96, q97, q106, q108, q110, q111, q112)
+    q94, q95, q96, q97, q106, q108, q110, q111, q112, q113)
 }
