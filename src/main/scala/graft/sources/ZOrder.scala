@@ -32,6 +32,38 @@ object ZOrder {
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
 
+  /** N-dimensional Morton interleave: bit i of dimension j lands at
+    * position i·n + j. `bits · dims` must fit a long's 63 value bits.
+    */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    require(bits * dims.length <= 63, s"$bits bits x ${dims.length} dims overflows a long")
+    val n = dims.length
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      dims.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      }
+    }
+  }
+
+  /** [[writeZOrdered]] over ANY number of dimensions (Morton only —
+    * the Hilbert walk here is 2-D). Same contract: one stats job, one
+    * range exchange, sorted files with tight N-D bounding boxes.
+    */
+  def writeZOrderedN(df: DataFrame, path: String, cols: Seq[String],
+      files: Int, bits: Int = 16): Unit = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val st = df.agg(aggs.head, aggs.tail: _*).take(1).head
+    val scaled = cols.zipWithIndex.map { case (c, j) =>
+      scaleTo(col(c), st.getDouble(2 * j), st.getDouble(2 * j + 1), bits)
+    }
+    df.withColumn("_z", zValueN(scaled, bits))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Scale a numeric column into [0, 2^bits) from its (lo, hi) stats —
     * the quantized coordinate the curve interleaves.
     */

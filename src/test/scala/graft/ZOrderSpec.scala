@@ -104,6 +104,32 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("3-D morton layout localizes a 3-D box; hash layout cannot") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val base = java.nio.file.Files.createTempDirectory("z3").toString
+    val files = 16
+    ZOrder.writeZOrderedN(li, s"$base/z",
+      Seq("l_partkey", "l_suppkey", "l_quantity"), files)
+    li.repartition(files).write.mode("overwrite").parquet(s"$base/h")
+    def boxes3(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_partkey").as("lo1"), max("l_partkey").as("hi1"),
+        min("l_suppkey").as("lo2"), max("l_suppkey").as("hi2"),
+        min("l_quantity").as("lo3"), max("l_quantity").as("hi3"))
+      .collect()
+    // the first eighth of each dimension — 1/512 of the key volume
+    def touched(path: String): Int = boxes3(path).count { r =>
+      !(r.getLong(2) < 0L || r.getLong(1) > 250L ||
+        r.getLong(4) < 0L || r.getLong(3) > 12L ||
+        r.getDouble(6) < 1.0 || r.getDouble(5) > 7.0)
+    }
+    val (zt, ht) = (touched(s"$base/z"), touched(s"$base/h"))
+    info(s"3-D box files touched: z-order $zt/$files, hash $ht/$files")
+    assert(zt <= files / 2, s"3-D z-order must localize the box ($zt/$files)")
+    assert(ht >= files - 1, s"hash layout should smear ($ht/$files)")
+  }
+
   test("hilbert layout beats morton where morton is weakest: the center-seam box") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
       .select("l_partkey", "l_suppkey", "l_quantity")
