@@ -133,6 +133,41 @@ object Events {
       }
   }
 
+  case class TypedEv(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  case class TransState(lastUs: Long, lastType: String, lastId: Long)
+  case class Transition(user_id: Long, from_t: String, to_t: String)
+
+  /** STREAMING transition extraction — q113's live sibling: each
+    * same-user consecutive event pair within the 30-min gap emits one
+    * (from, to) transition AS IT ARRIVES, ready for a downstream
+    * windowed count (the Markov matrix maintains itself). State per
+    * user is exactly ONE event (the latest) — the smallest stateful
+    * streaming operator in the engine; the sessionizeStream per-batch
+    * sort handles intra-batch disorder, and like q81's contract,
+    * cross-batch order is the source's responsibility (a watermarked
+    * upstream dedup/sort feeds this in production). Spec asserts the
+    * transition multiset equals batch q113's counts on the same rows
+    * across arbitrary batch splits.
+    */
+  def transitionStream(events: Dataset[TypedEv]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TypedEv], state: GroupState[TransState]) =>
+          var st = state.getOption.getOrElse(TransState(Long.MinValue, null, -1L))
+          val out = List.newBuilder[Transition]
+          batch.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (st.lastType != null && e.ts_us - st.lastUs <= GapUs)
+              out += Transition(uid, st.lastType, e.event_type)
+            st = TransState(e.ts_us, e.event_type, e.event_id)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Stream-static enrichment: a streaming event feed joined to a static
     * (broadcast) dimension — the standard shape for attaching reference
     * data to a stream without state.

@@ -99,6 +99,43 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(1) == Session(1L, 2, 12L, 1, 4.0))
   }
 
+  test("transitionStream matches the batch transition counts across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import Events.{TypedEv, Transition}
+    val m = 60000000L // 1 min in us
+    // two users, one >30-min gap (no transition across it), arbitrary
+    // split points; intra-batch arrival order scrambled
+    val evs = Seq(
+      TypedEv(1L, 0 * m, 1L, "view"), TypedEv(1L, 5 * m, 2L, "click"),
+      TypedEv(1L, 8 * m, 3L, "purchase"),
+      TypedEv(1L, 120 * m, 4L, "view"), // gap: no transition from id 3
+      TypedEv(1L, 125 * m, 5L, "purchase"),
+      TypedEv(2L, 2 * m, 6L, "signup"), TypedEv(2L, 3 * m, 7L, "view"))
+    val mem = MemoryStream[TypedEv]
+    val q = Events.transitionStream(mem.toDS()).writeStream
+      .format("memory").queryName("transitions")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    mem.addData(evs(1), evs(0)) // scrambled within the batch
+    q.processAllAvailable()
+    mem.addData(evs(2), evs(5))
+    q.processAllAvailable()
+    mem.addData(evs(3), evs(4), evs(6))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("transitions").as[Transition].collect()
+      .groupBy(identity).map { case (t, a) => t -> a.length }
+    // batch reference: per-user time order, pairs within the 30-min gap
+    val ref = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+      es.sortBy(e => (e.ts_us, e.event_id)).sliding(2).collect {
+        case Seq(a, b) if b.ts_us - a.ts_us <= 1800000000L =>
+          Transition(u, a.event_type, b.event_type)
+      }
+    }.groupBy(identity).map { case (t, a) => t -> a.length }
+    assert(got == ref, s"stream $got != batch $ref")
+    assert(got.values.sum == 4) // user 1: 3 (the 112-min gap splits), user 2: 1
+  }
+
   test("windowed agg drops events later than the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
