@@ -168,6 +168,35 @@ object Events {
       }
   }
 
+  case class QuotaDoc(doc_id: Long, source: String, n_tok: Int)
+  case class QuotaState(cum: Long)
+
+  /** STREAMING quota admission — the token-budget rule (q103's greedy
+    * `cum − n_tok < quota`, crossing doc admitted) enforced per source
+    * AS DOCUMENTS ARRIVE: an ingestion valve that stops pulling from a
+    * source the moment its budget fills, instead of over-ingesting and
+    * trimming offline. Admission is arrival-ordered (per-batch doc_id
+    * sort) rather than q103's quality-ordered — the live/offline trade
+    * documented on both. State per source is ONE counter; a source past
+    * its quota admits nothing ever after, so state is also final.
+    */
+  def quotaAdmitStream(docs: Dataset[QuotaDoc], quota: Long): Dataset[QuotaDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[QuotaState, QuotaDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[QuotaDoc], state: GroupState[QuotaState]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = List.newBuilder[QuotaDoc]
+          batch.toArray.sortBy(_.doc_id).foreach { d =>
+            if (cum < quota) { out += d; cum += d.n_tok }
+          }
+          state.update(QuotaState(cum))
+          out.result().iterator
+      }
+  }
+
   /** Stream-static enrichment: a streaming event feed joined to a static
     * (broadcast) dimension — the standard shape for attaching reference
     * data to a stream without state.

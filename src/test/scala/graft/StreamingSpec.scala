@@ -136,6 +136,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.sum == 4) // user 1: 3 (the 112-min gap splits), user 2: 1
   }
 
+  test("quotaAdmitStream: per-source budget valve matches the greedy batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import Events.QuotaDoc
+    val docs = Seq(
+      QuotaDoc(1L, "a", 40), QuotaDoc(2L, "a", 40), QuotaDoc(3L, "a", 40),
+      QuotaDoc(4L, "a", 10), // source a is past quota: never admitted
+      QuotaDoc(5L, "b", 90), QuotaDoc(6L, "b", 50), // 6 is the crossing doc
+      QuotaDoc(7L, "b", 1))  // past quota
+    val mem = MemoryStream[QuotaDoc]
+    val q = Events.quotaAdmitStream(mem.toDS(), quota = 100L).writeStream
+      .format("memory").queryName("admitted")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    mem.addData(docs(1), docs(0), docs(4)) // scrambled arrival
+    q.processAllAvailable()
+    mem.addData(docs(2), docs(5))
+    q.processAllAvailable()
+    mem.addData(docs(3), docs(6))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("admitted").as[QuotaDoc].collect().map(_.doc_id).toSet
+    // greedy batch replay in the same per-source doc_id order
+    val ref = docs.groupBy(_.source).values.flatMap { ds =>
+      var cum = 0L
+      ds.sortBy(_.doc_id).flatMap { d =>
+        if (cum < 100L) { cum += d.n_tok; Some(d.doc_id) } else None
+      }
+    }.toSet
+    assert(got == ref, s"stream $got != batch $ref")
+    assert(got == Set(1L, 2L, 3L, 5L, 6L))
+  }
+
   test("windowed agg drops events later than the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
