@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
 import graft.functions.VectorExprs
 
@@ -955,6 +956,108 @@ object Dedup {
       .limit(50)
   }
 
+  // q115 — the CURATION FUNNEL end to end: quality gate → exact dedup
+  // (keep-first per content hash) → decontamination (any shared
+  // eval 20-gram drops the doc; the eval slice itself leaves the
+  // corpus) → weighted token-budget fill — each stage the operator the
+  // catalog already verifies in isolation (q61/q40/q47/q103), composed
+  // into ONE plan whose per-stage (docs, tokens) funnel the oracle
+  // replays hash-exactly. This is the "engine as a pipeline" proof:
+  // stages chain as DataFrames with no materialization between them,
+  // and every scale posture (broadcast eval grams, content-hash
+  // keep-first, budget window) carries over unchanged. The budget
+  // window here is the naive per-source form — survivors are already
+  // quota-bounded by the upstream gates; q103 holds the histogram-prune
+  // scale path for budget-filling a RAW corpus.
+  val q115: QueryDef = QueryDef.sql(
+    "q115_curation_funnel",
+    """WITH q AS (
+      |  SELECT doc_id, source, text,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      t -> t = 'the' OR t = 'a' OR t = 'value')) AS n_stop
+      |  FROM documents),
+      |quality AS (
+      |  SELECT * FROM q
+      |  WHERE n_tok >= 20 AND length(text) >= 100 AND n_stop > 0),
+      |dedup AS (
+      |  SELECT * FROM quality WHERE doc_id IN
+      |    (SELECT min(doc_id) FROM quality GROUP BY md5(text))),
+      |eg AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, length(text) - 18),
+      |    i -> substr(text, CAST(i AS INT), 20)))) AS gram
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |conta AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(text) - 18),
+      |      i -> substr(text, CAST(i AS INT), 20)))) AS gram
+      |    FROM dedup WHERE doc_id % 50 != 0) t JOIN eg USING (gram)),
+      |decon AS (
+      |  SELECT * FROM dedup WHERE doc_id % 50 != 0
+      |    AND doc_id NOT IN (SELECT doc_id FROM conta)),
+      |tot AS (SELECT SUM(n_tok) AS tt FROM decon),
+      |win AS (
+      |  SELECT d.*, FLOOR(0.25 * tt * ((CAST(substr(source, 4) AS INTEGER) % 4) + 1) / 50.0) AS quota,
+      |    SUM(n_tok) OVER (PARTITION BY source
+      |      ORDER BY CAST(ROUND(1000.0 * n_stop / n_tok) AS INTEGER) DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM decon d, tot),
+      |budget AS (SELECT * FROM win WHERE cum - n_tok < quota)
+      |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens
+      |FROM (
+      |  SELECT '0_corpus' AS stage, count(*) AS n_docs, SUM(n_tok) AS n_tokens FROM q
+      |  UNION ALL SELECT '1_quality', count(*), SUM(n_tok) FROM quality
+      |  UNION ALL SELECT '2_exact_dedup', count(*), SUM(n_tok) FROM dedup
+      |  UNION ALL SELECT '3_decontaminated', count(*), SUM(n_tok) FROM decon
+      |  UNION ALL SELECT '4_token_budget', count(*), SUM(n_tok) FROM budget)
+      |ORDER BY stage""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = "split(trim(text), '\\\\s+')"
+    val q = docs.select(col("doc_id"), col("source"), col("text"),
+      expr(s"size($toks)").as("n_tok"),
+      expr(s"size(filter($toks, t -> t = 'the' OR t = 'a' OR t = 'value'))")
+        .as("n_stop"))
+    val quality = q.filter(col("n_tok") >= 20 &&
+      length(col("text")) >= 100 && col("n_stop") > 0)
+    val keepFirst = quality.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val dedup = quality.join(keepFirst, Seq("doc_id"), "left_semi")
+    val evalGrams = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(array_distinct(
+        VectorExprs.charNgrams(col("text"), 20))).as("gram"))
+      .distinct()
+    val nonEval = dedup.filter(col("doc_id") % 50 =!= 0)
+    val conta = nonEval
+      .select(col("doc_id"), explode(array_distinct(
+        VectorExprs.charNgrams(col("text"), 20))).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .select("doc_id").distinct()
+    val decon = nonEval.join(conta, Seq("doc_id"), "left_anti")
+    val tt = decon.agg(sum("n_tok")).take(1).head.getAs[Long](0)
+    val byQ = Window.partitionBy("source")
+      .orderBy(desc("qkey"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = decon
+      .withColumn("qkey",
+        expr("cast(round(1000.0 * n_stop / n_tok) as int)"))
+      .withColumn("cum", sum("n_tok").over(byQ))
+      .withColumn("quota", floor(lit(0.25) * lit(tt) *
+        (expr("cast(substring(source, 4, 8) as int)") % 4 + 1) / lit(50.0)))
+      .filter(col("cum") - col("n_tok") < col("quota"))
+    def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("nd"), sum("n_tok").as("nt"))
+        .select(lit(name).as("stage"),
+          col("nd").cast("bigint").as("n_docs"),
+          col("nt").cast("bigint").as("n_tokens"))
+    stage("0_corpus", q)
+      .unionByName(stage("1_quality", quality))
+      .unionByName(stage("2_exact_dedup", dedup))
+      .unionByName(stage("3_decontaminated", decon))
+      .unionByName(stage("4_token_budget", budget))
+      .orderBy("stage")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q75, q99, q109)
+    q49, q75, q99, q109, q115)
 }
