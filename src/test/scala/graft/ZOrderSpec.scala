@@ -130,6 +130,16 @@ class ZOrderSpec extends SparkSpec {
     assert(ht >= files - 1, s"hash layout should smear ($ht/$files)")
   }
 
+  test("zValueN is a bijection onto the cube (exhaustive 8x8x8)") {
+    import spark.implicits._
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L; z <- 0L until 8L)
+      yield (x, y, z)
+    val vals = cells.toDF("x", "y", "z")
+      .select(ZOrder.zValueN(Seq(col("x"), col("y"), col("z")), 3).as("d"))
+      .collect().map(_.getLong(0)).sorted
+    assert(vals.toSeq == (0L until 512L), "3-D morton must hit every cell index once")
+  }
+
   test("hilbert layout beats morton where morton is weakest: the center-seam box") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
       .select("l_partkey", "l_suppkey", "l_quantity")
