@@ -19,16 +19,21 @@ import graft.{QueryDef, Tables}
 object Incremental {
 
   /** Merge two per-key partial-aggregate sets: full-outer on `key`,
-    * every measure coalesced-added. Columns must match by name.
+    * every measure coalesced-added. Columns must match by name. The
+    * outer-side zero is cast to each measure's OWN dataType (read off
+    * the base schema) so a double measure merges as a double — a bare
+    * `lit(0L)` would silently widen/narrow through an implicit cast.
     */
   def mergeAggregates(base: DataFrame, delta: DataFrame, key: String,
       measures: Seq[String]): DataFrame = {
+    val zeros = measures.map(m =>
+      m -> lit(0).cast(base.schema(m).dataType)).toMap
     val d = measures.foldLeft(delta) { (df, m) =>
       df.withColumnRenamed(m, s"_d_$m")
     }
     measures.foldLeft(base.join(d, Seq(key), "full_outer")) { (df, m) =>
       df.withColumn(m,
-        coalesce(col(m), lit(0L)) + coalesce(col(s"_d_$m"), lit(0L)))
+        coalesce(col(m), zeros(m)) + coalesce(col(s"_d_$m"), zeros(m)))
     }.select(key, measures: _*)
   }
 
@@ -92,18 +97,41 @@ object Incremental {
     * rows (O(batch) work, existing files never rewritten — the
     * appendToIndexTable posture), [[readView]] compacts per key at read
     * time, and a periodic offline [[compact]] (the q104 merge) bounds
-    * the partial count. Append atomicity makes replays safe to reason
-    * about: a batch lands once per successful epoch.
+    * the partial count. Each batch's partials land under a `batch_id`
+    * PARTITION via [[appendBatch]], which makes the append idempotent:
+    * foreachBatch is at-least-once (a crash between the write and the
+    * checkpoint commit replays the batch on restart), and the replay
+    * finds its own id already present and skips — exactly-once table
+    * contents without rewriting any committed file.
     */
   def refreshStream(orderStream: DataFrame, snapTable: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     orderStream.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          orderAgg(batch).write.mode("append")
-            .format("parquet").saveAsTable(snapTable)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, batchId, snapTable)
       }
+
+  /** Idempotent per-batch append: skip if this `batchId`'s partition
+    * already exists (the partition column doubles as the committed-id
+    * ledger; the existence probe is partition-pruned, so it lists one
+    * directory, not the table). Replays of compacted-away ids can't
+    * occur in practice: [[compact]] is offline maintenance over batches
+    * the checkpoint has already committed, and committed ids never
+    * replay.
+    */
+  private[graft] def appendBatch(batch: DataFrame, batchId: Long,
+      snapTable: String): Unit = {
+    if (!batch.isEmpty) {
+      val s = batch.sparkSession
+      val seen = s.catalog.tableExists(snapTable) &&
+        !s.table(snapTable).filter(col("batch_id") === batchId).isEmpty
+      if (!seen)
+        orderAgg(batch).withColumn("batch_id", lit(batchId))
+          .write.mode("append").format("parquet")
+          .partitionBy("batch_id").saveAsTable(snapTable)
+    }
+  }
 
   /** The view over base-plus-partials: one groupBy over the partials
     * table — at scale the table holds one row per key per un-compacted
@@ -114,13 +142,18 @@ object Incremental {
       sum("n_orders").as("n_orders"),
       sum("total_cents").as("total_cents"))
 
-  /** Offline compaction: collapse the partials to one row per key. The
+  /** Offline compaction: collapse the partials to one row per key,
+    * parked under the reserved `batch_id = -1` partition (stream batch
+    * ids are ≥ 0) so the table keeps its partition layout and
+    * [[appendBatch]]'s idempotence probe keeps working afterwards. The
     * localCheckpoint materializes the compacted rows and truncates
     * lineage so the overwrite doesn't read the files it replaces.
     */
   def compact(s: SparkSession, snapTable: String): Unit = {
-    readView(s, snapTable).localCheckpoint()
-      .write.mode("overwrite").format("parquet").saveAsTable(snapTable)
+    readView(s, snapTable).withColumn("batch_id", lit(-1L))
+      .localCheckpoint()
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("batch_id").saveAsTable(snapTable)
     ()
   }
 

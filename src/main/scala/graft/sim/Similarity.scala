@@ -1190,9 +1190,13 @@ object Similarity {
       .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
     val hcount = hubs.count()
     val stride = math.max(1L, math.round(math.sqrt(hcount.toDouble)))
+    // hrk is 1-based, so (hrk - 1) % stride == 0 keeps every stride'th
+    // hub STARTING FROM THE FIRST — and degrades correctly to "every
+    // hub" at stride == 1, where the old `hrk % stride === 1` form
+    // matched nothing (x % 1 is always 0) and silently emptied the beam
     val supers = hubs
       .withColumn("hrk", row_number().over(Window.orderBy(asc("node"))))
-      .filter(pmod(col("hrk"), lit(stride)) === lit(1L))
+      .filter(pmod(col("hrk") - 1, lit(stride)) === lit(0L))
       .select(col("node").as("gid"), col("embedding").as("ge"),
         col("nrm").as("gn"))
     val byHub = Window.partitionBy("node").orderBy(desc("gcos"), asc("gid"))

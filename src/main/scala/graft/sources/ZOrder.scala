@@ -50,18 +50,38 @@ object ZOrder {
     * range exchange, sorted files with tight N-D bounding boxes.
     */
   def writeZOrderedN(df: DataFrame, path: String, cols: Seq[String],
-      files: Int, bits: Int = 16): Unit = {
-    val aggs = cols.flatMap(c =>
+      files: Int, bits: Int = 16): Unit =
+    statsFor(df, cols) match {
+      case None => df.limit(0).write.mode("overwrite").parquet(path)
+      case Some(ranges) =>
+        val scaled = cols.zip(ranges).map { case (c, (lo, hi)) =>
+          scaleTo(col(c), lo, hi, bits)
+        }
+        df.withColumn("_z", zValueN(scaled, bits))
+          .repartitionByRange(files, col("_z"))
+          .sortWithinPartitions("_z")
+          .drop("_z")
+          .write.mode("overwrite").parquet(path)
+    }
+
+  /** One stats job for the clustering columns, guarding the degenerate
+    * inputs the curve can't scale: an EMPTY input returns None (caller
+    * short-circuits to an empty write — a valid table, zero files of
+    * data), and an entirely-null clustering column fails loudly BY NAME
+    * instead of NPE-ing inside `getDouble` on the null min.
+    */
+  private def statsFor(df: DataFrame, cols: Seq[String])
+      : Option[Seq[(Double, Double)]] = {
+    val aggs = count(lit(1)) +: cols.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val st = df.agg(aggs.head, aggs.tail: _*).take(1).head
-    val scaled = cols.zipWithIndex.map { case (c, j) =>
-      scaleTo(col(c), st.getDouble(2 * j), st.getDouble(2 * j + 1), bits)
-    }
-    df.withColumn("_z", zValueN(scaled, bits))
-      .repartitionByRange(files, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
-      .write.mode("overwrite").parquet(path)
+    if (st.getLong(0) == 0L) None
+    else Some(cols.zipWithIndex.map { case (c, j) =>
+      if (st.isNullAt(1 + 2 * j) || st.isNullAt(2 + 2 * j))
+        throw new IllegalArgumentException(
+          s"z-order clustering column '$c' is entirely null")
+      (st.getDouble(1 + 2 * j), st.getDouble(2 + 2 * j))
+    })
   }
 
   /** Scale a numeric column into [0, 2^bits) from its (lo, hi) stats —
@@ -86,23 +106,24 @@ object ZOrder {
     * when hot predicates sit mid-range).
     */
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
-      files: Int, bits: Int = 16, curve: String = "morton"): Unit = {
-    val st = df.agg(
-      min(col(c1).cast("double")), max(col(c1).cast("double")),
-      min(col(c2).cast("double")), max(col(c2).cast("double")))
-      .take(1).head
-    val (sx, sy) = (
-      scaleTo(col(c1), st.getDouble(0), st.getDouble(1), bits),
-      scaleTo(col(c2), st.getDouble(2), st.getDouble(3), bits))
-    val z = curve match {
-      case "morton"  => zValue2(sx, sy, bits)
-      case "hilbert" => graft.functions.SpatialExprs.hilbertIndex(sx, sy, bits)
-      case other     => throw new IllegalArgumentException(s"unknown curve: $other")
+      files: Int, bits: Int = 16, curve: String = "morton"): Unit =
+    statsFor(df, Seq(c1, c2)) match {
+      case None => df.limit(0).write.mode("overwrite").parquet(path)
+      case Some(Seq((lo1, hi1), (lo2, hi2))) =>
+        val (sx, sy) = (
+          scaleTo(col(c1), lo1, hi1, bits),
+          scaleTo(col(c2), lo2, hi2, bits))
+        val z = curve match {
+          case "morton"  => zValue2(sx, sy, bits)
+          case "hilbert" => graft.functions.SpatialExprs.hilbertIndex(sx, sy, bits)
+          case other     => throw new IllegalArgumentException(s"unknown curve: $other")
+        }
+        df.withColumn("_z", z)
+          .repartitionByRange(files, col("_z"))
+          .sortWithinPartitions("_z")
+          .drop("_z")
+          .write.mode("overwrite").parquet(path)
+      case Some(other) =>
+        throw new IllegalStateException(s"expected 2 stat pairs, got $other")
     }
-    df.withColumn("_z", z)
-      .repartitionByRange(files, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
-      .write.mode("overwrite").parquet(path)
-  }
 }

@@ -109,7 +109,10 @@ object BpeTrainer {
       while (top != null && !counts.get((top._2, top._3)).contains(top._1))
         top = heap.poll()
       // counts is non-empty and every live pair has a heap entry after
-      // refreshHeap, so a valid top always exists
+      // refreshHeap — enforce it so a future edit that breaks the
+      // invariant fails diagnosably, not with a MatchError on null
+      require(top != null,
+        s"heap invariant violated: ${counts.size} live pairs but no heap entry")
       val (bestC, bestL, bestR) = top
       merges += ((bestL, bestR, bestC))
       val merged = bestL + bestR

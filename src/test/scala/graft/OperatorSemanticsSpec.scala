@@ -215,7 +215,7 @@ class OperatorSemanticsSpec extends SparkSpec {
     val hCount = hubs.length
     val stride = math.max(1L, math.round(math.sqrt(hCount.toDouble)))
     val supers = hubs.zipWithIndex
-      .collect { case (n, i) if (i + 1) % stride == 1 => n }
+      .collect { case (n, i) if i % stride == 0 => n }
     val hubVec = emb.toMap
     def nearestSuper(h: Long) =
       supers.map(g => g -> cos(hubVec(h), hubVec(g)))

@@ -101,4 +101,32 @@ class StreamMvSpec extends SparkSpec {
     assert(view == Map(10L -> (2L, 11049L)),
       s"restart must be exactly-once, got $view")
   }
+
+  test("streaming MV: a replayed batch (crash between write and checkpoint commit) appends nothing") {
+    import spark.implicits._
+    val snap = "graft_test_mv_replay"
+    spark.sql(s"DROP TABLE IF EXISTS $snap")
+    val loc = Paths.get(
+      spark.sessionState.conf.warehousePath.stripPrefix("file:"), snap)
+    if (Files.exists(loc))
+      Files.walk(loc).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
+    val b0 = Seq((1L, 10L, 100.50), (2L, 11L, 20.25))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    Incremental.appendBatch(b0, 0L, snap)
+    val files1 = tableFiles(snap)
+    // foreachBatch is at-least-once: simulate the crash-replay by
+    // delivering the SAME batchId again — the idempotence ledger (the
+    // batch_id partition) must swallow it byte-for-byte
+    Incremental.appendBatch(b0, 0L, snap)
+    assert(tableFiles(snap) == files1,
+      "replayed batchId must not append or rewrite any file")
+    Incremental.appendBatch(
+      Seq((3L, 10L, 9.99)).toDF("o_orderkey", "o_custkey", "o_totalprice"),
+      1L, snap)
+    val view = Incremental.readView(spark, snap).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(view == Map(10L -> (2L, 11049L), 11L -> (1L, 2025L)),
+      s"post-replay view wrong: $view")
+  }
 }

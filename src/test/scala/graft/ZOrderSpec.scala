@@ -159,4 +159,20 @@ class ZOrderSpec extends SparkSpec {
     assert(ht <= mt, s"hilbert must not lose to morton at the seam ($ht vs $mt)")
     assert(ht <= files / 2, s"hilbert must localize the centered box ($ht/$files)")
   }
+
+  test("degenerate inputs: empty df writes an empty table; all-null column fails by name") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("zdegen").toString
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    ZOrder.writeZOrdered(empty, s"$base/e2", "a", "b", 4)
+    assert(spark.read.parquet(s"$base/e2").count() == 0)
+    ZOrder.writeZOrderedN(empty, s"$base/en", Seq("a", "b"), 4)
+    assert(spark.read.parquet(s"$base/en").count() == 0)
+    val nullCol = Seq((1L, None: Option[Long]), (2L, None)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      ZOrder.writeZOrdered(nullCol, s"$base/n", "a", "b", 4)
+    }
+    assert(ex.getMessage.contains("'b'"),
+      s"error must name the null column: ${ex.getMessage}")
+  }
 }
