@@ -87,6 +87,13 @@ object VectorExprs {
     */
   def bpeTokenCount(text: Column, merges: Array[String]): Column =
     toColumn(BpeTokenCount(ex(text), merges))
+
+  /** Whole-document BPE token-ID sequence (array<int>) under a trained
+    * merge table and an id vocabulary (index = id) — see [[BpeEncodeIds]].
+    */
+  def bpeEncodeIds(text: Column, merges: Array[String],
+      vocab: Array[String]): Column =
+    toColumn(BpeEncodeIds(ex(text), merges, vocab))
 }
 
 /** Cosine similarity between two numeric arrays; whole-stage-codegen
@@ -898,6 +905,45 @@ object BpeTokenCount {
     }
     total
   }
+
+  /** Encode a whole document to BPE token IDS: the same whitespace split
+    * and in-place merge fold as [[count]], then each surviving symbol
+    * maps through `ids`. An unknown symbol (a character the vocabulary
+    * never saw) emits -1 — an explicit OOV marker, never a silent drop,
+    * so the id count always equals [[count]] under the same merges.
+    */
+  def encodeIds(text: String, merges: Array[String],
+      ids: java.util.HashMap[String, Integer]): Array[Int] = {
+    var out = new Array[Int](32)
+    var total = 0
+    var i = 0
+    val len = text.length
+    var buf = new Array[String](16)
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      var n = 0
+      while (i < len && !isWs(text.charAt(i))) {
+        if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n * 2)
+        buf(n) = String.valueOf(text.charAt(i))
+        n += 1
+        i += 1
+      }
+      if (n > 0) {
+        val m = foldToken(buf, n, merges)
+        if (total + m > out.length)
+          out = java.util.Arrays.copyOf(out,
+            math.max(out.length * 2, total + m))
+        var k = 0
+        while (k < m) {
+          val id = ids.get(buf(k))
+          out(total) = if (id == null) -1 else id.intValue()
+          total += 1
+          k += 1
+        }
+      }
+    }
+    java.util.Arrays.copyOf(out, total)
+  }
 }
 
 case class BpeTokenCount(child: Expression, merges: Array[String])
@@ -922,5 +968,64 @@ case class BpeTokenCount(child: Expression, merges: Array[String])
     })
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+object BpeEncodeIds {
+  /** Vocab array → id lookup; INDEX IS THE ID. `putIfAbsent` so a merged
+    * string two different merge rules both produce keeps its FIRST
+    * (lowest-rank) id — deterministic, and the encoder can only emit
+    * symbols it actually folded, so the duplicate's later slot is dead.
+    */
+  def buildIdMap(vocab: Array[String]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.length * 2)
+    var i = 0
+    while (i < vocab.length) {
+      m.putIfAbsent(vocab(i), Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+}
+
+/** [[BpeTokenCount]]'s sibling for the TERMINAL artifact: the document's
+  * full BPE token-id sequence as `array<int>` — what a training-shard
+  * sink actually packs. Same single-scan in-place fold (shared static
+  * code), same one-referenced-object economics: the merge table and the
+  * id map ride along once per plan, the generated code makes one static
+  * call per row, and the primitive int[] result converts via
+  * UnsafeArrayData with no per-element boxing. Id layout is the
+  * vocabulary array's INDEX (alphabet first, merged types by rank — see
+  * TextAnalysis.bpeIdVocab); unknown symbols emit -1 (explicit OOV).
+  */
+case class BpeEncodeIds(child: Expression, merges: Array[String],
+    vocab: Array[String])
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  require(merges.length % 3 == 0,
+    s"BPE merge table must be flat (left, right, merged) triples; " +
+      s"got ${merges.length} elements")
+  require(vocab.nonEmpty, "BPE id vocabulary must not be empty")
+
+  @transient private lazy val idMap = BpeEncodeIds.buildIdMap(vocab)
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      BpeTokenCount.encodeIds(
+        input.asInstanceOf[UTF8String].toString, merges, idMap))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[]")
+      val v = ctx.addReferenceObj("bpeIdMap", idMap, "java.util.HashMap")
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.BpeTokenCount$$.MODULE$$
+         |  .encodeIds($c.toString(), $m, $v));""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
     copy(child = newChild)
 }

@@ -96,7 +96,12 @@ object GraftExtensions {
     "bpe_token_count" -> (info("bpe_token_count",
       "whole-document BPE token count (text, merge table as a flat string array of (left, right, merged) triples)"),
       (args: Seq[Expression]) =>
-        graft.functions.BpeTokenCount(args(0), stringArrayLit(args(1)))))
+        graft.functions.BpeTokenCount(args(0), stringArrayLit(args(1)))),
+    "bpe_encode_ids" -> (info("bpe_encode_ids",
+      "whole-document BPE token-id sequence as array<int> (text, flat merge triples, vocab array whose index is the id)"),
+      (args: Seq[Expression]) =>
+        graft.functions.BpeEncodeIds(args(0), stringArrayLit(args(1)),
+          stringArrayLit(args(2)))))
 
   /** Fold a foldable string-array argument to the plan-constant String[]
     * the expression carries as a reference object. Validated HERE, at
@@ -106,17 +111,17 @@ object GraftExtensions {
   private def stringArrayLit(e: Expression): Array[String] = {
     if (!e.foldable)
       throw new IllegalArgumentException(
-        "bpe_token_count merge table must be a constant array<string> " +
+        "BPE table argument must be a constant array<string> " +
           s"literal, got the non-foldable expression ${e.sql}")
     val folded = e.eval(null)
     if (folded == null)
       throw new IllegalArgumentException(
-        "bpe_token_count merge table must not be NULL")
+        "BPE table argument must not be NULL")
     val ad = folded.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     Array.tabulate(ad.numElements()) { i =>
       val v = ad.getUTF8String(i)
       if (v == null) throw new IllegalArgumentException(
-        s"bpe_token_count merge table must not contain NULL (element $i)")
+        s"BPE table argument must not contain NULL (element $i)")
       v.toString
     }
   }

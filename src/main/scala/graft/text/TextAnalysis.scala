@@ -404,39 +404,58 @@ object TextAnalysis {
   // and shard count grows with the cluster, never with the corpus. Emits
   // per-doc placement: first pack, offset inside it, and how many packs
   // the doc straddles (straddling is how packing achieves zero padding).
-  /** q73's placement table without the presentation ORDER BY — shared
-    * with [[writeTrainingShards]], which re-sorts per shard anyway.
+  /** The packing math itself, over ANY token accounting: input carries
+    * (doc_id, shard, n_tok bigint) plus arbitrary ride-along columns;
+    * output adds (pack_id, pack_offset, n_spans) from the per-shard
+    * running offset. Shared by q73 (whitespace counts — the
+    * SQL-expressible oracle) and [[writeTrainingShards]] (BPE id
+    * counts — the artifact a trainer actually consumes).
     */
-  private def packPlacement(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+  private def placePacked(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
-      .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("shard"),
-        expr(s"size($tokensExpr)").cast("long").as("n_tok"))
+    docs
       .withColumn("start_tok", coalesce(sum("n_tok").over(w), lit(0L)))
-      .select(col("doc_id"), col("shard"),
-        expr("CAST(start_tok DIV 512 AS INT)").as("pack_id"),
-        (col("start_tok") % 512).cast("int").as("pack_offset"),
-        expr("CAST((start_tok + n_tok - 1) DIV 512 - start_tok DIV 512 + 1 AS INT)")
-          .as("n_spans"),
-        col("n_tok").cast("int").as("n_tok"))
+      .withColumn("pack_id", expr("CAST(start_tok DIV 512 AS INT)"))
+      .withColumn("pack_offset", (col("start_tok") % 512).cast("int"))
+      .withColumn("n_spans", expr(
+        "CAST((start_tok + n_tok - 1) DIV 512 - start_tok DIV 512 + 1 AS INT)"))
+      .drop("start_tok")
   }
+
+  /** q73's placement table without the presentation ORDER BY. */
+  private def packPlacement(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    placePacked(Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("shard"),
+        expr(s"size($tokensExpr)").cast("long").as("n_tok")))
+      .select(col("doc_id"), col("shard"), col("pack_id"),
+        col("pack_offset"), col("n_spans"), col("n_tok").cast("int").as("n_tok"))
 
   /** Terminal training-data sink: materialize the packed corpus as
     * `shard=`-partitioned parquet, each shard written by ONE task with
     * rows sorted (pack_id, pack_offset) — so a per-worker reader streams
     * its shard file start to finish and sees exactly the contiguous
     * token stream the packing promised, no shuffle or sort at TRAINING
-    * time (that cost is paid once here, at write). One exchange (the
-    * shard repartition); shard count is q73's doc_id % 8 round-robin,
-    * which also balances token mass (spec-asserted). At scale, shards
-    * grow with the cluster — never with the corpus.
+    * time (that cost is paid once here, at write). Rows carry the BPE
+    * token-ID arrays (q116's encode — the artifact a trainer consumes;
+    * concatenating `ids` in row order reconstructs the shard's id
+    * stream, with pack boundaries every 512 ids exactly where
+    * (pack_id, pack_offset) promise them — spec-asserted). One exchange
+    * (the shard repartition) plus the placement window, both on `shard`;
+    * the encode itself is a codegen'd projection, no extra pass. Shard
+    * count is q73's doc_id % 8 round-robin, which also balances token
+    * mass (spec-asserted). At scale, shards grow with the cluster —
+    * never with the corpus.
     */
   def writeTrainingShards(s: org.apache.spark.sql.SparkSession, d: String,
       path: String): Unit =
-    packPlacement(s, d)
-      .join(Tables.documents(s, d).select("doc_id", "text"), "doc_id")
+    placePacked(Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("shard"),
+        VectorExprs.bpeEncodeIds(col("text"), bpeFlatMerges(s, d, 64),
+          bpeIdVocab(s, d, 64)).as("ids"))
+      .withColumn("n_tok", size(col("ids")).cast("long")))
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "pack_id", "pack_offset")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
@@ -588,6 +607,41 @@ object TextAnalysis {
   /** Hard cap on pruned type-table rows (the driver-side artifact). */
   private[graft] val bpeMaxTypes = 1 << 17
 
+  /** [[bpeMerges]] flattened to the (left, right, merged) triple array
+    * the codegen expressions reference — shared by q87/q116/the shard
+    * sink so they tokenize under literally the same object.
+    */
+  private[graft] def bpeFlatMerges(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): Array[String] =
+    bpeMerges(s, d, k).toArray.flatMap { case (l, r, _) => Array(l, r, l + r) }
+
+  /** The BPE id VOCABULARY: base alphabet first (every distinct
+    * non-whitespace character in the corpus, in Spark's string order —
+    * ids 0..A-1), then the merged types in merge-rank order (id A+rank;
+    * the tiktoken layout, where a token id above the alphabet tells you
+    * which merge round minted it). The array's INDEX is the id. Built
+    * from the UNPRUNED type table so rare characters the training prune
+    * dropped still encode (they surface as unmerged single-char
+    * symbols); a bounded model artifact — alphabet ≤ distinct corpus
+    * chars (take-guarded), merges O(k).
+    */
+  private val bpeVocabMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, Int), Array[String]]()
+  graft.Memos.register { () => bpeVocabMemo.clear() }
+  private[graft] def bpeIdVocab(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): Array[String] =
+    bpeVocabMemo.computeIfAbsent((s, d, k), { _ =>
+      val capA = 1 << 16
+      val alpha = bpeTypeTable(s, d)
+        .select(explode(split(col("word"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .distinct().orderBy("ch")
+        .take(capA + 1).map(_.getString(0))
+      require(alpha.length <= capA,
+        s"BPE alphabet overflow: > $capA distinct characters")
+      alpha ++ bpeMerges(s, d, k).map { case (l, r, _) => l + r }
+    })
+
   /** The (word, freq) type table — the distributed training state. */
   private[graft] def bpeTypeTable(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
@@ -680,8 +734,7 @@ object TextAnalysis {
   // NO shuffle and no state. Iteratively trained artifact → rows-only;
   // per-doc counts spec-replayed against the dense reference encoder.
   val q87: QueryDef = QueryDef.rowsOnly("q87_bpe_encode") { (s, d) =>
-    val flat = bpeMerges(s, d, 64).toArray
-      .flatMap { case (l, r, _) => Array(l, r, l + r) }
+    val flat = bpeFlatMerges(s, d, 64)
     Tables.documents(s, d)
       .select(col("doc_id"), length(col("text")).as("n_char"),
         expr(s"size($tokensExpr)").as("n_ws_tok"),
@@ -722,6 +775,25 @@ object TextAnalysis {
       .withColumn("vocab_id",
         row_number().over(Window.orderBy(desc("freq"), asc("term"))).cast("int"))
       .orderBy("vocab_id")
+  }
+
+  // q116 — BPE ENCODE TO IDS: the terminal tokenizer artifact q87's
+  // counts stop short of — each document's full BPE token-ID sequence
+  // as array<int>, ids laid out alphabet-first then merge-rank (see
+  // [[bpeIdVocab]]; the vocab array's index IS the id). One scan, NO
+  // shuffle, no state: the merge table and id map ride as referenced
+  // objects inside the codegen'd [[VectorExprs.bpeEncodeIds]], so
+  // per-row cost is one static call — tokenize + all merge folds + id
+  // lookups fused. Iteratively trained artifact → rows-only; the
+  // per-doc id sequences are spec-replayed against the dense reference
+  // encoder and the totals tie to q87's counts exactly.
+  val q116: QueryDef = QueryDef.rowsOnly("q116_token_ids") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        VectorExprs.bpeEncodeIds(col("text"), bpeFlatMerges(s, d, 64),
+          bpeIdVocab(s, d, 64)).as("ids"))
+      .withColumn("n_ids", size(col("ids")))
+      .orderBy("doc_id")
   }
 
   /** q103's scoring projection: per doc its source, whitespace-token
@@ -870,5 +942,5 @@ object TextAnalysis {
   }
 
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q73, q76, q86, q87, q101, q103, q107)
+    q69, q73, q76, q86, q87, q101, q103, q107, q116)
 }

@@ -94,6 +94,40 @@ class CodegenSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("BpeEncodeIds: codegen == driver encode, ids index the vocab, OOV = -1") {
+    import graft.functions.{BpeEncodeIds, BpeTokenCount}
+    val merges = Array("a", "b", "ab", "ab", "c", "abc")
+    // alphabet {a,b,c} ids 0-2, merged types ab=3, abc=4; 'x' is OOV
+    val vocab = Array("a", "b", "c", "ab", "abc")
+    val samples = Seq("", "abc", "ab c abc", "a b a", "abc x c")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import spark.implicits._
+      val rows = samples.toDF("t")
+        .select(col("t"),
+          VectorExprs.bpeEncodeIds(col("t"), merges, vocab).as("ids"))
+        .collect().map(r => r.getAs[String]("t") -> r.getSeq[Int](1)).toMap
+      val idMap = BpeEncodeIds.buildIdMap(vocab)
+      samples.foreach { s0 =>
+        assert(rows(s0) == BpeTokenCount.encodeIds(s0, merges, idMap).toSeq,
+          s"'$s0'")
+        assert(rows(s0).length == BpeTokenCount.count(s0, merges),
+          s"id count must equal token count for '$s0'")
+      }
+      assert(rows("abc") == Seq(4))
+      assert(rows("ab c abc") == Seq(3, 2, 4))
+      assert(rows("a b a") == Seq(0, 1, 0))
+      assert(rows("abc x c") == Seq(4, -1, 2), "unknown symbol must emit -1")
+      assert(rows("") == Seq.empty)
+      // SQL surface: same result through the registered function
+      graft.plans.GraftExtensions.register(spark)
+      val sqlIds = spark.sql(
+        "SELECT bpe_encode_ids('ab c abc', array('a','b','ab','ab','c','abc'), " +
+          "array('a','b','c','ab','abc')) ids").head.getSeq[Int](0)
+      assert(sqlIds == Seq(3, 2, 4))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("AdcScore: codegen and interpreted agree, runs inside WSCG") {
     import graft.functions.AdcScore
     import org.apache.spark.sql.catalyst.util.GenericArrayData

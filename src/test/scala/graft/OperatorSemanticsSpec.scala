@@ -383,6 +383,74 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(got == expected, "q87 encode counts diverge from the reference encoder")
   }
 
+  test("q116 token ids replay the reference encoder; shards pack a contiguous id stream") {
+    val kMerges = 64
+    // the merge SEQUENCE is reference-replayed by the q86 test above;
+    // here the ID CONTRACT is re-derived independently: alphabet =
+    // distinct corpus chars sorted (ids 0..A-1), merged types at
+    // A + rank, first writer wins on duplicates
+    val merges = text.TextAnalysis.bpeMerges(spark, sfDir, kMerges)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val alphabet = docs.flatMap(_._2.trim.split("\\s+"))
+      .flatMap(_.toCharArray.map(String.valueOf)).distinct.sorted
+    val idOf = scala.collection.mutable.HashMap[String, Int]()
+    alphabet.zipWithIndex.foreach { case (c, i) => idOf.getOrElseUpdate(c, i) }
+    merges.zipWithIndex.foreach { case ((l, r, _), i) =>
+      idOf.getOrElseUpdate(l + r, alphabet.length + i)
+    }
+    val wordMemo = scala.collection.mutable.HashMap[String, Seq[Int]]()
+    def refIds(t: String): Seq[Int] =
+      t.trim.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { w =>
+        wordMemo.getOrElseUpdate(w, {
+          var s = w.split("").filter(_.nonEmpty).toList
+          for ((l, r, _) <- merges)
+            s = s.foldLeft(List.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+              else acc :+ x
+            }
+          s.map(idOf)
+        })
+      }
+    val expected = docs.map { case (id, t) => id -> refIds(t) }.toMap
+    val got = SparkEntry.queries("q116_token_ids")(spark, sfDir)
+      .select("doc_id", "ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got == expected, "q116 id sequences diverge from the reference encoder")
+    // totals tie to q87 exactly, and the training corpus has no OOV
+    val counts = text.TextAnalysis.q87.fn(spark, sfDir)
+      .select("doc_id", "n_bpe_tok").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (id, ids) =>
+      assert(ids.length == counts(id), s"doc $id: ${ids.length} ids != q87")
+      assert(!ids.contains(-1), s"doc $id: OOV id in the training corpus")
+    }
+
+    // the SHARD SINK's promise: reading one shard in (pack_id,
+    // pack_offset) order and concatenating `ids` reconstructs that
+    // shard's contiguous token stream, and every doc's ids begin at
+    // global position pack_id*512 + pack_offset
+    val out = java.nio.file.Files.createTempDirectory("graft_id_shards").toString
+    text.TextAnalysis.writeTrainingShards(spark, sfDir, out)
+    val back = spark.read.parquet(out)
+      .select("shard", "pack_id", "pack_offset", "doc_id", "ids").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getSeq[Int](4)))
+    back.groupBy(_._1).foreach { case (shard, rows) =>
+      val ordered = rows.sortBy { case (_, p, o, id, _) => (p, o, id) }
+      assert(ordered.map(_._4).toSeq ==
+        docs.map(_._1).filter(_ % 8 == shard).toSeq,
+        s"shard $shard: doc order broken")
+      var pos = 0L
+      ordered.foreach { case (_, packId, packOff, docId, ids) =>
+        assert(packId * 512L + packOff == pos,
+          s"shard $shard doc $docId: placement says ${packId * 512L + packOff}, stream is at $pos")
+        assert(ids == expected(docId), s"shard $shard doc $docId: ids diverge")
+        pos += ids.length
+      }
+    }
+  }
+
   test("q35 projection preserves neighborhood structure (kNN pairs land close)") {
     // The sf test embeddings carry no label structure (1-NN label accuracy
     // ≈ the 10-class prior), so the honest invariant is the one the
