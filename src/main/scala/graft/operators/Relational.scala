@@ -273,9 +273,22 @@ object Relational {
       .orderBy("n_name")
   }
 
-  // q12 — exact interpolated percentiles per group. The interpolation
-  // a+(b-a)*f over identical sorted doubles is IEEE-identical in both
-  // engines, so values stay unrounded.
+  // q12 — exact interpolated percentiles per group, computed in TWO
+  // PASSES so no task ever buffers a group's raw values: (1) one
+  // map-side-combined shuffle builds (group, value) counts — duplicates
+  // collapse BEFORE the exchange, so it moves O(distinct values) rows;
+  // (2) a running-sum window over each group's ordered distinct values
+  // turns counts into [cum_start, cum_end) position ranges, and the row
+  // whose range covers floor/ceil(p·(n-1)) supplies the interpolation
+  // endpoints. Replaces the one-pass `percentile(...)` ObjectHash
+  // aggregate, whose buffer holds EVERY raw value of a group inside one
+  // task — at 100× scale a hot group is an executor OOM; here the only
+  // per-row state is the running sum (the ordered frame streams), and
+  // group totals come back via a broadcast join (one row per group), so
+  // no full-partition window frame exists anywhere. The final groupBy
+  // reuses the window's hash partitioning — no extra exchange. The
+  // interpolation a+(b-a)·f over identical doubles is IEEE-identical in
+  // both engines, so values stay unrounded.
   val q12: QueryDef = QueryDef.sql(
     "q12_percentiles",
     """SELECT o_orderpriority,
@@ -285,12 +298,46 @@ object Relational {
       |FROM orders
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-    Tables.orders(s, d)
-      .groupBy("o_orderpriority")
-      .agg(
-        expr("percentile(o_totalprice, 0.5)").as("p50"),
-        expr("percentile(o_totalprice, 0.9)").as("p90"),
-        expr("percentile(o_totalprice, 0.99)").as("p99"))
+    val counts = Tables.orders(s, d)
+      .groupBy("o_orderpriority", "o_totalprice")
+      .agg(count(lit(1)).as("cnt"))
+    // one WindowExec computes both frames (same partitioning+ordering):
+    // the running sum streams; the group total's unbounded frame holds
+    // the partition in a spillable row buffer — disk-backed, unlike the
+    // old aggregate's in-memory value array
+    val byPrice = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    val run = byPrice.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = byPrice.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = counts
+      .withColumn("cum_end", sum("cnt").over(run))
+      .withColumn("cum_start", col("cum_end") - col("cnt"))
+      .withColumn("n", sum("cnt").over(whole))
+    def endpoints(p: Double, tag: String) = {
+      val r = lit(p) * (col("n") - 1).cast("double")
+      Seq(
+        max(when(col("cum_start") <= floor(r) && floor(r) < col("cum_end"),
+          col("o_totalprice"))).as(s"lo_$tag"),
+        max(when(col("cum_start") <= ceil(r) && ceil(r) < col("cum_end"),
+          col("o_totalprice"))).as(s"hi_$tag"),
+        max(r).as(s"r_$tag"))
+    }
+    // the WEIGHTED interpolation form (hi_idx-r)·lo + (r-lo_idx)·hi,
+    // with the integral-rank special case — the exact IEEE op order
+    // both engines' quantile_cont/percentile implementations use (the
+    // algebraically-equal lo+(hi-lo)·f rounds differently in the last
+    // ulp and breaks the hash gate)
+    def interp(tag: String) = {
+      val r = col(s"r_$tag")
+      when(floor(r) === ceil(r), col(s"lo_$tag"))
+        .otherwise((ceil(r) - r) * col(s"lo_$tag") +
+          (r - floor(r)) * col(s"hi_$tag"))
+    }
+    val aggs = endpoints(0.5, "50") ++ endpoints(0.9, "90") ++ endpoints(0.99, "99")
+    ranked.groupBy("o_orderpriority")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("o_orderpriority"),
+        interp("50").as("p50"), interp("90").as("p90"), interp("99").as("p99"))
       .orderBy("o_orderpriority")
   }
 

@@ -38,6 +38,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"q24 must not plan a window:\n$plan")
   }
 
+  test("q76 exact companion counts only the sketch's 20 picks (no O(vocab) exchange)") {
+    val plan = planOf("q76_heavy_hitters")
+    // the 20-term IN-set filter must sit UNDER the counting aggregate,
+    // so the exchange moves ≤ 20 keys' partials, never the vocabulary
+    assert(plan.contains("INSET"),
+      s"missing the selected-terms filter under the exact count:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"exact counts must combine map-side:\n$plan")
+  }
+
+  test("q12 percentiles never buffer raw values: no ObjectHashAggregate, counts aggregate partially") {
+    val plan = planOf("q12_percentiles")
+    // the one-pass percentile(...) plans an ObjectHashAggregate whose
+    // buffer holds every raw value of a group in one task — the exact
+    // shape the two-pass rewrite exists to avoid
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"q12 must not plan a value-buffering aggregate:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"(group, value) counts must combine map-side:\n$plan")
+    assert(plan.contains("Window"),
+      s"the ordered prefix-sum must be a (spillable) window:\n$plan")
+  }
+
   test("q52 kNN graph: broadcast pair join + map-side bounded top-k aggregate") {
     val plan = planOf("q52_knn_self_join")
     assert(plan.contains("BroadcastNestedLoopJoin"), s"no broadcast pair join in:\n$plan")
