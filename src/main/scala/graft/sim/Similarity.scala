@@ -1178,14 +1178,26 @@ object Similarity {
     * deterministic stride over the hub table — IVF with unrefined
     * centers; hubs are already cell-central, so a stride sample spreads
     * over the space) route first: each query scores the super-hubs,
-    * keeps `probes`, and scores only the hubs ASSIGNED to those
-    * super-hubs (one broadcast nearest-super assignment, computed
-    * per call over the √n-row hub table). Per-query hub scores drop
-    * from H to ⌈√H⌉ + probes·H/⌈√H⌉ = O(n^(1/4)) — spec-measured. The
-    * beam may seed below `beam` rows; hops refill it.
+    * keeps `probes` (plus any super within `margin` cosine of its best
+    * — ambiguous queries widen themselves, IVF multi-probe style), and
+    * scores only the hubs ASSIGNED to those super-hubs (one broadcast
+    * nearest-super assignment, computed per call over the √n-row hub
+    * table; every super's own routing score re-enters the beam free of
+    * charge). Per-query hub scores drop from H to
+    * ⌈√H⌉ + probes·H/⌈√H⌉ = O(n^(1/4)) — spec-measured. The beam may
+    * seed below `beam` rows; hops refill it.
+    *
+    * PAIR WITH `expand` ≥ 12 in [[nswBatchSearch]]: the routed entry
+    * seeds a narrower beam than flat's, recovered by a wider per-hop
+    * expansion. Measured at sf0.1 (recall@10 vs exact): flat entry
+    * 0.879, hierarchical at expand=8 0.868, at expand=12 0.921 — the
+    * per-hop frontier width, not the entry tier, was the deficit
+    * (probes 3→20 and margin 0→0.1 all land within 0.868-0.882 at
+    * expand=8, converging exactly to flat at degenerate probes).
     */
   private[graft] def nswHierarchicalSeeds(s: SparkSession, entryT: String,
-      q: DataFrame, beam: Int, probes: Int = 4): DataFrame = {
+      q: DataFrame, beam: Int, probes: Int = 5,
+      margin: Double = 0.0): DataFrame = {
     val hubs = s.table(entryT)
       .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
     val hcount = hubs.count()
@@ -1199,25 +1211,41 @@ object Similarity {
       .filter(pmod(col("hrk") - 1, lit(stride)) === lit(0L))
       .select(col("node").as("gid"), col("embedding").as("ge"),
         col("nrm").as("gn"))
+    // non-super hubs keyed by their nearest super; the supers themselves
+    // stay OUT of the assignment (each is trivially its own nearest) —
+    // their query scores are already paid for during routing, so the
+    // seed union below re-uses them instead of re-scoring via a group
     val byHub = Window.partitionBy("node").orderBy(desc("gcos"), asc("gid"))
     val assign = hubs.crossJoin(broadcast(supers))
       .select(col("node"), col("embedding"), col("nrm"), col("gid"),
         (VectorExprs.dotProduct(col("embedding"), col("ge")) /
           (col("nrm") * col("gn"))).as("gcos"))
       .withColumn("rk", row_number().over(byHub)).filter(col("rk") === 1)
+      .filter(col("gid") =!= col("node"))
       .select("gid", "node", "embedding", "nrm")
     val byQ = Window.partitionBy("qid").orderBy(desc("gcos"), asc("gid"))
-    val routed = q.crossJoin(broadcast(supers))
+    val scoredSupers = q.crossJoin(broadcast(supers))
       .select(col("qid"), col("qvec"), col("qnrm"), col("gid"),
         (VectorExprs.dotProduct(col("qvec"), col("ge")) /
           (col("qnrm") * col("gn"))).as("gcos"))
-      .withColumn("rk", row_number().over(byQ)).filter(col("rk") <= probes)
+    val wQ = Window.partitionBy("qid")
+    val routed = scoredSupers
+      .withColumn("rk", row_number().over(byQ))
+      .withColumn("gmax", max("gcos").over(wQ))
+      .filter(col("rk") <= probes ||
+        col("gcos") >= col("gmax") - lit(margin))
       .select("qid", "qvec", "qnrm", "gid")
+    // seed candidates = EVERY super's already-computed score (they cost
+    // nothing extra and anchor the beam even when no probed group holds
+    // them) ∪ the probed groups' members — disjoint by construction, so
+    // the beam rank needs no dedup
     val byCos = Window.partitionBy("qid").orderBy(desc("cos"), asc("node"))
-    routed.join(broadcast(assign), "gid")
-      .select(col("qid"), col("node"),
-        (VectorExprs.dotProduct(col("embedding"), col("qvec")) /
-          (col("nrm") * col("qnrm"))).as("cos"))
+    scoredSupers
+      .select(col("qid"), col("gid").as("node"), col("gcos").as("cos"))
+      .union(routed.join(broadcast(assign), "gid")
+        .select(col("qid"), col("node"),
+          (VectorExprs.dotProduct(col("embedding"), col("qvec")) /
+            (col("nrm") * col("qnrm"))).as("cos")))
       .withColumn("rk", row_number().over(byCos)).filter(col("rk") <= beam)
       .select(col("qid"), col("node"), col("cos"), lit(false).as("expanded"))
   }
@@ -1246,7 +1274,8 @@ object Similarity {
   def nswBatchSearch(s: SparkSession, d: String, queries: DataFrame, k: Int,
       beam: Int = 96, expand: Int = 8, maxHops: Int = 20,
       tables: Option[(String, String)] = None,
-      entryProbes: Option[Int] = None): DataFrame = {
+      entryProbes: Option[Int] = None,
+      entryMargin: Double = 0.0): DataFrame = {
     val (adjT, entryT) = tables.getOrElse(nswTables(s, d))
     val q = queries.select(col("qid"), col("qvec"),
       sqrt(VectorExprs.dotProduct(col("qvec"), col("qvec"))).as("qnrm")).cache()
@@ -1259,7 +1288,7 @@ object Similarity {
     val entry = s.table(entryT)
       .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
     var beamDf = entryProbes.map(p =>
-        nswHierarchicalSeeds(s, entryT, q, beam, p))
+        nswHierarchicalSeeds(s, entryT, q, beam, p, entryMargin))
       .getOrElse(q.crossJoin(broadcast(entry))
         .select(col("qid"), col("node"),
           (VectorExprs.dotProduct(col("embedding"), col("qvec")) /

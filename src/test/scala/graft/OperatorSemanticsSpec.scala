@@ -183,9 +183,16 @@ class OperatorSemanticsSpec extends SparkSpec {
     val queries = Tables.embeddings(spark, d)
       .filter(pmod(col("vec_id"), lit(53L)) === lit(1L))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val probes = 4
+    val probes = 5
+    // expand = 12: the hierarchical entry's documented pairing — the
+    // routed seed beam is narrower than flat's, recovered by a wider
+    // per-hop expansion (measured at sf0.1: flat entry itself recalls
+    // 0.879 on this query set, hierarchical+expand=8 0.868,
+    // hierarchical+expand=12 0.921 — the entry tier was never the
+    // deficit, the per-hop frontier width was)
     val got = sim.Similarity
-      .nswBatchSearch(spark, d, queries, 10, entryProbes = Some(probes))
+      .nswBatchSearch(spark, d, queries, 10, expand = 12,
+        entryProbes = Some(probes))
       .collect().groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val emb = Tables.embeddings(spark, d).collect()
@@ -202,11 +209,15 @@ class OperatorSemanticsSpec extends SparkSpec {
       exact.intersect(got.getOrElse(qid, Set.empty)).size.toDouble / exact.size
     }
     val mean = recalls.sum / recalls.length
-    assert(mean >= 0.85, s"hierarchical-entry mean recall@10 $mean")
+    // the same ≥ 0.9 floor every other ANN tier holds — the opt-in
+    // entry must not quietly run below the family bar
+    assert(mean >= 0.9, s"hierarchical-entry mean recall@10 $mean")
 
     // accounting, independently re-derived: per-query hub scores under
-    // the stride-super routing = |supers| + Σ sizes of the probed
-    // groups, which must undercut the flat H hub scores per query
+    // the stride-super routing = |supers| (scored once, re-used as both
+    // router and free seed anchors) + Σ sizes of the probed groups
+    // (supers excluded from assignment — never re-scored), which must
+    // undercut the flat H hub scores per query
     val (_, entryT) = sim.Similarity.nswTables(spark, d)
     val hubs = emb.map(_._1).toSet
       .intersect(spark.table(entryT).select("vec_id")
@@ -220,7 +231,10 @@ class OperatorSemanticsSpec extends SparkSpec {
     def nearestSuper(h: Long) =
       supers.map(g => g -> cos(hubVec(h), hubVec(g)))
         .minBy { case (g, c) => (-c, g) }._1
-    val groupSize = hubs.groupBy(nearestSuper).map { case (g, m) => g -> m.size }
+    val superSet = supers.toSet
+    val groupSize = hubs.filterNot(superSet)
+      .groupBy(nearestSuper).map { case (g, m) => g -> m.size }
+      .withDefaultValue(0)
     val scored = qvecs.map { case (_, qv) =>
       val top = supers.map(g => g -> cos(qv, hubVec(g)))
         .sortBy { case (g, c) => (-c, g) }.take(probes).map(_._1)
