@@ -45,19 +45,27 @@ object ZOrder {
     }
   }
 
-  /** [[writeZOrdered]] over ANY number of dimensions (Morton only —
-    * the Hilbert walk here is 2-D). Same contract: one stats job, one
-    * range exchange, sorted files with tight N-D bounding boxes.
+  /** [[writeZOrdered]] over ANY number of dimensions. Same contract:
+    * one stats job, one range exchange, sorted files with tight N-D
+    * bounding boxes. `curve`: "morton" (the bit-interleave) or
+    * "hilbert" (the N-D Skilling walk,
+    * [[graft.functions.HilbertIndexN]] — seam-free in every dimension
+    * count, preferred when hot predicates sit mid-range).
     */
   def writeZOrderedN(df: DataFrame, path: String, cols: Seq[String],
-      files: Int, bits: Int = 16): Unit =
+      files: Int, bits: Int = 16, curve: String = "morton"): Unit =
     statsFor(df, cols) match {
       case None => df.limit(0).write.mode("overwrite").parquet(path)
       case Some(ranges) =>
         val scaled = cols.zip(ranges).map { case (c, (lo, hi)) =>
           scaleTo(col(c), lo, hi, bits)
         }
-        df.withColumn("_z", zValueN(scaled, bits))
+        val z = curve match {
+          case "morton"  => zValueN(scaled, bits)
+          case "hilbert" => graft.functions.SpatialExprs.hilbertIndexN(scaled, bits)
+          case other     => throw new IllegalArgumentException(s"unknown curve: $other")
+        }
+        df.withColumn("_z", z)
           .repartitionByRange(files, col("_z"))
           .sortWithinPartitions("_z")
           .drop("_z")

@@ -140,6 +140,76 @@ class ZOrderSpec extends SparkSpec {
     assert(vals.toSeq == (0L until 512L), "3-D morton must hit every cell index once")
   }
 
+  test("HilbertIndexN: codegen == interpreted, bijective, unit-step (exhaustive 16x16x16)") {
+    import spark.implicits._
+    val bits = 4
+    val cells = for (x <- 0L until 16L; y <- 0L until 16L; z <- 0L until 16L)
+      yield (x, y, z)
+    val viaSpark = cells.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        graft.functions.SpatialExprs.hilbertIndexN(
+          Seq(col("x"), col("y"), col("z")), bits).as("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    cells.foreach { case (x, y, z) =>
+      assert(viaSpark((x, y, z)) ==
+        graft.functions.HilbertIndexN.encode(Array(x, y, z), bits),
+        s"codegen/interpreted divergence at ($x,$y,$z)")
+    }
+    // bijection onto [0, 4096) and the defining locality property:
+    // consecutive indices are edge-adjacent cells (Manhattan step 1)
+    val byD = viaSpark.toSeq.map { case (c, d) => d -> c }.sortBy(_._1)
+    assert(byD.map(_._1) == (0L until 4096L),
+      "3-D hilbert must hit every cell index exactly once")
+    byD.map(_._2).sliding(2).foreach { case Seq((x1, y1, z1), (x2, y2, z2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+        s"curve jumps from ($x1,$y1,$z1) to ($x2,$y2,$z2)")
+    }
+    // 2-D degenerate case stays a Hilbert curve too (unit-step over 32x32)
+    val cells2 = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val by2 = cells2
+      .map(c => graft.functions.HilbertIndexN.encode(Array(c._1, c._2), 5) -> c)
+      .sortBy(_._1)
+    assert(by2.map(_._1) == (0L until 1024L))
+    by2.map(_._2).sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+  }
+
+  test("3-D hilbert layout beats 3-D morton on the center-seam box") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val base = java.nio.file.Files.createTempDirectory("h3").toString
+    val files = 16
+    val cols = Seq("l_partkey", "l_suppkey", "l_quantity")
+    ZOrder.writeZOrderedN(li, s"$base/m", cols, files)
+    ZOrder.writeZOrderedN(li, s"$base/h", cols, files, curve = "hilbert")
+    def boxes3(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_partkey").as("lo1"), max("l_partkey").as("hi1"),
+        min("l_suppkey").as("lo2"), max("l_suppkey").as("hi2"),
+        min("l_quantity").as("lo3"), max("l_quantity").as("hi3"))
+      .collect()
+    // a box straddling morton's high-bit seam in both HIGH-CARDINALITY
+    // dims (quantity, with ~50 distinct values, stays wide open — its
+    // "center seam" is quantization noise at this file count) — the
+    // 3-D analogue of the 2-D center-seam test
+    def touched(path: String): Int = boxes3(path).count { r =>
+      !(r.getLong(2) < 875L || r.getLong(1) > 1125L ||
+        r.getLong(4) < 43L || r.getLong(3) > 56L)
+    }
+    val (mt, ht) = (touched(s"$base/m"), touched(s"$base/h"))
+    info(s"3-D center-box files touched: morton $mt/$files, hilbert $ht/$files")
+    // the box is a SLAB (quantity unconstrained), so it inherently cuts
+    // many curve segments, and repartitionByRange's boundary sampling
+    // wobbles a file or two between sessions — the stable claim is the
+    // relative one: the seam forces morton to touch strictly more files
+    // than the seam-free hilbert walk (measured: morton 16/16, hilbert
+    // 12-14/16 across runs)
+    assert(ht < mt, s"3-D hilbert must beat morton at the seam ($ht vs $mt)")
+    assert(ht <= files - 2, s"3-D hilbert must skip files morton cannot ($ht/$files)")
+  }
+
   test("hilbert layout beats morton where morton is weakest: the center-seam box") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
       .select("l_partkey", "l_suppkey", "l_quantity")
