@@ -1355,6 +1355,32 @@ object Similarity {
       .select(col("qid"), col("node"), col("cos"))
   }
 
+  /** STREAMING NSW probe — the highest-recall ANN tier's streaming face
+    * (annProbeStream covers the IVF+PQ tier; this covers the graph).
+    * The graph search is a driver-coordinated hop loop, so it cannot
+    * run as one declarative streaming plan; each micro-batch's queries
+    * instead run the SAME [[nswBatchSearch]] against the PERSISTED
+    * frozen-geometry graph tables — per-batch results equal the batch
+    * path on the same rows definitionally (node-for-node spec), and the
+    * adjacency keeps the batch hop's plan shape every trigger: the
+    * partition-pruned probe side of a broadcast-frontier join, never
+    * shuffled (q102's plan spec, same code path). `sink` receives each
+    * batch's (qid, node, cos) top-k with its batchId — the foreachBatch
+    * idempotence treatment (e.g. [[graft.operators.Incremental
+    * .appendBatch]]'s batchId-partition ledger) is the caller's choice
+    * of sink.
+    */
+  def nswProbeStream(s: SparkSession, d: String, queryStream: DataFrame,
+      k: Int, sink: (DataFrame, Long) => Unit,
+      tables: Option[(String, String)] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          sink(nswBatchSearch(s, d, batch, k, tables = tables), batchId)
+      }
+
   // q102 — BATCH NSW ANN: the multi-query probe as a catalog operator.
   // Every ~53rd corpus vector becomes a query; one distributed beam
   // search returns all of their top-10 neighbor lists (self-match

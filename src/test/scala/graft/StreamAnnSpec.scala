@@ -67,4 +67,38 @@ class StreamAnnSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
     assert(rerank == q56, s"qv rerank $rerank != q56 $q56")
   }
+
+  test("streaming NSW probe: each micro-batch equals nswBatchSearch on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // corpus vectors as queries, split over two triggers
+    val qs = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(5)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .take(5).map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val (batch1, batch2) = (qs.take(2).toSeq, qs.drop(2).toSeq)
+    def asKeys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Long, Double)]]()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = sim.Similarity.nswProbeStream(spark, sfDir,
+        mem.toDF().toDF("qid", "qvec"), 5,
+        (res, id) => { got(id) = asKeys(res); () })
+      .start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // per-batch parity with the batch path over exactly that trigger's
+    // queries (the adjacency-never-shuffles property is q102's plan
+    // spec — the stream runs the identical hop code per trigger)
+    assert(got.keySet == Set(0L, 1L), s"expected two batches, got ${got.keySet}")
+    assert(got(0L) == asKeys(sim.Similarity.nswBatchSearch(
+      spark, sfDir, batch1.toDF("qid", "qvec"), 5)),
+      "batch 0 diverges from the batch path")
+    assert(got(1L) == asKeys(sim.Similarity.nswBatchSearch(
+      spark, sfDir, batch2.toDF("qid", "qvec"), 5)),
+      "batch 1 diverges from the batch path")
+  }
 }
