@@ -101,8 +101,9 @@ object Incremental {
     * PARTITION via [[appendBatch]], which makes the append idempotent:
     * foreachBatch is at-least-once (a crash between the write and the
     * checkpoint commit replays the batch on restart), and the replay
-    * finds its own id already present and skips — exactly-once table
-    * contents without rewriting any committed file.
+    * either skips (its id is in the post-data commit ledger) or
+    * overwrites exactly its own partition — exactly-once table contents
+    * without rewriting any OTHER batch's committed file.
     */
   def refreshStream(orderStream: DataFrame, snapTable: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -112,24 +113,51 @@ object Incremental {
         appendBatch(batch, batchId, snapTable)
       }
 
-  /** Idempotent per-batch append: skip if this `batchId`'s partition
-    * already exists (the partition column doubles as the committed-id
-    * ledger; the existence probe is partition-pruned, so it lists one
-    * directory, not the table). Replays of compacted-away ids can't
-    * occur in practice: [[compact]] is offline maintenance over batches
-    * the checkpoint has already committed, and committed ids never
-    * replay.
+  /** The committed-batch ledger table backing [[appendBatch]]'s
+    * idempotence probe: one row per FULLY committed batch id, appended
+    * strictly after that batch's data job succeeds.
+    */
+  private[graft] def ledgerTable(snapTable: String): String =
+    s"${snapTable}_ledger"
+
+  /** Idempotent per-batch append. The skip is gated on the LEDGER, not
+    * on the data partition being visible: a parquet job commit is not
+    * atomic across task files, so a crash mid-commit can leave a
+    * partition partially visible — probing the partition would read
+    * "committed" and silently drop the rest of the batch on replay.
+    * Instead the ledger row is written strictly AFTER the data job
+    * returns, and a replay that finds no ledger row dynamically
+    * OVERWRITES exactly its own `batch_id` partition (deterministic
+    * per-batch aggregate → byte-identical content), wiping any partial
+    * files rather than appending next to them. Crash windows: before
+    * the data commit → replay rewrites the partition; between data and
+    * ledger → replay rewrites the identical partition and then marks;
+    * after the ledger → replay skips. The ledger also survives
+    * [[compact]] (which folds partitions into `batch_id = -1`), so a
+    * late replay of a compacted-away id still skips instead of
+    * re-appending — exactly-once table CONTENTS in every window.
     */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
       snapTable: String): Unit = {
     if (!batch.isEmpty) {
       val s = batch.sparkSession
-      val seen = s.catalog.tableExists(snapTable) &&
-        !s.table(snapTable).filter(col("batch_id") === batchId).isEmpty
-      if (!seen)
-        orderAgg(batch).withColumn("batch_id", lit(batchId))
-          .write.mode("append").format("parquet")
-          .partitionBy("batch_id").saveAsTable(snapTable)
+      val ledger = ledgerTable(snapTable)
+      val committed = s.catalog.tableExists(ledger) &&
+        !s.table(ledger).filter(col("batch_id") === batchId).isEmpty
+      if (!committed) {
+        val rows = orderAgg(batch).withColumn("batch_id", lit(batchId))
+        if (s.catalog.tableExists(snapTable)) {
+          val key = "spark.sql.sources.partitionOverwriteMode"
+          val prev = s.conf.get(key, "STATIC")
+          s.conf.set(key, "dynamic")
+          try rows.write.mode("overwrite").insertInto(snapTable)
+          finally s.conf.set(key, prev)
+        } else
+          rows.write.mode("append").format("parquet")
+            .partitionBy("batch_id").saveAsTable(snapTable)
+        s.range(1).select(lit(batchId).as("batch_id"))
+          .write.mode("append").format("parquet").saveAsTable(ledger)
+      }
     }
   }
 
@@ -144,8 +172,9 @@ object Incremental {
 
   /** Offline compaction: collapse the partials to one row per key,
     * parked under the reserved `batch_id = -1` partition (stream batch
-    * ids are ≥ 0) so the table keeps its partition layout and
-    * [[appendBatch]]'s idempotence probe keeps working afterwards. The
+    * ids are ≥ 0) so the table keeps its partition layout; the commit
+    * LEDGER is untouched, so [[appendBatch]]'s idempotence probe still
+    * skips late replays of compacted-away ids afterwards. The
     * localCheckpoint materializes the compacted rows and truncates
     * lineage so the overwrite doesn't read the files it replaces.
     */

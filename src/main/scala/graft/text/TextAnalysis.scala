@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -793,22 +793,38 @@ object TextAnalysis {
       .orderBy("vocab_id")
   }
 
-  // q116 — BPE ENCODE TO IDS: the terminal tokenizer artifact q87's
-  // counts stop short of — each document's full BPE token-ID sequence
-  // as array<int>, ids laid out alphabet-first then merge-rank (see
-  // [[bpeIdVocab]]; the vocab array's index IS the id). One scan, NO
-  // shuffle, no state: the merge table and id map ride as referenced
-  // objects inside the codegen'd [[VectorExprs.bpeEncodeIds]], so
-  // per-row cost is one static call — tokenize + all merge folds + id
-  // lookups fused. Iteratively trained artifact → rows-only; the
-  // per-doc id sequences are spec-replayed against the dense reference
-  // encoder and the totals tie to q87's counts exactly.
-  val q116: QueryDef = QueryDef.rowsOnly("q116_token_ids") { (s, d) =>
+  /** The raw per-document BPE id sequences — the library face of q116
+    * and what [[writeTrainingShards]] materializes: (doc_id,
+    * ids array<int>), ids laid out alphabet-first then merge-rank (see
+    * [[bpeIdVocab]]; the vocab array's index IS the id). One scan, NO
+    * shuffle, no state: the merge table and id map ride as referenced
+    * objects inside the codegen'd [[VectorExprs.bpeEncodeIds]], so
+    * per-row cost is one static call — tokenize + all merge folds + id
+    * lookups fused.
+    */
+  def tokenIdSequences(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         VectorExprs.bpeEncodeIds(col("text"), bpeFlatMerges(s, d, 64),
           bpeIdVocab(s, d, 64)).as("ids"))
-      .withColumn("n_ids", size(col("ids")))
+
+  // q116 — BPE ENCODE TO IDS: the terminal tokenizer artifact q87's
+  // counts stop short of — each document's full BPE token-ID sequence
+  // (see [[tokenIdSequences]]; the shard sink writes the raw arrays).
+  // The CATALOG projection is scalar-only — (doc_id, n_ids, ids_hash)
+  // with ids_hash = sha2 over the comma-joined sequence — because the
+  // driver's row canonicalization sorts column values and can't order
+  // array cells; the digest pins the exact id sequence per doc while
+  // staying checker-sortable. Iteratively trained artifact → rows-only;
+  // the raw sequences are spec-replayed against the dense reference
+  // encoder, the digest is spec-tied to the arrays, and the totals tie
+  // to q87's counts exactly.
+  val q116: QueryDef = QueryDef.rowsOnly("q116_token_ids") { (s, d) =>
+    tokenIdSequences(s, d)
+      .select(col("doc_id"),
+        size(col("ids")).as("n_ids"),
+        sha2(array_join(col("ids").cast("array<string>"), ","), 256)
+          .as("ids_hash"))
       .orderBy("doc_id")
   }
 

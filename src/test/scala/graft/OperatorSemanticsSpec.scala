@@ -427,7 +427,7 @@ class OperatorSemanticsSpec extends SparkSpec {
         })
       }
     val expected = docs.map { case (id, t) => id -> refIds(t) }.toMap
-    val got = SparkEntry.queries("q116_token_ids")(spark, sfDir)
+    val got = text.TextAnalysis.tokenIdSequences(spark, sfDir)
       .select("doc_id", "ids").collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(got == expected, "q116 id sequences diverge from the reference encoder")
@@ -438,6 +438,20 @@ class OperatorSemanticsSpec extends SparkSpec {
     got.foreach { case (id, ids) =>
       assert(ids.length == counts(id), s"doc $id: ${ids.length} ids != q87")
       assert(!ids.contains(-1), s"doc $id: OOV id in the training corpus")
+    }
+
+    // the CATALOG projection is scalar-only (the driver checker can't
+    // sort array cells); its digest must pin exactly the raw sequences
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString
+    val catalog = SparkEntry.queries("q116_token_ids")(spark, sfDir)
+      .select("doc_id", "n_ids", "ids_hash").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(catalog.keySet == expected.keySet, "q116 catalog row set diverges")
+    catalog.foreach { case (id, (n, h)) =>
+      assert(n == expected(id).length, s"doc $id: catalog n_ids diverges")
+      val want = hex(sha.digest(expected(id).mkString(",").getBytes("UTF-8")))
+      assert(h == want, s"doc $id: catalog ids_hash diverges from raw ids")
     }
 
     // the SHARD SINK's promise: reading one shard in (pack_id,

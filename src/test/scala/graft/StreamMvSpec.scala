@@ -23,19 +23,26 @@ class StreamMvSpec extends SparkSpec {
       .map(p => p.toString -> Files.size(p)).toMap
   }
 
+  /** Drop the snapshot AND its commit ledger — catalog entries plus any
+    * warehouse files a previous JVM's run left that THIS JVM's catalog
+    * has never heard of (the drop alone can't see those, and the first
+    * append would land on top of stale data).
+    */
+  private def dropSnap(snap: String): Unit =
+    Seq(snap, Incremental.ledgerTable(snap)).foreach { name =>
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = Paths.get(
+        spark.sessionState.conf.warehousePath.stripPrefix("file:"), name)
+      if (Files.exists(loc))
+        Files.walk(loc).sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.delete)
+    }
+
   test("streaming MV: appended partials compose to the batch aggregate; appends never rewrite") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val snap = "graft_test_mv_stream"
-    spark.sql(s"DROP TABLE IF EXISTS $snap")
-    // a previous JVM's run leaves files under the warehouse path that
-    // THIS JVM's catalog has never heard of — the drop above can't see
-    // them, and the first append would land on top of stale data
-    val loc = Paths.get(
-      spark.sessionState.conf.warehousePath.stripPrefix("file:"), snap)
-    if (Files.exists(loc))
-      Files.walk(loc).sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete)
+    dropSnap(snap)
     val mem = MemoryStream[(Long, Long, Double)]
     val stream = mem.toDF().toDF("o_orderkey", "o_custkey", "o_totalprice")
     val q = Incremental.refreshStream(stream, snap).start()
@@ -74,12 +81,7 @@ class StreamMvSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val snap = "graft_test_mv_restart"
-    spark.sql(s"DROP TABLE IF EXISTS $snap")
-    val loc = Paths.get(
-      spark.sessionState.conf.warehousePath.stripPrefix("file:"), snap)
-    if (Files.exists(loc))
-      Files.walk(loc).sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete)
+    dropSnap(snap)
     val ckpt = Files.createTempDirectory("mv_ckpt").toString
     val mem = MemoryStream[(Long, Long, Double)]
     def start() = Incremental
@@ -105,19 +107,14 @@ class StreamMvSpec extends SparkSpec {
   test("streaming MV: a replayed batch (crash between write and checkpoint commit) appends nothing") {
     import spark.implicits._
     val snap = "graft_test_mv_replay"
-    spark.sql(s"DROP TABLE IF EXISTS $snap")
-    val loc = Paths.get(
-      spark.sessionState.conf.warehousePath.stripPrefix("file:"), snap)
-    if (Files.exists(loc))
-      Files.walk(loc).sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete)
+    dropSnap(snap)
     val b0 = Seq((1L, 10L, 100.50), (2L, 11L, 20.25))
       .toDF("o_orderkey", "o_custkey", "o_totalprice")
     Incremental.appendBatch(b0, 0L, snap)
     val files1 = tableFiles(snap)
     // foreachBatch is at-least-once: simulate the crash-replay by
-    // delivering the SAME batchId again — the idempotence ledger (the
-    // batch_id partition) must swallow it byte-for-byte
+    // delivering the SAME batchId again — the post-data commit ledger
+    // must swallow it byte-for-byte
     Incremental.appendBatch(b0, 0L, snap)
     assert(tableFiles(snap) == files1,
       "replayed batchId must not append or rewrite any file")
@@ -128,5 +125,60 @@ class StreamMvSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(view == Map(10L -> (2L, 11049L), 11L -> (1L, 2025L)),
       s"post-replay view wrong: $view")
+  }
+
+  test("streaming MV: a TORN batch (partition partially visible, no ledger row) is rewritten whole on replay") {
+    import spark.implicits._
+    val snap = "graft_test_mv_torn"
+    dropSnap(snap)
+    Incremental.appendBatch(
+      Seq((1L, 10L, 100.50)).toDF("o_orderkey", "o_custkey", "o_totalprice"),
+      0L, snap)
+    // simulate a driver crash mid-job-commit on batch 1: ONE of the
+    // batch's two customer rows became visible under the batch_id=1
+    // partition, and the crash happened before the ledger row — exactly
+    // the window where a visibility probe would wrongly skip the replay
+    Seq((11L, 1L, 2025L, 1L))
+      .toDF("o_custkey", "n_orders", "total_cents", "batch_id")
+      .write.mode("append").format("parquet")
+      .partitionBy("batch_id").saveAsTable(snap)
+    val torn = Incremental.readView(spark, snap).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(torn == Map(10L -> (1L, 10050L), 11L -> (1L, 2025L)),
+      s"torn-state precondition wrong: $torn")
+    // the at-least-once replay delivers the FULL batch 1; with no
+    // ledger row it must overwrite exactly its own partition — the
+    // partial row is wiped, nothing duplicates, batch 0 is untouched
+    Incremental.appendBatch(
+      Seq((2L, 11L, 20.25), (3L, 12L, 1.00))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice"),
+      1L, snap)
+    val view = Incremental.readView(spark, snap).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(view == Map(10L -> (1L, 10050L), 11L -> (1L, 2025L), 12L -> (1L, 100L)),
+      s"torn-batch replay must rewrite the partition whole, got $view")
+    // and now that the ledger row exists, a SECOND replay is a no-op
+    val files = tableFiles(snap)
+    Incremental.appendBatch(
+      Seq((2L, 11L, 20.25), (3L, 12L, 1.00))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice"),
+      1L, snap)
+    assert(tableFiles(snap) == files, "post-ledger replay must not touch files")
+  }
+
+  test("streaming MV: a late replay of a compacted-away batch id still skips") {
+    import spark.implicits._
+    val snap = "graft_test_mv_lateclean"
+    dropSnap(snap)
+    val b0 = Seq((1L, 10L, 100.50)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    Incremental.appendBatch(b0, 0L, snap)
+    Incremental.compact(spark, snap)
+    // batch 0's partition is gone (folded into batch_id = -1), but its
+    // ledger row survived compaction — the replay must NOT re-append
+    Incremental.appendBatch(b0, 0L, snap)
+    val view = Incremental.readView(spark, snap).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(view == Map(10L -> (1L, 10050L)),
+      s"compacted-away id replay must skip, got $view")
   }
 }
