@@ -120,7 +120,7 @@ case class HilbertIndexN(children: Seq[Expression], bits: Int)
       xs(i) = v.asInstanceOf[Long]
       i += 1
     }
-    HilbertIndexN.encode(xs, bits)
+    HilbertIndexN.encodeInPlace(xs, bits)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -144,7 +144,7 @@ case class HilbertIndexN(children: Seq[Expression], bits: Int)
          |$setup
          |if (!${ev.isNull}) {
          |  ${ev.value} =
-         |    graft.functions.HilbertIndexN$$.MODULE$$.encode($arr, $bits);
+         |    graft.functions.HilbertIndexN$$.MODULE$$.encodeInPlace($arr, $bits);
          |}""".stripMargin)
   }
 
@@ -154,10 +154,19 @@ case class HilbertIndexN(children: Seq[Expression], bits: Int)
 }
 
 object HilbertIndexN {
-  /** Axes → Hilbert index; mutates a COPY of `xsIn`. */
-  def encode(xsIn: Array[Long], bits: Int): Long = {
-    val n = xsIn.length
-    val xs = java.util.Arrays.copyOf(xsIn, n)
+  /** Axes → Hilbert index; mutates a COPY of `xsIn` (the safe public
+    * face — callers keep their array).
+    */
+  def encode(xsIn: Array[Long], bits: Int): Long =
+    encodeInPlace(java.util.Arrays.copyOf(xsIn, xsIn.length), bits)
+
+  /** The zero-copy entry the expression's eval and generated
+    * code use: both build a fresh per-row dims array already, so this
+    * CONSUMES (mutates) `xs` — one dims-length allocation per row
+    * total, not two.
+    */
+  def encodeInPlace(xs: Array[Long], bits: Int): Long = {
+    val n = xs.length
     val m = 1L << (bits - 1)
     // undo the per-level sub-cube rotations (Skilling's "inverse undo")
     var q = m

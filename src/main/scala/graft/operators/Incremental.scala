@@ -138,26 +138,36 @@ object Incremental {
     * re-appending — exactly-once table CONTENTS in every window.
     */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
-      snapTable: String): Unit = {
-    if (!batch.isEmpty) {
-      val s = batch.sparkSession
-      val ledger = ledgerTable(snapTable)
-      val committed = s.catalog.tableExists(ledger) &&
-        !s.table(ledger).filter(col("batch_id") === batchId).isEmpty
-      if (!committed) {
-        val rows = orderAgg(batch).withColumn("batch_id", lit(batchId))
-        if (s.catalog.tableExists(snapTable)) {
-          val key = "spark.sql.sources.partitionOverwriteMode"
-          val prev = s.conf.get(key, "STATIC")
-          s.conf.set(key, "dynamic")
-          try rows.write.mode("overwrite").insertInto(snapTable)
-          finally s.conf.set(key, prev)
-        } else
-          rows.write.mode("append").format("parquet")
-            .partitionBy("batch_id").saveAsTable(snapTable)
-        s.range(1).select(lit(batchId).as("batch_id"))
-          .write.mode("append").format("parquet").saveAsTable(ledger)
-      }
+      snapTable: String): Unit =
+    if (!batch.isEmpty) idempotentAppend(orderAgg(batch), batchId, snapTable)
+
+  /** The reusable ledger-gated write behind [[appendBatch]]: land
+    * `rows` (any schema) under a `batch_id = batchId` partition of
+    * `table` with the exactly-once-contents guarantee documented above.
+    * `rows` must be a DETERMINISTIC function of the batch (a replay
+    * regenerates identical content) — true for any foreachBatch
+    * transform of the trigger's data, e.g. a streaming ANN probe's
+    * top-k results (see [[graft.sim.Similarity.nswProbeStream]]).
+    */
+  def idempotentAppend(rows: DataFrame, batchId: Long,
+      table: String): Unit = {
+    val s = rows.sparkSession
+    val ledger = ledgerTable(table)
+    val committed = s.catalog.tableExists(ledger) &&
+      !s.table(ledger).filter(col("batch_id") === batchId).isEmpty
+    if (!committed) {
+      val part = rows.withColumn("batch_id", lit(batchId))
+      if (s.catalog.tableExists(table)) {
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = s.conf.get(key, "STATIC")
+        s.conf.set(key, "dynamic")
+        try part.write.mode("overwrite").insertInto(table)
+        finally s.conf.set(key, prev)
+      } else
+        part.write.mode("append").format("parquet")
+          .partitionBy("batch_id").saveAsTable(table)
+      s.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").format("parquet").saveAsTable(ledger)
     }
   }
 

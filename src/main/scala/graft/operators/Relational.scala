@@ -282,11 +282,15 @@ object Relational {
   // whose range covers floor/ceil(p·(n-1)) supplies the interpolation
   // endpoints. Replaces the one-pass `percentile(...)` ObjectHash
   // aggregate, whose buffer holds EVERY raw value of a group inside one
-  // task — at 100× scale a hot group is an executor OOM; here the only
-  // per-row state is the running sum (the ordered frame streams), and
-  // group totals come back via a broadcast join (one row per group), so
-  // no full-partition window frame exists anywhere. The final groupBy
-  // reuses the window's hash partitioning — no extra exchange. The
+  // task — at 100× scale a hot group is an executor OOM; here the
+  // running sum streams its ordered frame, and the group total n comes
+  // from an unbounded frame over the SAME WindowExec — that frame does
+  // buffer the partition, but it is the post-collapse distinct-value
+  // table (bounded by distinct values, not rows) and the buffer is a
+  // disk-spillable row buffer, not the aggregate's in-memory array. The
+  // final groupBy reuses the window's hash partitioning — no exchange
+  // between them (plan-asserted: two hash exchanges total, the counts
+  // build and the window repartition). The
   // interpolation a+(b-a)·f over identical doubles is IEEE-identical in
   // both engines, so values stay unrounded.
   val q12: QueryDef = QueryDef.sql(

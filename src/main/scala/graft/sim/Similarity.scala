@@ -1367,8 +1367,9 @@ object Similarity {
     * shuffled (q102's plan spec, same code path). `sink` receives each
     * batch's (qid, node, cos) top-k with its batchId — the foreachBatch
     * idempotence treatment (e.g. [[graft.operators.Incremental
-    * .appendBatch]]'s batchId-partition ledger) is the caller's choice
-    * of sink.
+    * .idempotentAppend]]'s post-data-commit batchId ledger, the
+    * composition StreamAnnSpec replays end-to-end) is the caller's
+    * choice of sink.
     */
   def nswProbeStream(s: SparkSession, d: String, queryStream: DataFrame,
       k: Int, sink: (DataFrame, Long) => Unit,

@@ -174,6 +174,46 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("expand is the NSW recall lever: widening 8 -> 12 lifts flat recall past 0.91 at sf0.1") {
+    // r6's hierarchical-entry analysis measured that per-hop frontier
+    // width, not entry seeding, binds family recall. This pins the
+    // LEVER itself on the flat search: expand 8 → 12 must lift mean
+    // recall, and the wide setting must clear 0.91 (measured: flat@8
+    // 0.879, flat@12 0.918; the hierarchical pairing below reaches
+    // 0.921 and carries the 0.92 bar) — so a regression in the
+    // frontier ranking shows up here before it shows up as a
+    // mysteriously-sunk family recall.
+    val d = "/root/testdata/sf0.1"
+    val queries = Tables.embeddings(spark, d)
+      .filter(pmod(col("vec_id"), lit(53L)) === lit(1L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def run(expand: Int): Map[Long, Set[Long]] =
+      sim.Similarity.nswBatchSearch(spark, d, queries, 10, expand = expand)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val narrow = run(8)
+    val wide = run(12)
+    val emb = Tables.embeddings(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dd = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dd += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dd / math.sqrt(na * nb)
+    }
+    def meanRecall(got: Map[Long, Set[Long]]): Double = {
+      val rs = emb.filter(_._1 % 53 == 1).map { case (qid, qv) =>
+        val exact = emb.map { case (id, v) => id -> cos(qv, v) }
+          .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+        exact.intersect(got.getOrElse(qid, Set.empty)).size.toDouble / exact.size
+      }
+      rs.sum / rs.length
+    }
+    val (r8, r12) = (meanRecall(narrow), meanRecall(wide))
+    info(f"flat entry: recall@10 $r8%.3f at expand=8 -> $r12%.3f at expand=12")
+    assert(r12 > r8, s"widening the frontier must lift recall ($r8 -> $r12)")
+    assert(r12 >= 0.91, s"flat expand=12 must clear 0.91, got $r12")
+  }
+
   test("hierarchical batch-NSW entry: recall holds while hub scores per query shrink") {
     // sf0.1: ~71 hubs — the smallest corpus where a √H super-layer has
     // room to undercut the flat entry (at sf0.01's 23 hubs the two
@@ -209,9 +249,10 @@ class OperatorSemanticsSpec extends SparkSpec {
       exact.intersect(got.getOrElse(qid, Set.empty)).size.toDouble / exact.size
     }
     val mean = recalls.sum / recalls.length
-    // the same ≥ 0.9 floor every other ANN tier holds — the opt-in
-    // entry must not quietly run below the family bar
-    assert(mean >= 0.9, s"hierarchical-entry mean recall@10 $mean")
+    // at the documented expand=12 pairing the bar is 0.92 (measured
+    // 0.921) — above the family's 0.9 floor, resting on the lever that
+    // actually moves recall (per-hop frontier width)
+    assert(mean >= 0.92, s"hierarchical-entry mean recall@10 $mean at expand=12")
 
     // accounting, independently re-derived: per-query hub scores under
     // the stride-super routing = |supers| (scored once, re-used as both

@@ -59,6 +59,37 @@ class PlanSpec extends SparkSpec {
       s"(group, value) counts must combine map-side:\n$plan")
     assert(plan.contains("Window"),
       s"the ordered prefix-sum must be a (spillable) window:\n$plan")
+    // the final groupBy must REUSE the window's hash partitioning:
+    // above the Window there is a partial+final max pair but NO
+    // exchange between them and the window
+    val aboveWindow = plan.substring(0, plan.indexOf("Window ["))
+    val aggIdx = aboveWindow.indexOf("HashAggregate")
+    assert(aggIdx >= 0, s"q12 final aggregate missing above the window:\n$plan")
+    assert(!aboveWindow.substring(aggIdx).contains("Exchange"),
+      s"q12's final agg must reuse the window's partitioning, not re-shuffle:\n$plan")
+    // total hash exchanges stay at two — the map-side-combined counts
+    // build on (group, value) and the window's group repartition; a
+    // third means someone re-added a shuffle
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 2,
+      s"q12 must plan exactly TWO hash exchanges (counts build + window), got $hashEx:\n$plan")
+  }
+
+  test("q108 percentile buffers hold the O(keys) count table, never raw rows") {
+    val plan = planOf("q108_skew_report")
+    // q108 keeps the value-buffering percentile_disc aggregate ON
+    // PURPOSE — its input is the per-key count table (one row per
+    // distinct join key), so the buffer is bounded by O(keys), the same
+    // bound the report itself measures. The q12 OOM class creeps back
+    // in only if percentiles start aggregating a raw-row column:
+    // every percentile in the plan must consume `cnt`
+    val pcts = "percentile_disc\\(\\s*([A-Za-z_][A-Za-z0-9_]*)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(pcts.nonEmpty, s"q108 lost its percentile aggregates:\n$plan")
+    assert(pcts.forall(_ == "cnt"),
+      s"q108 percentiles must aggregate the count table only, got inputs $pcts:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the one real shuffle must combine map-side:\n$plan")
   }
 
   test("q52 kNN graph: broadcast pair join + map-side bounded top-k aggregate") {

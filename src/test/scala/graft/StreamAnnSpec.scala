@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.functions.VectorExprs
 
+import scala.jdk.CollectionConverters._
+
 /** Streaming ANN probe vs its batch oracle: query vectors arriving on a
   * stream must get exactly the candidates the batch path computes over
   * the same persisted index — including across multiple micro-batches —
@@ -100,5 +102,51 @@ class StreamAnnSpec extends SparkSpec {
     assert(got(1L) == asKeys(sim.Similarity.nswBatchSearch(
       spark, sfDir, batch2.toDF("qid", "qvec"), 5)),
       "batch 1 diverges from the batch path")
+  }
+
+  test("streaming NSW probe + idempotent sink: a crash-replayed batch leaves no duplicate top-k rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the composition the nswProbeStream scaladoc recommends: the sink
+    // is Incremental.idempotentAppend, so each trigger's top-k lands
+    // under its batch_id partition gated by the post-data commit ledger
+    val table = "graft_test_nsw_sink"
+    Seq(table, graft.operators.Incremental.ledgerTable(table)).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        spark.sessionState.conf.warehousePath.stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc))
+        java.nio.file.Files.walk(loc)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    val qs = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(3)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .take(3).map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (res, id) => graft.operators.Incremental.idempotentAppend(res, id, table)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = sim.Similarity.nswProbeStream(spark, sfDir,
+        mem.toDF().toDF("qid", "qvec"), 5, sink)
+      .start()
+    try {
+      mem.addData(qs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows = spark.table(table)
+      .select("batch_id", "qid", "node", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val first = rows.toSeq.sorted
+    assert(first.nonEmpty && first.map(_._2).toSet == qs.map(_._1).toSet,
+      "every query's top-k must land in the sink table")
+    assert(first.groupBy(t => (t._2, t._3)).forall(_._2.size == 1),
+      "one row per (qid, node) before the replay")
+    // foreachBatch is at-least-once: a crash between the sink write and
+    // the checkpoint commit re-delivers batch 0 — replay it by hand
+    // (the probe recomputes the SAME deterministic top-k) and require
+    // the table byte-identical, no duplicate (qid, node) pairs
+    sink(sim.Similarity.nswBatchSearch(spark, sfDir, qs.toDF("qid", "qvec"), 5), 0L)
+    assert(rows.toSeq.sorted == first,
+      "replaying a committed batch must not change the sink table")
   }
 }

@@ -145,12 +145,17 @@ class ZOrderSpec extends SparkSpec {
     val bits = 4
     val cells = for (x <- 0L until 16L; y <- 0L until 16L; z <- 0L until 16L)
       yield (x, y, z)
-    val viaSpark = cells.toDF("x", "y", "z")
-      .select(col("x"), col("y"), col("z"),
-        graft.functions.SpatialExprs.hilbertIndexN(
-          Seq(col("x"), col("y"), col("z")), bits).as("d"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // fallback=false: a doGenCode compile error must FAIL here, not
+    // silently fall back to interpreted eval (mirrors CodegenSpec)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val viaSpark =
+      try cells.toDF("x", "y", "z")
+        .select(col("x"), col("y"), col("z"),
+          graft.functions.SpatialExprs.hilbertIndexN(
+            Seq(col("x"), col("y"), col("z")), bits).as("d"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      finally spark.conf.unset("spark.sql.codegen.fallback")
     cells.foreach { case (x, y, z) =>
       assert(viaSpark((x, y, z)) ==
         graft.functions.HilbertIndexN.encode(Array(x, y, z), bits),
