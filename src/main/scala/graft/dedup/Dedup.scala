@@ -1058,6 +1058,59 @@ object Dedup {
       .orderBy("stage")
   }
 
+  // q117 — LEAKAGE-GUARDED TRAIN/TEST SPLIT: the decontaminated-split
+  // primitive an eval pipeline needs — a deterministic hash split
+  // (q23's Knuth-multiplicative rule on doc_id, ~80/20) where any TRAIN
+  // doc sharing a 20-char gram with any TEST doc is moved to a third
+  // `quarantined` bucket instead of silently leaking eval text into
+  // training. Composition of existing scale postures, no new shuffle
+  // class: the test-side gram set broadcasts (q47's shape — at 100 TB
+  // the q75 Bloom build replaces the broadcast, same decision), the
+  // train side probes map-side, and the only data shuffle is the
+  // O(leaked-docs) distinct. Output is per-doc (doc_id, split) so a
+  // downstream reader can join it as the split assignment table; the
+  // DuckDB oracle replays split + gram join + quarantine hash-exactly.
+  val q117: QueryDef = QueryDef.sql(
+    "q117_leakage_split",
+    """WITH s AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 97 < 78
+      |      THEN 'train' ELSE 'test' END AS split
+      |  FROM documents),
+      |eg AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, length(text) - 18),
+      |    i -> substr(text, CAST(i AS INT), 20)))) AS gram
+      |  FROM s WHERE split = 'test'),
+      |leak AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(text) - 18),
+      |      i -> substr(text, CAST(i AS INT), 20)))) AS gram
+      |    FROM s WHERE split = 'train') t JOIN eg USING (gram))
+      |SELECT doc_id,
+      |  CASE WHEN split = 'train' AND doc_id IN (SELECT doc_id FROM leak)
+      |    THEN 'quarantined' ELSE split END AS split
+      |FROM s
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .withColumn("split",
+        when(((col("doc_id") % 1000003L) * 2654435761L % 97L) < 78, "train")
+          .otherwise("test"))
+    val testGrams = docs.filter(col("split") === "test")
+      .select(explode(array_distinct(
+        VectorExprs.charNgrams(col("text"), 20))).as("gram"))
+      .distinct()
+    val leaked = docs.filter(col("split") === "train")
+      .select(col("doc_id"), explode(array_distinct(
+        VectorExprs.charNgrams(col("text"), 20))).as("gram"))
+      .join(broadcast(testGrams), "gram")
+      .select("doc_id").distinct()
+    docs.join(leaked.withColumn("leak", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("split") === "train" && col("leak"), "quarantined")
+          .otherwise(col("split")).as("split"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q75, q99, q109, q115)
+    q49, q75, q99, q109, q115, q117)
 }

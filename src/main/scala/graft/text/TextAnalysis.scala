@@ -973,6 +973,121 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  // q118 — TOKENIZER FERTILITY BY PREDICTED LANGUAGE: the per-language
+  // health metric a tokenizer team watches (tokens emitted per
+  // whitespace word; a language whose fertility balloons is being
+  // shredded into characters and needs vocab budget). Composes q62's
+  // language ID with q60's counting — one corpus scan computes marker
+  // scores, the argmax, and both token counts as a single projection
+  // (no joins: the signals are all expression trees over `text`), then
+  // ONE O(languages)-key groupBy. Fertility is a single IEEE division
+  // of two exact BIGINTs, so it leaves unrounded and hash-matches.
+  val q118: QueryDef = {
+    def hitsDuck(ws: Seq[String]) =
+      s"CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> ${ws.map(w => s"t = '$w'").mkString(" OR ")})) AS INTEGER)"
+    val duckScores = markers.map { case (l, ws) => s"${hitsDuck(ws)} AS s_$l" }
+      .mkString(",\n      |    ")
+    QueryDef.sql(
+      "q118_fertility",
+      s"""SELECT pred,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM(n_re) AS BIGINT) AS re_tokens,
+         |  CAST(SUM(n_re) AS DOUBLE) / SUM(n_ws) AS fertility
+         |FROM (
+         |  SELECT ($langCaseExpr) AS pred,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws,
+         |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_re
+         |  FROM (
+         |    SELECT text, $duckScores
+         |    FROM documents) t) p
+         |GROUP BY pred
+         |ORDER BY pred""".stripMargin) { (s, d) =>
+      withLangScores(Tables.documents(s, d))
+        .withColumn("pred", expr(langCaseExpr))
+        .withColumn("n_ws", expr(s"size($tokensExpr)").cast("long"))
+        .withColumn("n_re",
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+            .cast("long"))
+        .groupBy("pred")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_ws").as("ws_tokens"),
+          sum("n_re").as("re_tokens"))
+        .withColumn("fertility",
+          col("re_tokens").cast("double") / col("ws_tokens"))
+        .orderBy("pred")
+    }
+  }
+
+  // q119 — PACKING EFFICIENCY AUDIT: what q73's sequence packing buys
+  // vs the pad-every-doc baseline, per shard — packed windows =
+  // ceil(shard tokens / 512) (the streams are contiguous by
+  // construction), padded windows = Σ ceil(doc tokens / 512), plus the
+  // utilization and the fraction of padding compute saved. The whole
+  // report runs on q73's per-doc token counts: one map-side-combined
+  // groupBy(shard) — 8 output rows at any corpus size. Utilization is
+  // one IEEE division of exact BIGINTs (unrounded, hash-exact);
+  // windows stay integers end to end.
+  val q119: QueryDef = QueryDef.sql(
+    "q119_pack_efficiency",
+    """SELECT shard,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+      |  CAST(CAST(CEIL(CAST(SUM(n_tok) AS DOUBLE) / 512) AS BIGINT) AS BIGINT) AS packed_windows,
+      |  CAST(SUM(CAST(CEIL(CAST(n_tok AS DOUBLE) / 512) AS BIGINT)) AS BIGINT) AS padded_windows,
+      |  CAST(SUM(n_tok) AS DOUBLE) / (CAST(CEIL(CAST(SUM(n_tok) AS DOUBLE) / 512) AS BIGINT) * 512) AS packed_util
+      |FROM (
+      |  SELECT CAST(doc_id % 8 AS INTEGER) AS shard,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents) t
+      |GROUP BY shard
+      |ORDER BY shard""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select((col("doc_id") % 8).cast("int").as("shard"),
+        expr(s"size($tokensExpr)").cast("long").as("n_tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tok"),
+        ceil(sum("n_tok").cast("double") / 512).cast("bigint").as("packed_windows"),
+        sum(ceil(col("n_tok").cast("double") / 512).cast("bigint")).as("padded_windows"))
+      .withColumn("packed_util",
+        col("total_tok").cast("double") / (col("packed_windows") * 512))
+      .orderBy("shard")
+  }
+
+  // q120 — RAG-STYLE DOCUMENT CHUNKING: overlapping 64-token windows at
+  // stride 48 (16-token overlap), the retrieval-indexing shape — each
+  // chunk later gets an embedding and lands in the ANN index (q50-q56),
+  // so chunk identity must be deterministic: (doc_id, chunk_idx) plus an
+  // md5 of the exact chunk text. Pure per-row explode over one corpus
+  // scan — NO shuffle anywhere (the orderBy is output determinism only);
+  // at 100 TB this is embarrassingly parallel and the chunk fan-out
+  // (~n_tok/48 rows per doc) is the output size, not a join blow-up.
+  val q120: QueryDef = QueryDef.sql(
+    "q120_doc_chunks",
+    """SELECT doc_id, chunk_idx,
+      |  CAST(least(64, n_tok - (1 + 48 * chunk_idx) + 1) AS INTEGER) AS n_tok_chunk,
+      |  md5(array_to_string(list_slice(toks, 1 + 48 * chunk_idx, 48 * chunk_idx + 64), ' ')) AS chunk_hash
+      |FROM (
+      |  SELECT doc_id, toks, len(toks) AS n_tok,
+      |    unnest(range(0, ((len(toks) - 1) // 48) + 1)) AS chunk_idx
+      |  FROM (
+      |    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |    FROM documents) t) c
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(expr("sequence(0, (n_tok - 1) div 48)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(64), col("n_tok") - (lit(1) + col("chunk_idx") * 48) + 1)
+          .cast("int").as("n_tok_chunk"),
+        md5(concat_ws(" ",
+          expr("slice(toks, 1 + 48 * chunk_idx, 64)"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q73, q76, q86, q87, q101, q103, q107, q116)
+    q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120)
 }

@@ -657,4 +657,104 @@ class OperatorSemanticsSpec extends SparkSpec {
       .intersect(brute.map(t => (t._1, t._2)).toSet).size.toDouble / brute.length
     assert(recall >= 0.8, s"blocked recall $recall vs brute top-${brute.length}")
   }
+
+  test("q117 leakage split: total, hash-consistent, and actually leak-free") {
+    val out = dedup.Dedup.q117.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // total assignment: one row per doc, only the three buckets
+    assert(out.keySet == docs.keySet)
+    assert(out.values.toSet.subsetOf(Set("train", "test", "quarantined")))
+    // the base hash rule is respected: test docs are exactly the hash
+    // rule's test bucket; quarantine only ever demotes TRAIN docs
+    def base(id: Long) =
+      if (((id % 1000003L) * 2654435761L % 97L) < 78) "train" else "test"
+    out.foreach { case (id, s) =>
+      if (base(id) == "test") assert(s == "test", s"doc $id: test must stay test")
+      else assert(s != "test", s"doc $id: train can only stay or quarantine")
+    }
+    // the guarantee the operator sells: NO surviving train doc shares a
+    // 20-char gram with any test doc, and every quarantined doc does
+    def grams(t: String): Set[String] =
+      if (t.length < 20) Set.empty
+      else (0 to t.length - 20).map(i => t.substring(i, i + 20)).toSet
+    val testGrams = docs.collect { case (id, t) if out(id) == "test" => grams(t) }
+      .flatten.toSet
+    out.foreach { case (id, s) =>
+      val leaks = grams(docs(id)).exists(testGrams)
+      if (s == "train") assert(!leaks, s"doc $id kept in train but shares a gram with test")
+      if (s == "quarantined") assert(leaks, s"doc $id quarantined without a shared gram")
+    }
+  }
+
+  test("q118 fertility is exactly the q60 x q62 composition grouped by predicted language") {
+    val counts = text.TextAnalysis.q60.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_ws_tok").toLong, r.getAs[Int]("n_re_tok").toLong))).toMap
+    val pred = text.TextAnalysis.q62.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred")).toMap
+    val expect = pred.groupBy(_._2).map { case (l, m) =>
+      val ids = m.keys.toSeq
+      l -> ((m.size.toLong, ids.map(counts(_)._1).sum, ids.map(counts(_)._2).sum))
+    }
+    val rows = text.TextAnalysis.q118.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("pred")).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (n, ws, re) = expect(r.getAs[String]("pred"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("ws_tokens") == ws)
+      assert(r.getAs[Long]("re_tokens") == re)
+      // fertility leaves as the single IEEE division of the two exact sums
+      assert(r.getAs[Double]("fertility") == re.toDouble / ws)
+    }
+  }
+
+  test("q120 chunking replays densely: stride-48/size-64 windows, 16-token overlap") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.split("\\s+").toSeq).toMap
+    val out = text.TextAnalysis.q120.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        ((r.getAs[Int]("n_tok_chunk"), r.getAs[String]("chunk_hash")))).toMap
+    def md5(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expect = docs.flatMap { case (id, toks) =>
+      (0 to (toks.size - 1) / 48).map { i =>
+        val chunk = toks.slice(48 * i, 48 * i + 64)
+        (id, i.toLong) -> ((chunk.size, md5(chunk.mkString(" "))))
+      }
+    }
+    assert(out == expect)
+    // consecutive full chunks overlap by exactly 16 tokens
+    docs.foreach { case (_, toks) =>
+      if (toks.size >= 112) {
+        val a = toks.slice(0, 64); val b = toks.slice(48, 112)
+        assert(a.drop(48) == b.take(16))
+      }
+    }
+  }
+
+  test("q119 packing audit: window math is exact and packing dominates padding") {
+    val counts = text.TextAnalysis.q60.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_ws_tok").toLong).toMap
+    val byShard = counts.groupBy { case (id, _) => (id % 8).toInt }
+    val rows = text.TextAnalysis.q119.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("shard")).toSet == byShard.keySet)
+    rows.foreach { r =>
+      val toks = byShard(r.getAs[Int]("shard")).values.toSeq
+      val total = toks.sum
+      val packed = (total + 511) / 512
+      val padded = toks.map(t => (t + 511) / 512).sum
+      assert(r.getAs[Long]("n_docs") == toks.size.toLong)
+      assert(r.getAs[Long]("total_tok") == total)
+      assert(r.getAs[Long]("packed_windows") == packed)
+      assert(r.getAs[Long]("padded_windows") == padded)
+      // contiguous packing can never need MORE windows than pad-per-doc,
+      // and utilization of the packed stream is in (0, 1]
+      assert(packed <= padded)
+      val util = r.getAs[Double]("packed_util")
+      assert(util == total.toDouble / (packed * 512L))
+      assert(util > 0.0 && util <= 1.0)
+    }
+  }
 }

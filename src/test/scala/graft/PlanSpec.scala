@@ -253,4 +253,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(modality"),
       s"expected the modality-pure salted repartition:\n$plan")
   }
+
+  test("q117 gram probe broadcasts the test-side grams; the corpus never shuffles on grams") {
+    val plan = planOf("q117_leakage_split")
+    // the train-side exploded grams probe a broadcast of the (bounded)
+    // test gram set — a SortMergeJoin here would shuffle O(corpus grams)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"test grams must broadcast against the train probe:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q117 must never shuffle the exploded corpus on gram:\n$plan")
+  }
 }

@@ -207,12 +207,14 @@ class ZOrderSpec extends SparkSpec {
     info(s"3-D center-box files touched: morton $mt/$files, hilbert $ht/$files")
     // the box is a SLAB (quantity unconstrained), so it inherently cuts
     // many curve segments, and repartitionByRange's boundary sampling
-    // wobbles a file or two between sessions — the stable claim is the
-    // relative one: the seam forces morton to touch strictly more files
-    // than the seam-free hilbert walk (measured: morton 16/16, hilbert
-    // 12-14/16 across runs)
+    // is seeded off the RDD id — i.e. off how many RDDs the shared
+    // session created before this test — so the exact file count
+    // wobbles between solo and full-suite runs (measured: morton
+    // 16/16, hilbert 12-15/16). The stable claim is the relative one:
+    // the seam forces morton to touch strictly more files than the
+    // seam-free hilbert walk.
     assert(ht < mt, s"3-D hilbert must beat morton at the seam ($ht vs $mt)")
-    assert(ht <= files - 2, s"3-D hilbert must skip files morton cannot ($ht/$files)")
+    assert(ht <= files - 1, s"3-D hilbert must skip files morton cannot ($ht/$files)")
   }
 
   test("hilbert layout beats morton where morton is weakest: the center-seam box") {
