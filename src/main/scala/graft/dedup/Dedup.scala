@@ -1111,6 +1111,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // q122 — MULTI-BENCHMARK CONTAMINATION REPORT: q47's decision, but
+  // against N eval sets AT ONCE with per-benchmark severity — the
+  // dashboard a lab reads before a release ("how much of the corpus
+  // touches each benchmark, and how hard"). ONE corpus gram pass serves
+  // all benchmarks: the (eval_set, gram) table unions every benchmark's
+  // grams and broadcasts once (tagged rows — a doc hitting two sets
+  // counts in both), the train side explodes once and probes map-side;
+  // the only shuffles are the O(contaminated docs) per-(set, doc) count
+  // and the O(sets) rollup. Rate is one IEEE division by the train
+  // count (broadcast scalar), so rows hash-match.
+  val q122: QueryDef = QueryDef.sql(
+    "q122_contamination_report",
+    """WITH s AS (
+      |  SELECT doc_id, text, CAST(doc_id % 50 AS INTEGER) AS b FROM documents),
+      |eg AS (
+      |  SELECT DISTINCT eval_set, gram FROM (
+      |    SELECT b AS eval_set, unnest(list_distinct(list_transform(range(1, length(text) - 18),
+      |      i -> substr(text, CAST(i AS INT), 20)))) AS gram
+      |    FROM s WHERE b < 3) x),
+      |hits AS (
+      |  SELECT eval_set, doc_id, count(*) AS n_shared
+      |  FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(text) - 18),
+      |      i -> substr(text, CAST(i AS INT), 20)))) AS gram
+      |    FROM s WHERE b >= 3) tg JOIN eg USING (gram)
+      |  GROUP BY eval_set, doc_id)
+      |SELECT eval_set,
+      |  CAST(count(*) AS BIGINT) AS n_contaminated,
+      |  CAST(sum(n_shared) AS BIGINT) AS n_gram_hits,
+      |  CAST(max(n_shared) AS BIGINT) AS max_shared,
+      |  CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM s WHERE b >= 3) AS contamination_rate
+      |FROM hits
+      |GROUP BY eval_set
+      |ORDER BY eval_set""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .withColumn("b", (col("doc_id") % 50).cast("int"))
+    val evalGrams = docs.filter(col("b") < 3)
+      .select(col("b").as("eval_set"),
+        explode(array_distinct(VectorExprs.charNgrams(col("text"), 20))).as("gram"))
+      .distinct()
+    val train = docs.filter(col("b") >= 3)
+    val nTrain = train.agg(count(lit(1)).cast("double").as("n_train"))
+    train
+      .select(col("doc_id"),
+        explode(array_distinct(VectorExprs.charNgrams(col("text"), 20))).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("eval_set", "doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy("eval_set")
+      .agg(count(lit(1)).as("n_contaminated"),
+        sum("n_shared").as("n_gram_hits"),
+        max("n_shared").as("max_shared"))
+      .crossJoin(broadcast(nTrain))
+      .select(col("eval_set"), col("n_contaminated"), col("n_gram_hits"),
+        col("max_shared"),
+        (col("n_contaminated").cast("double") / col("n_train")).as("contamination_rate"))
+      .orderBy("eval_set")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q75, q99, q109, q115, q117)
+    q49, q75, q99, q109, q115, q117, q122)
 }

@@ -234,6 +234,39 @@ object MlPrep {
       .orderBy("doc_id", "bucket")
   }
 
+  // q121 — DETERMINISTIC GLOBAL TRAINING SHUFFLE: the epoch-order
+  // assignment a trainer reads — every doc gets a (shard, pos) such that
+  // reading shards in order, each ordered by pos, visits the corpus in a
+  // pseudorandom but REPRODUCIBLE order (Knuth-multiplicative key on
+  // doc_id; re-keying the constant = a new epoch permutation). The naive
+  // shape is row_number() over one global order — a single-partition
+  // window that dies at scale. This plan shards FIRST (shard = skey %
+  // 16), then ranks only within each shard: the window partitions are
+  // O(corpus/shards) and the shard count is a knob that scales with the
+  // cluster (4096+ at 100 TB keeps each window partition ~25 GB → one
+  // executor's spill-safe sort). One exchange total (the shard window's
+  // hash partitioning).
+  val q121: QueryDef = QueryDef.sql(
+    "q121_shuffle_shard",
+    """SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+      |FROM (
+      |  SELECT doc_id,
+      |    ((doc_id % 1000003) * 2654435761) % 1000000007 AS skey,
+      |    CAST(((doc_id % 1000003) * 2654435761) % 1000000007 % 16 AS INTEGER) AS shard
+      |  FROM documents) t
+      |ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        ((col("doc_id") % 1000003L) * 2654435761L % 1000000007L).as("skey"))
+      .withColumn("shard", (col("skey") % 16).cast("int"))
+    keyed
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("shard").orderBy("skey", "doc_id")).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
   val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q32,
-    q39)
+    q39, q121)
 }

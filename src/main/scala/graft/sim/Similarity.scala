@@ -1370,16 +1370,29 @@ object Similarity {
     * .idempotentAppend]]'s post-data-commit batchId ledger, the
     * composition StreamAnnSpec replays end-to-end) is the caller's
     * choice of sink.
+    *
+    * The search levers pass straight through to [[nswBatchSearch]]:
+    * `entryProbes = Some(p)` turns on HIERARCHICAL ROUTED ENTRY
+    * ([[nswHierarchicalSeeds]] — O(n^(1/4)) hub scores per query
+    * instead of the flat O(√n) entry sweep), the right streaming
+    * posture once the hub layer outgrows per-trigger full scoring;
+    * pair it with `expand` ≥ 12 (the measured recall lever — see
+    * nswHierarchicalSeeds' scaladoc). Streamed routed results equal
+    * the routed batch path node-for-node (StreamAnnSpec).
     */
   def nswProbeStream(s: SparkSession, d: String, queryStream: DataFrame,
       k: Int, sink: (DataFrame, Long) => Unit,
-      tables: Option[(String, String)] = None)
+      tables: Option[(String, String)] = None,
+      beam: Int = 96, expand: Int = 8, maxHops: Int = 20,
+      entryProbes: Option[Int] = None, entryMargin: Double = 0.0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queryStream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          sink(nswBatchSearch(s, d, batch, k, tables = tables), batchId)
+          sink(nswBatchSearch(s, d, batch, k, beam, expand, maxHops,
+            tables = tables, entryProbes = entryProbes,
+            entryMargin = entryMargin), batchId)
       }
 
   // q102 — BATCH NSW ANN: the multi-query probe as a catalog operator.

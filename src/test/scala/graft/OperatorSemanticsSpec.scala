@@ -734,6 +734,59 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q121 shuffle shard: dense per-shard positions in key order, total and reproducible") {
+    val out = ml.MlPrep.q121.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("pos")))
+    val ids = Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(out.map(_._1).toSet == ids)
+    def skey(id: Long) = (id % 1000003L) * 2654435761L % 1000000007L
+    out.foreach { case (id, sh, _) => assert(sh == (skey(id) % 16).toInt) }
+    // per shard: pos is exactly 1..n and follows ascending (skey, doc_id)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._3)
+      assert(byPos.map(_._3).toSeq == (1L to rows.size.toLong))
+      val keys = byPos.map(r => (skey(r._1), r._1)).toSeq
+      assert(keys == keys.sorted, "pos must follow ascending (skey, doc_id)")
+    }
+    // it IS a shuffle: within some shard, doc_ids are not in natural order
+    assert(out.groupBy(_._2).exists { case (_, rows) =>
+      val inPos = rows.sortBy(_._3).map(_._1).toSeq
+      inPos != inPos.sorted
+    }, "the permutation must not be the identity order")
+    // reproducible: a second run is identical row-for-row
+    val again = ml.MlPrep.q121.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("pos")))
+    assert(again.toSet == out.toSet)
+  }
+
+  test("q122 contamination report replays densely per benchmark") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def grams(t: String): Set[String] =
+      if (t.length < 20) Set.empty
+      else (0 to t.length - 20).map(i => t.substring(i, i + 20)).toSet
+    val evalSets = (0 to 2).map { b =>
+      b -> docs.collect { case (id, t) if id % 50 == b => grams(t) }.flatten.toSet
+    }.toMap
+    val train = docs.filter { case (id, _) => id % 50 >= 3 }
+    val expect = evalSets.flatMap { case (b, eg) =>
+      val shared = train.toSeq.map { case (id, t) => (grams(t) & eg).size }
+        .filter(_ > 0)
+      if (shared.isEmpty) None
+      else Some(b -> ((shared.size.toLong, shared.map(_.toLong).sum, shared.max.toLong)))
+    }
+    val rows = dedup.Dedup.q122.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("eval_set")).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (n, hits, mx) = expect(r.getAs[Int]("eval_set"))
+      assert(r.getAs[Long]("n_contaminated") == n)
+      assert(r.getAs[Long]("n_gram_hits") == hits)
+      assert(r.getAs[Long]("max_shared") == mx)
+      assert(r.getAs[Double]("contamination_rate") == n.toDouble / train.size)
+    }
+  }
+
   test("q119 packing audit: window math is exact and packing dominates padding") {
     val counts = text.TextAnalysis.q60.fn(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_ws_tok").toLong).toMap

@@ -263,4 +263,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"q117 must never shuffle the exploded corpus on gram:\n$plan")
   }
+
+  test("q121 shuffle shard: the shard window is the ONLY hash exchange (no global sort rank)") {
+    val plan = planOf("q121_shuffle_shard")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"expected exactly one hash exchange (the shard window), got $hashEx:\n$plan")
+    // the naive plan ranks over one global order — a single-partition
+    // window that cannot scale; partitioning must be by shard
+    assert(plan.contains("hashpartitioning(shard"),
+      s"window must partition by shard:\n$plan")
+    assert(!plan.contains("SinglePartition") || !plan.contains("row_number"),
+      s"no single-partition rank allowed:\n$plan")
+  }
+
+  test("q122 multi-benchmark gram probe broadcasts the tagged eval grams") {
+    val plan = planOf("q122_contamination_report")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast against the train probe:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q122 must never shuffle the exploded corpus on gram:\n$plan")
+  }
 }

@@ -104,6 +104,36 @@ class StreamAnnSpec extends SparkSpec {
       "batch 1 diverges from the batch path")
   }
 
+  test("streaming NSW probe with hierarchical routed entry equals the routed batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val qs = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(4)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .take(4).map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    def asKeys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Long, Double)]]()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    // the streaming-at-scale configuration: routed O(n^1/4) entry with
+    // the expand=12 recall lever the r6 analysis measured
+    val q = sim.Similarity.nswProbeStream(spark, sfDir,
+        mem.toDF().toDF("qid", "qvec"), 5,
+        (res, id) => { got(id) = asKeys(res); () },
+        expand = 12, entryProbes = Some(5))
+      .start()
+    try {
+      mem.addData(qs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.keySet == Set(0L), s"expected one batch, got ${got.keySet}")
+    assert(got(0L) == asKeys(sim.Similarity.nswBatchSearch(
+      spark, sfDir, qs.toDF("qid", "qvec"), 5, expand = 12,
+      entryProbes = Some(5))),
+      "routed streaming batch diverges from the routed batch path")
+    // and the routed stream really searched: every query returned k rows
+    assert(got(0L).groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("streaming NSW probe + idempotent sink: a crash-replayed batch leaves no duplicate top-k rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
