@@ -1170,6 +1170,58 @@ object Dedup {
       .orderBy("eval_set")
   }
 
+  // q125 — SURVIVORSHIP DEDUP: q45 keeps the min-id member of each
+  // near-dup cluster; real curation keeps the BEST one — here the
+  // longest text (the most complete copy of duplicated content; ties →
+  // lowest doc_id), with an `upgraded` flag wherever the quality pick
+  // differs from the naive keep-first. The cluster labels are memoized
+  // with q45 (same connected components), the length join is ids-only
+  // (O(cluster members), broadcast — never the corpus), and the argmax
+  // is a window over cluster-sized partitions. The recursive-CTE oracle
+  // replays closure + argmax hash-exactly.
+  val q125: QueryDef = QueryDef.sql(
+    "q125_dedup_survivorship",
+    s"""WITH RECURSIVE $minhashSigDuck,
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS t FROM cpairs
+       |  UNION
+       |  SELECT id_b AS s, id_a AS t FROM cpairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, rr.r FROM edges e JOIN reach rr ON rr.id = e.t),
+       |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+       |ranked AS (
+       |  SELECT l.label, l.id, length(doc.text) AS n_char,
+       |    row_number() OVER (PARTITION BY l.label
+       |      ORDER BY length(doc.text) DESC, l.id) AS rk
+       |  FROM labels l JOIN documents doc ON doc.doc_id = l.id)
+       |SELECT label AS cluster_id,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(min(id) AS BIGINT) AS first_id,
+       |  CAST(max(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS survivor_id,
+       |  CAST(max(CASE WHEN rk = 1 THEN n_char END) AS INTEGER) AS survivor_len,
+       |  (max(CASE WHEN rk = 1 THEN id END) != min(id)) AS upgraded
+       |FROM ranked
+       |GROUP BY label
+       |ORDER BY cluster_id""".stripMargin) { (s, d) =>
+    val lens = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), length(col("text")).as("n_char"))
+    val byBest = Window.partitionBy("label")
+      .orderBy(desc("n_char"), asc("id"))
+    // labels (cluster members only) are the small side — broadcast THEM
+    // and stream the corpus-scan side map-side
+    lens.join(broadcast(clusterLabels(s, d)), "id")
+      .withColumn("rk", row_number().over(byBest))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min("id").as("first_id"),
+        max(when(col("rk") === 1, col("id"))).as("survivor_id"),
+        max(when(col("rk") === 1, col("n_char"))).as("survivor_len"),
+        (max(when(col("rk") === 1, col("id"))) =!= min(col("id"))).as("upgraded"))
+      .orderBy("cluster_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q75, q99, q109, q115, q117, q122)
+    q49, q75, q99, q109, q115, q117, q122, q125)
 }

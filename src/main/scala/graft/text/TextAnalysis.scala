@@ -1088,6 +1088,83 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // q123 — OOV RATE BY LANGUAGE: how much of each language's token
+  // stream the q101 vocabulary actually covers — THE acceptance metric
+  // for a vocab build (a language with high OOV is about to be shredded
+  // to fallback bytes; same family as q118's fertility but measured
+  // against the real vocab artifact). The vocab is bounded (≤32k) by
+  // construction → broadcast; the corpus explodes once and probes
+  // map-side (left join, null = OOV); ONE O(languages) groupBy. Rate is
+  // a single IEEE division of exact counts — unrounded, hash-exact.
+  val q123: QueryDef = QueryDef.sql(
+    "q123_oov_rate",
+    """WITH tf AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |        FROM documents) t
+      |  GROUP BY term
+      |  HAVING count(*) >= 2),
+      |v AS (SELECT term FROM (SELECT * FROM tf ORDER BY freq DESC, term LIMIT 32768) c)
+      |SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+      |FROM (
+      |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents) tok
+      |LEFT JOIN v USING (term)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val vocab = Tables.documents(s, d)
+      .select(explode(expr(tokensExpr)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 2)
+      .orderBy(desc("freq"), asc("term"))
+      .limit(32768)
+      .select(col("term"), lit(true).as("in_vocab"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(expr(tokensExpr)).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tok"))
+      .orderBy("lang")
+  }
+
+  // q124 — TEMPERATURE-SCALED SOURCE MIX: the multilingual/multi-domain
+  // sampling schedule — p_i ∝ n_i^α (α = 0.3) upweights small sources
+  // without letting them dominate, and `epochs_at_1m` says how many
+  // times each source repeats under a 1M-token budget (the repetition
+  // red-flag a data team watches). One O(sources) aggregate off a
+  // single corpus scan; the normalizer is a broadcast scalar. The pow
+  // sum crosses engines, so both mix columns round (8/6 dp) per the
+  // oracle double rule; n_tok stays exact.
+  val q124: QueryDef = QueryDef.sql(
+    "q124_temperature_mix",
+    """WITH st AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tok
+      |  FROM documents
+      |  GROUP BY source)
+      |SELECT source, n_tok,
+      |  round(pow(n_tok, 0.3) / (SELECT sum(pow(n_tok, 0.3)) FROM st), 8) AS p_sample,
+      |  round(pow(n_tok, 0.3) / (SELECT sum(pow(n_tok, 0.3)) FROM st) * 1000000 / n_tok, 6) AS epochs_at_1m
+      |FROM st
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val st = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(expr(s"size($tokensExpr)")).cast("long").as("n_tok"))
+    val z = st.agg(sum(pow(col("n_tok"), 0.3)).as("z"))
+    st.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tok"),
+        round(pow(col("n_tok"), 0.3) / col("z"), 8).as("p_sample"),
+        round(pow(col("n_tok"), 0.3) / col("z") * 1000000 / col("n_tok"), 6)
+          .as("epochs_at_1m"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
-    q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120)
+    q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120,
+    q123, q124)
 }

@@ -787,6 +787,72 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q123 OOV rate replays densely against the q101 vocab and covers every token") {
+    val docs = Tables.documents(spark, sfDir).select("lang", "text").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("text").trim.split("\\s+").toSeq))
+    val freqs = docs.flatMap(_._2).groupBy(identity).map { case (t, o) => t -> o.size }
+    val vocab = freqs.filter(_._2 >= 2).toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(32768).map(_._1).toSet
+    val expect = docs.groupBy(_._1).map { case (lang, ds) =>
+      val toks = ds.flatMap(_._2)
+      lang -> ((toks.size.toLong, toks.count(t => !vocab(t)).toLong))
+    }
+    val rows = text.TextAnalysis.q123.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (n, oov) = expect(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_tok") == n)
+      assert(r.getAs[Long]("n_oov") == oov)
+      assert(r.getAs[Double]("oov_rate") == oov.toDouble / n)
+    }
+    // every corpus token is counted exactly once across languages
+    assert(rows.map(_.getAs[Long]("n_tok")).sum == docs.map(_._2.size).sum)
+  }
+
+  test("q124 temperature mix: probabilities normalize and match the dense pow schedule") {
+    val st = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text").trim.split("\\s+").length.toLong))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val z = st.values.map(n => math.pow(n.toDouble, 0.3)).sum
+    val rows = text.TextAnalysis.q124.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet == st.keySet)
+    rows.foreach { r =>
+      val n = st(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_tok") == n)
+      val p = math.pow(n.toDouble, 0.3) / z
+      assert(math.abs(r.getAs[Double]("p_sample") - p) < 1e-7)
+      assert(math.abs(r.getAs[Double]("epochs_at_1m") - p * 1e6 / n) < 1e-5)
+    }
+    // the schedule is a distribution, and small sources are upweighted
+    // relative to their raw share (alpha < 1 flattens)
+    assert(math.abs(rows.map(_.getAs[Double]("p_sample")).sum - 1.0) < 1e-6)
+    val total = st.values.sum.toDouble
+    val smallest = rows.minBy(_.getAs[Long]("n_tok"))
+    assert(smallest.getAs[Double]("p_sample") > smallest.getAs[Long]("n_tok") / total)
+  }
+
+  test("q125 survivorship picks each cluster's longest member and flags upgrades vs q45") {
+    val lens = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").length).toMap
+    val q45rows = dedup.Dedup.q45.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("keep_id")))).toMap
+    val rows = dedup.Dedup.q125.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("cluster_id")).toSet == q45rows.keySet)
+    // members per cluster from the same label propagation q45 published
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val (n, keepFirst) = q45rows(cid)
+      assert(r.getAs[Long]("n_members") == n)
+      assert(r.getAs[Long]("first_id") == keepFirst)
+      val survivor = r.getAs[Long]("survivor_id")
+      assert(r.getAs[Int]("survivor_len") == lens(survivor))
+      assert(r.getAs[Boolean]("upgraded") == (survivor != keepFirst))
+      // the survivor is at least as long as the keep-first doc
+      assert(lens(survivor) >= lens(keepFirst))
+    }
+  }
+
   test("q119 packing audit: window math is exact and packing dominates padding") {
     val counts = text.TextAnalysis.q60.fn(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_ws_tok").toLong).toMap

@@ -284,4 +284,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"q122 must never shuffle the exploded corpus on gram:\n$plan")
   }
+
+  test("q123 OOV probe broadcasts the bounded vocab; the token stream never shuffles on term") {
+    val plan = planOf("q123_oov_rate")
+    // the ≤32k vocab is TakeOrdered-capped then broadcast; the exploded
+    // corpus probes it map-side — a term-keyed SortMergeJoin would
+    // shuffle the whole token stream
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the vocab cap must be partition heaps:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab must broadcast against the token probe:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q123 must never shuffle the token stream on term:\n$plan")
+  }
 }
