@@ -583,6 +583,46 @@ object TextAnalysis {
           !col("maybe_contaminated") && col("keep_lang"))
   }
 
+  /** STREAMING INGEST-QUALITY MONITOR: q118's per-language fertility,
+    * windowed over an ingest stream, with drift alerts against a frozen
+    * reference schedule (q118 run on a trusted corpus snapshot). All
+    * per-doc signals are stateless expression trees (q118's projection),
+    * so the stream is ONE watermarked windowed aggregation — state is
+    * bounded by windows-in-horizon × languages, never corpus size — and
+    * the reference joins in stream-static via broadcast ([[graft
+    * .streaming.Events.enrichStream]]'s shape). `alert` fires when a
+    * window's fertility drifts beyond [lo, hi] × reference — the
+    * "ingest is shredding language X" pager signal — or when a language
+    * has no reference row at all (a never-seen language is itself an
+    * anomaly). Windowed results equal the batch projection on the same
+    * rows (StreamingSpec).
+    */
+  def fertilityMonitorStream(docs: org.apache.spark.sql.DataFrame,
+      reference: org.apache.spark.sql.DataFrame,
+      windowLen: String = "1 hour", watermark: String = "2 hours",
+      lo: Double = 0.8, hi: Double = 1.25): org.apache.spark.sql.DataFrame =
+    withLangScores(docs.withWatermark("ts", watermark))
+      .withColumn("pred", expr(langCaseExpr))
+      .withColumn("n_ws", expr(s"size($tokensExpr)").cast("long"))
+      .withColumn("n_re",
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+          .cast("long"))
+      .groupBy(window(col("ts"), windowLen).as("w"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_ws").as("ws_tokens"),
+        sum("n_re").as("re_tokens"))
+      .withColumn("fertility",
+        col("re_tokens").cast("double") / col("ws_tokens"))
+      .join(broadcast(reference.select(col("pred"),
+        col("fertility").as("ref_fertility"))), Seq("pred"), "left")
+      .withColumn("drift", col("fertility") / col("ref_fertility"))
+      .withColumn("alert",
+        col("ref_fertility").isNull ||
+          col("drift") > hi || col("drift") < lo)
+      .select(col("w.start").as("win_start"), col("pred"), col("n_docs"),
+        col("ws_tokens"), col("re_tokens"), col("fertility"),
+        col("ref_fertility"), col("drift"), col("alert"))
+
   /** Distributed BPE tokenizer training over the corpus vocabulary.
     *
     * Standard BPE trains on word TYPES weighted by frequency, so the

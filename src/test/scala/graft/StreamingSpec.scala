@@ -31,6 +31,53 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("fertilityMonitorStream: windowed stats equal the batch projection; drift alerts fire") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // reference schedule: q118 on the trusted corpus snapshot
+    val ref = text.TextAnalysis.q118.fn(spark, sfDir)
+      .select("pred", "fertility")
+    val refMap = ref.collect()
+      .map(r => r.getAs[String]("pred") -> r.getAs[Double]("fertility")).toMap
+    // stream two windows of docs: window 1 in-profile ('the the a' is
+    // en-marked with fertility 1.0-ish), window 2 a shredded doc whose
+    // fertility balloons (punctuation-heavy → n_re >> n_ws)
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val q = text.TextAnalysis.fertilityMonitorStream(df, ref).writeStream
+      .format("memory").queryName("fert_mon").outputMode(OutputMode.Update).start()
+    val normal = "the a value the key row scan the a value table part"
+    val shredded = "the!!! a??? value;;; the... key,,, row### scan%%% the a value"
+    mem.addData((Timestamp.valueOf("2024-01-01 10:05:00"), normal))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-01 11:10:00"), shredded))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("fert_mon").collect()
+      .map(r => (r.getAs[Timestamp]("win_start").toString.take(13),
+        r.getAs[String]("pred"), r.getAs[Long]("ws_tokens"),
+        r.getAs[Double]("fertility"), r.getAs[Boolean]("alert"))).toList
+    assert(out.map(_._1).toSet == Set("2024-01-01 10", "2024-01-01 11"))
+    // dense replay of both windows' signals
+    def count(t: String, re: String) = re.r.findAllIn(t).size.toLong
+    def stats(t: String) = {
+      val ws = t.trim.split("\\s+").length.toLong
+      val re = count(t, "[a-z]+|[0-9]+|[^a-z0-9\\s]")
+      (ws, re.toDouble / ws)
+    }
+    val (ws1, f1) = stats(normal)
+    val (ws2, f2) = stats(shredded)
+    val w1 = out.find(_._1 == "2024-01-01 10").get
+    val w2 = out.find(_._1 == "2024-01-01 11").get
+    assert(w1._3 == ws1 && w1._4 == f1)
+    assert(w2._3 == ws2 && w2._4 == f2)
+    // both windows predict a reference-known language, so alerts are
+    // purely drift-driven: in-profile stays quiet, shredded pages
+    assert(refMap.contains(w1._2) && refMap.contains(w2._2))
+    assert(!w1._5, s"in-profile window must not alert (drift ${w1._4 / refMap(w1._2)})")
+    assert(w2._5, s"shredded window must alert (drift ${w2._4 / refMap(w2._2)})")
+  }
+
   test("heavyHittersStream per-window top-k equals the batch sketch on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
