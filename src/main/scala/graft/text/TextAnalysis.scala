@@ -1204,7 +1204,96 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // q126 — N-GRAM NOVELTY (first-occurrence attribution): per doc, the
+  // fraction of its 8-token shingles that FIRST appear in it (scanning
+  // in doc_id order) — the marginal-contribution score curation uses to
+  // rank near-boilerplate scrapes below genuinely new text. The
+  // distributed shape is canonical: explode per-doc DISTINCT shingles
+  // once, min(doc_id) per shingle (map-side-combined — the one
+  // gram-keyed exchange), then a shingle-keyed big-big join back to
+  // attribute first occurrences, and an O(docs) rollup. The join is
+  // INTENTIONALLY shuffle-on-shingle (both sides are corpus-sized;
+  // md5 keys are uniform, so no skew salting needed) — same cost class
+  // as q49's strided-gram shuffle. Novelty is one IEEE division of
+  // exact counts — unrounded, hash-exact.
+  val q126: QueryDef = QueryDef.sql(
+    "q126_ngram_novelty",
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(toks) - 6),
+      |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 7), ' ')))) AS sh
+      |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |          FROM documents) t
+      |    WHERE len(toks) >= 8) x),
+      |firsts AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+      |FROM sh JOIN firsts USING (sh)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val shingles = Tables.documents(s, d)
+      .select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(toks) - 7)," +
+          " i -> md5(concat_ws(' ', slice(toks, i, 8))))"))).as("sh"))
+    val firsts = shingles.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    shingles.join(firsts, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  // q127 — CONTEXT-LENGTH HISTOGRAM: the token-length distribution in
+  // power-of-2 buckets with cumulative token mass — what a context-length
+  // ablation (or a packing-window choice like q73's 512) reads first.
+  // One corpus scan, one O(buckets)-key groupBy with map-side partials;
+  // the cumulative columns are a window over the ≤~20-row bucket table
+  // (bounded — never the corpus). The bucket ceil(log2(n)) is computed
+  // INTEGER-EXACTLY as length(bin(n-1)) — a float log2 rounds
+  // differently across engines exactly at the power-of-2 boundaries.
+  // Fractions divide exact BIGINTs by the broadcast totals — unrounded,
+  // hash-exact.
+  val q127: QueryDef = QueryDef.sql(
+    "q127_context_len_histogram",
+    """WITH b AS (
+      |  SELECT CAST(CASE WHEN n_tok <= 1 THEN 0
+      |    ELSE length(bin(n_tok - 1)) END AS INTEGER) AS bucket,
+      |    count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok
+      |  FROM (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |        FROM documents) t
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(n_docs) AS td, sum(n_tok) AS tt FROM b)
+      |SELECT CAST(pow(2, bucket) AS BIGINT) AS max_len,
+      |  CAST(n_docs AS BIGINT) AS n_docs, n_tok,
+      |  CAST(sum(n_tok) OVER (ORDER BY bucket) AS BIGINT) AS cum_tok,
+      |  CAST(sum(n_tok) OVER (ORDER BY bucket) AS DOUBLE) / (SELECT tt FROM tot) AS cum_tok_frac,
+      |  CAST(n_docs AS DOUBLE) / (SELECT td FROM tot) AS doc_frac
+      |FROM b
+      |ORDER BY max_len""".stripMargin) { (s, d) =>
+    val b = Tables.documents(s, d)
+      .select(expr(s"size($tokensExpr)").cast("long").as("n_tok"))
+      .groupBy(when(col("n_tok") <= 1, 0)
+        .otherwise(length(bin(col("n_tok") - 1))).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"))
+    val tot = b.agg(sum("n_docs").as("td"), sum("n_tok").as("tt"))
+    val byBucket = Window.orderBy("bucket")
+    b.crossJoin(broadcast(tot))
+      .withColumn("cum_tok", sum("n_tok").over(byBucket))
+      .select(pow(lit(2.0), col("bucket")).cast("long").as("max_len"),
+        col("n_docs"), col("n_tok"),
+        col("cum_tok"),
+        (col("cum_tok").cast("double") / col("tt")).as("cum_tok_frac"),
+        (col("n_docs").cast("double") / col("td")).as("doc_frac"))
+      .orderBy("max_len")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120,
-    q123, q124)
+    q123, q124, q126, q127)
 }

@@ -853,6 +853,63 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("q126 novelty replays densely: first-occurrence attribution in doc_id order") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.split("\\s+").toSeq)
+      .sortBy(_._1)
+    def shingles(toks: Seq[String]): Set[String] =
+      if (toks.size < 8) Set.empty
+      else (0 to toks.size - 8).map(i => toks.slice(i, i + 8).mkString(" ")).toSet
+    val firstSeen = scala.collection.mutable.Map[String, Long]()
+    val expect = docs.flatMap { case (id, toks) =>
+      val sh = shingles(toks)
+      if (sh.isEmpty) None
+      else {
+        sh.foreach(s => if (!firstSeen.contains(s)) firstSeen(s) = id)
+        Some(id -> sh)
+      }
+    }.toMap
+    val rows = text.TextAnalysis.q126.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == expect.keySet)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val sh = expect(id)
+      val novel = sh.count(s => firstSeen(s) == id)
+      assert(r.getAs[Long]("n_shingles") == sh.size.toLong)
+      assert(r.getAs[Long]("n_novel") == novel.toLong)
+      assert(r.getAs[Double]("novelty") == novel.toDouble / sh.size)
+    }
+    // the first qualifying doc is 100% novel by construction
+    val firstDoc = expect.keys.min
+    assert(rows.find(_.getAs[Long]("doc_id") == firstDoc).get
+      .getAs[Double]("novelty") == 1.0)
+  }
+
+  test("q127 histogram: integer-exact log2 buckets, conserved totals, monotone cumulative") {
+    val lens = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getAs[String]("text").trim.split("\\s+").length.toLong)
+    def bucket(n: Long): Int =
+      if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val expect = lens.groupBy(bucket).map { case (b, xs) =>
+      (1L << b) -> ((xs.size.toLong, xs.sum))
+    }
+    val rows = text.TextAnalysis.q127.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("max_len")).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (n, tok) = expect(r.getAs[Long]("max_len"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_tok") == tok)
+      // every doc in the bucket fits in max_len and overflows max_len/2
+      assert(r.getAs[Long]("max_len") >= 1)
+    }
+    // conservation + monotone cumulative ending at exactly 1.0
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == lens.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_tok")).sum == lens.sum)
+    val fracs = rows.sortBy(_.getAs[Long]("max_len")).map(_.getAs[Double]("cum_tok_frac"))
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => a <= b })
+    assert(fracs.last == 1.0)
+  }
+
   test("q119 packing audit: window math is exact and packing dominates padding") {
     val counts = text.TextAnalysis.q60.fn(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_ws_tok").toLong).toMap
