@@ -460,6 +460,43 @@ object TextAnalysis {
       .sortWithinPartitions("shard", "pack_id", "pack_offset")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Integrity manifest over a [[writeTrainingShards]] output: per shard
+    * — docs, tokens, packs, and an ORDER-AWARE stream digest a trainer's
+    * loader recomputes before an epoch (a dropped/duplicated/reordered
+    * row changes it; bit-identical shards reproduce it). The digest is
+    * scale-safe: each row hashes its own placement (pack_id,
+    * pack_offset rides INSIDE the xxhash64, so position is captured
+    * per-row) and the shard combines rows with the commutative bit_xor
+    * — one map-side-combined aggregate, no ordered string concatenation
+    * of the shard, no overflow (xor, not sum). O(shards) output rows.
+    */
+  def shardManifest(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("ids")).cast("long")).as("n_tokens"),
+        (max("pack_id") + 1).as("n_packs"),
+        expr("bit_xor(xxhash64(doc_id, pack_id, pack_offset, " +
+          "array_join(cast(ids as array<string>), ',')))").as("stream_digest"))
+      .orderBy("shard")
+
+  /** Loader-side check: recompute [[shardManifest]] over `path` and diff
+    * against the manifest written at publish time. Returns the shards
+    * that fail (missing, extra, or digest-mismatched) — empty means the
+    * artifact is exactly what was published. The diff is a full outer
+    * join of two O(shards) tables — trivially cheap at any corpus size.
+    */
+  def verifyShardManifest(s: SparkSession, path: String,
+      published: DataFrame): DataFrame = {
+    val fresh = shardManifest(s, path)
+      .select(col("shard"), col("stream_digest").as("fresh_digest"))
+    published.select(col("shard"), col("stream_digest").as("pub_digest"))
+      .join(fresh, Seq("shard"), "full_outer")
+      .filter(col("pub_digest").isNull || col("fresh_digest").isNull ||
+        col("pub_digest") =!= col("fresh_digest"))
+      .orderBy("shard")
+  }
+
   val q73: QueryDef = QueryDef.sql(
     "q73_sequence_pack",
     """WITH t AS (

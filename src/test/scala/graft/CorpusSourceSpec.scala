@@ -81,4 +81,38 @@ class CorpusSourceSpec extends SparkSpec {
         s"${dir.getName}: rows not in packed-stream order")
     }
   }
+
+  test("shardManifest: published digest verifies clean, flags a corrupted shard") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft_shards_m").toString
+    graft.text.TextAnalysis.writeTrainingShards(spark, sfDir, out)
+    val manifest = graft.text.TextAnalysis.shardManifest(spark, out)
+    val rows = manifest.collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sfDir).count())
+    // bit-identical artifact → verification is empty
+    assert(graft.text.TextAnalysis.verifyShardManifest(spark, out, manifest)
+      .isEmpty, "clean artifact must verify")
+    // deterministic: a fresh manifest over the same files is identical
+    val again = graft.text.TextAnalysis.shardManifest(spark, out).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+    // corrupt ONE shard in a copy (drop its first row) → exactly that
+    // shard fails, the other seven still verify
+    val published = manifest.collect()
+    val corrupted = Files.createTempDirectory("graft_shards_c").toString
+    val back = spark.read.parquet(out)
+    val victim = back.filter(col("shard") === 3)
+      .orderBy("pack_id", "pack_offset").limit(1)
+      .select("doc_id").collect().head.getLong(0)
+    back.filter(!(col("shard") === 3 && col("doc_id") === victim))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "pack_id", "pack_offset")
+      .write.mode("overwrite").partitionBy("shard").parquet(corrupted)
+    val pubDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(published.toSeq), manifest.schema)
+    val bad = graft.text.TextAnalysis.verifyShardManifest(spark, corrupted, pubDf)
+      .collect().map(_.getAs[Int]("shard"))
+    assert(bad.toSeq == Seq(3), s"expected only shard 3 to fail, got ${bad.toSeq}")
+  }
 }

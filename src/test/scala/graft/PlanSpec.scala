@@ -285,6 +285,21 @@ class PlanSpec extends SparkSpec {
       s"q122 must never shuffle the exploded corpus on gram:\n$plan")
   }
 
+  test("q126 novelty aggregates partially map-side and bounds its exchanges") {
+    val plan = planOf("q126_ngram_novelty")
+    // the min(doc_id)-per-shingle must combine map-side — without the
+    // partial the full gram stream crosses the wire unreduced
+    assert(plan.contains("partial_min"),
+      s"first-occurrence min must aggregate partially:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"doc rollup must aggregate partially:\n$plan")
+    // two hash exchanges (shingle agg + doc rollup) at broadcast-stats
+    // scale; a third appears when stats push the attribution join to a
+    // shuffle join — anything beyond that means a lost reuse
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx:\n$plan")
+  }
+
   test("q123 OOV probe broadcasts the bounded vocab; the token stream never shuffles on term") {
     val plan = planOf("q123_oov_rate")
     // the ≤32k vocab is TakeOrdered-capped then broadcast; the exploded
