@@ -1222,6 +1222,41 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  // q128 — DUPLICATE PROVENANCE MATRIX: which sources copy from which —
+  // q42's strongest near-dup candidates rolled up by source pair (self
+  // pairs = internal duplication, cross pairs = syndication/mirroring;
+  // the matrix a provenance audit reads before deciding which feed to
+  // drop). The pair table is BOUNDED (q42's top-1000), so it broadcasts
+  // against the corpus for both id lookups — the corpus never shuffles;
+  // the rollup moves O(sources²) rows. Mean jaccard is a multi-term
+  // double aggregate → rounded per the oracle rule.
+  val q128: QueryDef = QueryDef.sql(
+    "q128_dup_provenance",
+    s"""WITH $minhashSigDuck
+       |SELECT least(da.source, db.source) AS src_a,
+       |  greatest(da.source, db.source) AS src_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  round(avg(est_jaccard), 6) AS mean_jaccard
+       |FROM cpairs p
+       |JOIN documents da ON da.doc_id = p.id_a
+       |JOIN documents db ON db.doc_id = p.id_b
+       |GROUP BY 1, 2
+       |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    val pairs = q42.fn(s, d).select("id_a", "id_b", "est_jaccard")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // both lookups broadcast the BOUNDED side (pairs, then the ≤1000-row
+    // half-resolved frame); the corpus scan streams map-side twice
+    val half = docs.join(broadcast(pairs), col("doc_id") === col("id_a"))
+      .select(col("source").as("source_a"), col("id_b"), col("est_jaccard"))
+    docs.withColumnRenamed("source", "source_b")
+      .join(broadcast(half), col("doc_id") === col("id_b"))
+      .groupBy(least(col("source_a"), col("source_b")).as("src_a"),
+        greatest(col("source_a"), col("source_b")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("est_jaccard"), 6).as("mean_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q75, q99, q109, q115, q117, q122, q125)
+    q49, q75, q99, q109, q115, q117, q122, q125, q128)
 }

@@ -910,6 +910,33 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(fracs.last == 1.0)
   }
 
+  test("q128 provenance matrix is exactly the q42 pairs rolled up by source") {
+    val srcs = Tables.documents(spark, sfDir).select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val pairs = dedup.Dedup.q42.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("est_jaccard")))
+    val expect = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (srcs(a), srcs(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, ps) =>
+      k -> ((ps.size.toLong,
+        BigDecimal(ps.map(_._3).sum / ps.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val rows = dedup.Dedup.q128.fn(spark, sfDir).collect()
+    assert(rows.map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"))).toSet
+      == expect.keySet)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b"))
+      val (n, mj) = expect(k)
+      assert(r.getAs[Long]("n_pairs") == n)
+      assert(math.abs(r.getAs[Double]("mean_jaccard") - mj) < 1e-6, s"$k")
+    }
+    // conservation: every candidate pair lands in exactly one cell
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == pairs.length.toLong)
+  }
+
   test("q119 packing audit: window math is exact and packing dominates padding") {
     val counts = text.TextAnalysis.q60.fn(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_ws_tok").toLong).toMap
