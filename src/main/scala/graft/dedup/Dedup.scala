@@ -1257,6 +1257,64 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  // q131 — SOURCE OVERLAP MATRIX: corpus-level Jaccard between every
+  // source pair, estimated from per-source MinHash signatures — the
+  // macro view q128's doc-pair matrix samples (q128 answers "which docs
+  // were copied"; q131 answers "how much of source A's shingle space is
+  // source B's", the number a feed-selection decision reads). The union
+  // property makes this exchange-cheap: a set union's MinHash is the
+  // ELEMENTWISE MIN of member signatures, so each source's signature
+  // aggregates from the same one-scan signature pass q42 uses — the only
+  // corpus-wide exchange is keyed (source, perm) with a map-side partial
+  // min and O(sources·16) output, and the pairwise compare is a
+  // broadcast inequality join over O(sources) rows. Never O(docs²), and
+  // doc-count-independent after the scan — at 100 TB this is one read
+  // plus kilobytes of state. est_jaccard is a single int/16 division —
+  // exact, unrounded.
+  val q131: QueryDef = QueryDef.sql(
+    "q131_source_overlap",
+    """WITH shs AS (
+      |  SELECT source, list_transform(range(1, greatest(length(text) - 3, 1)),
+      |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(0, 5),
+      |               c -> CAST(unicode(substr(text, CAST(i + c AS INT), 1)) AS BIGINT))),
+      |           (a, b) -> (a * 131 + b) % 1000000007)) AS sh
+      |  FROM documents),
+      |sig AS (
+      |  SELECT source, list_transform(range(0, 16),
+      |      j -> coalesce(list_min(list_transform(sh,
+      |             h -> ((1103515245 + 12345 * j) * h + 1013904223 + 7 * j) % 2147483647)), 0)) AS sig
+      |  FROM shs),
+      |smin AS (
+      |  SELECT source, j, min(sig[CAST(j + 1 AS INT)]) AS h
+      |  FROM sig, (SELECT unnest(range(0, 16)) AS j) pos
+      |  GROUP BY source, j),
+      |ssig AS (SELECT source, list(h ORDER BY j) AS sig FROM smin GROUP BY source)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(len(list_filter(range(1, 17),
+      |    i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) AS INTEGER) AS n_perm_match,
+      |  CAST(len(list_filter(range(1, 17),
+      |    i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) AS DOUBLE) / 16 AS est_jaccard
+      |FROM ssig a JOIN ssig b ON a.source < b.source
+      |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    val sigs = Tables.documents(s, d)
+      .select(col("source"),
+        VectorExprs.minHashSig(col("text"), k = 5, nPerm = MinhashPerms).as("sig"))
+      .select(col("source"), posexplode(col("sig")).as(Seq("j", "h")))
+      .groupBy("source", "j").agg(min("h").as("h"))
+      .groupBy("source")
+      .agg(array_sort(collect_list(struct(col("j"), col("h")))).as("jh"))
+      .select(col("source"), expr("transform(jh, x -> x.h)").as("sig"))
+    val a = sigs.select(col("source").as("src_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("source").as("src_b"), col("sig").as("sig_b"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), e -> e))")
+          .cast("int").as("n_perm_match"))
+      .withColumn("est_jaccard", col("n_perm_match").cast("double") / 16)
+      .orderBy("src_a", "src_b")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q75, q99, q109, q115, q117, q122, q125, q128)
+    q49, q75, q99, q109, q115, q117, q122, q125, q128, q131)
 }

@@ -1330,7 +1330,111 @@ object TextAnalysis {
       .orderBy("max_len")
   }
 
+  // q129 — LEXICAL DIVERSITY: per-document type-token ratio, hapax
+  // fraction, and unigram entropy — the within-document repetitiveness
+  // signals a quality filter reads alongside q61's surface ratios and
+  // q68's run detection (low-entropy documents are boilerplate/spam even
+  // when the surface stats look fine). ZERO SHUFFLE: every metric is an
+  // array higher-order expression over the row's own token list (per-row
+  // O(types·tokens) inside codegen — L~100 here; at 100 TB this is the
+  // ideal shape, a pure scan with no exchange at any width). The final
+  // orderBy exists only for the oracle's deterministic dump. Entropy is
+  // computed as ln(n) - Σc·ln(c)/n over the per-type count multiset —
+  // order-independent mathematically, so the engines' different distinct
+  // orders only perturb FP addition order → rounded per the oracle rule.
+  // ttr/hapax_ratio are single divisions of exact ints (unrounded), and
+  // the low_diversity flag compares pure integers (20·types < 7·tokens,
+  // i.e. ttr < 0.35) so it can never flip on a double boundary.
+  val q129: QueryDef = QueryDef.sql(
+    "q129_lexical_diversity",
+    """SELECT doc_id,
+      |  CAST(n_tok AS INTEGER) AS n_tok,
+      |  CAST(n_types AS INTEGER) AS n_types,
+      |  CAST(n_types AS DOUBLE) / n_tok AS ttr,
+      |  CAST(n_hapax AS DOUBLE) / n_types AS hapax_ratio,
+      |  round(ln(n_tok) - s / n_tok, 6) AS entropy,
+      |  (n_types * 20 < n_tok * 7) AS low_diversity
+      |FROM (
+      |  SELECT doc_id, len(toks) AS n_tok, len(cnts) AS n_types,
+      |    len(list_filter(cnts, c -> c = 1)) AS n_hapax,
+      |    list_sum(list_transform(cnts, c -> c * ln(c))) AS s
+      |  FROM (
+      |    SELECT doc_id, toks,
+      |      list_transform(list_distinct(toks),
+      |        t -> len(list_filter(toks, x -> x = t))) AS cnts
+      |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |          FROM documents) t1) t2) m
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .withColumn("cnts",
+        expr("transform(array_distinct(toks), t -> size(filter(toks, x -> x = t)))"))
+      .select(col("doc_id"),
+        expr("size(toks)").as("n_tok_i"),
+        expr("size(cnts)").as("n_types_i"),
+        expr("size(filter(cnts, c -> c = 1))").as("n_hapax_i"),
+        expr("aggregate(cnts, cast(0 as double), (a, c) -> a + c * ln(c))").as("s"))
+      .select(col("doc_id"),
+        col("n_tok_i").cast("int").as("n_tok"),
+        col("n_types_i").cast("int").as("n_types"),
+        (col("n_types_i").cast("double") / col("n_tok_i")).as("ttr"),
+        (col("n_hapax_i").cast("double") / col("n_types_i")).as("hapax_ratio"),
+        round(log(col("n_tok_i")) - col("s") / col("n_tok_i"), 6).as("entropy"),
+        (col("n_types_i") * 20 < col("n_tok_i") * 7).as("low_diversity"))
+      .orderBy("doc_id")
+  }
+
+  // q130 — ZIPF FIT: per-source rank-frequency power-law slope — the
+  // corpus-health statistic (natural text sits near slope -1; a source
+  // drifting far off is template spam or vocabulary collapse, and the
+  // fit feeds mixing decisions next to q59/q124). The term-frequency
+  // table is the VOCAB-bounded aggregate (q101's shape — map-side
+  // partial counts, never O(corpus) rows past the first exchange); the
+  // per-source rank window partitions that bounded table by source, the
+  // top-100 cut makes the regression input O(sources·100), and the
+  // least-squares aggregate moves O(sources) rows. Rank ordering is the
+  // TOTAL order (freq DESC, term ASC) so tie ranks — common in a Zipf
+  // tail — are identical across engines. Slope/intercept/r2 are
+  // multi-term double aggregates → rounded.
+  val q130: QueryDef = QueryDef.sql(
+    "q130_zipf_fit",
+    """WITH tf AS (
+      |  SELECT source, term, count(*) AS freq
+      |  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |        FROM documents) t
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, ln(freq) AS y,
+      |    ln(row_number() OVER (PARTITION BY source ORDER BY freq DESC, term)) AS x,
+      |    row_number() OVER (PARTITION BY source ORDER BY freq DESC, term) AS r
+      |  FROM tf)
+      |SELECT source, CAST(count(*) AS INTEGER) AS n_terms,
+      |  round(regr_slope(y, x), 6) AS slope,
+      |  round(regr_intercept(y, x), 6) AS intercept,
+      |  round(regr_r2(y, x), 6) AS r2
+      |FROM ranked WHERE r <= 100
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val bySrc = Window.partitionBy("source").orderBy(desc("freq"), asc("term"))
+    val ranked = Tables.documents(s, d)
+      .select(col("source"), explode(expr(tokensExpr)).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("freq"))
+      .withColumn("r", row_number().over(bySrc))
+      .filter(col("r") <= 100)
+      .select(col("source"), log(col("freq")).as("y"), log(col("r")).as("x"))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        (covar_pop(col("y"), col("x")) / var_pop(col("x"))).as("slope_raw"),
+        avg("y").as("my"), avg("x").as("mx"),
+        corr(col("y"), col("x")).as("cc"))
+      .select(col("source"), col("n_terms"),
+        round(col("slope_raw"), 6).as("slope"),
+        round(col("my") - col("slope_raw") * col("mx"), 6).as("intercept"),
+        round(col("cc") * col("cc"), 6).as("r2"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120,
-    q123, q124, q126, q127)
+    q123, q124, q126, q127, q129, q130)
 }

@@ -937,6 +937,78 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == pairs.length.toLong)
   }
 
+  test("q129 diversity metrics match a dense per-doc recompute") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = text.TextAnalysis.q129.fn(spark, sfDir).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).trim.split("\\s+").toSeq
+      val cnts = toks.groupBy(identity).map(_._2.size)
+      val n = toks.size
+      assert(r.getAs[Int]("n_tok") == n)
+      assert(r.getAs[Int]("n_types") == cnts.size)
+      assert(r.getAs[Double]("ttr") == cnts.size.toDouble / n)
+      assert(r.getAs[Double]("hapax_ratio")
+        == cnts.count(_ == 1).toDouble / cnts.size)
+      val ent = math.log(n) - cnts.map(c => c * math.log(c)).sum / n
+      assert(math.abs(r.getAs[Double]("entropy") - ent) < 1e-5)
+      assert(r.getAs[Boolean]("low_diversity") == (cnts.size * 20 < n * 7))
+    }
+  }
+
+  test("q129 plan is exchange-free: pure scan, no shuffle before the dump sort") {
+    val plan = text.TextAnalysis.q129.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the only allowed exchange is the final orderBy's range partitioning
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), plan.take(2000))
+  }
+
+  test("q130 slope matches a dense least-squares fit and looks Zipf-like") {
+    val tf = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .flatMap(r => r.getAs[String]("text").trim.split("\\s+")
+        .map(t => (r.getAs[String]("source"), t)))
+      .groupBy(identity).map { case ((s, t), g) => (s, t, g.size.toLong) }
+    val rows = text.TextAnalysis.q130.fn(spark, sfDir).collect()
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ranked = tf.filter(_._1 == src).toSeq
+        .sortBy { case (_, t, f) => (-f, t) }.take(100).zipWithIndex
+        .map { case ((_, _, f), i) => (math.log(i + 1.0), math.log(f.toDouble)) }
+      assert(r.getAs[Int]("n_terms") == ranked.size)
+      val n = ranked.size.toDouble
+      val (mx, my) = (ranked.map(_._1).sum / n, ranked.map(_._2).sum / n)
+      val sxx = ranked.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      val sxy = ranked.map(p => (p._1 - mx) * (p._2 - my)).sum
+      val slope = sxy / sxx
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-4, src)
+      assert(math.abs(r.getAs[Double]("intercept") - (my - slope * mx)) < 1e-4)
+      // a frequency-ranked curve can only fall, and r2 is a valid fraction
+      assert(slope < 0 && r.getAs[Double]("r2") >= 0 && r.getAs[Double]("r2") <= 1)
+    }
+  }
+
+  test("q131 per-source signature is the elementwise min (MinHash union property)") {
+    val docSigs = Tables.documents(spark, sfDir)
+      .select(col("source"), VectorExprs.minHashSig(col("text")).as("sig"))
+      .collect().map(r => r.getAs[String]("source") -> r.getSeq[Long](1))
+    val unionSig = docSigs.groupBy(_._1).map { case (s, g) =>
+      s -> (0 until 16).map(j => g.map(_._2(j)).min)
+    }
+    val rows = dedup.Dedup.q131.fn(spark, sfDir).collect()
+    val sources = unionSig.keySet.toSeq.sorted
+    // every unordered pair exactly once, canonically ordered
+    assert(rows.length == sources.size * (sources.size - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(a < b)
+      val m = (0 until 16).count(j => unionSig(a)(j) == unionSig(b)(j))
+      assert(r.getAs[Int]("n_perm_match") == m, s"($a,$b)")
+      assert(r.getAs[Double]("est_jaccard") == m / 16.0)
+    }
+  }
+
   test("q119 packing audit: window math is exact and packing dominates padding") {
     val counts = text.TextAnalysis.q60.fn(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_ws_tok").toLong).toMap
