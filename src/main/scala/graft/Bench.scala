@@ -61,29 +61,37 @@ object Bench {
     }
     for (rep <- 0 to 3; name <- names) {
       val t0 = System.nanoTime()
+      var ok = true
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable =>
+        ok = false
         errors(name) = e.getClass.getSimpleName +
           Option(e.getMessage).map(m => ": " + m.linesIterator.next().take(120))
             .getOrElse("")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      if (rep > 0) reps(name) = reps(name) :+ dt
+      // a rep that threw is time-to-exception, not a timing — recording it
+      // would turn a broken query into a phantom speedup (the r7 failure
+      // mode: 18 dead queries "ran" in 0.05s and the total looked best-ever)
+      if (rep > 0 && ok) reps(name) = reps(name) :+ dt
       noteStorage()
     }
-    val best = names.map(n => n -> reps(n).min).toMap
+    // errored queries carry no timing at all: absent from per-query times,
+    // the total, cv, and the baseline comparison — present only in `errors`
+    val timedNames = names.filter(n => reps(n).nonEmpty && !errors.contains(n))
+    val best = timedNames.map(n => n -> reps(n).min).toMap
     // per-query dispersion over the interleaved reps: cv = stddev/mean.
     // A query whose reps swing wildly on a shared box (bimodal cache /
     // scheduler behavior) is NOISE-flagged mechanically — BASELINE.md
     // used to hand-list such queries; the artifact now computes it.
-    val cv = names.map { n =>
+    val cv = timedNames.map { n =>
       val r = reps(n)
       val mean = r.sum / r.size
       val sd = math.sqrt(r.map(x => (x - mean) * (x - mean)).sum / r.size)
       n -> (if (mean > 0) sd / mean else 0.0)
     }.toMap
     val HighCv = 0.35
-    val highVariance = names.filter(cv(_) > HighCv)
+    val highVariance = timedNames.filter(cv(_) > HighCv)
 
     // optional baseline gate: BASELINE_QUERIES.json = {"qNN_name": sec}
     val baseline: Map[String, Double] =
@@ -105,8 +113,12 @@ object Bench {
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val qs = fmtMap(best.map { case (k, v) => k -> v.toString })
     val total = best.values.sum
+    // rc gate: a round with ANY errored query is an invalid benchmark run —
+    // stamp it in both artifacts and exit non-zero so the harness cannot
+    // freeze a baseline or claim all-green coverage over a red catalog
+    val rc = if (errors.nonEmpty) 1 else 0
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",
+      s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"sf":"$sfDir",
          |"storage_mem_high_water_bytes":$storageHighWater,
          |"queries":$qs,
          |"reps":${fmtMap(reps.toMap.map { case (k, v) => k -> v.mkString("[", ",", "]") })},
@@ -131,8 +143,10 @@ object Bench {
         outliers.toSeq.sortBy(-_._2).map { case (n, r) =>
           f"$n $r%.2fx${if (cv(n) > HighCv) " (high-cv)" else ""}" }.mkString(", "))
 
-    // the driver contract: exactly one JSON line, same keys as ever
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the driver contract: exactly one JSON line, same keys as ever (rc
+    // added: 0 = every catalog query ran; 1 = invalid run, see `errors`)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (rc != 0) sys.exit(rc)
   }
 }

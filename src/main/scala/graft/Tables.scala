@@ -24,18 +24,45 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
-  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark only
-    * reads as a raw nano count under the legacy flag. Normalize here to a
-    * microsecond timestamp `ts` (matching DuckDB's native truncation) plus
-    * an exact `ts_us` bigint for epoch arithmetic, so query code stays
-    * idiomatic and engine-comparable.
+  /** `events.ts` has shipped under two parquet encodings: plain
+    * timestamp[us] (isAdjustedToUTC=false → Spark reads TIMESTAMP_NTZ) and
+    * legacy TIMESTAMP(NANOS) (Spark only reads it as a raw nano count under
+    * `spark.sql.legacy.parquet.nanosAsLong`). Branch on the LOADED dtype and
+    * normalize both to the same pair: a session-zoned microsecond timestamp
+    * `ts` plus an exact `ts_us` bigint for epoch arithmetic — so the 18
+    * downstream consumers are encoding-agnostic. Sessions pin
+    * `spark.sql.session.timeZone=UTC`, making the NTZ→LTZ cast an identity
+    * on the stored micros (the value DuckDB's naive TIMESTAMP sees).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    import org.apache.spark.sql.types._
+    val raw =
+      try load(s, d, "events")
+      catch {
+        // TIMESTAMP(NANOS) files fail schema conversion without the legacy
+        // flag; only then opt in (scoped intent — never mutated for modern
+        // files) and re-read, yielding `ts` as a raw nanos long.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("Parquet") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long
+        raw
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _: TimestampNTZType =>
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_us", unix_micros(col("ts")))
+      case _: TimestampType =>
+        raw.withColumn("ts_us", unix_micros(col("ts")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet type $other (expected timestamp or legacy nanos long)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -17,11 +17,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a query that fails before dumping must leave an explicit artifact —
+    // the r7 round shipped with 18 broken queries silently ABSENT from
+    // CORRECTNESS (no dump → no row), which no pass-count diff could flag
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = e.getClass.getSimpleName +
+          Option(e.getMessage).map(m => ": " + m.linesIterator.next().take(200))
+            .getOrElse("")
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -40,6 +47,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // errors.json: one entry per failed query (empty object on a clean
+    // pass), so a red query surfaces as a diffable artifact even though
+    // the successful dumps are still written and compared. Exit stays 0:
+    // partial correctness data beats none if the driver bails on rc != 0.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} QUERIES FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -158,6 +158,38 @@ object SnapshotTable {
   def rowCount(s: SparkSession, dir: String): Long =
     snapshot(s, dir, currentVersion(s, dir)).rowCount
 
+  /** Rows ADDED between two versions: the files `toVersion` references
+    * that `fromVersion` does not, read directly. Because data files are
+    * immutable and appends only ever extend the file list, this is an
+    * exact O(delta-files) incremental read — the input an index-refresh
+    * job (signature tables, ANN cells, vocab counts) wants, costing
+    * O(new data) regardless of table size. For a version produced by
+    * `commit`/`compact` (a rewrite) the file sets are disjoint, so this
+    * degenerates to the full new version — callers that need
+    * append-only lineage can assert `isAppendLineage` first.
+    */
+  def changes(s: SparkSession, dir: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion > toVersion $toVersion")
+    val fromFiles =
+      if (fromVersion < 0) Set.empty[String]
+      else snapshot(s, dir, fromVersion).files.toSet
+    val added = snapshot(s, dir, toVersion).files.filterNot(fromFiles)
+    if (added.isEmpty) s.emptyDataFrame
+    else s.read.parquet(added.map(p => s"$dir/$p"): _*)
+  }
+
+  /** True iff every file of `fromVersion` is still referenced at
+    * `toVersion` — i.e. the lineage between them is pure appends, so
+    * [[changes]] is exactly "the new rows" (no rewrite in between).
+    */
+  def isAppendLineage(s: SparkSession, dir: String, fromVersion: Long, toVersion: Long): Boolean = {
+    val fromFiles =
+      if (fromVersion < 0) Set.empty[String]
+      else snapshot(s, dir, fromVersion).files.toSet
+    fromFiles.subsetOf(snapshot(s, dir, toVersion).files.toSet)
+  }
+
   /** Rewrite the current version's files into `numFiles` and publish the
     * result as a new version (contents identical; the small-file
     * compaction every long-lived append table needs — readers pinned to

@@ -7,11 +7,11 @@ import org.apache.spark.sql.types._
 class FileStreamSpec extends SparkSpec {
 
   test("events parquet replayed as a file stream matches the batch windows") {
-    // file-source streaming read of the real events table (nanos ts → µs,
-    // as in Tables.events)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-source streaming read of the real events table (timestamp[us]
+    // NTZ → session-zoned µs timestamp, as in Tables.events; UTC session
+    // makes the cast an identity on the stored micros)
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // file-source streams need a directory: stage the table file into one
@@ -21,7 +21,7 @@ class FileStreamSpec extends SparkSpec {
       dir.resolve("events.parquet"))
     val stream = spark.readStream.schema(schema)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast(TimestampType))
     val q = streaming.Events.windowedAggStream(stream).writeStream
       .format("memory").queryName("file_win").outputMode(OutputMode.Update).start()
     q.processAllAvailable()

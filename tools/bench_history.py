@@ -69,9 +69,36 @@ def entry_from_full(label, path):
     qs = {q: {"min": v, "cv": float(d.get("cv", {}).get(q, 0.0))}
           for q, v in d["queries"].items()}
     return {"round": label, "source": path, "total": d.get("value"),
+            "rc": d.get("rc"),
+            "errors": sorted(d.get("errors", {})),
             "storage_mem_high_water_bytes":
                 d.get("storage_mem_high_water_bytes"),
             "queries": qs}
+
+
+def correctness_counts(path, catalog_names):
+    """Summarize a CORRECTNESS_r0N.json into per-round health counts.
+
+    green      = oracle hash match
+    rows_only  = no SQL oracle (rows>0 + named-spec coverage instead)
+    fail       = present but mismatched, or an explicit error entry
+    absent     = in the bench catalog but with NO correctness row at all —
+                 the r7 failure mode (a query whose dump failed left no
+                 row, so 18 breakages hid as a silent 111->108 drop)
+    """
+    with open(path) as f:
+        d = json.load(f)
+    green = sum(1 for v in d.values() if v.get("hash_match") is True)
+    rows_only = sum(1 for v in d.values() if v.get("err") == "no_oracle")
+    fail = sorted(q for q, v in d.items()
+                  if (v.get("err") not in (None, "no_oracle"))
+                  or (v.get("err") is None and not v.get("hash_match")))
+    out = {"rows": len(d), "oracle_green": green,
+           "rows_only": rows_only, "fail": fail}
+    if catalog_names:
+        absent = sorted(set(catalog_names) - set(d))
+        out["absent_from_catalog"] = absent
+    return out
 
 
 def entry_from_tail(label, path):
@@ -92,6 +119,15 @@ def main(argv):
     label = argv[0]
     path = argv[1] if len(argv) > 1 else "BENCH_FULL.json"
     entry = (entry_from_tail if seed_tail else entry_from_full)(label, path)
+    # round-health line: fold the same round's correctness artifact in, so
+    # a coverage regression (fewer rows than the catalog) is a one-line
+    # diff in BENCH_HISTORY instead of a judge excavation
+    corr_path = f"CORRECTNESS_{label}.json"
+    catalog = sorted(set(entry["queries"]) | set(entry.get("errors", [])))
+    try:
+        entry["correctness"] = correctness_counts(corr_path, catalog)
+    except FileNotFoundError:
+        pass
     hist = load_history()
     hist["rounds"] = [r for r in hist["rounds"] if r["round"] != label]
     prevs = [r for r in hist["rounds"] if r["round"] < label]
@@ -103,6 +139,12 @@ def main(argv):
     hist["rounds"].sort(key=lambda r: r["round"])
     with open(HISTORY, "w") as f:
         json.dump(hist, f, indent=1)
+    c = entry.get("correctness")
+    if c:
+        print(f"{label} correctness: {c['oracle_green']} green, "
+              f"{c['rows_only']} rows-only, {len(c['fail'])} fail, "
+              f"{len(c.get('absent_from_catalog', []))} absent "
+              f"(catalog {len(catalog)})")
     d = entry.get("drift")
     if d:
         print(f"{label} vs {entry['drift_vs']}: shared ratio "
