@@ -1315,6 +1315,50 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** A SnapshotTable of the documents corpus with one append in its
+    * lineage — the standing-corpus-plus-arriving-batch shape, memoized
+    * per (session, corpus dir). v0 = standing corpus (doc_id % 10 != 0),
+    * v1 = v0 + the batch (doc_id % 10 = 0).
+    */
+  private val snapMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (String, Long, Long)]()
+  graft.Memos.register { () => snapMemo.clear() }
+  private def snapshotDocTable(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Long, Long) =
+    snapMemo.computeIfAbsent((s, d), { _ =>
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"graft-snapdocs-${graft.Memos.pathToken(d)}").toString + "/docs"
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val v0 = graft.sources.SnapshotTable.commit(s, dir,
+        docs.filter(col("doc_id") % 10 =!= 0))
+      val v1 = graft.sources.SnapshotTable.append(s, dir,
+        docs.filter(col("doc_id") % 10 === 0))
+      (dir, v0, v1)
+    })
+
+  // q132 — SNAPSHOT-DELTA signature refresh: the index-maintenance face
+  // of incremental dedup. An append lands as snapshot v1 over corpus v0;
+  // the signature job reads ONLY the files v1 added (SnapshotTable
+  // .changes — immutable data files make the delta exact) and computes
+  // banded MinHash signatures for just those rows. At 100 TB this is the
+  // whole point of the table format: index refresh costs O(new data) and
+  // never re-reads or re-shuffles the standing corpus. The oracle replays
+  // the same decision from the batch predicate, proving the file-level
+  // delta selects exactly the appended rows.
+  val q132: QueryDef = QueryDef.sql(
+    "q132_snapshot_delta_sigs",
+    s"""WITH $minhashBandedDuck
+      |SELECT doc_id, band, key FROM banded
+      |WHERE doc_id % 10 = 0
+      |ORDER BY doc_id, band""".stripMargin) { (s, d) =>
+    val (dir, v0, v1) = snapshotDocTable(s, d)
+    require(graft.sources.SnapshotTable.isAppendLineage(s, dir, v0, v1),
+      "delta signature refresh requires an append-only lineage")
+    bandedSignatures(graft.sources.SnapshotTable.changes(s, dir, v0, v1))
+      .select(col("doc_id"), col("band").cast("long").as("band"), col("key"))
+      .orderBy("doc_id", "band")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q75, q99, q109, q115, q117, q122, q125, q128, q131)
+    q49, q75, q99, q109, q115, q117, q122, q125, q128, q131, q132)
 }

@@ -30,8 +30,9 @@ object Similarity {
   private def qvLit: Column = typedlit(qvArray)
   private val qvDuck = "list_transform(range(1, 65), i -> (CAST((i * 37) % 19 AS DOUBLE) - 9) / 10)"
 
-  private def cosToQv: Column =
-    round(VectorExprs.cosineSim(col("embedding"), qvLit), 8)
+  private def cosTo(q: Array[Double]): Column =
+    round(VectorExprs.cosineSim(col("embedding"), typedlit(q)), 8)
+  private def cosToQv: Column = cosTo(qvArray)
 
   private val cosToQvDuck =
     s"""round(list_sum(list_transform(range(1, 65),
@@ -42,16 +43,21 @@ object Similarity {
   // q50 — brute-force cosine top-k against the fixed query vector: one
   // narrow scan, a per-row codegen'd expression, and a global top-k (no
   // full sort shuffle at scale — Spark's TakeOrderedAndProject).
+  /** q50's body with the query vector exposed: exact top-`k` by cosine. */
+  private[graft] def bruteTopK(s: SparkSession, d: String, k: Int,
+      q: Array[Double] = qvArray): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), cosTo(q).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+
   val q50: QueryDef = QueryDef.sql(
     "q50_knn_brute",
     s"""SELECT vec_id, label, $cosToQvDuck AS cos_sim
        |FROM embeddings
        |ORDER BY cos_sim DESC, vec_id
        |LIMIT 10""".stripMargin) { (s, d) =>
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), cosToQv.as("cos_sim"))
-      .orderBy(desc("cos_sim"), asc("vec_id"))
-      .limit(10)
+    bruteTopK(s, d, 10)
   }
 
   /** 8 deterministic hyperplanes: plane p component i =
@@ -225,13 +231,18 @@ object Similarity {
   /** Floor on the number of IVF cells a query probes. */
   val IvfNProbe = 6
 
-  /** Probe width for a `k`-cell quantizer: a fixed FRACTION (3/8, the
-    * recall-calibrated 6-of-16 ratio) of the cells with a floor of
-    * [[IvfNProbe]] — as the cell count scales with the corpus
-    * (Centroids.k ∝ √n), the probed row count stays ~(m/k)·n and recall
-    * holds instead of collapsing as k outgrows a fixed probe budget.
+  /** Probe width for a `k`-cell quantizer: a fixed FRACTION (1/2) of the
+    * cells with a floor of [[IvfNProbe]] — as the cell count scales with
+    * the corpus (Centroids.k ∝ √n), the probed row count stays ~(m/k)·n
+    * and recall holds instead of collapsing as k outgrows a fixed probe
+    * budget. The fraction is recall-calibrated over a MEAN of in-corpus
+    * queries, not one fixed query (single-query recall@10 moves 0.1 per
+    * missed neighbor — pure sample noise): at 3/8 the mean sat at
+    * 0.89-0.90 across two independently generated 500-vector corpora —
+    * exactly at the bar, no margin; at 1/2 it measures 0.944/0.961
+    * (OperatorSemanticsSpec's mean-recall tests are the regression bar).
     */
-  def ivfNProbe(k: Int): Int = math.max(IvfNProbe, math.ceil(3.0 * k / 8.0).toInt)
+  def ivfNProbe(k: Int): Int = math.max(IvfNProbe, math.ceil(k / 2.0).toInt)
 
   /** |c|² of a centroid — plan-literal constant. */
   private def sqNorm(c: Array[Double]): Double = {
@@ -246,13 +257,14 @@ object Similarity {
     * centroid matrix). The query vector is normalized like the training
     * vectors were.
     */
-  private[graft] def probeCells(cents: Array[Array[Double]], nProbe: Int): Seq[Int] = {
-    val qn = math.sqrt(sqNorm(qvArray))
+  private[graft] def probeCells(cents: Array[Array[Double]], nProbe: Int,
+      q: Array[Double] = qvArray): Seq[Int] = {
+    val qn = math.sqrt(sqNorm(q))
     cents.indices.sortBy { ci =>
       val c = cents(ci)
       var dot = 0.0
       var i = 0
-      while (i < c.length) { dot += qvArray(i) / qn * c(i); i += 1 }
+      while (i < c.length) { dot += q(i) / qn * c(i); i += 1 }
       (-(2 * dot - sqNorm(c)), ci)
     }.take(nProbe)
   }
@@ -267,7 +279,12 @@ object Similarity {
   // (driver-side O(k·d)), members are exact-cosine reranked, and the
   // global top-10 is a TakeOrderedAndProject — one scan, zero exchanges
   // before the final top-k.
-  val q53: QueryDef = QueryDef.rowsOnly("q53_ivf_ann") { (s, d) =>
+  /** q53's body with the recall knob and query vector exposed: top-`k`
+    * by exact cosine over the members of the query's `nProbe` nearest
+    * cells.
+    */
+  private[graft] def ivfTopK(s: SparkSession, d: String, nProbe: Int, k: Int,
+      q: Array[Double] = qvArray): DataFrame = {
     val cents = graft.ml.Centroids.centers(s, d)
     // spherical assignment: argmin_c |x/‖x‖ − c|² = argmax_c (2·x·c/‖x‖ − |c|²)
     val cellScores = array(cents.indices.map { ci =>
@@ -276,31 +293,96 @@ object Similarity {
           - lit(sqNorm(cents(ci)))).as("s"),
         lit(-ci).as("nid"))
     }: _*)
-    val probes = probeCells(cents, ivfNProbe(cents.length))
+    val probes = probeCells(cents, nProbe, q)
     Tables.embeddings(s, d)
       .withColumn("nrm", sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))))
       .withColumn("cell_id", -array_max(cellScores).getField("nid"))
       .filter(col("cell_id").isin(probes: _*))
-      .select(col("vec_id"), col("label"), col("cell_id"), cosToQv.as("cos_sim"))
+      .select(col("vec_id"), col("label"), col("cell_id"), cosTo(q).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
-      .limit(10)
+      .limit(k)
+  }
+
+  val q53: QueryDef = QueryDef.rowsOnly("q53_ivf_ann") { (s, d) =>
+    ivfTopK(s, d, ivfNProbe(graft.ml.Centroids.centers(s, d).length), 10)
+  }
+
+  /** BATCH IVF probe: every query's top-`k` by exact cosine over the
+    * members of its `nProbe` nearest cells — all queries in ONE
+    * distributed plan (no per-query driver loop, no per-query job). The
+    * query side scores cells with the same codegen'd centroid-literal
+    * expressions as the corpus side (explode + per-qid window over
+    * Q·cells rows), the Q·nProbe probe table BROADCASTS onto the
+    * cell-keyed corpus scan, and the final per-query top-k is a window
+    * over each query's probed-cell members. At 100 TB with the persisted
+    * cell-partitioned index the cell join prunes to probed partitions;
+    * the corpus is never shuffled — the nswBatchSearch posture for the
+    * flat-IVF tier.
+    */
+  private[graft] def ivfBatchTopK(s: SparkSession, d: String, queries: DataFrame,
+      k: Int, nProbeOpt: Int = -1): DataFrame = {
+    val cents = graft.ml.Centroids.centers(s, d)
+    val nProbe = if (nProbeOpt > 0) nProbeOpt else ivfNProbe(cents.length)
+    val qCellScore = array(cents.indices.map { ci =>
+      struct(
+        ((VectorExprs.dotProduct(col("qvec"), typedlit(cents(ci))) * 2 / col("qnrm"))
+          - lit(sqNorm(cents(ci)))).as("s"),
+        lit(ci).as("cell_id"))
+    }: _*)
+    val byCellScore = Window.partitionBy("qid").orderBy(desc("s"), asc("cell_id"))
+    val probes = queries
+      .withColumn("qnrm", sqrt(VectorExprs.dotProduct(col("qvec"), col("qvec"))))
+      .select(col("qid"), col("qvec"), explode(qCellScore).as("c"))
+      .select(col("qid"), col("qvec"), col("c.s").as("s"), col("c.cell_id").as("cell_id"))
+      .withColumn("rk", row_number().over(byCellScore))
+      .filter(col("rk") <= nProbe)
+      .select("qid", "qvec", "cell_id")
+    val corpusCellScore = array(cents.indices.map { ci =>
+      struct(
+        ((VectorExprs.dotProduct(col("embedding"), typedlit(cents(ci))) * 2 / col("nrm"))
+          - lit(sqNorm(cents(ci)))).as("s"),
+        lit(-ci).as("nid"))
+    }: _*)
+    val byCos = Window.partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
+    Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))))
+      .withColumn("cell_id", -array_max(corpusCellScore).getField("nid"))
+      .join(broadcast(probes), "cell_id")
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(VectorExprs.cosineSim(col("embedding"), col("qvec")), 8).as("cos_sim"))
+      .withColumn("rk", row_number().over(byCos))
+      .filter(col("rk") <= k)
+      .select("qid", "vec_id", "label", "cos_sim")
+      .orderBy(asc("qid"), desc("cos_sim"), asc("vec_id"))
+  }
+
+  // q133 — the batch IVF probe as a catalog operator: every ~53rd corpus
+  // vector queries at once (a disjoint stride from q102's NSW batch).
+  // Approximate by design → rows-only; per-query parity with the
+  // single-query ivfTopK and the mean-recall bar are spec-asserted.
+  val q133: QueryDef = QueryDef.rowsOnly("q133_ivf_batch_ann") { (s, d) =>
+    val queries = Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(53L)) === lit(2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    ivfBatchTopK(s, d, queries, 10)
   }
 
   /** ADC lookup table: the query's squared distance to every PQ code,
     * computed driver-side (O(sub·codes·subDim) math over the codebooks).
     */
-  private def adcTable(books: Array[Array[Array[Double]]]): Array[Double] = {
+  private def adcTable(books: Array[Array[Array[Double]]],
+      q: Array[Double] = qvArray): Array[Double] = {
     val nSub = graft.ml.Centroids.PqSub
     val nCodes = graft.ml.Centroids.PqCodes
     val subDim = 64 / nSub
-    val qn = math.sqrt(sqNorm(qvArray))
+    val qn = math.sqrt(sqNorm(q))
     Array.tabulate(nSub * nCodes) { idx =>
       val sub = idx / nCodes
       val c = idx % nCodes
       var dist = 0.0
       var i = 0
       while (i < subDim) {
-        val dd = qvArray(sub * subDim + i) / qn - books(sub)(c)(i)
+        val dd = q(sub * subDim + i) / qn - books(sub)(c)(i)
         dist += dd * dd
         i += 1
       }
@@ -332,19 +414,27 @@ object Similarity {
   // out of a TakeOrderedAndProject, and the final top-10 is an exact
   // cosine rerank over those 100 rows only. Pure PQ scans every cell's
   // codes (no IVF filter) — q55/q56 add the cell-pruned probe.
-  val q54: QueryDef = QueryDef.rowsOnly("q54_pq_ann") { (s, d) =>
+  /** q54's body with the query vector exposed: full-scan ADC top-100
+    * funnel + exact rerank to top-`k`.
+    */
+  private[graft] def pqTopK(s: SparkSession, d: String, k: Int,
+      q: Array[Double] = qvArray): DataFrame = {
     val books = graft.ml.Centroids.pqCodebooks(s, d) // [nSub][nCodes][subDim]
     val cand = s.table(indexTable(s, d))
-      .select(col("vec_id"), adcCol(adcTable(books)).as("adc"))
+      .select(col("vec_id"), adcCol(adcTable(books, q)).as("adc"))
       .orderBy(asc("adc"), asc("vec_id"))
       .limit(100)
     // exact rerank over the 100 survivors only
     Tables.embeddings(s, d)
       .join(broadcast(cand), "vec_id")
       .select(col("vec_id"), col("label"), round(col("adc"), 6).as("adc"),
-        cosToQv.as("cos_sim"))
+        cosTo(q).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
-      .limit(10)
+      .limit(k)
+  }
+
+  val q54: QueryDef = QueryDef.rowsOnly("q54_pq_ann") { (s, d) =>
+    pqTopK(s, d, 10)
   }
 
   // q55 — IVF+PQ: the composed billion-scale ANN shape. Every vector
@@ -393,18 +483,19 @@ object Similarity {
     * probed cells, 8-lookup ADC score, top-100 TakeOrdered, then exact
     * cosine rerank of the 100 survivors for the final top-10.
     */
-  private[graft] def probeCompressed(s: SparkSession, d: String, index: DataFrame): DataFrame = {
+  private[graft] def probeCompressed(s: SparkSession, d: String, index: DataFrame,
+      q: Array[Double] = qvArray): DataFrame = {
     val cents = graft.ml.Centroids.centers(s, d)
     val books = graft.ml.Centroids.pqCodebooks(s, d)
-    val probes = probeCells(cents, ivfNProbe(cents.length))
+    val probes = probeCells(cents, ivfNProbe(cents.length), q)
     val cand = index
       .filter(col("cell_id").isin(probes: _*))
-      .select(col("vec_id"), col("cell_id"), adcCol(adcTable(books)).as("adc"))
+      .select(col("vec_id"), col("cell_id"), adcCol(adcTable(books, q)).as("adc"))
       .orderBy(asc("adc"), asc("vec_id"))
       .limit(100)
     Tables.embeddings(s, d)
       .join(broadcast(cand), "vec_id")
-      .select(col("vec_id"), col("label"), col("cell_id"), cosToQv.as("cos_sim"))
+      .select(col("vec_id"), col("label"), col("cell_id"), cosTo(q).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(10)
   }
@@ -1457,5 +1548,5 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(q38, q50, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q77, q79, q98, q100, q102, q105)
+    q58, q59, q77, q79, q98, q100, q102, q105, q133)
 }

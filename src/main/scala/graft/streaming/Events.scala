@@ -402,5 +402,46 @@ object Events {
       }
   }
 
-  val all: Seq[QueryDef] = Seq(q80, q81, q82, q83)
+  // q134 — WATERMARK / LATE-DATA accounting: the batch face of what a
+  // streaming watermark DROPS. Arrival order is the per-user event_id
+  // sequence; an event is late when its event time sits more than the
+  // watermark delay behind that user's high-water mark at arrival
+  // (max event time over the user's earlier arrivals). The window
+  // partitions on user_id — per-key watermarks, never a global arrival
+  // sort — so the one exchange is the same user-keyed shuffle every
+  // sessionization query pays, and the rollup to event_type moves
+  // O(types) rows. Feeding a pipeline, this is the audit that says how
+  // much data a `withWatermark(delay)` stream would silently lose at
+  // each delay setting.
+  private val WatermarkDelayUs = 600000000L // 10 min
+  val q134: QueryDef = QueryDef.sql(
+    "q134_late_events",
+    s"""WITH w AS (
+      |  SELECT event_type, user_id, epoch_us(ts) AS tus,
+      |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM events)
+      |SELECT event_type,
+      |  count(*) FILTER (WHERE hwm IS NOT NULL
+      |    AND tus < hwm - $WatermarkDelayUs) AS n_late,
+      |  count(*) AS n_events,
+      |  CAST(count(*) FILTER (WHERE hwm IS NOT NULL
+      |    AND tus < hwm - $WatermarkDelayUs) AS DOUBLE) / count(*) AS late_frac
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val arrival = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val isLate = col("hwm").isNotNull &&
+      col("ts_us") < col("hwm") - lit(WatermarkDelayUs)
+    Tables.events(s, d)
+      .withColumn("hwm", max("ts_us").over(arrival))
+      .groupBy("event_type")
+      .agg(
+        count(when(isLate, 1)).as("n_late"),
+        count(lit(1)).as("n_events"))
+      .withColumn("late_frac", col("n_late").cast("double") / col("n_events"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q80, q81, q82, q83, q134)
 }

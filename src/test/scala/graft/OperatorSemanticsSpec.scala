@@ -41,13 +41,11 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
-  test("q53 IVF top-10 recall >= 0.9 vs exact q50 top-10") {
-    val exact = sim.Similarity.q50.fn(spark, sfDir).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    val ivf = sim.Similarity.q53.fn(spark, sfDir).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    val recall = exact.intersect(ivf).size.toDouble / exact.size
-    assert(recall >= 0.9, s"IVF recall@10 $recall (probes=${sim.Similarity.IvfNProbe})")
+  test("q53 IVF mean top-10 recall >= 0.9 vs exact over the query set") {
+    val nProbe = sim.Similarity.ivfNProbe(ml.Centroids.centers(spark, sfDir).length)
+    val r = meanRecall(q => sim.Similarity.ivfTopK(spark, sfDir, nProbe, 10, q)
+      .collect().map(_.getAs[Long]("vec_id")).toSet)
+    assert(r >= 0.9, s"IVF mean recall@10 $r (probes=$nProbe)")
   }
 
   test("q77 SQ8 top-10 recall >= 0.9 vs exact q50 top-10, scores within quantization error") {
@@ -545,22 +543,62 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(ratio < 0.7, s"kNN-pair/average distance ratio $ratio — structure not preserved")
   }
 
-  test("q54 PQ top-10 recall vs exact q50 top-10") {
-    val exact = sim.Similarity.q50.fn(spark, sfDir).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    val pq = sim.Similarity.q54.fn(spark, sfDir).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    val recall = exact.intersect(pq).size.toDouble / exact.size
-    assert(recall >= 0.8, s"PQ recall@10 $recall")
+  // Recall bars are MEANS over a deterministic set of in-corpus queries
+  // (vec_id % 29 == 3, ~18 of 500): single-query recall@10 moves 0.1 per
+  // missed neighbor, so a one-query assertion flips on every corpus
+  // regeneration (it did, in round 7) while the operator is unchanged.
+  private lazy val recallQueries: Array[Array[Double]] =
+    Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 29 === 3)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  private def meanRecall(approx: Array[Double] => Set[Long]): Double = {
+    val rs = recallQueries.map { q =>
+      val exact = sim.Similarity.bruteTopK(spark, sfDir, 10, q).collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      exact.intersect(approx(q)).size.toDouble / exact.size
+    }
+    rs.sum / rs.length
   }
 
-  test("q55 IVF+PQ top-10 recall vs exact q50 top-10") {
-    val exact = sim.Similarity.q50.fn(spark, sfDir).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    val ivfpq = sim.Similarity.q55.fn(spark, sfDir).collect()
-      .map(_.getAs[Long]("vec_id")).toSet
-    val recall = exact.intersect(ivfpq).size.toDouble / exact.size
-    assert(recall >= 0.7, s"IVF+PQ recall@10 $recall (two approximations compose)")
+  test("q133 batch IVF: per-query parity with single-query ivfTopK, mean recall >= 0.85") {
+    val nProbe = sim.Similarity.ivfNProbe(ml.Centroids.centers(spark, sfDir).length)
+    val queries = Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(53L)) === lit(2L))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    assert(queries.nonEmpty)
+    val batch = sim.Similarity.q133.fn(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(r => (-r.getAs[Double]("cos_sim"), r.getAs[Long]("vec_id")))
+          .map(_.getAs[Long]("vec_id")).toSeq
+      }
+    val recalls = queries.map { case (qid, q) =>
+      val single = sim.Similarity.ivfTopK(spark, sfDir, nProbe, 10, q).collect()
+        .map(_.getAs[Long]("vec_id")).toSeq
+      // batch and single-query searches are the SAME algorithm — node-for-node
+      assert(batch(qid) == single, s"qid $qid: batch ${batch(qid)} != single $single")
+      val exact = sim.Similarity.bruteTopK(spark, sfDir, 10, q).collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      exact.intersect(single.toSet).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.85, s"batch IVF mean recall@10 $mean over ${queries.length} queries")
+  }
+
+  test("q54 PQ mean top-10 recall >= 0.8 vs exact over the query set") {
+    val r = meanRecall(q => sim.Similarity.pqTopK(spark, sfDir, 10, q)
+      .collect().map(_.getAs[Long]("vec_id")).toSet)
+    assert(r >= 0.8, s"PQ mean recall@10 $r over ${recallQueries.length} queries")
+  }
+
+  test("q55 IVF+PQ mean top-10 recall >= 0.75 vs exact over the query set") {
+    lazy val index = sim.Similarity.compressedIndex(spark, sfDir)
+    val r = meanRecall(q => sim.Similarity.probeCompressed(spark, sfDir, index, q)
+      .collect().map(_.getAs[Long]("vec_id")).toSet)
+    assert(r >= 0.75, s"IVF+PQ mean recall@10 $r (two approximations compose)")
   }
 
   test("q90 sketches stay inside their error bounds vs the exact columns") {

@@ -203,9 +203,28 @@ class PlanSpec extends SparkSpec {
 
   test("q56 persisted-index probe prunes partitions at the scan") {
     val plan = planOf("q56_ann_index_probe")
+    // above inSetConversionThreshold (10) the optimizer renders the probe
+    // list as INSET rather than IN — both are the same partition pruning
     assert(plan.linesIterator.exists(l =>
-        l.contains("PartitionFilters") && l.contains("cell_id") && l.contains(" IN ")),
-      s"probe must push cell_id IN (...) as PartitionFilters:\n$plan")
+        l.contains("PartitionFilters") && l.contains("cell_id") &&
+          (l.contains(" IN ") || l.contains("INSET"))),
+      s"probe must push cell_id IN/INSET (...) as PartitionFilters:\n$plan")
+  }
+
+  test("q133 batch IVF broadcasts the probe table; corpus never hash-shuffles before the join") {
+    val plan = planOf("q133_ivf_batch_ann")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe table must broadcast onto the corpus scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cell match must be an equi-join:\n$plan")
+    // hash exchanges: the (tiny) query-side cell-ranking window + the
+    // per-query top-k window over join output — never the corpus scan
+    val hashExchanges = plan.linesIterator.count(l =>
+      l.trim.startsWith("+- Exchange hashpartitioning") ||
+        l.trim.startsWith(":- Exchange hashpartitioning") ||
+        l.trim.startsWith("Exchange hashpartitioning"))
+    assert(hashExchanges <= 2,
+      s"expected at most 2 hash exchanges (query ranking + final top-k), got $hashExchanges:\n$plan")
   }
 
   test("q58 balanced sample assigns cells without a cross join, caps map-side") {
