@@ -169,5 +169,77 @@ object Graph {
       .limit(20)
   }
 
-  val all: Seq[QueryDef] = Seq(q78)
+  /** Synchronous semi-supervised LABEL PROPAGATION over an undirected
+    * edge list: every non-seed node takes, each round, the majority label
+    * among its currently-labeled neighbors (ties → count desc then
+    * smallest label; seeds stay clamped). Each round is one join of the
+    * O(n·k) edge list against the label table + one counted groupBy + one
+    * per-node window — all keyed shuffles over bounded O(n·k) rows, no
+    * driver-side reads; rounds are driver-paced with a lazy
+    * localCheckpoint truncating each round's lineage (q78's pageRank
+    * discipline). The data-curation use: stretch a small labeled seed
+    * set over an unlabeled corpus via embedding-neighborhood structure.
+    *
+    * `seeds` must carry (vec_id, label, is_seed) with label null on
+    * non-seeds. Returns the final (vec_id, label, is_seed, n_support)
+    * state; n_support is the winning vote count from the round the label
+    * was last assigned.
+    */
+  def labelPropagation(edges0: DataFrame, seeds: DataFrame, nIter: Int): DataFrame = {
+    val spark = edges0.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val fwd = edges0.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    var state = seeds
+      .select(col("vec_id"), col("label"), col("is_seed"),
+        lit(null).cast("long").as("n_support"))
+      .localCheckpoint(false)
+    val byVote = Window.partitionBy("src").orderBy(desc("n"), asc("nbr_label"))
+    for (_ <- 1 to nIter) {
+      val votes = edges
+        .join(state.filter(col("label").isNotNull)
+          .select(col("vec_id").as("dst"), col("label").as("nbr_label")), "dst")
+        .groupBy(col("src"), col("nbr_label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(byVote))
+        .filter(col("rk") === 1)
+        .select(col("src").as("vec_id"), col("nbr_label"), col("n"))
+      state = state.join(votes, Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          when(col("is_seed"), col("label"))
+            .otherwise(coalesce(col("nbr_label"), col("label"))).as("label"),
+          col("is_seed"),
+          when(col("is_seed"), lit(null).cast("long"))
+            .otherwise(coalesce(col("n"), col("n_support"))).as("n_support"))
+        .localCheckpoint(false)
+    }
+    state
+  }
+
+  // q135 — label propagation as a catalog operator: 20% of vectors
+  // (vec_id % 5 = 0) keep their label as seeds, everyone else is
+  // unlabeled; 4 synchronous rounds over the q57 kNN graph (shared,
+  // cached edge list) spread the seeds through embedding neighborhoods.
+  // Output: the propagated (originally unlabeled) nodes with their
+  // predicted label and winning vote support. Approximate graph →
+  // rows-only; GraphSpec replays the propagation densely on the driver
+  // (exact round-for-round match) and pins coverage + seed clamping.
+  // (The synthetic corpus's labels are independent of embedding
+  // geometry, so accuracy-vs-truth is ~chance here by construction —
+  // the spec validates mechanism, not this corpus's label signal.)
+  val q135: QueryDef = QueryDef.rowsOnly("q135_label_propagation") { (s, d) =>
+    val edges = graft.sim.Similarity.approxKnnGraphCached(s, d, 3)
+    val seeds = graft.Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("label")).as("label"),
+        (col("vec_id") % 5 === 0).as("is_seed"))
+    labelPropagation(edges, seeds, nIter = 4)
+      .filter(!col("is_seed") && col("label").isNotNull)
+      .select(col("vec_id"), col("label").as("pred_label"), col("n_support"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q78, q135)
 }
