@@ -1434,7 +1434,88 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // q136 — FEATURE REGRESSION MATRIX: univariate OLS of every quality
+  // feature on every other (slope, intercept, corr, r²) — the
+  // multicollinearity audit run before fitting any quality scorer (two
+  // features with r² ≈ 1 carry one signal; a scorer trained on both
+  // double-counts it). One corpus scan computes ALL d² sufficient
+  // statistics as a single wide aggregate (map-side partials, one row
+  // out); the 25-row matrix is reshaped from that row with an explode —
+  // no unpivot self-join, so the corpus is never multiplied by d² or
+  // shuffled at all. q25's covariance posture generalized to the text
+  // feature space.
+  val q136: QueryDef = {
+    val feats = Seq("n_char", "n_tok", "punct_ratio", "stop_ratio", "mean_tok_len")
+    val duckPairs = (for { fx <- feats; fy <- feats } yield
+      s"""SELECT '$fx' AS fx, '$fy' AS fy,
+         |  round(regr_slope($fy, $fx), 6) AS slope,
+         |  round(regr_intercept($fy, $fx), 6) AS intercept,
+         |  round(corr($fy, $fx), 6) AS corr,
+         |  round(corr($fy, $fx) * corr($fy, $fx), 6) AS r2
+         |FROM f""".stripMargin).mkString("\nUNION ALL\n")
+    QueryDef.sql(
+      "q136_feature_regressions",
+      s"""WITH m AS (
+        |  SELECT doc_id, length(text) AS n_char,
+        |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+        |    len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS n_punct,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        |      t -> t = 'the' OR t = 'a' OR t = 'value')) AS n_stop,
+        |    list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+        |      t -> length(t))) AS n_tok_char
+        |  FROM documents),
+        |f AS (
+        |  SELECT CAST(n_char AS DOUBLE) AS n_char, CAST(n_tok AS DOUBLE) AS n_tok,
+        |    CAST(n_punct AS DOUBLE) / n_char AS punct_ratio,
+        |    CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+        |    CAST(n_tok_char AS DOUBLE) / n_tok AS mean_tok_len
+        |  FROM m)
+        |SELECT * FROM ($duckPairs)
+        |ORDER BY fx, fy""".stripMargin) { (s, d) =>
+      val f = Tables.documents(s, d)
+        .select(
+          length(col("text")).cast("double").as("n_char"),
+          expr(s"size($tokensExpr)").cast("double").as("n_tok"),
+          expr("size(regexp_extract_all(text, '[^a-z0-9\\\\s]', 0))").cast("double")./(length(col("text"))).as("punct_ratio"),
+          expr(s"size(filter($tokensExpr, t -> t = 'the' OR t = 'a' OR t = 'value'))").cast("double")
+            ./(expr(s"size($tokensExpr)")).as("stop_ratio"),
+          expr(s"aggregate(transform($tokensExpr, t -> length(t)), 0L, (acc, x) -> acc + x)").cast("double")
+            ./(expr(s"size($tokensExpr)")).as("mean_tok_len"))
+      // corr is assembled from guarded sufficient statistics rather than
+      // the corr() aggregate: a zero-variance feature (punct_ratio IS
+      // constant in this corpus) makes ANSI-mode corr throw on the zero
+      // denominator, while the reference engines yield NULL — the
+      // when-guards reproduce exactly DuckDB's semantics (slope/intercept
+      // NULL from a constant x, slope 0 onto a constant y, corr NULL if
+      // either side is constant).
+      val aggs = feats.flatMap(fx => Seq(
+          avg(col(fx)).as(s"avg__$fx"),
+          var_pop(col(fx)).as(s"var__$fx"),
+          stddev_samp(col(fx)).as(s"sd__$fx"))) ++
+        (for { fx <- feats; fy <- feats } yield Seq(
+          covar_pop(col(fx), col(fy)).as(s"cov__${fx}__$fy"),
+          covar_samp(col(fx), col(fy)).as(s"covs__${fx}__$fy"))).flatten
+      val wide = f.agg(aggs.head, aggs.tail: _*)
+      val outRows = (for { fx <- feats; fy <- feats } yield {
+        val slope = when(col(s"var__$fx") === 0, lit(null))
+          .otherwise(col(s"cov__${fx}__$fy") / col(s"var__$fx"))
+        val corrC = when(col(s"sd__$fx") === 0 || col(s"sd__$fy") === 0, lit(null))
+          .otherwise(col(s"covs__${fx}__$fy") / (col(s"sd__$fx") * col(s"sd__$fy")))
+        struct(
+          lit(fx).as("fx"), lit(fy).as("fy"),
+          round(slope, 6).as("slope"),
+          round(col(s"avg__$fy") - slope * col(s"avg__$fx"), 6).as("intercept"),
+          round(corrC, 6).as("corr"),
+          round(corrC * corrC, 6).as("r2"))
+      })
+      wide.select(explode(array(outRows: _*)).as("p"))
+        .select(col("p.fx"), col("p.fy"), col("p.slope"), col("p.intercept"),
+          col("p.corr"), col("p.r2"))
+        .orderBy("fx", "fy")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120,
-    q123, q124, q126, q127, q129, q130)
+    q123, q124, q126, q127, q129, q130, q136)
 }
