@@ -402,6 +402,38 @@ object Events {
       }
   }
 
+  case class ArrEv(user_id: Long, event_id: Long, ts_us: Long, event_type: String)
+  case class LateFlag(user_id: Long, event_id: Long, event_type: String, is_late: Boolean)
+
+  /** STREAMING face of q134: per-user event-time high-water mark kept in
+    * mapGroups state, each arriving event flagged late-or-not AS IT
+    * ARRIVES (the live audit of what a watermark would drop). State per
+    * user is ONE long (the HWM) — constant per key at any scale. The
+    * per-batch sort by event_id replays the arrival sequence within a
+    * batch; cross-batch arrival order is the source's responsibility
+    * (q81's contract). Spec asserts per-type late counts equal batch
+    * q134 on the same rows across arbitrary batch splits.
+    */
+  def lateFlagsStream(events: Dataset[ArrEv],
+      delayUs: Long = WatermarkDelayUs): Dataset[LateFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, LateFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[ArrEv], state: GroupState[Long]) =>
+          var hwm = state.getOption.getOrElse(Long.MinValue)
+          val out = List.newBuilder[LateFlag]
+          batch.toArray.sortBy(_.event_id).foreach { e =>
+            out += LateFlag(uid, e.event_id, e.event_type,
+              hwm != Long.MinValue && e.ts_us < hwm - delayUs)
+            if (e.ts_us > hwm) hwm = e.ts_us
+          }
+          state.update(hwm)
+          out.result().iterator
+      }
+  }
+
   // q134 — WATERMARK / LATE-DATA accounting: the batch face of what a
   // streaming watermark DROPS. Arrival order is the per-user event_id
   // sequence; an event is late when its event time sits more than the

@@ -419,4 +419,31 @@ class StreamingSpec extends SparkSpec {
     // batch-split independence
     assert(anomalyStreamRows(Seq(300, 2000, 7000)) == streamed)
   }
+
+  test("lateFlagsStream matches batch q134 late counts across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import Events.{ArrEv, LateFlag}
+    // the REAL events table, replayed in arrival (event_id) order over
+    // three arbitrary batch splits
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .as[ArrEv].collect().sortBy(_.event_id)
+    val mem = MemoryStream[ArrEv]
+    val q = Events.lateFlagsStream(mem.toDS()).writeStream
+      .format("memory").queryName("late_flags").outputMode(OutputMode.Append).start()
+    evs.grouped(evs.length / 3 + 1).foreach { c =>
+      mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("late_flags").as[LateFlag].collect()
+    assert(got.length == evs.length, "every event must be flagged exactly once")
+    val gotLate = got.filter(_.is_late).groupBy(_.event_type)
+      .map { case (t, a) => t -> a.length.toLong }
+    val batch = Events.q134.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_late")).toMap
+      .filter(_._2 > 0)
+    assert(gotLate == batch,
+      s"streamed late counts $gotLate diverge from batch $batch")
+  }
 }
