@@ -54,10 +54,23 @@ object Dedup {
       |FROM cand c JOIN g a ON c.id_a = a.doc_id JOIN g b ON c.id_b = b.doc_id
       |ORDER BY jaccard DESC, id_a, id_b
       |LIMIT 50""".stripMargin) { (s, d) =>
+    candidatePairJaccard(s, d)
+      .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
+      .limit(50)
+  }
+
+  /** Every LSH candidate pair with its EXACT char-3-gram Jaccard —
+    * q41's rerank table, shared with q138's threshold sweep. LSH
+    * candidates: the band value is the shuffle key; a pair collides in
+    * ≤2 bands so the distinct is cheap, and no gram/sig payload rides
+    * the pair-generating self-join — ids only; the (small) candidate set
+    * joins back to per-doc gram sets keyed by doc_id and similarity is
+    * the native set-based JaccardSim expression (one fused loop per
+    * pair).
+    */
+  private def candidatePairJaccard(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
-    // LSH candidates: the band value is the shuffle key; a pair collides
-    // in ≤2 bands so the distinct is cheap. No gram/sig payload in the
-    // pair join — ids only.
     val banded = bandedCached(s, d).select("doc_id", "band", "key")
     val cand = banded.select(col("band"), col("key"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("key"), col("doc_id").as("id_b")),
@@ -65,9 +78,6 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    // Exact rerank: join the (small) candidate set back to per-doc gram
-    // sets keyed by doc_id; similarity is the native set-based JaccardSim
-    // expression (one fused loop per pair).
     val g = docs.select(col("doc_id"),
       sort_array(array_distinct(VectorExprs.charNgrams(col("text"), 3))).as("grams"))
     cand
@@ -75,8 +85,6 @@ object Dedup {
       .join(g.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         VectorExprs.jaccardSimSorted(col("grams_a"), col("grams_b")).as("jaccard"))
-      .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
-      .limit(50)
   }
 
   /** 16 MinHash permutations ((a·h + b) mod p over polynomial shingle
@@ -1359,6 +1367,51 @@ object Dedup {
       .orderBy("doc_id", "band")
   }
 
+  // q138 — DEDUP THRESHOLD SWEEP: the "pick your Jaccard cutoff" curve —
+  // for each candidate threshold, how many near-dup pairs fire and how
+  // many docs get flagged (have a more-similar twin with a lower id).
+  // Run BEFORE committing a dedup pass: the curve's knee separates "the
+  // corpus has a verbatim-copy problem" (flat until 0.9) from "the
+  // threshold is doing the work" (steep everywhere). Scale shape: the
+  // expensive object — the LSH-blocked candidate-pair Jaccard table
+  // (q41's rerank, bounded by band-bucket fan-out, never O(n²)) — is
+  // computed ONCE; the sweep is a 5-row threshold table broadcast-
+  // nested-loop joined against it, so 5 thresholds cost one pair pass,
+  // not five dedup runs. The left join keeps zero-count thresholds.
+  val q138: QueryDef = QueryDef.sql(
+    "q138_dedup_threshold_sweep",
+    s"""WITH $minhashBandedDuck,
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS grams
+      |  FROM documents),
+      |pj AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+      |  FROM cand c JOIN g a ON c.id_a = a.doc_id JOIN g b ON c.id_b = b.doc_id),
+      |taus AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS tau)
+      |SELECT t.tau,
+      |  CAST(count(p.id_a) AS BIGINT) AS n_pairs,
+      |  CAST(count(DISTINCT p.id_b) AS BIGINT) AS n_docs_flagged
+      |FROM taus t LEFT JOIN pj p ON p.jaccard >= t.tau
+      |GROUP BY t.tau
+      |ORDER BY t.tau""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val pj = candidatePairJaccard(s, d)
+    val taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("tau")
+    broadcast(taus)
+      .join(pj, pj("jaccard") >= taus("tau"), "left")
+      .groupBy("tau")
+      .agg(count(col("id_a")).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_docs_flagged"))
+      .orderBy("tau")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q75, q99, q109, q115, q117, q122, q125, q128, q131, q132)
+    q49, q75, q99, q109, q115, q117, q122, q125, q128, q131, q132, q138)
 }

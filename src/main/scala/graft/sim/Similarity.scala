@@ -1547,6 +1547,148 @@ object Similarity {
       .orderBy(desc("cos_sim"), asc("vec_id"))
   }
 
+  /** MMR (maximal marginal relevance) greedy selection over a bounded
+    * candidate pool: `score(i) = λ·rel(i) − (1−λ)·max_{j∈selected}
+    * cos(i, j)`, relevance = cosine to the fixed query vector. The
+    * DISTRIBUTED part is candidate generation — exact top-`poolSize` by
+    * relevance via TakeOrderedAndProject (partition heaps, no full
+    * sort) — and the greedy loop runs on the collected pool: an
+    * O(poolSize·k) rerank over a CONSTANT budget independent of corpus
+    * size, the standard serving-side diversity pass (the same bounded
+    * shape as q105's hard-negative rerank). Returns
+    * (rank, vec_id, label, relevance, mmr_score).
+    */
+  private[graft] def mmrSelect(s: SparkSession, d: String, k: Int = 10,
+      poolSize: Int = 50, lambda: Double = 0.7)
+      : Seq[(Int, Long, Int, Double, Double)] = {
+    val pool = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        cosToQv.as("rel"))
+      .orderBy(desc("rel"), asc("vec_id"))
+      .limit(poolSize)
+      .collect() // bounded: poolSize rows — the rerank budget, not the corpus
+    val ids = pool.map(_.getLong(0))
+    val labels = pool.map(_.getInt(1))
+    val rels = pool.map(_.getDouble(3))
+    // unit-normalize once; pairwise sim is then a plain dot product
+    val unit = pool.map { r =>
+      val e = r.getSeq[Float](2).toArray.map(_.toDouble)
+      val n = math.sqrt(e.map(x => x * x).sum)
+      e.map(_ / n)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[Int]()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Int, Double, Double)]()
+    while (selected.length < math.min(k, pool.length)) {
+      var bestI = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < pool.length) {
+        if (!selected.contains(i)) {
+          val maxSim =
+            if (selected.isEmpty) 0.0
+            else selected.map(j => dot(unit(i), unit(j))).max
+          val score = lambda * rels(i) - (1 - lambda) * maxSim
+          // deterministic: strictly-better score wins; ties keep the
+          // earlier (higher-relevance, lower-id) pool position
+          if (score > bestScore) { bestScore = score; bestI = i }
+        }
+        i += 1
+      }
+      selected += bestI
+      out += ((selected.length, ids(bestI), labels(bestI), rels(bestI),
+        bestScore))
+    }
+    out.toSeq
+  }
+
+  // q139 — MMR DIVERSE TOP-K: the training-data/serving selection pass
+  // that trades raw relevance for coverage — near-duplicate results are
+  // penalized by their similarity to what's already picked, so the k
+  // results span the query's neighborhood instead of stacking one
+  // cluster. Greedy argmax is order-dependent → rows-only; the spec
+  // replays the selection independently and asserts the diversity
+  // property (mean pairwise cosine of the MMR set strictly below the
+  // plain top-k set's).
+  val q139: QueryDef = QueryDef.rowsOnly("q139_mmr_select") { (s, d) =>
+    import s.implicits._
+    mmrSelect(s, d)
+      .toDF("rank", "vec_id", "label", "relevance", "mmr_score")
+      .select(col("rank"), col("vec_id"), col("label"),
+        round(col("relevance"), 8).as("relevance"),
+        round(col("mmr_score"), 8).as("mmr_score"))
+      .orderBy("rank")
+  }
+
+  /** Greedy k-center (Gonzalez farthest-point) coreset selection: each
+    * round picks the point farthest from every center chosen so far — the
+    * classic 2-approximation to the k-center cover, and the "maximally
+    * spread exemplars" data-selection pass (seed sets for active
+    * learning / labeling budgets). Distributed shape: the state is ONE
+    * DataFrame carrying a running `min_sq` (squared distance to the
+    * nearest center), updated per round as `min(min_sq, ‖x‖² − 2·x·c +
+    * ‖c‖²)` — all codegen'd DotProduct against the broadcast center
+    * literal, NO shuffle; the round's argmax is a 1-row
+    * TakeOrderedAndProject. k driver-paced rounds move k rows to the
+    * driver total; lineage is truncated per round (lazy localCheckpoint,
+    * the q78 posture — checkpoint stride is the lever if k grows).
+    * Returns (pick_order, vec_id, label, radius_after) where
+    * radius_after = covering radius of the first `pick_order` centers.
+    */
+  private[graft] def kCenterSelect(s: SparkSession, d: String, k: Int = 16)
+      : Seq[(Int, Long, Int, Double)] = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        VectorExprs.dotProduct(col("embedding"), col("embedding")).as("sqn"))
+    // deterministic seed: the max-norm point (vec_id tiebreak) — no RNG,
+    // so both engines and the spec replay agree on the full sequence
+    val first = base.orderBy(desc("sqn"), asc("vec_id")).limit(1).head()
+    var center: (Long, Int, Array[Double], Double) = (
+      first.getLong(0), first.getInt(1),
+      first.getSeq[Float](2).toArray.map(_.toDouble), first.getDouble(3))
+    var state = base.withColumn("min_sq", lit(Double.MaxValue))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Int, Double)]()
+    var r = 1
+    while (r <= k) {
+      val cVec = center._3
+      val cSq = center._4
+      state = state
+        .withColumn("min_sq",
+          least(col("min_sq"),
+            col("sqn") - lit(2.0) * VectorExprs.dotProduct(col("embedding"),
+              typedlit(cVec)) + lit(cSq)))
+        .localCheckpoint(false)
+      val far = state.orderBy(desc("min_sq"), asc("vec_id")).limit(1).head()
+      // guard tiny negative from float cancellation on the center itself
+      val radius = math.sqrt(math.max(far.getDouble(4), 0.0))
+      out += ((r, center._1, center._2, radius))
+      if (r < k) center = (far.getLong(0), far.getInt(1),
+        far.getSeq[Float](2).toArray.map(_.toDouble), far.getDouble(3))
+      r += 1
+    }
+    out.toSeq
+  }
+
+  // q140 — K-CENTER CORESET: greedy farthest-point exemplar selection
+  // with the per-pick covering radius — the audit row says "after i
+  // centers, every point sits within radius_after of one" (monotone
+  // non-increasing by construction; the curve's flattening point is the
+  // natural coreset size). Iterative greedy → rows-only; the spec
+  // replays the sequence densely and pins the 2-approx-style dominance
+  // over a naive prefix pick.
+  val q140: QueryDef = QueryDef.rowsOnly("q140_kcenter_coreset") { (s, d) =>
+    import s.implicits._
+    kCenterSelect(s, d)
+      .toDF("pick_order", "vec_id", "label", "radius_after")
+      .select(col("pick_order"), col("vec_id"), col("label"),
+        round(col("radius_after"), 6).as("radius_after"))
+      .orderBy("pick_order")
+  }
+
   val all: Seq[QueryDef] = Seq(q38, q50, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q77, q79, q98, q100, q102, q105, q133)
+    q58, q59, q77, q79, q98, q100, q102, q105, q133, q139, q140)
 }

@@ -1515,7 +1515,83 @@ object TextAnalysis {
     }
   }
 
+  // q137 — SOURCE TOKEN-DISTRIBUTION DIVERGENCE: pairwise Jensen–Shannon
+  // divergence between per-source unigram distributions — the mixing
+  // audit that says WHICH sources carry the same token signal (a pair
+  // near 0 is distributionally redundant: upweighting both double-counts
+  // one voice; q59/q124 decide proportions, this says what's actually
+  // distinct). Scale shape: ONE corpus-sized shuffle builds the
+  // (source, term) counts with map-side partials — everything after is
+  // aggregate-shaped: distributions are O(sources·vocab) rows, the
+  // pair×term grid is O(sources²·vocab) rows formed from the tiny
+  // aggregate (never joined back to the corpus), and the JS sum moves
+  // O(sources²) rows out. Terms absent from one side contribute their
+  // full p·ln2 mass (the grid + coalesce-0 makes the union-of-supports
+  // sum exact, not intersection-only). Multi-term double sum → rounded.
+  val q137: QueryDef = QueryDef.sql(
+    "q137_source_divergence",
+    """WITH tf AS (
+      |  SELECT source, term, count(*) AS cnt
+      |  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |        FROM documents) t
+      |  GROUP BY 1, 2),
+      |dist AS (
+      |  SELECT source, term,
+      |    CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY source) AS p
+      |  FROM tf),
+      |grid AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, t.term
+      |  FROM (SELECT DISTINCT source FROM tf) a
+      |  JOIN (SELECT DISTINCT source FROM tf) b ON a.source < b.source
+      |  CROSS JOIN (SELECT DISTINCT term FROM tf) t),
+      |j AS (
+      |  SELECT g.source_a, g.source_b,
+      |    coalesce(pa.p, 0) AS p, coalesce(pb.p, 0) AS q
+      |  FROM grid g
+      |  LEFT JOIN dist pa ON pa.source = g.source_a AND pa.term = g.term
+      |  LEFT JOIN dist pb ON pb.source = g.source_b AND pb.term = g.term)
+      |SELECT source_a, source_b,
+      |  round(0.5 * sum(CASE WHEN p > 0 THEN p * ln(2 * p / (p + q)) ELSE 0 END)
+      |      + 0.5 * sum(CASE WHEN q > 0 THEN q * ln(2 * q / (p + q)) ELSE 0 END), 6)
+      |    AS js_div,
+      |  CAST(sum(CASE WHEN p > 0 AND q > 0 THEN 1 ELSE 0 END) AS INTEGER)
+      |    AS n_shared_terms
+      |FROM j
+      |GROUP BY source_a, source_b
+      |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(expr(tokensExpr)).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    val dist = tf
+      .join(tf.groupBy("source").agg(sum("cnt").as("tot")), "source")
+      .select(col("source"), col("term"),
+        (col("cnt").cast("double") / col("tot")).as("p"))
+    val srcs = tf.select("source").distinct()
+    val grid = srcs.select(col("source").as("source_a"))
+      .join(srcs.select(col("source").as("source_b")),
+        col("source_a") < col("source_b"))
+      .crossJoin(tf.select("term").distinct())
+    grid
+      .join(dist.select(col("source").as("source_a"), col("term"), col("p")),
+        Seq("source_a", "term"), "left")
+      .join(dist.select(col("source").as("source_b"), col("term"),
+        col("p").as("q")), Seq("source_b", "term"), "left")
+      .na.fill(0.0, Seq("p", "q"))
+      .groupBy("source_a", "source_b")
+      .agg(
+        round(
+          sum(when(col("p") > 0,
+            col("p") * log(lit(2) * col("p") / (col("p") + col("q"))))
+            .otherwise(0.0)) * 0.5 +
+          sum(when(col("q") > 0,
+            col("q") * log(lit(2) * col("q") / (col("p") + col("q"))))
+            .otherwise(0.0)) * 0.5, 6).as("js_div"),
+        sum(when(col("p") > 0 && col("q") > 0, 1).otherwise(0)).cast("int")
+          .as("n_shared_terms"))
+      .orderBy("source_a", "source_b")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120,
-    q123, q124, q126, q127, q129, q130, q136)
+    q123, q124, q126, q127, q129, q130, q136, q137)
 }
