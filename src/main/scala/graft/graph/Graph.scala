@@ -241,5 +241,109 @@ object Graph {
       .orderBy("vec_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q135)
+  /** Triangle census + clustering coefficients over an undirected edge
+    * list (`src`, `dst` in either orientation; self-loops and duplicate
+    * orientations dropped). Returns ONE row: node/edge/triangle counts,
+    * the global (transitivity) coefficient 3·T / open-or-closed triples,
+    * and the mean local coefficient over nodes with degree ≥ 2.
+    *
+    * Scale shape: wedges form by joining the edge list to itself on the
+    * shared vertex under the a<b<c total order — each triangle counted
+    * exactly once, shuffles keyed on vertex ids, output rows bounded by
+    * the wedge count. Per-vertex degree/triangle tables are O(nodes).
+    * At hub-skewed 100 TB graphs the standard lever is degree-based
+    * orientation (point each edge at its higher-degree endpoint, wedge
+    * fan-out O(Σ min(deg)²) instead of O(Σ deg²)); the id-based order
+    * here keeps the oracle deterministic and is fine at kNN-bounded
+    * degree.
+    */
+  def triangleStats(edges0: DataFrame): DataFrame = {
+    val und = edges0
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = und.select(col("u").as("a"), col("v").as("b"))
+      .join(und.select(col("u").as("b"), col("v").as("c")), "b")
+      .join(und.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+    val tv = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    val loc = deg.join(tv, Seq("node"), "left")
+      .select(col("deg"), coalesce(col("t"), lit(0L)).as("t"),
+        when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("deg") * (col("deg") - 1))).as("lcc"))
+    val edgeCnt = und.agg(count(lit(1)).as("n_edges"))
+    loc.agg(
+        count(lit(1)).as("n_nodes"),
+        (sum("t") / 3).cast("bigint").as("n_triangles"),
+        round(sum("t") / sum(col("deg") * (col("deg") - 1) / 2.0), 6)
+          .as("global_cc"),
+        round(avg("lcc"), 6).as("avg_local_cc"))
+      .crossJoin(edgeCnt)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("global_cc"), col("avg_local_cc"))
+  }
+
+  // q141 — TRIANGLE CENSUS of the exact kNN graph: how clustered is the
+  // embedding manifold? High transitivity = tight semantic clusters
+  // (dedup/coreset opportunity, q44/q140's hunting ground); a kNN graph
+  // near the random-graph floor says the space is spread thin. Uses
+  // q52's EXACT top-3 graph so DuckDB replays the whole chain
+  // (graph build → census) hash-exactly; the q57 approximate graph
+  // plugs into the same triangleStats at scales where exact kNN is off
+  // the table.
+  val q141: QueryDef = QueryDef.sql(
+    "q141_knn_triangles",
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |knn AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      CAST(row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY round(list_sum(list_transform(range(1, 65),
+      |            i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+      |          / (a.nrm * b.nrm), 8) DESC, b.vec_id) AS INTEGER) AS rn
+      |    FROM v a JOIN v b ON a.vec_id <> b.vec_id) t
+      |  WHERE rn <= 3),
+      |und AS (
+      |  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      |  FROM knn WHERE id_a <> id_b),
+      |deg AS (
+      |  SELECT node, count(*) AS deg
+      |  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und) x
+      |  GROUP BY node),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM und e1
+      |  JOIN und e2 ON e2.u = e1.v
+      |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |tv AS (
+      |  SELECT node, count(*) AS t
+      |  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |        UNION ALL SELECT c FROM tri) x
+      |  GROUP BY node),
+      |loc AS (
+      |  SELECT d.deg, coalesce(tv.t, 0) AS t,
+      |    CASE WHEN d.deg >= 2
+      |      THEN 2.0 * coalesce(tv.t, 0) / (d.deg * (d.deg - 1)) END AS lcc
+      |  FROM deg d LEFT JOIN tv ON tv.node = d.node)
+      |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+      |  CAST(sum(t) / 3 AS BIGINT) AS n_triangles,
+      |  round(sum(t) / sum(deg * (deg - 1) / 2.0), 6) AS global_cc,
+      |  round(avg(lcc), 6) AS avg_local_cc
+      |FROM loc""".stripMargin) { (s, d) =>
+    triangleStats(graft.sim.Similarity.q52TopKAgg(s, d)
+      .select(col("id_a").as("src"), col("id_b").as("dst")))
+  }
+
+  val all: Seq[QueryDef] = Seq(q78, q135, q141)
 }

@@ -161,4 +161,38 @@ class GraphSpec extends SparkSpec {
     assert(coverage >= 0.9,
       f"4 rounds over the kNN graph must reach >=90%% of nodes, got $coverage%.3f")
   }
+
+  test("triangleStats: exact counts on a known graph (K4 + pendant + reversed dup edges)") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, all local cc = 1), pendant node 5 off
+    // node 4 (degree 1 — excluded from avg_local_cc), node 4's local cc
+    // drops to 3·2/(4·3) = 0.5; edges fed in MIXED orientation with a
+    // duplicate and a self-loop to prove normalization.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
+      (5L, 4L), (2L, 1L), // reversed duplicate of (1,2)
+      (3L, 3L) // self-loop, dropped
+    ).toDF("src", "dst")
+    val r = graph.Graph.triangleStats(edges).head()
+    assert(r.getLong(0) === 5, "n_nodes")
+    assert(r.getLong(1) === 7, "n_edges")
+    assert(r.getLong(2) === 4, "n_triangles")
+    // triples: deg = (3,3,3,4,1) → Σ C(deg,2) = 3+3+3+6+0 = 15;
+    // global = 3·4/15 = 0.8
+    assert(math.abs(r.getDouble(3) - 0.8) < 1e-9, "global_cc")
+    // local: nodes 1,2,3 → 1.0; node 4 → 2·3/(4·3) = 0.5; node 5 excluded
+    assert(math.abs(r.getDouble(4) - 0.875) < 1e-9, "avg_local_cc")
+  }
+
+  test("q141 triangle census runs on the exact kNN graph with sane bounds") {
+    val r = graph.Graph.q141.fn(spark, sfDir).head()
+    val nodes = r.getLong(0); val edges = r.getLong(1); val tris = r.getLong(2)
+    assert(nodes > 0 && edges >= nodes / 2, s"degenerate graph: $nodes/$edges")
+    // top-3 graph: |E| ≤ 3n (undirected dedup can only shrink it)
+    assert(edges <= 3 * nodes, s"edge bound violated: $edges > 3·$nodes")
+    assert(tris >= 0)
+    val gcc = r.getDouble(3); val alcc = r.getDouble(4)
+    assert(gcc >= 0.0 && gcc <= 1.0, s"global_cc out of range: $gcc")
+    assert(alcc >= 0.0 && alcc <= 1.0, s"avg_local_cc out of range: $alcc")
+  }
 }
