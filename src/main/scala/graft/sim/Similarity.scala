@@ -1689,6 +1689,88 @@ object Similarity {
       .orderBy("pick_order")
   }
 
+  /** Input row for [[coresetStream]]. */
+  case class StreamVec(vec_id: Long, embedding: Seq[Float])
+  /** Doubling-algorithm state: current centers + the separation
+    * threshold r. Size is O(k·dim) — CONSTANT, never grows with the
+    * stream (the whole point: a coreset is the bounded summary).
+    */
+  case class CoresetState(n_seen: Long, ids: Seq[Long],
+      vecs: Seq[Seq[Double]], r: Double)
+  /** One row per trigger: the live coreset snapshot. */
+  case class CoresetSnap(n_seen: Long, n_centers: Int, r: Double,
+      center_ids: Seq[Long])
+
+  /** STREAMING k-center maintenance — the live face of q140's greedy
+    * coreset, via the doubling algorithm (Charikar et al., "Incremental
+    * clustering and dynamic information retrieval", STOC 1997): keep ≤ k
+    * centers pairwise > r apart; a point farther than r from every
+    * center becomes one; on overflow (k+1 centers) double r and thin to
+    * a maximal pairwise->r subset, repeating until ≤ k. Maintains an
+    * 8-approximate k-center cover of EVERYTHING seen, in O(k·dim) state
+    * — the bounded-summary contract a streaming state store demands
+    * (contrast q140's batch greedy, which re-scans the corpus per pick).
+    *
+    * Spark shape: a single constant group routes every vector through
+    * one mapGroupsWithState fold (the algorithm is inherently
+    * sequential); state is one CoresetState, one snapshot row emits per
+    * trigger. At cluster scale the lever is composable coresets: run
+    * this per partition/shard key and k-center the union of the shard
+    * coresets — same merge-and-reduce shape as treeAggregate. Points
+    * fold in vec_id order WITHIN a trigger, so a fixed batch split is
+    * deterministic end-to-end (spec-pinned).
+    */
+  def coresetStream(vecs: org.apache.spark.sql.Dataset[StreamVec],
+      k: Int = 16): org.apache.spark.sql.Dataset[CoresetSnap] = {
+    import vecs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def dist(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      math.sqrt(acc)
+    }
+    vecs
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[CoresetState, CoresetSnap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, batch: Iterator[StreamVec], state: GroupState[CoresetState]) =>
+          val st = state.getOption.getOrElse(
+            CoresetState(0L, Seq.empty, Seq.empty, 0.0))
+          var ids = st.ids.toVector
+          var ctr = st.vecs.map(_.toArray).toVector
+          var r = st.r
+          var seen = st.n_seen
+          batch.toArray.sortBy(_.vec_id).foreach { p =>
+            seen += 1
+            val v = p.embedding.toArray.map(_.toDouble)
+            val dmin = if (ctr.isEmpty) Double.PositiveInfinity
+                       else ctr.map(c => dist(v, c)).min
+            if (dmin > r) {
+              ids :+= p.vec_id; ctr :+= v
+              while (ctr.length > k) {
+                // double the separation threshold (seeded by the current
+                // min pairwise distance — guarantees the thinning below
+                // removes at least one center) and keep a maximal
+                // pairwise->r subset in center-arrival order
+                val minPair = (for {
+                  i <- ctr.indices; j <- (i + 1) until ctr.length
+                } yield dist(ctr(i), ctr(j))).min
+                r = math.max(2 * r, minPair)
+                val keepIdx = scala.collection.mutable.ArrayBuffer[Int]()
+                ctr.indices.foreach { i =>
+                  if (keepIdx.forall(j => dist(ctr(i), ctr(j)) > r))
+                    keepIdx += i
+                }
+                ids = keepIdx.map(ids).toVector
+                ctr = keepIdx.map(ctr).toVector
+              }
+            }
+          }
+          state.update(CoresetState(seen, ids, ctr.map(_.toSeq), r))
+          Iterator(CoresetSnap(seen, ids.length, r, ids.sorted))
+      }
+  }
+
   val all: Seq[QueryDef] = Seq(q38, q50, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q77, q79, q98, q100, q102, q105, q133, q139, q140)
 }
