@@ -1559,9 +1559,15 @@ object TextAnalysis {
       |FROM j
       |GROUP BY source_a, source_b
       |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+    // ONE corpus scan builds the (source, term) counts; the lazy
+    // localCheckpoint materializes that O(sources·vocab) aggregate so
+    // the six downstream derivations (two distribution sides, source
+    // list ×2, term list, totals) read the tiny table — without it each
+    // reference re-plans the corpus explode (7 full scans, measured).
     val tf = Tables.documents(s, d)
       .select(col("source"), explode(expr(tokensExpr)).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val dist = tf
       .join(tf.groupBy("source").agg(sum("cnt").as("tot")), "source")
       .select(col("source"), col("term"),

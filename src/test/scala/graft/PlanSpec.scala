@@ -331,4 +331,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"q123 must never shuffle the token stream on term:\n$plan")
   }
+
+  test("q137 reads the corpus once: every derivation feeds from the materialized aggregate") {
+    val plan = planOf("q137_source_divergence")
+    // the (source, term) counts localCheckpoint once; the six derived
+    // tables (both distribution sides, source lists, term list, totals)
+    // must all read that materialized RDD — a FileScan in the final plan
+    // means some branch re-planned the corpus explode (the first cut
+    // re-scanned parquet SEVEN times)
+    assert(!plan.contains("FileScan"),
+      s"a derivation re-scans the corpus instead of the checkpointed aggregate:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"the JS sum must combine map-side:\n$plan")
+  }
+
+  test("q138 sweeps five thresholds over ONE pair pass (single BNLJ, single Jaccard chain)") {
+    val plan = planOf("q138_dedup_threshold_sweep")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj === 1, s"expected exactly 1 threshold BNLJ, got $bnlj:\n$plan")
+    // the candidate-pair Jaccard subtree must appear once (condition +
+    // projection reference the same chain) — five separate dedup runs
+    // would plan five
+    val jacc = "JaccardSim\\(|jaccardsim\\(".r.findAllIn(plan).size
+    assert(jacc <= 2, s"pair Jaccard chain duplicated ($jacc occurrences):\n$plan")
+  }
+
+  test("q141 triangle census joins on vertex keys, never a cartesian") {
+    val plan = planOf("q141_knn_triangles")
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle wedge join must be keyed, not cartesian:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"degree/triangle counts must combine map-side:\n$plan")
+  }
 }
