@@ -1029,7 +1029,109 @@ object Relational {
       .orderBy("from_t", "to_t")
   }
 
+  // q142 — TEMPORAL TRAIN/TEST SPLIT with the leakage audit: behavioral
+  // data must split on TIME (q23's random split leaks the future into
+  // training); cutoff = min + 80% of the corpus time span (exact bigint
+  // µs arithmetic — identical IEEE in both engines, unlike a percentile
+  // whose interpolation semantics vary). One row out: event/user counts
+  // per side, warm users (seen in both — fine for features, leakage if
+  // labels join on them) and the warm-test-event fraction (how much of
+  // eval is returning users — the cold-start exposure number). Scale
+  // shape: a 1-row bounds aggregate broadcasts back (never a global
+  // sort), then ONE user-keyed shuffle builds the per-user split
+  // profile; the final rollup moves O(users) rows into one row.
+  val q142: QueryDef = QueryDef.sql(
+    "q142_temporal_split",
+    """WITH b AS (
+      |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+      |tagged AS (
+      |  SELECT user_id, epoch_us(ts) AS tus,
+      |    b.lo + CAST(floor((b.hi - b.lo) * 0.8) AS BIGINT) AS cutoff
+      |  FROM events, b),
+      |u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN tus < cutoff THEN 1 ELSE 0 END) AS in_train,
+      |    max(CASE WHEN tus >= cutoff THEN 1 ELSE 0 END) AS in_test,
+      |    sum(CASE WHEN tus < cutoff THEN 1 ELSE 0 END) AS n_train_ev,
+      |    sum(CASE WHEN tus >= cutoff THEN 1 ELSE 0 END) AS n_test_ev
+      |  FROM tagged GROUP BY user_id)
+      |SELECT
+      |  CAST(sum(n_train_ev) AS BIGINT) AS n_train,
+      |  CAST(sum(n_test_ev) AS BIGINT) AS n_test,
+      |  CAST(sum(in_train) AS BIGINT) AS train_users,
+      |  CAST(sum(in_test) AS BIGINT) AS test_users,
+      |  CAST(sum(CASE WHEN in_train = 1 AND in_test = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS warm_users,
+      |  sum(CASE WHEN in_train = 1 THEN n_test_ev ELSE 0 END)
+      |    / CAST(sum(n_test_ev) AS DOUBLE) AS warm_test_frac
+      |FROM u""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts_us"))
+    val bounds = ev.agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("ts_us"),
+        (col("lo") + floor((col("hi") - col("lo")) * 0.8).cast("bigint"))
+          .as("cutoff"))
+    tagged
+      .groupBy("user_id")
+      .agg(
+        max(when(col("ts_us") < col("cutoff"), 1).otherwise(0)).as("in_train"),
+        max(when(col("ts_us") >= col("cutoff"), 1).otherwise(0)).as("in_test"),
+        sum(when(col("ts_us") < col("cutoff"), 1).otherwise(0)).as("n_train_ev"),
+        sum(when(col("ts_us") >= col("cutoff"), 1).otherwise(0)).as("n_test_ev"))
+      .agg(
+        sum("n_train_ev").cast("bigint").as("n_train"),
+        sum("n_test_ev").cast("bigint").as("n_test"),
+        sum("in_train").cast("bigint").as("train_users"),
+        sum("in_test").cast("bigint").as("test_users"),
+        sum(when(col("in_train") === 1 && col("in_test") === 1, 1).otherwise(0))
+          .cast("bigint").as("warm_users"),
+        (sum(when(col("in_train") === 1, col("n_test_ev")).otherwise(0))
+          / sum("n_test_ev").cast("double")).as("warm_test_frac"))
+  }
+
+  // q143 — EVENT PATH MINING: the top user-journey trigrams (q113's
+  // pairwise transitions extended to 3-step paths under the same 30-min
+  // session gap) — the behavioral-corpus view of "what sequences does
+  // this product actually produce", and the target distribution for a
+  // next-event model. One user-keyed window shuffle produces the
+  // lead-2 sequence; the path groupBy is bounded by |types|³ keys with
+  // map-side partials, and top-20 is TakeOrderedAndProject.
+  val q143: QueryDef = QueryDef.sql(
+    "q143_event_paths",
+    """WITH seq AS (
+      |  SELECT event_type AS t1,
+      |    lead(event_type, 1) OVER w AS t2,
+      |    lead(event_type, 2) OVER w AS t3,
+      |    epoch_us(ts) AS ts1,
+      |    epoch_us(lead(ts, 1) OVER w) AS ts2,
+      |    epoch_us(lead(ts, 2) OVER w) AS ts3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT t1 || '>' || t2 || '>' || t3 AS path, CAST(count(*) AS BIGINT) AS n
+      |FROM seq
+      |WHERE t3 IS NOT NULL
+      |  AND ts2 <= ts1 + 1800000000 AND ts3 <= ts2 + 1800000000
+      |GROUP BY 1
+      |ORDER BY n DESC, path
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"),
+        col("ts_us").as("ts1"),
+        lead(col("ts_us"), 1).over(w).as("ts2"),
+        lead(col("ts_us"), 2).over(w).as("ts3"))
+      .filter(col("t3").isNotNull &&
+        col("ts2") <= col("ts1") + 1800000000L &&
+        col("ts3") <= col("ts2") + 1800000000L)
+      .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
-    q94, q95, q96, q97, q106, q108, q110, q111, q112, q113)
+    q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143)
 }
