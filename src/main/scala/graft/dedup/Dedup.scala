@@ -1412,6 +1412,59 @@ object Dedup {
       .orderBy("tau")
   }
 
+  // q145 — MINHASH CALIBRATION AUDIT: is the sketch telling the truth?
+  // For every LSH candidate pair, the MinHash ESTIMATE (fraction of the
+  // 16 permutation minima that agree — the statistic banding thresholds
+  // are derived from) against the EXACT 3-gram Jaccard, grouped into the
+  // 17 possible estimate levels with the exact similarity's
+  // mean/min/max per level. A well-calibrated sketch tracks the
+  // diagonal; drift says the permutation family or shingle size is
+  // wrong for this corpus BEFORE a threshold is trusted at 100 TB.
+  // Scale shape: q138's posture — the candidate-pair table is the only
+  // expensive object, computed once; signatures join in keyed by doc_id
+  // (ids-only pair shuffle), and the rollup output is ≤17 rows.
+  val q145: QueryDef = QueryDef.sql(
+    "q145_minhash_calibration",
+    s"""WITH $minhashBandedDuck,
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS grams
+      |  FROM documents),
+      |pj AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard,
+      |    len(list_filter(range(1, 17),
+      |      i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) / 16.0 AS est
+      |  FROM cand c
+      |  JOIN g a ON c.id_a = a.doc_id JOIN g b ON c.id_b = b.doc_id
+      |  JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id)
+      |SELECT est, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  round(avg(jaccard), 6) AS mean_jaccard,
+      |  min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+      |FROM pj GROUP BY est
+      |ORDER BY est""".stripMargin) { (s, d) =>
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), VectorExprs.minHashSig(col("text")).as("sig"))
+    candidatePairJaccard(s, d)
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("jaccard"),
+        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
+          / 16.0).as("est"))
+      .groupBy("est")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("jaccard"), 6).as("mean_jaccard"),
+        min("jaccard").as("min_jaccard"),
+        max("jaccard").as("max_jaccard"))
+      .orderBy("est")
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q75, q99, q109, q115, q117, q122, q125, q128, q131, q132, q138)
+    q49, q75, q99, q109, q115, q117, q122, q125, q128, q131, q132, q138,
+    q145)
 }
