@@ -1771,6 +1771,87 @@ object Similarity {
       }
   }
 
+  /** Mutable buffer for [[CoresetSketch]]: current centers + separation
+    * threshold. O(k·dim) regardless of input size.
+    */
+  case class CoresetBuf(var ids: Vector[Long],
+      var vecs: Vector[Array[Double]], var r: Double)
+
+  /** ONE-PASS distributed k-center via a MERGEABLE coreset sketch — the
+    * composable-coreset path [[coresetStream]]'s doc promises and the
+    * 100 TB alternative to q140's k-round greedy: each partition folds
+    * its rows through the doubling rule locally (map-side), partial
+    * sketches MERGE by folding one side's centers into the other under
+    * the max of the two thresholds (a center represents its points
+    * within r, so folding centers preserves the cover with one extra r
+    * of slack — the standard merge-and-reduce analysis), and the final
+    * ≤k centers arrive after ONE shuffle of O(partitions·k·dim) bytes.
+    * Contract: the COVERING-RADIUS bound is parallelism-independent
+    * (spec-asserted at several partitionings); center IDENTITIES are
+    * not — merge order picks among equally-valid covers. Use q140 when
+    * the exact greedy sequence matters; use this when the data is too
+    * big to scan k times.
+    */
+  class CoresetSketch(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Array[Double]), CoresetBuf, (Seq[Long], Double)] {
+    private def dist(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      math.sqrt(acc)
+    }
+    private def foldPoint(b: CoresetBuf, id: Long, v: Array[Double]): Unit = {
+      val dmin = if (b.vecs.isEmpty) Double.PositiveInfinity
+                 else b.vecs.map(c => dist(v, c)).min
+      if (dmin > b.r) {
+        b.ids :+= id; b.vecs :+= v
+        while (b.vecs.length > k) {
+          val minPair = (for {
+            i <- b.vecs.indices; j <- (i + 1) until b.vecs.length
+          } yield dist(b.vecs(i), b.vecs(j))).min
+          b.r = math.max(2 * b.r, minPair)
+          val keep = scala.collection.mutable.ArrayBuffer[Int]()
+          b.vecs.indices.foreach { i =>
+            if (keep.forall(j => dist(b.vecs(i), b.vecs(j)) > b.r)) keep += i
+          }
+          b.ids = keep.map(b.ids).toVector
+          b.vecs = keep.map(b.vecs).toVector
+        }
+      }
+    }
+    override def zero: CoresetBuf = CoresetBuf(Vector.empty, Vector.empty, 0.0)
+    override def reduce(b: CoresetBuf, row: (Long, Array[Double])): CoresetBuf = {
+      foldPoint(b, row._1, row._2); b
+    }
+    override def merge(a: CoresetBuf, b: CoresetBuf): CoresetBuf = {
+      // a center of b represents its points within b.r — adopt the
+      // looser threshold FIRST so the fold keeps that representation
+      a.r = math.max(a.r, b.r)
+      b.ids.zip(b.vecs).sortBy(_._1).foreach { case (id, v) =>
+        foldPoint(a, id, v) }
+      a
+    }
+    override def finish(b: CoresetBuf): (Seq[Long], Double) = (b.ids.sorted, b.r)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[CoresetBuf] =
+      org.apache.spark.sql.Encoders.javaSerialization[CoresetBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[(Seq[Long], Double)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.javaSerialization[Seq[Long]],
+        org.apache.spark.sql.Encoders.scalaDouble)
+  }
+
+  /** One-pass whole-corpus coreset: (sorted center ids, threshold r). */
+  def onePassCoreset(s: SparkSession, d: String, k: Int = 16)
+      : (Seq[Long], Double) = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .groupByKey(_ => 0)
+      .agg(new CoresetSketch(k).toColumn)
+      .take(1).head._2
+  }
+
   val all: Seq[QueryDef] = Seq(q38, q50, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q77, q79, q98, q100, q102, q105, q133, q139, q140)
 }

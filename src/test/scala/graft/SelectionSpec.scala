@@ -125,6 +125,56 @@ class SelectionSpec extends SparkSpec {
       assert(math.abs(a - b) < 1e-6, s"radius drift: $a vs $b") }
   }
 
+  test("one-pass coreset sketch: radius bound holds at any partitioning, per-label grouping works") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val greedyRadius = Similarity.kCenterSelect(spark, sfDir, k = 16).last._4
+    val all = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val byId = all.toMap
+    def coverRadius(centerIds: Seq[Long]): Double = {
+      val cs = centerIds.map(byId).toArray
+      all.map { case (_, v) =>
+        cs.map { c =>
+          var acc = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - c(i); acc += t * t; i += 1 }
+          math.sqrt(acc)
+        }.min
+      }.max
+    }
+    // the covering bound must hold regardless of how the fold partitions
+    for (parts <- Seq(1, 3, 8)) {
+      val (ids, r) = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .repartition(parts)
+        .groupByKey(_ => 0)
+        .agg(new Similarity.CoresetSketch(16).toColumn)
+        .take(1).head._2
+      assert(ids.length <= 16 && ids.nonEmpty, s"parts=$parts size=${ids.length}")
+      val cr = coverRadius(ids)
+      assert(cr <= 8.0 * greedyRadius + 1e-9,
+        s"parts=$parts: one-pass cover $cr vs greedy $greedyRadius (r=$r)")
+      info(f"parts=$parts: ${ids.length} centers, cover $cr%.3f " +
+        f"(${cr / greedyRadius}%.2fx greedy), r=$r%.3f")
+    }
+    // per-group usage: one pass yields a ≤k exemplar set PER LABEL
+    val perLabel = Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new Similarity.CoresetSketch(8).toColumn)
+      .collect()
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    assert(perLabel.map(_._1).toSet === labels)
+    perLabel.foreach { case (l, (ids, _)) =>
+      assert(ids.nonEmpty && ids.length <= 8, s"label $l: ${ids.length}")
+    }
+  }
+
   test("q140 greedy cover dominates a naive first-k prefix pick") {
     val greedy = Similarity.kCenterSelect(spark, sfDir, k = 8)
     val greedyRadius = greedy.last._4
