@@ -1597,7 +1597,37 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  // q146 — BPE SIZE SWEEP: corpus token totals at several merge counts
+  // from ONE training run and ONE scan — the "what does a bigger vocab
+  // buy" curve behind every tokenizer-size decision (compression rises,
+  // marginal gain falls; the knee is the budget point). Greedy BPE
+  // training is incremental, so the m-merge tokenizer is EXACTLY the
+  // first m merges of the 64-merge run (prefix property,
+  // spec-asserted) — one train serves every size; each size's total
+  // rides the same single projection as its own codegen'd
+  // BpeTokenCount against a merge-prefix literal, so the sweep costs
+  // one corpus pass (q138's posture), and the wide 1-row aggregate
+  // reshapes to O(sizes) rows via explode. Iterative trained artifact →
+  // rows-only; monotonicity + q87 consistency are spec-pinned.
+  val q146: QueryDef = QueryDef.rowsOnly("q146_bpe_size_sweep") { (s, d) =>
+    val flat = bpeFlatMerges(s, d, 64)
+    val sizes = Seq(0, 8, 16, 32, 64)
+    val aggs = sizes.map { m =>
+      sum(VectorExprs.bpeTokenCount(col("text"), flat.take(3 * m)))
+        .as(s"tok_$m")
+    } :+ sum(length(col("text"))).cast("double").as("n_chars")
+    val wide = Tables.documents(s, d).agg(aggs.head, aggs.tail: _*)
+    val rows = sizes.map { m =>
+      struct(lit(m).as("n_merges"),
+        col(s"tok_$m").cast("bigint").as("total_tokens"),
+        round(col("n_chars") / col(s"tok_$m"), 6).as("chars_per_tok"))
+    }
+    wide.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.n_merges"), col("r.total_tokens"), col("r.chars_per_tok"))
+      .orderBy("n_merges")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120,
-    q123, q124, q126, q127, q129, q130, q136, q137)
+    q123, q124, q126, q127, q129, q130, q136, q137, q146)
 }

@@ -1070,4 +1070,26 @@ class OperatorSemanticsSpec extends SparkSpec {
       assert(util > 0.0 && util <= 1.0)
     }
   }
+
+  test("q146 BPE size sweep: prefix property, monotone totals, q87 consistency") {
+    // greedy BPE training is incremental — the m-merge tokenizer must be
+    // EXACTLY the first m merges of the 64-merge run (the property the
+    // one-train sweep stands on)
+    val m64 = text.TextAnalysis.bpeMerges(spark, sfDir, 64)
+    val m16 = text.TextAnalysis.bpeMerges(spark, sfDir, 16)
+    assert(m64.take(16) === m16, "prefix property violated")
+
+    val rows = text.TextAnalysis.q146.fn(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 8, 16, 32, 64))
+    val totals = rows.map(_.getLong(1))
+    // every extra merge can only shrink (or keep) the corpus token count
+    totals.zip(totals.tail).foreach { case (a, b) =>
+      assert(b <= a, s"token total grew with more merges: $a -> $b") }
+    assert(totals.head > totals.last,
+      "64 merges must actually compress this corpus")
+    // the 64-merge total ties exactly to q87's per-doc counts
+    val q87Total = text.TextAnalysis.q87.fn(spark, sfDir)
+      .agg(sum("n_bpe_tok")).take(1).head.getLong(0)
+    assert(totals.last === q87Total)
+  }
 }
