@@ -1131,7 +1131,63 @@ object Relational {
       .limit(20)
   }
 
+  // q147 — SEASONALITY-ADJUSTED anomaly scan: q96 z-scores an hour
+  // against its TRAILING window (catches step changes, but a Monday-9am
+  // spike looks anomalous every week); this one scores each concrete
+  // hour against its (day-of-week, hour-of-day) SEASONAL baseline over
+  // the whole span, so recurring weekly structure is the null model and
+  // only deviations FROM the pattern surface. Calendar keys are pure
+  // integer epoch arithmetic ((days+3) mod 7, 0=Monday) — engine-exact,
+  // sidestepping the Spark-vs-DuckDB dayofweek convention mismatch.
+  // Scale shape: the corpus collapses to O(hours·types) rows in ONE
+  // map-side-partial shuffle; the 7·24·types profile joins back
+  // aggregate-to-aggregate (broadcast); top-20 is TakeOrdered.
+  val q147: QueryDef = QueryDef.sql(
+    "q147_seasonal_anomaly",
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) // 3600000000 AS hour_idx,
+      |    ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hod,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events
+      |  GROUP BY 1, 2, 3, 4),
+      |prof AS (
+      |  SELECT event_type, dow, hod,
+      |    avg(CAST(n AS DOUBLE)) AS seasonal_mean,
+      |    CAST(count(*) AS BIGINT) AS n_weeks
+      |  FROM hourly GROUP BY 1, 2, 3)
+      |SELECT h.event_type, h.hour_idx, h.n,
+      |  round(p.seasonal_mean, 6) AS seasonal_mean,
+      |  round(h.n / p.seasonal_mean, 6) AS ratio
+      |FROM hourly h JOIN prof p
+      |  ON h.event_type = p.event_type AND h.dow = p.dow AND h.hod = p.hod
+      |WHERE p.n_weeks >= 2
+      |ORDER BY h.n / p.seasonal_mean DESC, h.event_type, h.hour_idx
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("ts_us div 3600000000").as("hour_idx"),
+        expr("((ts_us div 86400000000) + 3) % 7").as("dow"),
+        expr("(ts_us div 3600000000) % 24").as("hod"))
+      .groupBy("event_type", "hour_idx", "dow", "hod")
+      .agg(count(lit(1)).as("n"))
+    val prof = hourly.groupBy("event_type", "dow", "hod")
+      .agg(avg(col("n").cast("double")).as("seasonal_mean"),
+        count(lit(1)).as("n_weeks"))
+    hourly.join(broadcast(prof), Seq("event_type", "dow", "hod"))
+      .filter(col("n_weeks") >= 2)
+      .select(col("event_type"), col("hour_idx"), col("n"),
+        round(col("seasonal_mean"), 6).as("seasonal_mean"),
+        round(col("n") / col("seasonal_mean"), 6).as("ratio"),
+        (col("n") / col("seasonal_mean")).as("rawratio"))
+      .orderBy(desc("rawratio"), asc("event_type"), asc("hour_idx"))
+      .limit(20)
+      .drop("rawratio")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
-    q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143)
+    q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
+    q147)
 }

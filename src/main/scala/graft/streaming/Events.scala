@@ -168,6 +168,41 @@ object Events {
       }
   }
 
+  case class PathState(ts1: Long, t1: String, ts2: Long, t2: String)
+  case class PathHit(user_id: Long, path: String)
+
+  /** STREAMING 3-step path extraction — q143's live sibling and
+    * [[transitionStream]]'s one-step-deeper cousin: each same-user
+    * consecutive event TRIPLE whose two gaps both fit the 30-min session
+    * bound emits its `a>b>c` path as the third event arrives. State per
+    * user is the last TWO events — still O(1); the same per-batch
+    * (ts, event_id) sort handles intra-batch disorder, cross-batch order
+    * is the source's contract (as q81/q113's faces). Downstream, a
+    * windowed count over `path` maintains the journey distribution live.
+    * Spec asserts the path multiset equals q143's pre-limit batch rule
+    * across batch splits.
+    */
+  def pathStream(events: Dataset[TypedEv]): Dataset[PathHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, PathHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TypedEv], state: GroupState[PathState]) =>
+          var st = state.getOption.getOrElse(
+            PathState(Long.MinValue, null, Long.MinValue, null))
+          val out = List.newBuilder[PathHit]
+          batch.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (st.t1 != null && st.t2 != null &&
+                st.ts2 - st.ts1 <= GapUs && e.ts_us - st.ts2 <= GapUs)
+              out += PathHit(uid, s"${st.t1}>${st.t2}>${e.event_type}")
+            st = PathState(st.ts2, st.t2, e.ts_us, e.event_type)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class QuotaDoc(doc_id: Long, source: String, n_tok: Int)
   case class QuotaState(cum: Long)
 

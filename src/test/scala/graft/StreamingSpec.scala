@@ -183,6 +183,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.sum == 4) // user 1: 3 (the 112-min gap splits), user 2: 1
   }
 
+  test("pathStream matches q143's pre-limit batch path rule across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import Events.{TypedEv, PathHit}
+    val m = 60000000L
+    // user 1: two in-gap triples then a session break (no path across
+    // it); user 2: exactly one triple; arrival scrambled across batches
+    val evs = Seq(
+      TypedEv(1L, 0 * m, 1L, "view"), TypedEv(1L, 5 * m, 2L, "click"),
+      TypedEv(1L, 8 * m, 3L, "purchase"), TypedEv(1L, 20 * m, 4L, "view"),
+      TypedEv(1L, 120 * m, 5L, "error"), // 100-min gap kills the triple
+      TypedEv(2L, 2 * m, 6L, "signup"), TypedEv(2L, 3 * m, 7L, "view"),
+      TypedEv(2L, 4 * m, 8L, "click"))
+    val mem = MemoryStream[TypedEv]
+    val q = Events.pathStream(mem.toDS()).writeStream
+      .format("memory").queryName("paths")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    // intra-batch arrival scrambled; cross-batch per-user order kept
+    // (the source contract all stateful faces share)
+    mem.addData(evs(1), evs(0), evs(5))
+    q.processAllAvailable()
+    mem.addData(evs(3), evs(2), evs(6))
+    q.processAllAvailable()
+    mem.addData(evs(4), evs(7))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("paths").as[PathHit].collect()
+      .groupBy(identity).map { case (p, a) => p -> a.length }
+    val ref = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+      es.sortBy(e => (e.ts_us, e.event_id)).sliding(3).collect {
+        case Seq(a, b, c) if b.ts_us - a.ts_us <= 1800000000L &&
+            c.ts_us - b.ts_us <= 1800000000L =>
+          PathHit(u, s"${a.event_type}>${b.event_type}>${c.event_type}")
+      }
+    }.groupBy(identity).map { case (p, a) => p -> a.length }
+    assert(got == ref, s"stream $got != batch $ref")
+    // user 1: view>click>purchase, click>purchase>view; user 2: one
+    assert(got.values.sum == 3)
+  }
+
   test("quotaAdmitStream: per-source budget valve matches the greedy batch replay") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
