@@ -20,7 +20,8 @@ object SparkEntry {
   def catalog: Seq[QueryDef] =
     Relational.all ++ MlPrep.all ++ GanQueries.all ++ TextAnalysis.all ++
       Dedup.all ++ Similarity.all ++ Binary.all ++ Events.all ++
-      graft.graph.Graph.all ++ graft.operators.Incremental.all
+      graft.graph.Graph.all ++ graft.operators.Incremental.all ++
+      graft.ml.Whitening.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

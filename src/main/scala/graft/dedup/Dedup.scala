@@ -68,23 +68,86 @@ object Dedup {
     * the native set-based JaccardSim expression (one fused loop per
     * pair).
     */
-  private def candidatePairJaccard(s: org.apache.spark.sql.SparkSession,
+  /** LSH candidate id pairs (id_a < id_b, deduped): ids only ride the
+    * band self-join — the shared funnel head of q41/q109/q154.
+    */
+  private def candidateIdPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.documents(s, d)
     val banded = bandedCached(s, d).select("doc_id", "band", "key")
-    val cand = banded.select(col("band"), col("key"), col("doc_id").as("id_a"))
+    banded.select(col("band"), col("key"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("key"), col("doc_id").as("id_b")),
         Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val g = docs.select(col("doc_id"),
+  }
+
+  /** Per-doc sorted distinct char-3-gram sets (the rerank payload). */
+  private def gramSets(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
       sort_array(array_distinct(VectorExprs.charNgrams(col("text"), 3))).as("grams"))
-    cand
+
+  private def candidatePairJaccard(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val g = gramSets(s, d)
+    candidateIdPairs(s, d)
       .join(g.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), "id_a")
       .join(g.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         VectorExprs.jaccardSimSorted(col("grams_a"), col("grams_b")).as("jaccard"))
+  }
+
+  // q154 — DIRECTIONAL shingle containment over the LSH candidate funnel:
+  // Jaccard (q41) misses the doc-INSIDE-doc case — a short document fully
+  // quoted by a long one scores |A|/|B| ≈ 0 on Jaccard but 1.0 on
+  // containment |A∩B|/|A|, and that asymmetry (quotation, boilerplate
+  // wrapping, partial syndication) is exactly what a curation pass needs
+  // to see. Same scale posture as q41: ids-only band self-join generates
+  // candidates, gram sets join in by doc_id, and the exact intersection
+  // COUNT is one fused two-pointer InterCount pass per pair (integer out,
+  // so both containments are single IEEE divisions — engine-identical
+  // unrounded, no rounding needed anywhere).
+  val q154: QueryDef = QueryDef.sql(
+    "q154_shingle_containment",
+    s"""WITH $minhashBandedDuck,
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS grams
+      |  FROM documents)
+      |SELECT id_a, id_b, inter, n_a, n_b,
+      |  CAST(inter AS DOUBLE) / n_a AS cont_a,
+      |  CAST(inter AS DOUBLE) / n_b AS cont_b
+      |FROM (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+      |    CAST(len(a.grams) AS BIGINT) AS n_a,
+      |    CAST(len(b.grams) AS BIGINT) AS n_b
+      |  FROM cand c JOIN g a ON c.id_a = a.doc_id JOIN g b ON c.id_b = b.doc_id) t
+      |ORDER BY greatest(CAST(inter AS DOUBLE) / n_a, CAST(inter AS DOUBLE) / n_b) DESC,
+      |  id_a, id_b
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    val g = gramSets(s, d)
+    candidateIdPairs(s, d)
+      .join(g.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        VectorExprs.interCountSorted(col("grams_a"), col("grams_b"))
+          .cast("long").as("inter"),
+        size(col("grams_a")).cast("long").as("n_a"),
+        size(col("grams_b")).cast("long").as("n_b"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
+        (col("inter").cast("double") / col("n_a")).as("cont_a"),
+        (col("inter").cast("double") / col("n_b")).as("cont_b"),
+        greatest(col("inter").cast("double") / col("n_a"),
+          col("inter").cast("double") / col("n_b")).as("gmax"))
+      .orderBy(desc("gmax"), asc("id_a"), asc("id_b"))
+      .limit(50)
+      .drop("gmax")
   }
 
   /** 16 MinHash permutations ((a·h + b) mod p over polynomial shingle
@@ -1466,5 +1529,5 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q49, q75, q99, q109, q115, q117, q122, q125, q128, q131, q132, q138,
-    q145)
+    q145, q154)
 }

@@ -94,6 +94,195 @@ object VectorExprs {
   def bpeEncodeIds(text: Column, merges: Array[String],
       vocab: Array[String]): Column =
     toColumn(BpeEncodeIds(ex(text), merges, vocab))
+
+  /** DEFLATE-compressed byte length of a string's UTF-8 bytes — see
+    * [[DeflateLen]].
+    */
+  def deflateLen(text: Column): Column = toColumn(DeflateLen(ex(text)))
+
+  /** Exact intersection size of two pre-deduped, pre-sorted string
+    * arrays — see [[InterCount]].
+    */
+  def interCountSorted(a: Column, b: Column): Column =
+    toColumn(InterCount(ex(a), ex(b)))
+
+  /** Mahalanobis squared distance (x−μ)ᵀ M (x−μ) against literal μ and
+    * flattened M — see [[MahalanobisSq]].
+    */
+  def mahalanobisSq(emb: Column, mean: Array[Double], m: Array[Double]): Column =
+    toColumn(MahalanobisSq(ex(emb), mean, m))
+
+  /** First-k whitened coordinates (rows · (x−μ)) against literal μ and
+    * flattened projection rows — see [[WhitenProject]].
+    */
+  def whitenProject(emb: Column, mean: Array[Double], rows: Array[Double],
+      k: Int): Column =
+    toColumn(WhitenProject(ex(emb), mean, rows, k))
+}
+
+/** Mahalanobis squared distance (x−μ)ᵀ M (x−μ) of a numeric-array row
+  * against a literal mean vector and flattened symmetric matrix M
+  * (typically the inverse covariance — the whitening-space squared norm).
+  * The fitted-sample identity mean(d²) = dim (tr(C⁻¹C)) is the spec's
+  * correctness anchor. One fused O(d²) primitive loop per row; matrix and
+  * mean ride along as referenced objects (NOT per-row literals — a 64×64
+  * literal array expression would blow up codegen); codegen delegates to
+  * [[compute]], keeping the projection inside whole-stage codegen.
+  */
+case class MahalanobisSq(child: Expression, mean: Array[Double],
+    m: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  def compute(arr: ArrayData): Double = {
+    val d = mean.length
+    val diff = new Array[Double](d)
+    var i = 0
+    while (i < d) { diff(i) = arr.getFloat(i) - mean(i); i += 1 }
+    var acc = 0.0
+    var j = 0
+    while (j < d) {
+      var dot = 0.0
+      var i2 = 0
+      val off = j * d
+      while (i2 < d) { dot += m(off + i2) * diff(i2); i2 += 1 }
+      acc += diff(j) * dot
+      j += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mahala", this, classOf[MahalanobisSq].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MahalanobisSq =
+    copy(child = newChild)
+}
+
+/** First-k whitened coordinates of a numeric-array row: out_j =
+  * rows_j · (x−μ) for j < k, rows flattened k×d. Same referenced-object
+  * codegen economics as [[MahalanobisSq]].
+  */
+case class WhitenProject(child: Expression, mean: Array[Double],
+    rows: Array[Double], k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  def compute(arr: ArrayData): GenericArrayData = {
+    val d = mean.length
+    val diff = new Array[Double](d)
+    var i = 0
+    while (i < d) { diff(i) = arr.getFloat(i) - mean(i); i += 1 }
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var dot = 0.0
+      var i2 = 0
+      val off = j * d
+      while (i2 < d) { dot += rows(off + i2) * diff(i2); i2 += 1 }
+      out(j) = dot
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("whiten", this, classOf[WhitenProject].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WhitenProject =
+    copy(child = newChild)
+}
+
+/** Exact |A ∩ B| of two pre-deduped, pre-sorted string arrays (the
+  * integer numerator containment and overlap coefficients divide by —
+  * [[JaccardSim]] returns the already-divided ratio, which can't recover
+  * the directional containments |A∩B|/|A| vs |A∩B|/|B|). Allocation-free
+  * two-pointer merge; codegen delegates to [[compute]] via a reference
+  * object so surrounding operators stay in whole-stage codegen. Integer
+  * output → downstream divisions are single IEEE ops over exact ints,
+  * engine-identical unrounded.
+  */
+case class InterCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { inter += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("interCount", this, classOf[InterCount].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): InterCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DEFLATE (zlib level 6) compressed byte length of a string's UTF-8
+  * bytes — the Gopher/CCNet-style redundancy signal: natural text
+  * compresses to a characteristic fraction, boilerplate/repetition
+  * compresses far below it, and random noise not at all. Deterministic for
+  * a fixed zlib level on a fixed JVM (the java.util.zip algorithm), so the
+  * catalog treats it as rows-only (no cross-engine oracle). A per-thread
+  * Deflater is `reset()` per row — no native-resource churn in the hot
+  * loop; codegen delegates to [[compute]] via a reference object, keeping
+  * the surrounding projection in whole-stage codegen.
+  */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val local: ThreadLocal[java.util.zip.Deflater] =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(6, false)
+    }
+  @transient private lazy val bufLocal: ThreadLocal[Array[Byte]] =
+    new ThreadLocal[Array[Byte]] {
+      override def initialValue(): Array[Byte] = new Array[Byte](8192)
+    }
+
+  def compute(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val d = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = bufLocal.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("deflateLen", this, classOf[DeflateLen].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
 }
 
 /** Cosine similarity between two numeric arrays; whole-stage-codegen

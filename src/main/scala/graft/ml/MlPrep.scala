@@ -267,6 +267,49 @@ object MlPrep {
       .orderBy("shard", "pos")
   }
 
+  // q155 — k-FOLD cross-validation assignment + balance audit (the split
+  // q23 generalizes to k folds, with the per-fold class-balance check a
+  // CV harness needs before trusting fold estimates): fold = the same
+  // engine-portable Knuth multiplicative hash mod 5, per-(fold, label)
+  // counts in ONE map-side-combined shuffle bounded by folds·classes,
+  // global label counts derive from that table (never a second corpus
+  // pass), and max_dev = max over labels of |fold share − global share|
+  // — exact-integer divisions, engine-identical unrounded, one round at
+  // the end. A label absent from a fold contributes no dev row in either
+  // engine (symmetric, and impossible at realistic fold sizes).
+  val q155: QueryDef = QueryDef.sql(
+    "q155_cv_folds",
+    """WITH f AS (
+      |  SELECT ((vec_id % 1000003) * 2654435761) % 5 AS fold, label
+      |  FROM embeddings),
+      |fl AS (SELECT fold, label, count(*) AS c FROM f GROUP BY 1, 2),
+      |ft AS (SELECT fold, sum(c) AS nf FROM fl GROUP BY 1),
+      |gl AS (SELECT label, sum(c) AS cg FROM fl GROUP BY 1),
+      |tot AS (SELECT sum(c) AS n FROM fl)
+      |SELECT fl.fold, CAST(min(ft.nf) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS n_labels,
+      |  round(max(abs(CAST(fl.c AS DOUBLE) / ft.nf
+      |    - CAST(gl.cg AS DOUBLE) / tot.n)), 6) AS max_dev
+      |FROM fl JOIN ft USING (fold) JOIN gl USING (label) CROSS JOIN tot
+      |GROUP BY fl.fold
+      |ORDER BY fold""".stripMargin) { (s, d) =>
+    val f = Tables.embeddings(s, d)
+      .select((col("vec_id") % 1000003L * 2654435761L % 5L).as("fold"),
+        col("label"))
+    val fl = f.groupBy("fold", "label").agg(count(lit(1)).as("c"))
+    val ft = fl.groupBy("fold").agg(sum("c").as("nf"))
+    val gl = fl.groupBy("label").agg(sum("c").as("cg"))
+    val tot = fl.agg(sum("c").as("n"))
+    fl.join(broadcast(ft), "fold")
+      .join(broadcast(gl), "label")
+      .crossJoin(broadcast(tot))
+      .groupBy("fold")
+      .agg(min("nf").as("n"), count(lit(1)).as("n_labels"),
+        round(max(abs(col("c").cast("double") / col("nf")
+          - col("cg").cast("double") / col("n"))), 6).as("max_dev"))
+      .orderBy("fold")
+  }
+
   val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q32,
-    q39, q121)
+    q39, q121, q155)
 }

@@ -187,8 +187,7 @@ object Similarity {
     * product into both struct branches.
     */
   private[graft] def q52TopKAgg(s: SparkSession, d: String,
-      maxBuildRows: Long = MaxBuildRows): DataFrame = {
-    val k = 3
+      maxBuildRows: Long = MaxBuildRows, k: Int = 3): DataFrame = {
     val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
       sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))).as("nrm"))
     // the MEMOIZED corpus count sizes the grid (one action per (session,
@@ -226,6 +225,126 @@ object Similarity {
       .select(col("id_a"), (col("pos") + 1).cast("int").as("rn"),
         col("nbr._2").as("id_b"), col("nbr._1").as("cos_sim"))
       .orderBy("id_a", "rn")
+  }
+
+  // q148 — LEAVE-ONE-OUT kNN classification audit (the label-quality /
+  // embedding-quality eval every curation loop runs before trusting a
+  // labeled set): every vector is classified by majority vote over its 10
+  // nearest OTHER vectors (exclusion is structural — the pair join never
+  // emits a self-pair), and the per-class accuracy table surfaces which
+  // classes the embedding space actually separates. Complements
+  // q144_label_noise (nearest-CENTROID disagreement): centroids catch
+  // gross bleed, kNN votes catch local manifold confusion centroids
+  // average away. Scale shape: neighbor lists ride q52's grid pair join +
+  // bounded TopKNbr map-side aggregation (at 100 TB the candidate
+  // generator swaps to q53's IVF cells — the vote/rollup stages are
+  // unchanged); labels join broadcast (O(n) but 2 small columns — at
+  // cluster scale the label table is a dimension), the vote argmax
+  // windows over ≤k rows per key, and the output is O(classes) rows.
+  // Determinism: neighbor sets ordered by (round-8 cosine, id) — the
+  // q52-proven cross-engine contract; vote ties break to the smallest
+  // label; all downstream arithmetic is integer counting + one rounded
+  // division.
+  val q148: QueryDef = QueryDef.sql(
+    "q148_knn_classify",
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |nbr AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      CAST(row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY round(list_sum(list_transform(range(1, 65),
+      |            i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+      |          / (a.nrm * b.nrm), 8) DESC, b.vec_id) AS INTEGER) AS rn
+      |    FROM v a JOIN v b ON a.vec_id <> b.vec_id) t
+      |  WHERE rn <= 10),
+      |votes AS (
+      |  SELECT n.id_a, vb.label AS pred, count(*) AS cnt
+      |  FROM nbr n JOIN v vb ON n.id_b = vb.vec_id
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT id_a, pred FROM (
+      |    SELECT id_a, pred,
+      |      row_number() OVER (PARTITION BY id_a ORDER BY cnt DESC, pred) AS vr
+      |    FROM votes) s WHERE vr = 1)
+      |SELECT va.label,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN p.pred = va.label THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+      |  round(CAST(sum(CASE WHEN p.pred = va.label THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS accuracy
+      |FROM pred p JOIN v va ON p.id_a = va.vec_id
+      |GROUP BY va.label
+      |ORDER BY label""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val nbrs = q52TopKAgg(s, d, k = 10).select("id_a", "id_b")
+    val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = nbrs
+      .join(broadcast(lab.select(col("vec_id").as("id_b"), col("label").as("pred"))), "id_b")
+      .groupBy("id_a", "pred").agg(count(lit(1)).as("cnt"))
+    val pred = votes
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("id_a").orderBy(desc("cnt"), asc("pred"))))
+      .filter(col("vr") === 1).select("id_a", "pred")
+    pred
+      .join(broadcast(lab.select(col("vec_id").as("id_a"), col("label"))), "id_a")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1).otherwise(0)).as("correct"))
+      .select(col("label"), col("n"), col("correct"),
+        round(col("correct").cast("double") / col("n"), 6).as("accuracy"))
+      .orderBy("label")
+  }
+
+  /** q156's deterministic sparse JL sign: +1 / −1 / 0 with probability
+    * 1/6, 1/6, 2/3 (Achlioptas' database-friendly projection), derived
+    * from an engine-portable integer hash of (input dim i0, output dim j)
+    * so BOTH engines materialize the identical matrix from the formula —
+    * no literal 1024-entry table rides the SQL.
+    */
+  private[graft] def jlSign(i0: Int, j: Int): Double =
+    ((i0.toLong * 2654435761L + j.toLong * 40503L) % 1000003L) % 6L match {
+      case 0L => 1.0
+      case 1L => -1.0
+      case _  => 0.0
+    }
+
+  private val JlK = 16
+  private val JlScale = math.sqrt(3.0 / JlK)
+
+  // q156 — sparse Johnson–Lindenstrauss projection to 16 dims (the cheap
+  // distance-preserving sketch that fronts exact cosine at scale: a 16-d
+  // prefilter cuts candidate distance math 4× before the 64-d rerank, the
+  // same funnel economics as PQ/SQ8 but with a data-independent map — no
+  // training pass, so it applies to a brand-new corpus in the first
+  // scan). One codegen'd projection per row (16 DotProducts against
+  // ±1/0 literal rows), no shuffle, no model state; E‖y‖² = ‖x‖² under
+  // the √(3/k)·{−1,0,+1} scaling. The oracle recomputes every output
+  // dim from the same integer sign formula inside the DuckDB lambda —
+  // matrix equality is structural, not copied literals.
+  val q156: QueryDef = QueryDef.sql(
+    "q156_jl_projection", {
+      val dims = (0 until JlK).map { j =>
+        s"""round($JlScale * list_sum(list_transform(range(1, 65),
+           |    i -> CASE ((CAST(i AS BIGINT) - 1) * 2654435761 + $j * 40503) % 1000003 % 6
+           |      WHEN 0 THEN CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+           |      WHEN 1 THEN -CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+           |      ELSE 0.0 END)), 6) AS p$j""".stripMargin
+      }.mkString(",\n  ")
+      s"""SELECT vec_id,
+         |  $dims
+         |FROM embeddings
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+    val cols = (0 until JlK).map { j =>
+      val plane = Array.tabulate(64)(i0 => jlSign(i0, j))
+      round(lit(JlScale) * VectorExprs.dotProduct(col("embedding"), typedlit(plane)), 6)
+        .as(s"p$j")
+    }
+    Tables.embeddings(s, d)
+      .select(col("vec_id") +: cols: _*)
+      .orderBy("vec_id")
   }
 
   /** Floor on the number of IVF cells a query probes. */
@@ -1853,5 +1972,6 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(q38, q50, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q77, q79, q98, q100, q102, q105, q133, q139, q140)
+    q58, q59, q77, q79, q98, q100, q102, q105, q133, q139, q140, q148,
+    q156)
 }

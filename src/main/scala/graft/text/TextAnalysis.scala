@@ -1627,7 +1627,198 @@ object TextAnalysis {
       .orderBy("n_merges")
   }
 
+  // q149 — PMI COLLOCATION mining (the association-strength companion to
+  // q64's raw n-gram frequency: PMI surfaces word pairs that co-occur far
+  // above chance, the standard collocation / multi-word-expression signal
+  // for tokenizer and phrase-vocab decisions): adjacent-word bigram and
+  // unigram counts from one exploded pass each (map-side partials; the
+  // bigram table — the only data-proportional shuffle — is bounded by
+  // observed-vocab², the unigram table by vocab), corpus totals broadcast
+  // back as 1-row relations, PMI = ln c_xy + 2·ln M − ln N − ln c_x −
+  // ln c_y over exact integer counts (one libm term each, summed in a
+  // fixed order — cross-engine to well below the round-6), min-count 5
+  // guard against low-frequency PMI blowup, top-20 as
+  // TakeOrderedAndProject.
+  val q149: QueryDef = QueryDef.sql(
+    "q149_pmi_collocations",
+    """WITH toks AS (
+      |  SELECT regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |uni AS (
+      |  SELECT u AS word, count(*) AS c
+      |  FROM (SELECT unnest(w) AS u FROM toks) GROUP BY 1),
+      |m AS (SELECT CAST(sum(c) AS DOUBLE) AS m FROM uni),
+      |bi AS (
+      |  SELECT g AS gram, count(*) AS c2 FROM (
+      |    SELECT unnest(list_transform(range(1, len(w)),
+      |      i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)])) AS g
+      |    FROM toks) GROUP BY 1),
+      |n AS (SELECT CAST(sum(c2) AS DOUBLE) AS n FROM bi)
+      |SELECT bi.gram, CAST(bi.c2 AS BIGINT) AS pair_count,
+      |  round(ln(CAST(bi.c2 AS DOUBLE)) + ln(m.m) + ln(m.m) - ln(n.n)
+      |    - ln(CAST(u1.c AS DOUBLE)) - ln(CAST(u2.c AS DOUBLE)), 6) AS pmi
+      |FROM bi
+      |CROSS JOIN m CROSS JOIN n
+      |JOIN uni u1 ON split_part(bi.gram, ' ', 1) = u1.word
+      |JOIN uni u2 ON split_part(bi.gram, ' ', 2) = u2.word
+      |WHERE bi.c2 >= 5
+      |ORDER BY pmi DESC, gram
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(expr(tokensExpr).as("w"))
+    val uni = toks.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val mrow = uni.agg(sum("c").cast("double").as("m"))
+    val bi = toks
+      .filter(size(col("w")) >= 2)
+      .select(explode(
+        expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c2"))
+    val nrow = bi.agg(sum("c2").cast("double").as("n"))
+    bi.filter(col("c2") >= 5)
+      .withColumn("w1", expr("split_part(gram, ' ', 1)"))
+      .withColumn("w2", expr("split_part(gram, ' ', 2)"))
+      .join(broadcast(uni.select(col("word").as("w1"), col("c").as("c_1"))), "w1")
+      .join(broadcast(uni.select(col("word").as("w2"), col("c").as("c_2"))), "w2")
+      .crossJoin(broadcast(mrow))
+      .crossJoin(broadcast(nrow))
+      .select(col("gram"), col("c2").as("pair_count"),
+        round(log(col("c2").cast("double")) + log(col("m")) + log(col("m"))
+          - log(col("n")) - log(col("c_1").cast("double"))
+          - log(col("c_2").cast("double")), 6).as("pmi"))
+      .orderBy(desc("pmi"), asc("gram"))
+      .limit(20)
+  }
+
+  // q150 — WINSORIZED per-source length statistics (the robust-stats pass
+  // a mixture designer runs before trusting per-source means: a handful of
+  // giant or empty documents can swing a raw average by orders of
+  // magnitude; clipping at exact p05/p95 makes the comparison outlier-
+  // proof). Scale shape: ONE corpus shuffle builds the (source, n_chars)
+  // count table; the cumulative window, the discrete-percentile cuts
+  // (pure integer ceil arithmetic — engine-exact), and both means all run
+  // over that O(sources · distinct-lengths) table — the corpus is never
+  // re-scanned or re-shuffled, and the winsorized mean is Σ cnt·clip(v)
+  // over the counts, not a second pass.
+  val q150: QueryDef = QueryDef.sql(
+    "q150_winsorized_stats",
+    """WITH c AS (
+      |  SELECT source, n_chars, count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, n_chars, cnt,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+      |    sum(cnt) OVER (PARTITION BY source) AS total
+      |  FROM c),
+      |cuts AS (
+      |  SELECT source,
+      |    min(CASE WHEN cum >= (total + 19) // 20 THEN n_chars END) AS p05,
+      |    min(CASE WHEN cum >= (19 * total + 19) // 20 THEN n_chars END) AS p95
+      |  FROM cum GROUP BY source)
+      |SELECT c.source,
+      |  CAST(sum(c.cnt) AS BIGINT) AS n_docs,
+      |  min(k.p05) AS p05, min(k.p95) AS p95,
+      |  round(CAST(sum(c.n_chars * c.cnt) AS DOUBLE) / sum(c.cnt), 6) AS mean_raw,
+      |  round(CAST(sum(greatest(least(c.n_chars, k.p95), k.p05) * c.cnt) AS DOUBLE)
+      |    / sum(c.cnt), 6) AS mean_winsor
+      |FROM c JOIN cuts k USING (source)
+      |GROUP BY c.source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val c = Tables.documents(s, d)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+    val cum = c
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy("source").orderBy("n_chars")))
+      .withColumn("total", sum("cnt").over(Window.partitionBy("source")))
+    val cuts = cum.groupBy("source").agg(
+      min(when(col("cum") >= expr("(total + 19) div 20"), col("n_chars"))).as("p05"),
+      min(when(col("cum") >= expr("(19 * total + 19) div 20"), col("n_chars"))).as("p95"))
+    c.join(broadcast(cuts), "source")
+      .groupBy("source")
+      .agg(sum("cnt").as("n_docs"),
+        min("p05").as("p05"), min("p95").as("p95"),
+        sum(col("n_chars") * col("cnt")).as("sraw"),
+        sum(greatest(least(col("n_chars"), col("p95")), col("p05")) * col("cnt"))
+          .as("swin"))
+      .select(col("source"), col("n_docs"), col("p05"), col("p95"),
+        round(col("sraw").cast("double") / col("n_docs"), 6).as("mean_raw"),
+        round(col("swin").cast("double") / col("n_docs"), 6).as("mean_winsor"))
+      .orderBy("source")
+  }
+
+  // q151 — COMPRESSION-RATIO quality signal (the Gopher/CCNet redundancy
+  // heuristic q68's dup-gram fraction approximates combinatorially:
+  // DEFLATE's dictionary finds ALL within-window repetition at once, so
+  // bytes-compressed / bytes-raw is a single dense redundancy score —
+  // boilerplate and template spam sit far below natural text). One corpus
+  // scan; the per-doc score is a single codegen'd [[graft.functions
+  // .DeflateLen]] projection (no shuffle, no UDF); the keep flag applies
+  // the standard lower bound. zlib output is JVM-deterministic but not
+  // SQL-replayable → rows-only, semantics pinned by CompressionSpec
+  // (monotonicity under injected repetition, determinism, plan shape).
+  val q151: QueryDef = QueryDef.rowsOnly("q151_compression_ratio") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("int").as("raw_len"),
+        VectorExprs.deflateLen(col("text")).as("comp_len"))
+      .filter(col("raw_len") > 0)
+      .select(col("doc_id"), col("source"), col("raw_len"), col("comp_len"),
+        round(col("comp_len").cast("double") / col("raw_len"), 6).as("ratio"),
+        (col("comp_len").cast("double") / col("raw_len") >= 0.25).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val Letters: Seq[Char] = 'a' to 'z'
+
+  // q152 — CHARACTER-CLASS ENTROPY (the cheap gibberish/encoding-damage
+  // detector: natural language has a characteristic letter-distribution
+  // entropy band; mojibake, base64 blobs, and single-char spam fall far
+  // outside it). The 26 letter counts ride ONE codegen'd projection
+  // (length-difference trick — exact integers, engine-identical), the
+  // entropy sum is a fixed a→z chain of one libm ln per present letter
+  // (cross-engine ulp ≪ the round-6), and the output is one row per doc
+  // from one scan — no shuffle, no explode: the per-char explode
+  // formulation would shuffle |doc| rows per document.
+  val q152: QueryDef = QueryDef.sql(
+    "q152_char_entropy", {
+      val sqlCounts = Letters.map(ch =>
+        s"CAST(length(text) - length(replace(text, '$ch', '')) AS BIGINT) AS n_$ch")
+        .mkString(",\n      |    ")
+      val sqlTotal = Letters.map(ch => s"n_$ch").mkString(" + ")
+      val sqlNames = Letters.map(ch => s"n_$ch").mkString(", ")
+      val sqlEntropy = Letters.map(ch =>
+        s"(CASE WHEN n_$ch > 0 THEN -(CAST(n_$ch AS DOUBLE) / n) * ln(CAST(n_$ch AS DOUBLE) / n) ELSE 0.0 END)")
+        .mkString("0.0 + ", "\n      |    + ", "")
+      s"""WITH c AS (
+      |  SELECT doc_id,
+      |    $sqlCounts
+      |  FROM documents),
+      |t AS (SELECT doc_id, ($sqlTotal) AS n, $sqlNames FROM c)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_letters,
+      |  round($sqlEntropy, 6) AS entropy
+      |FROM t ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val counts = Letters.map(ch =>
+      (length(col("text")) - length(expr(s"replace(text, '$ch', '')")))
+        .cast("long").as(s"n_$ch"))
+    val withCounts = Tables.documents(s, d)
+      .select(col("doc_id") +: counts: _*)
+    val withN = withCounts
+      .withColumn("n", Letters.map(ch => col(s"n_$ch")).reduce(_ + _))
+    val entropy = Letters.foldLeft(lit(0.0)) { (acc, ch) =>
+      val cc = col(s"n_$ch")
+      val p = cc.cast("double") / col("n")
+      acc + when(cc > 0, (-p) * log(p)).otherwise(0.0)
+    }
+    withN.select(col("doc_id"), col("n").as("n_letters"),
+        round(entropy, 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120,
-    q123, q124, q126, q127, q129, q130, q136, q137, q146)
+    q123, q124, q126, q127, q129, q130, q136, q137, q146, q149, q150,
+    q151, q152)
 }

@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+/** Dense driver-side replays for the round-8 corpus-statistics family:
+  * q148 LOO-kNN classification, q149 PMI collocations, q150 winsorized
+  * per-source stats, q151 compression ratio, q152 character entropy.
+  * Each test recomputes the operator's semantics independently (plain
+  * Scala over collected sf0.001 rows) and compares exactly — the same
+  * contract the DuckDB oracle enforces at sf0.01, plus invariants the
+  * rows-only q151 cannot get from an oracle.
+  */
+class CorpusStatsSpec extends SparkSpec {
+
+  test("q148 per-class accuracy matches a dense LOO-kNN replay") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r8(x: Double): Double = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // dense prediction per vector: top-10 by (round-8 cos desc, id asc),
+    // majority vote, ties to the smallest label
+    val densePred = vecs.map { case (id, emb, _) =>
+      val nbrs = vecs.filter(_._1 != id)
+        .map { case (oid, oemb, olab) => (r8(cos(emb, oemb)), oid, olab) }
+        .sortBy { case (c, oid, _) => (-c, oid) }
+        .take(10)
+      val votes = nbrs.groupBy(_._3).map { case (l, g) => (l, g.length) }
+      val pred = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head._1
+      id -> pred
+    }.toMap
+    val denseAcc = vecs.groupBy(_._3).map { case (lab, g) =>
+      val correct = g.count { case (id, _, _) => densePred(id) == lab }
+      lab -> (g.length.toLong, correct.toLong)
+    }
+    val rows = sim.Similarity.q148.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("label")).toSeq == denseAcc.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val (n, correct) = denseAcc(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("n") == n, s"label ${r.get(0)}: n")
+      assert(r.getAs[Long]("correct") == correct,
+        s"label ${r.get(0)}: correct ${r.getAs[Long]("correct")} vs dense $correct")
+      assert(math.abs(r.getAs[Double]("accuracy") - correct.toDouble / n) < 1e-6)
+    }
+    // conservation: every vector is classified exactly once. (No
+    // above-chance bar: the synthetic corpus' labels are uncorrelated
+    // with embedding space — measured 1-NN LOO accuracy ≈ 0.07 vs 0.1
+    // chance — so the audit's honest answer here IS "chance level",
+    // which is exactly what it exists to surface.)
+    assert(denseAcc.values.map(_._1).sum == vecs.length.toLong)
+  }
+
+  test("q149 top-20 PMI matches a dense bigram replay") {
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+      .filter(_.trim.nonEmpty)
+    val toks = texts.map(_.trim.split("\\s+").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val bi = toks.flatMap(w => w.zip(w.tail))
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val m = uni.values.sum.toDouble
+    val n = bi.values.sum.toDouble
+    val dense = bi.toSeq.filter(_._2 >= 5).map { case ((w1, w2), c2) =>
+      val pmi = math.log(c2.toDouble) + math.log(m) + math.log(m) -
+        math.log(n) - math.log(uni(w1).toDouble) - math.log(uni(w2).toDouble)
+      val r6 = BigDecimal(pmi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (s"$w1 $w2", c2, r6)
+    }.sortBy { case (g, _, p) => (-p, g) }.take(20)
+    val rows = text.TextAnalysis.q149.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("gram"), r.getAs[Long]("pair_count"),
+        r.getAs[Double]("pmi")))
+    assert(rows.length == dense.length)
+    rows.zip(dense).foreach { case ((g, c, p), (dg, dc, dp)) =>
+      assert(g == dg && c == dc, s"row ($g,$c) vs dense ($dg,$dc)")
+      assert(math.abs(p - dp) < 1e-6, s"$g: pmi $p vs $dp")
+    }
+  }
+
+  test("q150 winsorized stats match a dense per-source replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val dense = docs.groupBy(_._1).map { case (src, g) =>
+      val vs = g.map(_._2).sorted
+      val total = vs.length.toLong
+      def cut(rank: Long): Long = vs((rank - 1).toInt) // rank-th smallest
+      val p05 = cut((total + 19) / 20)
+      val p95 = cut((19 * total + 19) / 20)
+      val raw = vs.sum.toDouble / total
+      val win = vs.map(v => math.min(math.max(v, p05), p95)).sum.toDouble / total
+      src -> (total, p05, p95, raw, win)
+    }
+    val rows = text.TextAnalysis.q150.fn(spark, sfDir).collect()
+    assert(rows.length == dense.size)
+    rows.foreach { r =>
+      val (n, p05, p95, raw, win) = dense(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("p05") == p05, s"${r.get(0)}: p05 ${r.get(2)} vs $p05")
+      assert(r.getAs[Long]("p95") == p95, s"${r.get(0)}: p95 ${r.get(3)} vs $p95")
+      assert(math.abs(r.getAs[Double]("mean_raw") - raw) < 1e-5)
+      assert(math.abs(r.getAs[Double]("mean_winsor") - win) < 1e-5)
+      // winsorizing can only pull the mean toward the clipped band
+      assert(r.getAs[Double]("mean_winsor") >= r.getAs[Long]("p05").toDouble - 1e-9)
+      assert(r.getAs[Double]("mean_winsor") <= r.getAs[Long]("p95").toDouble + 1e-9)
+    }
+  }
+
+  test("q151 compression ratio: deterministic, bounded, repetition-sensitive") {
+    val a = text.TextAnalysis.q151.fn(spark, sfDir).collect()
+    val b = text.TextAnalysis.q151.fn(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "not deterministic")
+    a.foreach { r =>
+      val ratio = r.getAs[Double]("ratio")
+      assert(ratio > 0.0 && ratio < 2.0, s"doc ${r.get(0)}: ratio $ratio")
+      assert(r.getAs[Boolean]("keep") == (ratio >= 0.25))
+    }
+    // word-salad from a tiny vocabulary must compress below 60%
+    val meanRatio = a.map(_.getAs[Double]("ratio")).sum / a.length
+    assert(meanRatio < 0.6, s"mean ratio $meanRatio")
+    // the expression itself: pure repetition compresses far below a
+    // high-entropy string of the same length
+    import spark.implicits._
+    val rng = new java.util.Random(42)
+    val probe = Seq(
+      ("rep", "spark " * 200),
+      ("rnd", (1 to 1200).map(_ => (rng.nextInt(93) + 33).toChar).mkString))
+      .toDF("k", "t")
+      .select(col("k"), VectorExprs.deflateLen(col("t")).as("c"),
+        length(col("t")).as("l"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val repRatio = probe("rep")._1.toDouble / probe("rep")._2
+    val rndRatio = probe("rnd")._1.toDouble / probe("rnd")._2
+    assert(repRatio < 0.05, s"repetitive ratio $repRatio")
+    assert(rndRatio > repRatio * 3, s"rnd $rndRatio vs rep $repRatio")
+  }
+
+  test("q151 plan: single scan, no hash exchange (map-side only + sort)") {
+    val plan = text.TextAnalysis.q151.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.split("FileScan parquet").length == 2, "expected exactly one scan")
+  }
+
+  test("q152 character entropy matches a dense replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dense = docs.map { case (id, t) =>
+      val counts = ('a' to 'z').map(ch => t.count(_ == ch).toLong)
+      val n = counts.sum
+      val ent = counts.filter(_ > 0).map { c =>
+        val p = c.toDouble / n
+        -p * math.log(p)
+      }.sum
+      id -> (n, ent)
+    }.toMap
+    val rows = text.TextAnalysis.q152.fn(spark, sfDir).collect()
+    assert(rows.length == dense.size)
+    rows.foreach { r =>
+      val (n, ent) = dense(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_letters") == n)
+      assert(math.abs(r.getAs[Double]("entropy") - ent) < 1e-6,
+        s"doc ${r.get(0)}: ${r.getAs[Double]("entropy")} vs $ent")
+      assert(r.getAs[Double]("entropy") >= 0.0 &&
+        r.getAs[Double]("entropy") <= math.log(26.0) + 1e-9)
+    }
+  }
+}

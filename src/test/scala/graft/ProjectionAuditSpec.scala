@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch-2 round-8 operators: q153 Mahalanobis whitening (algebraic
+  * identities — the exact bars an eigendecomp-backed rows-only operator
+  * can offer), q154 directional containment (dense rerank replay),
+  * q155 CV folds (hash replay), q156 JL projection (formula replay +
+  * the distance-preservation property the sketch exists for).
+  */
+class ProjectionAuditSpec extends SparkSpec {
+
+  test("jacobiEigen solves a known 2x2 and reconstructs the covariance") {
+    val (lam, v) = ml.Whitening.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(lam.sorted.zip(Seq(1.0, 3.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // eigen columns orthonormal
+    val dot01 = v(0)(0) * v(0)(1) + v(1)(0) * v(1)(1)
+    assert(math.abs(dot01) < 1e-12)
+  }
+
+  test("q153 identities: mean maha_sq = dim, whitened coords have unit variance") {
+    val rows = ml.Whitening.q153.fn(spark, sfDir).collect()
+    val n = rows.length
+    val meanMsq = rows.map(_.getAs[Double]("maha_sq")).sum / n
+    assert(math.abs(meanMsq - 64.0) < 2e-3, s"mean maha_sq $meanMsq != 64")
+    def stats(c: String): (Double, Double) = {
+      val xs = rows.map(_.getAs[Double](c))
+      val mu = xs.sum / n
+      (mu, xs.map(x => (x - mu) * (x - mu)).sum / n)
+    }
+    val (mu1, var1) = stats("w1")
+    val (mu2, var2) = stats("w2")
+    assert(math.abs(mu1) < 1e-3 && math.abs(mu2) < 1e-3, s"whitened means $mu1 $mu2")
+    assert(math.abs(var1 - 1.0) < 2e-3, s"var(w1) $var1")
+    assert(math.abs(var2 - 1.0) < 2e-3, s"var(w2) $var2")
+    val cov = rows.map(r => (r.getAs[Double]("w1") - mu1) * (r.getAs[Double]("w2") - mu2)).sum / n
+    assert(math.abs(cov) < 2e-3, s"cov(w1,w2) $cov")
+    val thresh = 64.0 + 3.0 * math.sqrt(128.0)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_outlier") == (r.getAs[Double]("maha_sq") > thresh))
+      assert(r.getAs[Double]("maha_sq") >= 0.0)
+    }
+  }
+
+  test("q154 containment rows verify against raw gram sets") {
+    val rows = dedup.Dedup.q154.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.flatMap(r => Seq(r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val texts = Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] =
+      (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      val (ga, gb) = (grams(texts(a)), grams(texts(b)))
+      val inter = ga.intersect(gb).size.toLong
+      assert(r.getAs[Long]("inter") == inter, s"pair ($a,$b) inter")
+      assert(r.getAs[Long]("n_a") == ga.size.toLong)
+      assert(r.getAs[Long]("n_b") == gb.size.toLong)
+      assert(math.abs(r.getAs[Double]("cont_a") - inter.toDouble / ga.size) < 1e-12)
+      assert(math.abs(r.getAs[Double]("cont_b") - inter.toDouble / gb.size) < 1e-12)
+      // containment dominates Jaccard by construction
+      val jac = inter.toDouble / ga.union(gb).size
+      assert(r.getAs[Double]("cont_a") >= jac - 1e-12)
+      assert(r.getAs[Double]("cont_b") >= jac - 1e-12)
+    }
+    // ranked by the max direction, descending
+    val gmax = rows.map(r => math.max(r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b")))
+    assert(gmax.zip(gmax.tail).forall { case (x, y) => x >= y - 1e-12 })
+  }
+
+  test("q155 folds match the hash formula; counts conserve") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val folds = vecs.groupBy { case (id, _) => id % 1000003L * 2654435761L % 5L }
+    val rows = ml.MlPrep.q155.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == vecs.length.toLong)
+    rows.foreach { r =>
+      val f = r.getAs[Long]("fold")
+      val g = folds(f)
+      assert(r.getAs[Long]("n") == g.length.toLong, s"fold $f size")
+      assert(r.getAs[Long]("n_labels") == g.map(_._2).distinct.length.toLong)
+      val dev = r.getAs[Double]("max_dev")
+      assert(dev >= 0.0 && dev <= 1.0)
+      // folds of a hash split should track the global label mix closely
+      assert(dev < 0.2, s"fold $f max_dev $dev implausibly unbalanced")
+    }
+  }
+
+  test("q156 matches the sign formula densely and preserves distances") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val scale = math.sqrt(3.0 / 16)
+    def denseProj(x: Array[Float]): Array[Double] =
+      Array.tabulate(16) { j =>
+        var acc = 0.0
+        var i = 0
+        while (i < 64) {
+          acc += x(i).toDouble * sim.Similarity.jlSign(i, j)
+          i += 1
+        }
+        BigDecimal(scale * acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val rows = sim.Similarity.q156.fn(spark, sfDir).collect()
+    assert(rows.length == vecs.length)
+    val byId = vecs.toMap
+    val proj = rows.map { r =>
+      val id = r.getAs[Long]("vec_id")
+      val got = (0 until 16).map(j => r.getAs[Double](s"p$j")).toArray
+      val want = denseProj(byId(id))
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-9, s"vec $id: $g vs $w")
+      }
+      id -> got
+    }.toMap
+    // JL property: squared-distance ratios concentrate near 1
+    val sample = vecs.take(30)
+    val ratios = for {
+      (ia, xa) <- sample; (ib, xb) <- sample if ia < ib
+    } yield {
+      val dx = xa.zip(xb).map { case (p, q) => (p - q).toDouble }.map(v => v * v).sum
+      val dy = proj(ia).zip(proj(ib)).map { case (p, q) => (p - q) * (p - q) }.sum
+      dy / dx
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.4, s"mean distance ratio $mean")
+    // k=16 has heavy per-pair tails (ε ~ √(ln n / k)); the MEAN is the
+    // JL guarantee, individual pairs just need to stay finite-sane
+    assert(ratios.forall(r => r > 0.01 && r < 12.0),
+      s"distance ratio outside sanity band: ${ratios.min} .. ${ratios.max}")
+  }
+}
