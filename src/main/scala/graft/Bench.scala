@@ -40,6 +40,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the engine's TypedImperativeAggregates (TopKNbr, sketches) are
+      // built for LARGE group counts with small bounded buffers; Spark's
+      // default 128-group ObjectHashAggregate fallback flips their
+      // map-side combine to sort-based (serialize + sort every buffer) —
+      // measured ~20% slower on the pair-aggregation family (q52/q148/
+      // q141). 4096 groups × O(k)-sized buffers is a few MB per task.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

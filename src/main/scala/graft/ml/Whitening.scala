@@ -181,5 +181,50 @@ object Whitening {
       .orderBy("vec_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q153)
+  // q157 — per-dimension embedding DRIFT audit (the "did the encoder or
+  // the data shift" check run whenever a new batch lands next to a
+  // standing corpus — a silent model-version bump or domain shift shows
+  // up as correlated per-dim mean movement long before downstream recall
+  // degrades). The catalog entry demonstrates on a deterministic 70/30
+  // hash split of one corpus (so the oracle can replay it); the
+  // production pairing is corpus-snapshot vs SnapshotTable delta. Scale
+  // shape: posexplode multiplies rows by dim (64×) but feeds straight
+  // into a map-side-partial groupBy(dim) — the shuffle moves O(dims ·
+  // partitions) partial rows, never the corpus; output is O(dims).
+  // avg is a multi-term double aggregate → round-6 (q147 precedent);
+  // the flag threshold is exact-integer-free but applied to the ROUNDED
+  // delta so both engines flag identically.
+  val q157: QueryDef = QueryDef.sql(
+    "q157_embedding_drift",
+    """WITH x AS (
+      |  SELECT ((vec_id % 1000003) * 2654435761) % 10 < 7 AS is_a,
+      |    unnest(embedding) AS v,
+      |    generate_subscripts(embedding, 1) AS dim
+      |  FROM embeddings)
+      |SELECT CAST(dim AS INTEGER) AS dim,
+      |  round(avg(CASE WHEN is_a THEN CAST(v AS DOUBLE) END), 6) AS mean_a,
+      |  round(avg(CASE WHEN NOT is_a THEN CAST(v AS DOUBLE) END), 6) AS mean_b,
+      |  round(avg(CASE WHEN is_a THEN CAST(v AS DOUBLE) END)
+      |      - avg(CASE WHEN NOT is_a THEN CAST(v AS DOUBLE) END), 6) AS delta,
+      |  abs(round(avg(CASE WHEN is_a THEN CAST(v AS DOUBLE) END)
+      |      - avg(CASE WHEN NOT is_a THEN CAST(v AS DOUBLE) END), 6)) > 0.05 AS drifted
+      |FROM x GROUP BY dim ORDER BY dim""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    Tables.embeddings(s, d)
+      .select((col("vec_id") % 1000003L * 2654435761L % 10L < 7L).as("is_a"),
+        posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(col("is_a"), (col("dim0") + 1).cast("int").as("dim"),
+        col("v").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(
+        round(avg(when(col("is_a"), col("v"))), 6).as("mean_a"),
+        round(avg(when(!col("is_a"), col("v"))), 6).as("mean_b"),
+        round(avg(when(col("is_a"), col("v")))
+          - avg(when(!col("is_a"), col("v"))), 6).as("delta"))
+      .select(col("dim"), col("mean_a"), col("mean_b"), col("delta"),
+        (abs(col("delta")) > 0.05).as("drifted"))
+      .orderBy("dim")
+  }
+
+  val all: Seq[QueryDef] = Seq(q153, q157)
 }

@@ -486,6 +486,51 @@ object Similarity {
     ivfBatchTopK(s, d, queries, 10)
   }
 
+  // q158 — IVF RECALL CURVE audit (the operational "how much probe budget
+  // does this index need" measurement a serving team reads before pinning
+  // nProbe — q145 audits the MinHash sketch the same way): a ~1/37
+  // hash-picked in-corpus query sample gets (a) exact top-10 ground truth
+  // from ONE broadcast pair pass (O(corpus·sample) rows — the sampled
+  // truth is the affordable version of the exact tier at any scale) and
+  // (b) the batch IVF probe at doubling nProbe levels up to ALL cells;
+  // per-level recall joins the two id sets. Every stage is the q133
+  // machinery — no per-query jobs; cost is O(levels) corpus scans, the
+  // documented price of an audit that runs rarely. Output is O(levels)
+  // rows; recall at nProbe = cells is structurally 1.0 (same scoring
+  // expression, same tie order) — the spec's exactness anchor, with
+  // monotone-in-nProbe as the curve invariant.
+  val q158: QueryDef = QueryDef.rowsOnly("q158_ivf_recall_curve") { (s, d) =>
+    val cents = graft.ml.Centroids.centers(s, d)
+    val queries = Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(37L)) === lit(1L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val byCos = Window.partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
+    val exact = Tables.embeddings(s, d)
+      .crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        round(VectorExprs.cosineSim(col("embedding"), col("qvec")), 8).as("cos_sim"))
+      .withColumn("rk", row_number().over(byCos))
+      .filter(col("rk") <= 10)
+      .select("qid", "vec_id")
+    val levels = (Seq(1, 2, 4, 8).filter(_ < cents.length) :+ cents.length)
+    val perLevel = levels.map { np =>
+      val hits = ivfBatchTopK(s, d, queries, 10, np)
+        .select(col("qid"), col("vec_id"))
+        .join(exact, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      // anchor on the query set so an (impossible-in-theory) zero-hit
+      // query still counts a 0.0 recall instead of vanishing
+      queries.select("qid").join(hits, Seq("qid"), "left")
+        .select(lit(np).as("n_probe"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / 10.0).as("recall"))
+    }.reduce(_ unionByName _)
+    perLevel.groupBy("n_probe")
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        round(avg("recall"), 6).as("mean_recall"),
+        round(min("recall"), 6).as("min_recall"))
+      .orderBy("n_probe")
+  }
+
   /** ADC lookup table: the query's squared distance to every PQ code,
     * computed driver-side (O(sub·codes·subDim) math over the codebooks).
     */
@@ -1973,5 +2018,5 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(q38, q50, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q77, q79, q98, q100, q102, q105, q133, q139, q140, q148,
-    q156)
+    q156, q158)
 }

@@ -232,6 +232,33 @@ object Events {
       }
   }
 
+  /** STREAMING quality gate — the q151/q152/q60 quality signals (DEFLATE
+    * compression ratio, letter-distribution entropy, whitespace token
+    * count) as ONE stateless codegen'd projection over an arriving
+    * documents stream, plus the composite keep decision an ingestion
+    * valve applies at the door (cheap-reject before any stateful or
+    * shuffled stage sees the doc). Stateless = no watermark, no state
+    * store, pure map parallelism at any rate; the batch face is
+    * definitionally the same expression tree (StreamingSpec asserts
+    * row-for-row parity against a batch projection of the same metrics).
+    * Thresholds: ratio ≥ 0.25 (q151's repetition bound), entropy ≥ 1.5
+    * nats (q152's gibberish floor), ≥ 5 tokens.
+    */
+  def qualityGateStream(docs: DataFrame): DataFrame = {
+    val ratio = col("comp_len").cast("double") / col("raw_len")
+    docs
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("int").as("raw_len"),
+        graft.functions.VectorExprs.deflateLen(col("text")).as("comp_len"),
+        graft.text.TextAnalysis.letterEntropyCol.as("entropy"),
+        size(split(trim(col("text")), "\\s+")).as("n_tok"))
+      .filter(col("raw_len") > 0)
+      .select(col("doc_id"), col("source"), col("raw_len"), col("comp_len"),
+        round(ratio, 6).as("ratio"), round(col("entropy"), 6).as("entropy"),
+        col("n_tok"),
+        (ratio >= 0.25 && col("entropy") >= 1.5 && col("n_tok") >= 5).as("keep"))
+  }
+
   /** Stream-static enrichment: a streaming event feed joined to a static
     * (broadcast) dimension — the standard shape for attaching reference
     * data to a stream without state.

@@ -1472,15 +1472,20 @@ object TextAnalysis {
         |  FROM m)
         |SELECT * FROM ($duckPairs)
         |ORDER BY fx, fy""".stripMargin) { (s, d) =>
+      // materialize the regex split ONCE per row (an array column), then
+      // derive all token features from it — the inlined form re-ran the
+      // \s+ split up to 4x per row and codegen CSE does not always fuse
+      // lambda-bearing duplicates
       val f = Tables.documents(s, d)
+        .select(col("text"), expr(tokensExpr).as("toks"))
         .select(
           length(col("text")).cast("double").as("n_char"),
-          expr(s"size($tokensExpr)").cast("double").as("n_tok"),
+          size(col("toks")).cast("double").as("n_tok"),
           expr("size(regexp_extract_all(text, '[^a-z0-9\\\\s]', 0))").cast("double")./(length(col("text"))).as("punct_ratio"),
-          expr(s"size(filter($tokensExpr, t -> t = 'the' OR t = 'a' OR t = 'value'))").cast("double")
-            ./(expr(s"size($tokensExpr)")).as("stop_ratio"),
-          expr(s"aggregate(transform($tokensExpr, t -> length(t)), 0L, (acc, x) -> acc + x)").cast("double")
-            ./(expr(s"size($tokensExpr)")).as("mean_tok_len"))
+          expr("size(filter(toks, t -> t = 'the' OR t = 'a' OR t = 'value'))").cast("double")
+            ./(size(col("toks"))).as("stop_ratio"),
+          expr("aggregate(transform(toks, t -> length(t)), 0L, (acc, x) -> acc + x)").cast("double")
+            ./(size(col("toks"))).as("mean_tok_len"))
       // corr is assembled from guarded sufficient statistics rather than
       // the corr() aggregate: a zero-variance feature (punct_ratio IS
       // constant in this corpus) makes ANSI-mode corr throw on the zero
@@ -1771,6 +1776,20 @@ object TextAnalysis {
   }
 
   private val Letters: Seq[Char] = 'a' to 'z'
+
+  /** q152's letter-entropy expression tree over a `text` column (26
+    * length-difference counts + the fixed a→z −p·ln p chain), reusable by
+    * the streaming quality gate — one codegen'd expression, no shuffle.
+    */
+  private[graft] def letterEntropyCol: org.apache.spark.sql.Column = {
+    val counts = Letters.map(ch =>
+      (length(col("text")) - length(expr(s"replace(text, '$ch', '')"))).cast("long"))
+    val n = counts.reduce(_ + _)
+    Letters.zip(counts).foldLeft(lit(0.0)) { case (acc, (_, cc)) =>
+      val p = cc.cast("double") / n
+      acc + when(cc > 0, (-p) * log(p)).otherwise(0.0)
+    }
+  }
 
   // q152 — CHARACTER-CLASS ENTROPY (the cheap gibberish/encoding-damage
   // detector: natural language has a characteristic letter-distribution

@@ -63,4 +63,44 @@ class FileStreamSpec extends SparkSpec {
     val batch = sources.CorpusSource.readJsonl(spark, dir.toString).collect()
     assert(batch.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
+
+  test("qualityGateStream: streamed decisions match the batch face and q151/q152 metrics") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-qgate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val q = streaming.Events.qualityGateStream(
+        spark.readStream.schema(schema).parquet(dir.toString))
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qgate").collect().map(_.toSeq).toSet
+    // batch face: the same function over the batch reader
+    val batch = streaming.Events.qualityGateStream(
+      Tables.documents(spark, sfDir)).collect()
+    assert(streamed == batch.map(_.toSeq).toSet)
+    // metric parity with the catalog queries the gate composes
+    val q151 = text.TextAnalysis.q151.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ratio")).toMap
+    val q152 = text.TextAnalysis.q152.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    batch.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Double]("ratio") == q151(id), s"doc $id ratio")
+      assert(r.getAs[Double]("entropy") == q152(id), s"doc $id entropy")
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Double]("ratio") >= 0.25 - 1e-9 &&
+          r.getAs[Double]("entropy") >= 1.5 - 1e-9 &&
+          r.getAs[Int]("n_tok") >= 5) ||
+        // keep is decided on UNROUNDED ratio/entropy; rounded-value
+        // reconstruction may disagree only inside a 1e-6 band
+        math.abs(r.getAs[Double]("ratio") - 0.25) < 1e-6 ||
+        math.abs(r.getAs[Double]("entropy") - 1.5) < 1e-6)
+    }
+  }
 }

@@ -91,6 +91,50 @@ class ProjectionAuditSpec extends SparkSpec {
     }
   }
 
+  test("q157 per-dim drift matches a dense split replay") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (a, b) = vecs.partition { case (id, _) => id % 1000003L * 2654435761L % 10L < 7L }
+    def meanDim(g: Array[(Long, Array[Float])], i: Int): Double =
+      g.map(_._2(i).toDouble).sum / g.length
+    val rows = ml.Whitening.q157.fn(spark, sfDir).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val i = r.getAs[Int]("dim") - 1
+      assert(math.abs(r.getAs[Double]("mean_a") - meanDim(a, i)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("mean_b") - meanDim(b, i)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("delta")
+        - (meanDim(a, i) - meanDim(b, i))) < 1e-5)
+      assert(r.getAs[Boolean]("drifted") ==
+        (math.abs(r.getAs[Double]("delta")) > 0.05))
+    }
+    // same-corpus hash split: per-dim means must agree closely — large
+    // deltas here would mean the operator (not the data) drifts
+    assert(rows.count(_.getAs[Boolean]("drifted")) < 16,
+      "hash split of one corpus reads as drifted")
+  }
+
+  test("q158 recall curve: monotone in nProbe, exactly 1.0 at full probe") {
+    val rows = sim.Similarity.q158.fn(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    val nq = rows.map(_.getAs[Long]("n_queries")).distinct
+    assert(nq.length == 1 && nq.head > 0, "query count varies across levels")
+    val means = rows.map(r =>
+      (r.getAs[Int]("n_probe"), r.getAs[Double]("mean_recall")))
+    assert(means.map(_._1).sorted.toSeq == means.map(_._1).toSeq)
+    means.zip(means.tail).foreach { case ((p1, r1), (p2, r2)) =>
+      assert(r2 >= r1 - 1e-9, s"recall fell $r1@$p1 -> $r2@$p2")
+    }
+    // probing every cell IS the exact scan under the same tie order
+    assert(means.last._2 == 1.0, s"full-probe recall ${means.last._2}")
+    assert(rows.last.getAs[Double]("min_recall") == 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_recall") <= r.getAs[Double]("mean_recall") + 1e-9)
+      assert(r.getAs[Double]("mean_recall") <= 1.0 + 1e-9)
+    }
+  }
+
   test("q156 matches the sign formula densely and preserves distances") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()

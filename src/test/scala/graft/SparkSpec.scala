@@ -19,6 +19,8 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // see Bench.scala: keep large-group object aggregates hash-based
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
