@@ -363,4 +363,56 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"),
       s"degree/triangle counts must combine map-side:\n$plan")
   }
+
+  test("q149 PMI: unigram/total tables broadcast back, top-20 is TakeOrdered") {
+    val plan = planOf("q149_pmi_collocations")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be partition heaps, not a global sort:\n$plan")
+    val bcasts = "BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bcasts >= 3,
+      s"unigram (x2) + corpus totals must join broadcast, got $bcasts:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"bigram counts must combine map-side:\n$plan")
+  }
+
+  test("q150 winsorized stats: window runs on the count table, cuts broadcast back") {
+    val plan = planOf("q150_winsorized_stats")
+    assert(plan.contains("partial_count"),
+      s"(source, n_chars) counts must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"percentile cuts must broadcast onto the count table:\n$plan")
+    // the count table feeds both the cuts and the means; AQE must REUSE
+    // the count-table exchange at runtime rather than recompute the scan
+    val df = SparkEntry.queries("q150_winsorized_stats")(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange"),
+      s"count-table exchange must be reused, not recomputed:\n$finalPlan")
+  }
+
+  test("q152/q156 per-row projections plan no hash exchange at all") {
+    for (name <- Seq("q152_char_entropy", "q156_jl_projection")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name must be a pure projection + sort:\n$plan")
+      assert(plan.split("FileScan parquet").length == 2,
+        s"$name must scan exactly once:\n$plan")
+    }
+  }
+
+  test("q157 drift: per-dim aggregate combines map-side, output exchange is O(dims)") {
+    val plan = planOf("q157_embedding_drift")
+    assert(plan.contains("partial_"),
+      s"per-dim means must combine map-side before the exchange:\n$plan")
+    assert(plan.split("FileScan parquet").length == 2,
+      s"one corpus scan expected:\n$plan")
+  }
+
+  test("q148 kNN classify: labels broadcast, vote window never sees the corpus join") {
+    val plan = planOf("q148_knn_classify")
+    val bcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bcasts >= 2, s"label joins must broadcast, got $bcasts:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"neighbor top-k must ride the bounded TopKNbr aggregate:\n$plan")
+  }
 }
