@@ -101,7 +101,13 @@ object GraftExtensions {
       "whole-document BPE token-id sequence as array<int> (text, flat merge triples, vocab array whose index is the id)"),
       (args: Seq[Expression]) =>
         graft.functions.BpeEncodeIds(args(0), stringArrayLit(args(1)),
-          stringArrayLit(args(2)))))
+          stringArrayLit(args(2)))),
+    "deflate_len" -> (info("deflate_len",
+      "DEFLATE (zlib level 6) compressed byte length of a string's UTF-8 bytes"),
+      (args: Seq[Expression]) => graft.functions.DeflateLen(args(0))),
+    "inter_count" -> (info("inter_count",
+      "exact intersection size of two pre-deduped, pre-sorted string arrays"),
+      (args: Seq[Expression]) => graft.functions.InterCount(args(0), args(1))))
 
   /** Fold a foldable string-array argument to the plan-constant String[]
     * the expression carries as a reference object. Validated HERE, at

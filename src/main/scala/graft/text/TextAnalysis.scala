@@ -1836,8 +1836,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // q159 — BPE ROUND-TRIP integrity audit (the tokenizer-release gate:
+  // decode(encode(x)) must reconstruct x exactly, else the id vocabulary
+  // and the merge table have drifted apart and every downstream shard is
+  // silently corrupt). Encode is the q116 codegen'd expression; decode is
+  // a per-row transform against the ≤(alphabet+merges)-entry vocab
+  // LITERAL (a bounded model artifact, not data) — concatenated token
+  // strings must equal the concatenated whitespace-split words
+  // (whitespace itself is not modeled, the standard pre-tokenizer
+  // contract). One scan, no shuffle, no join; per-doc verdict out.
+  // Trained-artifact-dependent → rows-only; the spec asserts the
+  // invariant holds corpus-wide AND that a corrupted vocab is caught.
+  val q159: QueryDef = QueryDef.rowsOnly("q159_bpe_roundtrip") { (s, d) =>
+    val vocab = typedlit(bpeIdVocab(s, d, 64))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        VectorExprs.bpeEncodeIds(col("text"), bpeFlatMerges(s, d, 64),
+          bpeIdVocab(s, d, 64)).as("ids"),
+        expr(s"concat_ws('', $tokensExpr)").as("joined_words"))
+      .select(col("doc_id"), size(col("ids")).as("n_ids"),
+        (concat_ws("", transform(col("ids"),
+          id => element_at(vocab, id + 1))) === col("joined_words"))
+          .as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120,
     q123, q124, q126, q127, q129, q130, q136, q137, q146, q149, q150,
-    q151, q152)
+    q151, q152, q159)
 }

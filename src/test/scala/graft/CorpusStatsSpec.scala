@@ -150,6 +150,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(plan.split("FileScan parquet").length == 2, "expected exactly one scan")
   }
 
+  test("q159 BPE round-trip holds corpus-wide and catches a corrupted vocab") {
+    val rows = text.TextAnalysis.q159.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("roundtrip_ok")),
+      s"${rows.count(!_.getAs[Boolean]("roundtrip_ok"))} docs fail round-trip")
+    assert(rows.forall(_.getAs[Int]("n_ids") >= 0))
+    // negative control: decoding under a vocabulary with the two HIGHEST
+    // ids swapped (merged types — guaranteed used somewhere at 64 merges)
+    // must break reconstruction for at least one doc
+    import org.apache.spark.sql.functions._
+    val vocab = text.TextAnalysis.bpeIdVocab(spark, sfDir, 64)
+    val bad = vocab.clone()
+    val (i, j) = (bad.length - 1, bad.length - 2)
+    val t = bad(i); bad(i) = bad(j); bad(j) = t
+    val badLit = typedlit(bad)
+    val broken = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.bpeEncodeIds(col("text"),
+          text.TextAnalysis.bpeFlatMerges(spark, sfDir, 64), vocab).as("ids"),
+        expr("concat_ws('', split(trim(text), '\\\\s+'))").as("joined"))
+      .select((concat_ws("", transform(col("ids"),
+        id => element_at(badLit, id + 1))) === col("joined")).as("ok"))
+      .collect()
+    assert(broken.exists(!_.getBoolean(0)),
+      "corrupted vocab not detected by the round-trip check")
+  }
+
   test("q152 character entropy matches a dense replay") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()

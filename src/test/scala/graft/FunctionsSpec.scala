@@ -57,6 +57,14 @@ class FunctionsSpec extends SparkSpec {
     // BPE count under merges (a,b)->ab, (ab,c)->abc: 'abc ab x' -> 1+1+1
     assert(spark.sql("SELECT bpe_token_count('abc ab x', " +
       "array('a','b','ab', 'ab','c','abc')) n").head.getInt(0) == 3)
+    // DEFLATE length: deterministic, positive, repetition compresses
+    val dl = spark.sql(
+      "SELECT deflate_len(repeat('spark ', 100)) a, deflate_len('spark') b").head
+    assert(dl.getInt(0) > 0 && dl.getInt(0) < 60, s"repetitive deflate ${dl.getInt(0)}")
+    assert(dl.getInt(1) > 0)
+    // sorted-array intersection count
+    assert(spark.sql(
+      "SELECT inter_count(array('a','b','c'), array('b','c','d')) i").head.getInt(0) == 2)
   }
 
   test("bpe_token_count rejects malformed merge tables at analysis, not per row") {
