@@ -1861,8 +1861,124 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // q160 — EPOCH RESAMPLING under a √n temperature schedule (the
+  // EXECUTABLE face of q124: that query reports target proportions, this
+  // one materializes per-doc copy counts for one epoch — floor(rate)
+  // guaranteed copies plus a deterministic-hash stochastic round for the
+  // fraction, so the realized mix tracks the schedule with zero
+  // randomness state). Temperature 1/2 (√n) deliberately: IEEE sqrt is
+  // correctly rounded in BOTH engines, so rates are bit-identical and
+  // the integer copy counts hash-match — pow(n, 0.3) would flip floor()
+  // at libm-ulp boundaries. Scale shape: the schedule is an O(sources)
+  // broadcast model; the corpus joins it broadcast, copies are a
+  // projection, one groupBy(source) rollup out.
+  val q160: QueryDef = QueryDef.sql(
+    "q160_epoch_resample",
+    """WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      |w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS wgt FROM s),
+      |z AS (SELECT sum(wgt) AS z, sum(n) AS big_n FROM w),
+      |r AS (SELECT source, n, wgt / z.z AS target_share,
+      |        (wgt / z.z) * big_n / n AS rate FROM w CROSS JOIN z),
+      |c AS (SELECT d.doc_id, d.source,
+      |        CAST(floor(r.rate) AS BIGINT)
+      |        + CASE WHEN ((d.doc_id % 9973) * 131) % 1000
+      |               < (r.rate - floor(r.rate)) * 1000 THEN 1 ELSE 0 END AS copies
+      |      FROM documents d JOIN r USING (source)),
+      |agg AS (SELECT source, count(*) AS n_docs, sum(copies) AS copies
+      |        FROM c GROUP BY 1),
+      |tot AS (SELECT sum(copies) AS t FROM agg)
+      |SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs,
+      |  CAST(a.copies AS BIGINT) AS copies,
+      |  round(r.target_share, 6) AS target_share,
+      |  round(CAST(a.copies AS DOUBLE) / tot.t, 6) AS realized_share
+      |FROM agg a JOIN r USING (source) CROSS JOIN tot
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val srcN = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("wgt", sqrt(col("n").cast("double")))
+    val z = srcN.agg(sum("wgt").as("z"), sum("n").as("big_n"))
+    val r = srcN.crossJoin(broadcast(z))
+      .select(col("source"), col("n"),
+        (col("wgt") / col("z")).as("target_share"),
+        (col("wgt") / col("z") * col("big_n") / col("n")).as("rate"))
+    val c = docs.select("doc_id", "source")
+      .join(broadcast(r), "source")
+      .select(col("source"),
+        (floor(col("rate")).cast("long")
+          + when((col("doc_id") % 9973L) * 131L % 1000L
+              < (col("rate") - floor(col("rate"))) * 1000, 1L).otherwise(0L))
+          .as("copies"))
+    val agg = c.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("copies").as("copies"))
+    val tot = agg.agg(sum("copies").as("t"))
+    agg.join(broadcast(r.select("source", "target_share")), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("copies"),
+        round(col("target_share"), 6).as("target_share"),
+        round(col("copies").cast("double") / col("t"), 6).as("realized_share"))
+      .orderBy("source")
+  }
+
+  // q161 — LENGTH-CURRICULUM stages (short→long quartiles — the ordering
+  // curriculum-learning schedules consume; corpus-relative cuts where
+  // q127's histogram uses fixed power-of-2 boundaries): exact quartile
+  // cuts from the (n_chars, count) table via the q150 integer-ceil rank
+  // rule — the cumulative window runs over O(distinct lengths) BOUNDED
+  // rows (q127's precedent), never the corpus; cuts broadcast back; one
+  // corpus groupBy(stage) emits 4 rows with per-stage source diversity.
+  val q161: QueryDef = QueryDef.sql(
+    "q161_curriculum_stages",
+    """WITH c AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),
+      |cum AS (
+      |  SELECT n_chars, cnt,
+      |    sum(cnt) OVER (ORDER BY n_chars) AS cum,
+      |    sum(cnt) OVER () AS total
+      |  FROM c),
+      |cuts AS (SELECT
+      |    min(CASE WHEN cum >= (total + 3) // 4 THEN n_chars END) AS c1,
+      |    min(CASE WHEN cum >= (2 * total + 3) // 4 THEN n_chars END) AS c2,
+      |    min(CASE WHEN cum >= (3 * total + 3) // 4 THEN n_chars END) AS c3
+      |  FROM cum)
+      |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  min(n_chars) AS lo, max(n_chars) AS hi,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM (
+      |  SELECT d.doc_id, d.source, d.n_chars,
+      |    CASE WHEN d.n_chars <= k.c1 THEN 1
+      |         WHEN d.n_chars <= k.c2 THEN 2
+      |         WHEN d.n_chars <= k.c3 THEN 3 ELSE 4 END AS stage
+      |  FROM documents d CROSS JOIN cuts k) t
+      |GROUP BY stage ORDER BY stage""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.{Window => W}
+    val docs = Tables.documents(s, d)
+    val c = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+    // the global cumulative runs over the BOUNDED count table (O(distinct
+    // lengths) rows) — a single-partition window there is fine; the
+    // corpus never sees a global window
+    val cum = c
+      .withColumn("cum", sum("cnt").over(W.orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("total", sum("cnt").over(
+        W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val cuts = cum.agg(
+      min(when(col("cum") >= expr("(total + 3) div 4"), col("n_chars"))).as("c1"),
+      min(when(col("cum") >= expr("(2 * total + 3) div 4"), col("n_chars"))).as("c2"),
+      min(when(col("cum") >= expr("(3 * total + 3) div 4"), col("n_chars"))).as("c3"))
+    docs.crossJoin(broadcast(cuts))
+      .withColumn("stage",
+        when(col("n_chars") <= col("c1"), 1)
+          .when(col("n_chars") <= col("c2"), 2)
+          .when(col("n_chars") <= col("c3"), 3).otherwise(4))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+        min("n_chars").as("lo"), max("n_chars").as("hi"),
+        countDistinct("source").as("n_sources"))
+      .orderBy("stage")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120,
     q123, q124, q126, q127, q129, q130, q136, q137, q146, q149, q150,
-    q151, q152, q159)
+    q151, q152, q159, q160, q161)
 }

@@ -177,6 +177,69 @@ class CorpusStatsSpec extends SparkSpec {
       "corrupted vocab not detected by the round-trip check")
   }
 
+  test("q160 epoch resample: dense copy replay, realized tracks target") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.groupBy(_._2).map { case (s, g) => s -> g.length.toLong }
+    val z = n.values.map(v => math.sqrt(v.toDouble)).sum
+    val bigN = n.values.sum
+    val rate = n.map { case (s, v) => s -> math.sqrt(v.toDouble) / z * bigN / v }
+    val denseCopies = docs.map { case (id, s) =>
+      val r = rate(s)
+      val extra = if ((id % 9973L) * 131L % 1000L < (r - math.floor(r)) * 1000) 1L else 0L
+      s -> (math.floor(r).toLong + extra)
+    }.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    val rows = text.TextAnalysis.q160.fn(spark, sfDir).collect()
+    assert(rows.length == n.size)
+    val totalCopies = rows.map(_.getAs[Long]("copies")).sum
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_docs") == n(s))
+      assert(r.getAs[Long]("copies") == denseCopies(s), s"$s copies")
+      // stochastic rounding keeps the realized share near the schedule
+      assert(math.abs(r.getAs[Double]("realized_share")
+        - r.getAs[Double]("target_share")) < 0.02,
+        s"$s realized ${r.getAs[Double]("realized_share")} vs target ${r.getAs[Double]("target_share")}")
+    }
+    // an epoch stays epoch-sized: the schedule conserves total volume
+    assert(math.abs(totalCopies.toDouble / bigN - 1.0) < 0.05,
+      s"epoch volume $totalCopies vs corpus $bigN")
+    // √n temperature upweights small sources: every target share sits
+    // between uniform (1/k) and proportional (n_i/N) — on the right side
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val prop = n(s).toDouble / bigN
+      val uni = 1.0 / n.size
+      val t = r.getAs[Double]("target_share")
+      assert((t - prop) * (t - uni) <= 1e-9,
+        s"$s target $t outside [min,max](prop $prop, uniform $uni)")
+    }
+  }
+
+  test("q161 curriculum stages partition the corpus at exact quartiles") {
+    val lens = Tables.documents(spark, sfDir)
+      .select("n_chars").collect().map(_.getLong(0)).sorted
+    val total = lens.length.toLong
+    def cut(rank: Long): Long = lens((rank - 1).toInt)
+    val (c1, c2, c3) = (cut((total + 3) / 4), cut((2 * total + 3) / 4),
+      cut((3 * total + 3) / 4))
+    val rows = text.TextAnalysis.q161.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("stage")).toSeq == Seq(1, 2, 3, 4))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val dense = lens.groupBy(v =>
+      if (v <= c1) 1 else if (v <= c2) 2 else if (v <= c3) 3 else 4)
+    rows.foreach { r =>
+      val st = r.getAs[Int]("stage")
+      assert(r.getAs[Long]("n_docs") == dense(st).length.toLong, s"stage $st size")
+      assert(r.getAs[Long]("lo") == dense(st).min && r.getAs[Long]("hi") == dense(st).max)
+    }
+    // stages are ordered length bands
+    val his = rows.map(_.getAs[Long]("hi"))
+    val los = rows.map(_.getAs[Long]("lo"))
+    assert(his.zip(los.tail).forall { case (h, l) => h < l })
+  }
+
   test("q152 character entropy matches a dense replay") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
