@@ -310,6 +310,87 @@ object MlPrep {
       .orderBy("fold")
   }
 
+  // q162 — SEED-CENTROID similarity filtering (the CCNet/fastText-style
+  // "does this look like my reference corpus" classifier, linearized: a
+  // seed set defined by an integer-exact rule — stopword density ≥ 10%,
+  // the natural-prose marker — gets its hashed-feature centroid, and
+  // every document scores by cosine to it; keep = the score clears the
+  // bar. No trained model state: the "classifier" IS the centroid, built
+  // and applied in one job. Scale shape: q39's (doc, bucket) features are
+  // the only corpus-sized exchange (map-side combined); the 256-bucket
+  // centroid + its norm broadcast back; per-doc dot/norm is a second
+  // map-side groupBy over the SAME feature table (AQE reuses the
+  // exchange). Double sums over ≤256 bounded terms → round-6 is safe
+  // (q157 precedent); the keep flag applies to the ROUNDED score.
+  val q162: QueryDef = QueryDef.sql(
+    "q162_seed_similarity_filter",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      |  FROM documents),
+      |ph AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(t) + 1),
+      |        c -> CAST(unicode(substr(t, CAST(c AS INT), 1)) AS BIGINT))),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS h
+      |  FROM tok),
+      |feats AS (
+      |  SELECT doc_id, CAST(h % 256 AS INTEGER) AS bucket,
+      |    CAST(sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+      |  FROM ph GROUP BY 1, 2),
+      |seed AS (
+      |  SELECT doc_id, true AS seeded FROM (
+      |    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |    FROM documents) s
+      |  WHERE len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'value')) * 10
+      |    >= len(w)),
+      |cent AS (
+      |  SELECT bucket, avg(CAST(v AS DOUBLE)) AS c
+      |  FROM feats JOIN seed USING (doc_id) GROUP BY bucket),
+      |cnorm AS (SELECT sqrt(sum(c * c)) AS cn FROM cent),
+      |norms AS (
+      |  SELECT doc_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS dn
+      |  FROM feats GROUP BY 1),
+      |dots AS (
+      |  SELECT f.doc_id, sum(CAST(f.v AS DOUBLE) * cent.c) AS dot
+      |  FROM feats f JOIN cent USING (bucket) GROUP BY 1)
+      |SELECT n.doc_id,
+      |  round(coalesce(d.dot, 0.0) / (n.dn * cnorm.cn), 6) AS seed_sim,
+      |  coalesce(s.seeded, false) AS is_seed,
+      |  round(coalesce(d.dot, 0.0) / (n.dn * cnorm.cn), 6) >= 0.5 AS keep
+      |FROM norms n
+      |LEFT JOIN dots d USING (doc_id)
+      |LEFT JOIN seed s USING (doc_id)
+      |CROSS JOIN cnorm
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val feats = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(col("doc_id"), graft.functions.VectorExprs.polyHash(col("t")).as("h"))
+      .groupBy(col("doc_id"), (col("h") % 256).cast("int").as("bucket"))
+      .agg(sum(when(expr("(h DIV 256) % 2") === 0, 1L).otherwise(-1L)).as("v"))
+    val seed = docs
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("w"))
+      .filter(expr("size(filter(w, t -> t = 'the' OR t = 'a' OR t = 'value')) * 10 >= size(w)"))
+      .select(col("doc_id"), lit(true).as("is_seed"))
+    val cent = feats.join(broadcast(seed.select("doc_id")), "doc_id")
+      .groupBy("bucket").agg(avg(col("v").cast("double")).as("c"))
+    val cnorm = cent.agg(sqrt(sum(col("c") * col("c"))).as("cn"))
+    val norms = feats.groupBy("doc_id")
+      .agg(sqrt(sum(col("v").cast("double") * col("v"))).as("dn"))
+    val dots = feats.join(broadcast(cent), "bucket")
+      .groupBy("doc_id").agg(sum(col("v").cast("double") * col("c")).as("dot"))
+    val sim = round(coalesce(col("dot"), lit(0.0)) / (col("dn") * col("cn")), 6)
+    norms
+      .join(dots, Seq("doc_id"), "left")
+      .join(broadcast(seed), Seq("doc_id"), "left")
+      .crossJoin(broadcast(cnorm))
+      .select(col("doc_id"), sim.as("seed_sim"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"),
+        (sim >= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q32,
-    q39, q121, q155)
+    q39, q121, q155, q162)
 }

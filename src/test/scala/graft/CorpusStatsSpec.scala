@@ -240,6 +240,57 @@ class CorpusStatsSpec extends SparkSpec {
     assert(his.zip(los.tail).forall { case (h, l) => h < l })
   }
 
+  test("q162 seed similarity: dense replay, seed set discriminates") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def polyHash(t: String): Long = {
+      var h = 0L
+      t.foreach(c => h = (h * 131 + c.toLong) % 1000000007L)
+      h
+    }
+    val stops = Set("the", "a", "value")
+    def feats(t: String): Map[Int, Long] =
+      t.trim.split("\\s+").filter(_.nonEmpty).map(polyHash)
+        .groupBy(h => (h % 256).toInt)
+        .map { case (b, hs) =>
+          b -> hs.map(h => if ((h / 256) % 2 == 0) 1L else -1L).sum
+        }
+    val fmap = docs.map { case (id, t) => id -> feats(t) }.toMap
+    val seedIds = docs.filter { case (_, t) =>
+      val w = t.trim.split("\\s+")
+      w.count(stops.contains) * 10 >= w.length
+    }.map(_._1).toSet
+    val cent = (0 until 256).map { b =>
+      val vs = seedIds.toSeq.flatMap(id => fmap(id).get(b))
+      b -> (if (vs.isEmpty) 0.0 else vs.map(_.toDouble).sum / vs.length)
+    }.filter(_._2 != 0.0).toMap
+    // NOTE: dense centroid averages only over seed docs that HAVE the
+    // bucket (matching the SQL inner-join semantics)
+    val denseCent = (0 until 256).flatMap { b =>
+      val vs = seedIds.toSeq.flatMap(id => fmap(id).get(b))
+      if (vs.isEmpty) None else Some(b -> (vs.map(_.toDouble).sum / vs.length))
+    }.toMap
+    val cn = math.sqrt(denseCent.values.map(c => c * c).sum)
+    val rows = ml.MlPrep.q162.fn(spark, sfDir).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val f = fmap(id)
+      val dot = f.collect { case (b, v) if denseCent.contains(b) => v * denseCent(b) }.sum
+      val dn = math.sqrt(f.values.map(v => (v * v).toDouble).sum)
+      val want = dot / (dn * cn)
+      assert(math.abs(r.getAs[Double]("seed_sim") - want) < 1e-5,
+        s"doc $id: ${r.getAs[Double]("seed_sim")} vs $want")
+      assert(r.getAs[Boolean]("is_seed") == seedIds.contains(id))
+    }
+    // the centroid scores its own seed class higher on average
+    val (seedSims, otherSims) = rows.partition(_.getAs[Boolean]("is_seed"))
+    val mSeed = seedSims.map(_.getAs[Double]("seed_sim")).sum / seedSims.length
+    val mOther = otherSims.map(_.getAs[Double]("seed_sim")).sum / otherSims.length
+    assert(mSeed > mOther, s"seed mean $mSeed !> non-seed mean $mOther")
+    assert(cent.nonEmpty)
+  }
+
   test("q152 character entropy matches a dense replay") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
