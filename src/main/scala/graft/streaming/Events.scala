@@ -259,6 +259,31 @@ object Events {
         (ratio >= 0.25 && col("entropy") >= 1.5 && col("n_tok") >= 5).as("keep"))
   }
 
+  /** STREAMING epoch resampling — q160's temperature schedule applied AS
+    * DOCUMENTS ARRIVE: the frozen (source, rate) schedule joins the
+    * stream broadcast (stream-static, no state, no watermark) and each
+    * doc fans out into floor(rate) copies plus the q160 deterministic-
+    * hash stochastic extra, tagged with copy_idx. Emitting actual
+    * duplicated rows (not a count) is the point — the downstream shard
+    * writer consumes a ready-mixed stream. Docs from sources absent in
+    * the schedule are dropped (inner join — an unscheduled source has no
+    * business in the epoch). Batch face is the identical expression tree
+    * (spec: per-source emitted-row counts equal q160's copy column, and
+    * streamed == batch row-for-row).
+    */
+  def resampleStream(docs: DataFrame, schedule: DataFrame): DataFrame = {
+    val copies = floor(col("rate")).cast("long") +
+      when((col("doc_id") % 9973L) * 131L % 1000L
+          < (col("rate") - floor(col("rate"))) * 1000, 1L).otherwise(0L)
+    docs
+      .join(broadcast(schedule), "source")
+      .withColumn("copies", copies)
+      .withColumn("copy_idx",
+        explode(when(col("copies") >= 1L,
+          sequence(lit(1L), col("copies"))).otherwise(array())))
+      .select(col("doc_id"), col("source"), col("copy_idx"))
+  }
+
   /** Stream-static enrichment: a streaming event feed joined to a static
     * (broadcast) dimension — the standard shape for attaching reference
     * data to a stream without state.

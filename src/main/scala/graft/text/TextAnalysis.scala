@@ -1872,6 +1872,21 @@ object TextAnalysis {
   // at libm-ulp boundaries. Scale shape: the schedule is an O(sources)
   // broadcast model; the corpus joins it broadcast, copies are a
   // projection, one groupBy(source) rollup out.
+  /** q160's frozen (source, n, target_share, rate) schedule — the model
+    * artifact [[graft.streaming.Events.resampleStream]] broadcasts onto
+    * an arriving stream. O(sources) rows.
+    */
+  private[graft] def resampleSchedule(s: SparkSession, d: String): DataFrame = {
+    val srcN = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("wgt", sqrt(col("n").cast("double")))
+    val z = srcN.agg(sum("wgt").as("z"), sum("n").as("big_n"))
+    srcN.crossJoin(broadcast(z))
+      .select(col("source"), col("n"),
+        (col("wgt") / col("z")).as("target_share"),
+        (col("wgt") / col("z") * col("big_n") / col("n")).as("rate"))
+  }
+
   val q160: QueryDef = QueryDef.sql(
     "q160_epoch_resample",
     """WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
@@ -1894,13 +1909,7 @@ object TextAnalysis {
       |FROM agg a JOIN r USING (source) CROSS JOIN tot
       |ORDER BY source""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val srcN = docs.groupBy("source").agg(count(lit(1)).as("n"))
-      .withColumn("wgt", sqrt(col("n").cast("double")))
-    val z = srcN.agg(sum("wgt").as("z"), sum("n").as("big_n"))
-    val r = srcN.crossJoin(broadcast(z))
-      .select(col("source"), col("n"),
-        (col("wgt") / col("z")).as("target_share"),
-        (col("wgt") / col("z") * col("big_n") / col("n")).as("rate"))
+    val r = resampleSchedule(s, d)
     val c = docs.select("doc_id", "source")
       .join(broadcast(r), "source")
       .select(col("source"),

@@ -64,6 +64,42 @@ class FileStreamSpec extends SparkSpec {
     assert(batch.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("resampleStream: streamed fan-out equals the batch face and q160's copy counts") {
+    val schedule = text.TextAnalysis.resampleSchedule(spark, sfDir)
+    val batch = streaming.Events.resampleStream(
+      Tables.documents(spark, sfDir), schedule).collect()
+    // per-source emitted rows must equal q160's per-source copy totals
+    val q160 = text.TextAnalysis.q160.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("copies")).toMap
+    val bySource = batch.groupBy(_.getAs[String]("source"))
+      .map { case (s, g) => s -> g.length.toLong }
+    q160.foreach { case (s, copies) =>
+      assert(bySource.getOrElse(s, 0L) == copies, s"source $s fan-out")
+    }
+    // copy_idx is a dense 1..copies tag per doc
+    batch.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, g) =>
+      val idxs = g.map(_.getAs[Long]("copy_idx")).sorted.toSeq
+      assert(idxs == (1L to g.length.toLong), s"doc $id copy_idx $idxs")
+    }
+    // streamed face: identical multiset
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-resample")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val q = streaming.Events.resampleStream(
+        spark.readStream.schema(schema).parquet(dir.toString), schedule)
+      .writeStream.format("memory").queryName("resample")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("resample").collect().map(_.toSeq).toSet
+    assert(streamed == batch.map(_.toSeq).toSet)
+  }
+
   test("qualityGateStream: streamed decisions match the batch face and q151/q152 metrics") {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
