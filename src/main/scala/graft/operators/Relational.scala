@@ -1186,8 +1186,86 @@ object Relational {
       .drop("rawratio")
   }
 
+  // q163 — CLUSTERED-LAYOUT PRUNING audit ("is the layout actually
+  // buying file skips for my hot predicates" — the measurement a layout
+  // decision needs before paying the clustering write): the events table
+  // is staged ONCE per corpus (memoized) in three 16-file layouts —
+  // arrival order (sorted by event_id ≈ time order: tight ts ranges,
+  // user_id spread everywhere), Morton-clustered and Hilbert-clustered
+  // on (user_id, ts_us) — and TWO centered 10%-band probes are tested
+  // against each file's min/max bounding box, exactly the footer-stats
+  // pruning a reader performs: a TIME band (the reporting query — the
+  // shape arrival order serves perfectly) and a USER band over all time
+  // (the user-history lookup — the shape arrival order cannot prune AT
+  // ALL because every file spans all users). The 6-row matrix is the
+  // whole layout lesson: single-dim sort wins its own dimension and
+  // loses the other outright; the space-filling curves buy bounded reads
+  // on BOTH axes, with Hilbert beating Morton at mid-range bands (the
+  // center-seam pathology ZOrder's scaladoc documents). Per-file stats
+  // here come from one grouped scan of each staging (free footer
+  // metadata at warehouse scale — the audit's only corpus-proportional
+  // cost is the one-time staging write). Layout-dependent → rows-only.
+  val q163: QueryDef = QueryDef.rowsOnly("q163_zorder_pruning_audit") { (s, d) =>
+    val base = s"${s.sessionState.conf.warehousePath}/graft-zaudit/${graft.Memos.pathToken(d)}"
+    val (natPath, mPath, hPath) =
+      (s"$base/natural", s"$base/morton", s"$base/hilbert")
+    zAuditStaged.computeIfAbsent((s, d), { _ =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      ev.repartitionByRange(16, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(natPath)
+      graft.sources.ZOrder.writeZOrdered(ev, mPath, "user_id", "ts_us", 16)
+      graft.sources.ZOrder.writeZOrdered(ev, hPath, "user_id", "ts_us", 16,
+        curve = "hilbert")
+      java.lang.Boolean.TRUE
+    })
+    // probe rectangle: the centered 10% band in each dimension, from a
+    // 1-row bounds aggregate (driver read of a constant-size result)
+    val b = Tables.events(s, d).agg(
+      min("user_id"), max("user_id"), min("ts_us"), max("ts_us")).head()
+    val (ulo, uhi) = (b.getLong(0), b.getLong(1))
+    val (tlo, thi) = (b.getLong(2), b.getLong(3))
+    def band(lo: Long, hi: Long): (Long, Long) = {
+      val span = hi - lo
+      (lo + (span * 45L) / 100L, lo + (span * 55L) / 100L)
+    }
+    val (u1, u2) = band(ulo, uhi)
+    val (t1, t2) = band(tlo, thi)
+    def audit(path: String, layout: String) = {
+      val stats = s.read.parquet(path)
+        .select(input_file_name().as("f"), col("user_id"), col("ts_us"))
+        .groupBy("f")
+        .agg(min("user_id").as("umin"), max("user_id").as("umax"),
+          min("ts_us").as("tmin"), max("ts_us").as("tmax"))
+      val timeHit = col("tmin") <= t2 && col("tmax") >= t1
+      val userHit = col("umin") <= u2 && col("umax") >= u1
+      stats.agg(
+        count(lit(1)).as("files"),
+        sum(when(timeHit, 1L).otherwise(0L)).as("time_hits"),
+        sum(when(userHit, 1L).otherwise(0L)).as("user_hits"))
+        .select(explode(array(
+          struct(lit(layout).as("layout"), lit("time_band").as("probe"),
+            col("files"), col("time_hits").as("files_hit")),
+          struct(lit(layout).as("layout"), lit("user_band").as("probe"),
+            col("files"), col("user_hits").as("files_hit")))).as("r"))
+        .select(col("r.layout"), col("r.probe"), col("r.files"),
+          col("r.files_hit"),
+          round(col("r.files_hit").cast("double") / col("r.files"), 6)
+            .as("hit_fraction"))
+    }
+    audit(natPath, "natural")
+      .unionByName(audit(mPath, "morton"))
+      .unionByName(audit(hPath, "hilbert"))
+      .orderBy("probe", "layout")
+  }
+
+  private val zAuditStaged =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+  graft.Memos.register { () => zAuditStaged.clear() }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
-    q147)
+    q147, q163)
 }

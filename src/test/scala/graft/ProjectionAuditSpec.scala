@@ -135,6 +135,34 @@ class ProjectionAuditSpec extends SparkSpec {
     }
   }
 
+  test("q163 layout audit: sort wins its own dimension, curves bound both") {
+    val rows = operators.Relational.q163.fn(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val hit = rows.map(r => (r.getAs[String]("layout"), r.getAs[String]("probe"))
+      -> r.getAs[Long]("files_hit")).toMap
+    assert(rows.forall(_.getAs[Long]("files") == 16L))
+    // arrival order (≈ time order) cannot prune the user probe AT ALL —
+    // every file spans essentially all users
+    assert(hit(("natural", "user_band")) == 16L,
+      s"natural user probe ${hit(("natural", "user_band"))}")
+    // ...which is exactly what the curves fix
+    assert(hit(("hilbert", "user_band")) < 16L)
+    assert(hit(("morton", "user_band")) < 16L)
+    // and the single-dim sort dominates its own dimension
+    assert(hit(("natural", "time_band")) <= hit(("hilbert", "time_band")))
+    assert(hit(("natural", "time_band")) <= hit(("morton", "time_band")))
+    // Hilbert's adjacency-preserving walk is never worse than Morton
+    // across the probe pair (the center-seam pathology)
+    val hTot = hit(("hilbert", "time_band")) + hit(("hilbert", "user_band"))
+    val mTot = hit(("morton", "time_band")) + hit(("morton", "user_band"))
+    assert(hTot <= mTot, s"hilbert total $hTot vs morton $mTot")
+    rows.foreach { r =>
+      val frac = r.getAs[Double]("hit_fraction")
+      assert(frac > 0.0 && frac <= 1.0)
+      assert(math.abs(frac - r.getAs[Long]("files_hit").toDouble / 16) < 1e-9)
+    }
+  }
+
   test("q156 matches the sign formula densely and preserves distances") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
