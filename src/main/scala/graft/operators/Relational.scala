@@ -1264,8 +1264,72 @@ object Relational {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
   graft.Memos.register { () => zAuditStaged.clear() }
 
+  // q164 — QUANTILE-SKETCH calibration audit (the third member of the
+  // sketch-honesty family: q145 calibrates MinHash, q158 the IVF index,
+  // this one approx_percentile's GK-style rank guarantee — "is the
+  // sketch's 1/accuracy error bar real on MY distribution, and what does
+  // more accuracy buy"): per group, sketch quantiles at three accuracy
+  // levels ride ONE aggregate pass; the exact rank interval of each
+  // returned value comes from q12's (group, value, count) cumulative
+  // table by an equality join (the sketch returns REAL data values, so
+  // its rank interval is a lookup, not a search); rank_err = distance
+  // from the target quantile to the value's [cum_start, cum_end]/n span,
+  // asserted ≤ 1/accuracy. Scale shape: the count table is the only
+  // corpus-sized shuffle (shared shape with q12), sketch aggregation is
+  // map-side bounded buffers, the audit join moves O(groups·quantiles·
+  // accuracies) rows. Sketch internals are engine-specific → rows-only;
+  // the BOUND is the spec's contract.
+  val q164: QueryDef = QueryDef.rowsOnly("q164_quantile_sketch_audit") { (s, d) =>
+    val qs = Seq(0.5, 0.95)
+    val accs = Seq(100, 1000, 10000)
+    val counts = Tables.orders(s, d)
+      .groupBy("o_orderpriority", "o_totalprice")
+      .agg(count(lit(1)).as("cnt"))
+    val byPrice = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    val run = byPrice.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = byPrice.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = counts
+      .withColumn("cum_end", sum("cnt").over(run))
+      .withColumn("cum_start", col("cum_end") - col("cnt"))
+      .withColumn("n", sum("cnt").over(whole))
+    // exact DISCRETE quantiles (value at rank ceil(q·n)) for reference
+    val exact = ranked.groupBy("o_orderpriority").agg(
+      qs.map(q => min(when(col("cum_end") >= ceil(lit(q) * col("n")),
+        col("o_totalprice"))).as(s"ex_${(q * 100).toInt}")).head,
+      qs.map(q => min(when(col("cum_end") >= ceil(lit(q) * col("n")),
+        col("o_totalprice"))).as(s"ex_${(q * 100).toInt}")).tail: _*)
+    // all sketch levels in one aggregate pass
+    val sk = Tables.orders(s, d).groupBy("o_orderpriority").agg(
+      accs.map(a => percentile_approx(col("o_totalprice"),
+        array(qs.map(lit): _*), lit(a)).as(s"pa_$a")).head,
+      accs.map(a => percentile_approx(col("o_totalprice"),
+        array(qs.map(lit): _*), lit(a)).as(s"pa_$a")).tail: _*)
+    val skRows = sk.select(col("o_orderpriority"),
+      explode(array((for { a <- accs; (q, qi) <- qs.zipWithIndex } yield
+        struct(lit(a).as("accuracy"), lit(q).as("quantile"),
+          col(s"pa_$a").getItem(qi).as("v"))): _*)).as("r"))
+      .select(col("o_orderpriority"), col("r.accuracy"), col("r.quantile"),
+        col("r.v"))
+    skRows
+      .join(ranked.withColumnRenamed("o_totalprice", "v"),
+        Seq("o_orderpriority", "v"))
+      .join(broadcast(exact), "o_orderpriority")
+      .select(col("o_orderpriority"), col("quantile"), col("accuracy"),
+        when(col("quantile") === 0.5, col("ex_50")).otherwise(col("ex_95"))
+          .as("exact_disc"),
+        col("v").as("sketch_value"),
+        greatest(lit(0.0),
+          greatest(col("cum_start").cast("double") / col("n") - col("quantile"),
+            col("quantile") - col("cum_end").cast("double") / col("n")))
+          .as("rank_err"))
+      .withColumn("within_bound",
+        col("rank_err") <= lit(1.0) / col("accuracy") + 1e-12)
+      .orderBy("o_orderpriority", "quantile", "accuracy")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
-    q147, q163)
+    q147, q163, q164)
 }

@@ -163,6 +163,29 @@ class ProjectionAuditSpec extends SparkSpec {
     }
   }
 
+  test("q164 sketch quantiles honor the 1/accuracy rank bound; error shrinks with accuracy") {
+    val rows = operators.Relational.q164.fn(spark, sfDir).collect()
+    assert(rows.length == 30, s"expected 5 groups x 2 quantiles x 3 accuracies")
+    assert(rows.forall(_.getAs[Boolean]("within_bound")),
+      "sketch violated its own rank guarantee")
+    val byAcc = rows.groupBy(_.getAs[Int]("accuracy"))
+      .map { case (a, g) => a -> g.map(_.getAs[Double]("rank_err")).sum / g.size }
+    val sorted = byAcc.toSeq.sortBy(_._1)
+    sorted.zip(sorted.tail).foreach { case ((a1, e1), (a2, e2)) =>
+      assert(e2 <= e1 + 1e-12, s"mean rank_err rose $e1@$a1 -> $e2@$a2")
+    }
+    // the audit must SEE error at the coarse setting, else it tests nothing
+    assert(byAcc(100) > 0.0, "accuracy=100 shows zero rank error — corpus too small to audit")
+    // exact reference replay for one group
+    val vals = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_totalprice").collect().map(_.getDouble(0)).sorted
+    val p50 = vals(math.ceil(0.5 * vals.length).toInt - 1)
+    val got = rows.find(r => r.getAs[String]("o_orderpriority") == "1-URGENT"
+      && r.getAs[Double]("quantile") == 0.5).get.getAs[Double]("exact_disc")
+    assert(got == p50, s"exact_disc $got vs dense $p50")
+  }
+
   test("q156 matches the sign formula densely and preserves distances") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
