@@ -1328,8 +1328,131 @@ object Relational {
       .orderBy("o_orderpriority", "quantile", "accuracy")
   }
 
+  /** q165's bounded transition-count extraction: sessionized (30-min
+    * gap), truncated at each session's FIRST purchase, with purchase
+    * mapped to the absorbing CONV state and session end to DROP. Output
+    * is O(states²) rows — the whole corpus collapses before anything
+    * leaves the cluster.
+    */
+  private[graft] def markovTransitionCounts(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum("new_sess").over(w))
+    val w2 = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    val pos = sess.withColumn("pos", row_number().over(w2))
+    val firstP = pos.groupBy("user_id", "sess")
+      .agg(min(when(col("event_type") === "purchase", col("pos"))).as("ppos"))
+    val kept = pos.join(firstP, Seq("user_id", "sess"))
+      .filter(col("ppos").isNull || col("pos") <= col("ppos"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w2))
+    val starts = kept.filter(col("pos") === 1)
+      .select(lit("START").as("from_t"),
+        when(col("event_type") === "purchase", "CONV")
+          .otherwise(col("event_type")).as("to_t"))
+    val steps = kept.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("from_t"),
+        when(col("nxt").isNull, "DROP")
+          .when(col("nxt") === "purchase", "CONV")
+          .otherwise(col("nxt")).as("to_t"))
+    starts.unionByName(steps)
+      .groupBy("from_t", "to_t").agg(count(lit(1)).as("n"))
+  }
+
+  /** Absorption probability into CONV from START under row-normalized
+    * transition counts, with `removed` channels redirected to DROP
+    * (their incoming probability mass is LOST, not renormalized — the
+    * standard removal-effect convention). Gaussian elimination over the
+    * ≤|states| transient system (I − Q)f = r — constant-size driver
+    * math, the k-means-centroid class.
+    */
+  private[graft] def absorbConv(counts: Seq[(String, String, Long)],
+      removed: Set[String]): Double = {
+    val transient = ("START" +: counts.map(_._1).distinct.filterNot(_ == "START").sorted)
+      .filterNot(removed)
+    val idx = transient.zipWithIndex.toMap
+    val nT = transient.length
+    val q = Array.ofDim[Double](nT, nT)
+    val r = new Array[Double](nT)
+    val totals = counts.filterNot(c => removed(c._1)).groupBy(_._1)
+      .map { case (f, g) => f -> g.map(_._3).sum.toDouble }
+    counts.foreach { case (f, t, n) =>
+      if (!removed(f) && idx.contains(f)) {
+        val p = n / totals(f)
+        if (t == "CONV" && !removed.contains(t)) r(idx(f)) += p
+        else if (idx.contains(t) && !removed(t)) q(idx(f))(idx(t)) += p
+        // else: DROP, or a removed channel → mass lost
+      }
+    }
+    // solve (I − Q) f = r
+    val a = Array.tabulate(nT, nT)((i, j) => (if (i == j) 1.0 else 0.0) - q(i)(j))
+    val b = r.clone()
+    var col0 = 0
+    while (col0 < nT) {
+      var piv = col0
+      var row = col0
+      while (row < nT) { if (math.abs(a(row)(col0)) > math.abs(a(piv)(col0))) piv = row; row += 1 }
+      val tmp = a(col0); a(col0) = a(piv); a(piv) = tmp
+      val tb = b(col0); b(col0) = b(piv); b(piv) = tb
+      val d0 = a(col0)(col0)
+      var j = col0
+      while (j < nT) { a(col0)(j) /= d0; j += 1 }
+      b(col0) /= d0
+      row = 0
+      while (row < nT) {
+        if (row != col0 && a(row)(col0) != 0.0) {
+          val f = a(row)(col0)
+          var j2 = col0
+          while (j2 < nT) { a(row)(j2) -= f * a(col0)(j2); j2 += 1 }
+          b(row) -= f * b(col0)
+        }
+        row += 1
+      }
+      col0 += 1
+    }
+    b(idx("START"))
+  }
+
+  // q165 — MARKOV REMOVAL-EFFECT attribution (the data-driven
+  // alternative to q112's rule-based credit: model the session as a
+  // first-order chain, and a channel's credit is how much conversion
+  // probability DISAPPEARS when every path through it is cut — the
+  // standard Markov attribution, built on q113's transition machinery
+  // with absorbing CONV/DROP states and first-purchase truncation).
+  // Scale shape: the corpus collapses to O(states²) transition counts in
+  // one session-windowed pass (the only corpus shuffle); the chain math
+  // — base absorption probability and one resolve per removed channel —
+  // is constant-size driver linear algebra over that bounded artifact.
+  // Removal redirects mass to DROP without renormalizing (lost, as the
+  // convention demands), so p_removed ≤ p_base structurally. Iterative
+  // linear-algebra output → rows-only; MarkovSpec replays absorption by
+  // independent power iteration and pins the invariants.
+  val q165: QueryDef = QueryDef.rowsOnly("q165_markov_attribution") { (s, d) =>
+    import s.implicits._
+    // bounded driver read: ≤ (states+1)² transition rows regardless of
+    // corpus size (take-guarded like the centroid/model reads)
+    val raw = markovTransitionCounts(s, d).take(128)
+    require(raw.length < 128, "transition state space unexpectedly large")
+    val counts = raw.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val channels = counts.map(_._1).distinct.filterNot(_ == "START").sorted
+    val pBase = absorbConv(counts, Set.empty)
+    val rows = channels.map { c =>
+      val pRem = absorbConv(counts, Set(c))
+      (c, pBase, pRem, (pBase - pRem) / pBase)
+    }
+    val totalEffect = rows.map(_._4).sum
+    rows.map { case (c, pb, pr, e) => (c, pb, pr, e, e / totalEffect) }
+      .toDF("channel", "p_base", "p_removed", "removal_effect", "credit_share")
+      .orderBy("channel")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
-    q147, q163, q164)
+    q147, q163, q164, q165)
 }

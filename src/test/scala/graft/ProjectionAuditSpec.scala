@@ -186,6 +186,50 @@ class ProjectionAuditSpec extends SparkSpec {
     assert(got == p50, s"exact_disc $got vs dense $p50")
   }
 
+  test("q165 Markov attribution: power-iteration parity, removal invariants") {
+    val counts = operators.Relational.markovTransitionCounts(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // independent absorption estimate: iterate the distribution from
+    // START through the chain (no linear solve) until mass settles
+    def powerAbsorb(removed: Set[String]): Double = {
+      val totals = counts.filterNot(c => removed(c._1)).groupBy(_._1)
+        .map { case (f, g) => f -> g.map(_._3).sum.toDouble }
+      var dist = Map("START" -> 1.0)
+      var conv = 0.0
+      (1 to 500).foreach { _ =>
+        val next = scala.collection.mutable.Map[String, Double]()
+        dist.foreach { case (st, m) =>
+          if (m > 0 && totals.contains(st) && !removed(st)) {
+            counts.filter(_._1 == st).foreach { case (_, t, n) =>
+              val p = m * n / totals(st)
+              if (t == "CONV") conv += p
+              else if (t != "DROP" && !removed(t)) next(t) = next.getOrElse(t, 0.0) + p
+            }
+          }
+        }
+        dist = next.toMap
+      }
+      conv
+    }
+    val rows = operators.Relational.q165.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pBase = rows.head.getAs[Double]("p_base")
+    assert(math.abs(pBase - powerAbsorb(Set.empty)) < 1e-9,
+      s"p_base $pBase vs power ${powerAbsorb(Set.empty)}")
+    assert(pBase > 0.0 && pBase <= 1.0)
+    var creditSum = 0.0
+    rows.foreach { r =>
+      val c = r.getAs[String]("channel")
+      val pRem = r.getAs[Double]("p_removed")
+      assert(math.abs(pRem - powerAbsorb(Set(c))) < 1e-9, s"channel $c")
+      // cutting paths can only lose conversions (mass is not renormalized)
+      assert(pRem <= pBase + 1e-12, s"$c: removal raised conversion")
+      assert(r.getAs[Double]("removal_effect") >= -1e-12)
+      creditSum += r.getAs[Double]("credit_share")
+    }
+    assert(math.abs(creditSum - 1.0) < 1e-9, s"credit shares sum $creditSum")
+  }
+
   test("q156 matches the sign formula densely and preserves distances") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
