@@ -1451,8 +1451,84 @@ object Relational {
       .orderBy("channel")
   }
 
+  // q166 — SURVIVAL life table for time-to-conversion (the Kaplan–Meier
+  // estimator on hour buckets — the churn/time-to-event staple: "what
+  // fraction of users are still unconverted after t hours", with users
+  // who never convert CENSORED at their last observed event, not
+  // dropped — discarding them is the classic bias this estimator
+  // exists to avoid). Scale shape: one user-keyed aggregate collapses
+  // the corpus to per-user (duration, converted) rows; hour-bucketing
+  // bounds the life table to O(observed-span hours) rows, so the
+  // cumulative window runs on a BOUNDED table (the q127/q161 rule —
+  // never a data-proportional global window). S(t) = Π(1 − d/n) is
+  // computed as exp(Σ ln(1 − d/n)) in BOTH engines (identical libm-op
+  // order; a portable cumulative product), with the all-converted
+  // terminal bucket forced to exactly 0 via a window max guard instead
+  // of ln(0). Multi-term double output → round-6.
+  val q166: QueryDef = QueryDef.sql(
+    "q166_survival_lifetable",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    min(epoch_us(ts)) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tc,
+      |    max(epoch_us(ts)) AS tl
+      |  FROM events GROUP BY user_id),
+      |d AS (
+      |  SELECT user_id,
+      |    CASE WHEN tc IS NOT NULL THEN (tc - t0) // 3600000000
+      |         ELSE (tl - t0) // 3600000000 END AS hrs,
+      |    CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM u),
+      |lt AS (
+      |  SELECT hrs, CAST(sum(ev) AS BIGINT) AS d_conv,
+      |    CAST(count(*) - sum(ev) AS BIGINT) AS c_cens
+      |  FROM d GROUP BY hrs),
+      |risk AS (
+      |  SELECT hrs, d_conv, c_cens,
+      |    sum(d_conv + c_cens) OVER (ORDER BY hrs DESC) AS n_risk
+      |  FROM lt)
+      |SELECT hrs, CAST(n_risk AS BIGINT) AS n_risk, d_conv, c_cens,
+      |  round(CASE WHEN max(CASE WHEN d_conv = n_risk THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY hrs) = 1 THEN 0.0
+      |    ELSE exp(sum(CASE WHEN d_conv < n_risk
+      |        THEN ln(1.0 - CAST(d_conv AS DOUBLE) / n_risk) END)
+      |      OVER (ORDER BY hrs)) END, 6) AS s_km
+      |FROM risk
+      |WHERE d_conv > 0
+      |ORDER BY hrs""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("tc"),
+        max("ts_us").as("tl"))
+    val dur = u.select(
+      when(col("tc").isNotNull, expr("(tc - t0) div 3600000000"))
+        .otherwise(expr("(tl - t0) div 3600000000")).as("hrs"),
+      when(col("tc").isNotNull, 1L).otherwise(0L).as("ev"))
+    val lt = dur.groupBy("hrs")
+      .agg(sum("ev").as("d_conv"),
+        (count(lit(1)) - sum("ev")).as("c_cens"))
+    // the life table is bounded by the observed hour span — single-
+    // partition windows over it are fine (q127's rule)
+    val byHrsDesc = Window.orderBy(desc("hrs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byHrs = Window.orderBy(asc("hrs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lt.withColumn("n_risk", sum(col("d_conv") + col("c_cens")).over(byHrsDesc))
+      .withColumn("zero_seen",
+        max(when(col("d_conv") === col("n_risk"), 1).otherwise(0)).over(byHrs))
+      .withColumn("s_km",
+        round(when(col("zero_seen") === 1, 0.0)
+          .otherwise(exp(sum(when(col("d_conv") < col("n_risk"),
+            log(lit(1.0) - col("d_conv").cast("double") / col("n_risk"))))
+            .over(byHrs))), 6))
+      .filter(col("d_conv") > 0)
+      .select("hrs", "n_risk", "d_conv", "c_cens", "s_km")
+      .orderBy("hrs")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
-    q147, q163, q164, q165)
+    q147, q163, q164, q165, q166)
 }

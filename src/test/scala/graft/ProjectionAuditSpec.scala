@@ -230,6 +230,48 @@ class ProjectionAuditSpec extends SparkSpec {
     assert(math.abs(creditSum - 1.0) < 1e-9, s"credit shares sum $creditSum")
   }
 
+  test("q166 life table matches a dense Kaplan-Meier replay") {
+    val users = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("tc"),
+        max("ts_us").as("tl"))
+      .collect()
+      .map { r =>
+        val t0 = r.getLong(1)
+        val conv = !r.isNullAt(2)
+        val end = if (conv) r.getLong(2) else r.getLong(3)
+        ((end - t0) / 3600000000L, conv)
+      }
+    val byHr = users.groupBy(_._1).map { case (h, g) =>
+      h -> (g.count(_._2).toLong, g.count(!_._2).toLong)
+    }
+    val hrs = byHr.keys.toSeq.sorted
+    var atRisk = users.length.toLong
+    var surv = 1.0
+    val dense = scala.collection.mutable.Map[Long, (Long, Long, Long, Double)]()
+    hrs.foreach { h =>
+      val (d, c) = byHr(h)
+      val s = if (d == atRisk) 0.0 else surv * (1.0 - d.toDouble / atRisk)
+      if (d > 0) dense(h) = (atRisk, d, c, s)
+      surv = s
+      atRisk -= (d + c)
+    }
+    val rows = operators.Relational.q166.fn(spark, sfDir).collect()
+    assert(rows.length == dense.size)
+    rows.foreach { r =>
+      val (n, d, c, s) = dense(r.getAs[Long]("hrs"))
+      assert(r.getAs[Long]("n_risk") == n)
+      assert(r.getAs[Long]("d_conv") == d && r.getAs[Long]("c_cens") == c)
+      assert(math.abs(r.getAs[Double]("s_km") - s) < 1e-5,
+        s"hr ${r.get(0)}: ${r.getAs[Double]("s_km")} vs $s")
+    }
+    // survival is a nonincreasing curve in [0, 1]
+    val ss = rows.map(_.getAs[Double]("s_km"))
+    assert(ss.zip(ss.tail).forall { case (a, b) => b <= a + 1e-12 })
+    assert(ss.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
   test("q156 matches the sign formula densely and preserves distances") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
