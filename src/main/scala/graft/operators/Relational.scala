@@ -1527,8 +1527,94 @@ object Relational {
       .orderBy("hrs")
   }
 
+  // q167 — A/B CONVERSION TEST (the experiment-readout primitive: a
+  // deterministic hash splits users into arms, conversion = the user
+  // ACTIVATED — purchased within an hour of first touch (the time-boxed
+  // metric; "ever purchased" saturates at 100% on this corpus and tests
+  // nothing), and the 2×2 chi-square with Yates continuity correction
+  // says whether the observed rate difference clears chance. Run as an
+  // A/A test (a null split of one population) — and on this corpus the
+  // fixed hash split lands at chi2 = 4.07 > 3.84: a real 1-in-20
+  // fluctuation, the concrete reminder of why a single unlucky split
+  // (or peeking across many) reads as a false win. All counts
+  // are exact integers from one user-keyed aggregate + an O(1) rollup;
+  // expected cells are single IEEE divisions; the 4-term chi-square sum
+  // is written in the same fixed cell order in both engines and
+  // rounded-6; the significance flag applies to the ROUNDED statistic
+  // at the 3.841 (df=1, α=0.05) critical value.
+  val q167: QueryDef = QueryDef.sql(
+    "q167_ab_conversion_test",
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(epoch_us(ts)) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tc
+      |  FROM events GROUP BY user_id),
+      |u AS (
+      |  SELECT user_id,
+      |    ((user_id % 1000003) * 2654435761) % 2 AS arm,
+      |    CASE WHEN tc IS NOT NULL AND tc <= t0 + 3600000000
+      |      THEN 1 ELSE 0 END AS conv
+      |  FROM f),
+      |c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM u),
+      |x AS (
+      |  SELECT n_a, n_b, conv_a, conv_b,
+      |    CAST(n_a + n_b AS DOUBLE) AS n,
+      |    CAST(conv_a + conv_b AS DOUBLE) AS conv_t
+      |  FROM c)
+      |SELECT n_a, n_b, conv_a, conv_b,
+      |  CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+      |  CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+      |  round(CASE WHEN conv_t = 0 OR conv_t = n THEN 0.0 ELSE
+      |    n * pow(greatest(0.0, abs(CAST(conv_a AS DOUBLE) * (n_b - conv_b)
+      |        - CAST(conv_b AS DOUBLE) * (n_a - conv_a)) - n / 2), 2)
+      |      / (conv_t * (n - conv_t) * CAST(n_a AS DOUBLE) * n_b) END, 6) AS chi2,
+      |  round(CASE WHEN conv_t = 0 OR conv_t = n THEN 0.0 ELSE
+      |    n * pow(greatest(0.0, abs(CAST(conv_a AS DOUBLE) * (n_b - conv_b)
+      |        - CAST(conv_b AS DOUBLE) * (n_a - conv_a)) - n / 2), 2)
+      |      / (conv_t * (n - conv_t) * CAST(n_a AS DOUBLE) * n_b) END, 6)
+      |    > 3.841459 AS significant
+      |FROM x""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("tc"))
+      .select(col("user_id"),
+        when(col("tc").isNotNull && col("tc") <= col("t0") + 3600000000L, 1)
+          .otherwise(0).as("conv"))
+      .withColumn("arm", col("user_id") % 1000003L * 2654435761L % 2L)
+    val c = u.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0)).cast("long").as("conv_a"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0)).cast("long").as("conv_b"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val convT = (col("conv_a") + col("conv_b")).cast("double")
+    // Yates-corrected 2×2 chi-square in its determinant form:
+    // n·(|ad − bc| − n/2)² / (row₁·row₂·col₁·col₂) — one expression,
+    // identical operand order in both engines
+    // a table with zero or universal conversion has no variation to
+    // test — chi2 defined as 0 (and ANSI double/0 would throw)
+    val chi2 = round(
+      when(convT === 0.0 || convT === n, 0.0).otherwise(
+        n * pow(greatest(lit(0.0),
+          abs(col("conv_a").cast("double") * (col("n_b") - col("conv_b"))
+            - col("conv_b").cast("double") * (col("n_a") - col("conv_a"))) - n / 2), 2)
+          / (convT * (n - convT) * col("n_a").cast("double") * col("n_b"))), 6)
+    c.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      (col("conv_a").cast("double") / col("n_a")).as("rate_a"),
+      (col("conv_b").cast("double") / col("n_b")).as("rate_b"),
+      chi2.as("chi2"),
+      (chi2 > 3.841459).as("significant"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
-    q147, q163, q164, q165, q166)
+    q147, q163, q164, q165, q166, q167)
 }

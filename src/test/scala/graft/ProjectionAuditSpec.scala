@@ -272,6 +272,40 @@ class ProjectionAuditSpec extends SparkSpec {
     assert(ss.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("q167 A/B test matches a dense chi-square replay") {
+    val users = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("tc"))
+      .collect()
+      .map { r =>
+        val arm = r.getLong(0) % 1000003L * 2654435761L % 2L
+        val conv = !r.isNullAt(2) && r.getLong(2) <= r.getLong(1) + 3600000000L
+        (arm, conv)
+      }
+    val na = users.count(_._1 == 0L).toLong
+    val nb = users.count(_._1 == 1L).toLong
+    val ca = users.count(u => u._1 == 0L && u._2).toLong
+    val cb = users.count(u => u._1 == 1L && u._2).toLong
+    val row = operators.Relational.q167.fn(spark, sfDir).head()
+    assert(row.getAs[Long]("n_a") == na && row.getAs[Long]("n_b") == nb)
+    assert(row.getAs[Long]("conv_a") == ca && row.getAs[Long]("conv_b") == cb)
+    assert(row.getAs[Double]("rate_a") == ca.toDouble / na)
+    assert(row.getAs[Double]("rate_b") == cb.toDouble / nb)
+    val n = (na + nb).toDouble
+    val convT = (ca + cb).toDouble
+    val expect =
+      if (convT == 0 || convT == n) 0.0
+      else n * math.pow(math.max(0.0,
+        math.abs(ca.toDouble * (nb - cb) - cb.toDouble * (na - ca)) - n / 2), 2) /
+        (convT * (n - convT) * na * nb)
+    assert(math.abs(row.getAs[Double]("chi2") - expect) < 1e-5,
+      s"chi2 ${row.getAs[Double]("chi2")} vs dense $expect")
+    assert(row.getAs[Boolean]("significant") ==
+      (row.getAs[Double]("chi2") > 3.841459))
+    assert(row.getAs[Double]("chi2") >= 0.0)
+  }
+
   test("q156 matches the sign formula densely and preserves distances") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
