@@ -1613,8 +1613,63 @@ object Relational {
       (chi2 > 3.841459).as("significant"))
   }
 
+  // q168 — WEEKLY VALUE-QUANTILE drift monitor (the distribution-shape
+  // companion to q147's count anomalies: purchase-value p50/p95 per
+  // week with week-over-week ratios — a drifting p95 with a flat p50
+  // means the tail moved, which a mean-based monitor averages away).
+  // Discrete percentiles via the integer-ceil rank rule over the
+  // per-week (value, count) table — the cut picks an ACTUAL data value,
+  // so cross-week ratios are single IEEE divisions of exact doubles,
+  // engine-identical unrounded; the drift flag fires at ±25%. Scale
+  // shape: one map-side-combined shuffle to the count table, per-week
+  // windows over its bounded partitions, the lag over O(weeks) rows.
+  val q168: QueryDef = QueryDef.sql(
+    "q168_metric_quantile_drift",
+    """WITH w AS (
+      |  SELECT epoch_us(ts) // 604800000000 AS wk, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT wk, value, count(*) AS cnt FROM w GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT wk, value, cnt,
+      |    sum(cnt) OVER (PARTITION BY wk ORDER BY value) AS cum,
+      |    sum(cnt) OVER (PARTITION BY wk) AS total
+      |  FROM c),
+      |cuts AS (
+      |  SELECT wk, CAST(min(total) AS BIGINT) AS n,
+      |    min(CASE WHEN cum >= (total + 1) // 2 THEN value END) AS p50,
+      |    min(CASE WHEN cum >= (19 * total + 19) // 20 THEN value END) AS p95
+      |  FROM cum GROUP BY wk)
+      |SELECT wk, n, p50, p95,
+      |  p50 / lag(p50) OVER (ORDER BY wk) AS wow_p50,
+      |  p95 / lag(p95) OVER (ORDER BY wk) AS wow_p95,
+      |  coalesce(abs(p50 / lag(p50) OVER (ORDER BY wk) - 1.0) > 0.25
+      |    OR abs(p95 / lag(p95) OVER (ORDER BY wk) - 1.0) > 0.25, false)
+      |    AS drifted
+      |FROM cuts ORDER BY wk""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us div 604800000000").as("wk"), col("value"))
+      .groupBy("wk", "value").agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy("wk").orderBy("value")
+    val cum = c
+      .withColumn("cum", sum("cnt").over(byVal))
+      .withColumn("total", sum("cnt").over(Window.partitionBy("wk")))
+    val cuts = cum.groupBy("wk").agg(
+      min("total").cast("long").as("n"),
+      min(when(col("cum") >= expr("(total + 1) div 2"), col("value"))).as("p50"),
+      min(when(col("cum") >= expr("(19 * total + 19) div 20"), col("value"))).as("p95"))
+    val byWk = Window.orderBy("wk")
+    cuts
+      .withColumn("wow_p50", col("p50") / lag("p50", 1).over(byWk))
+      .withColumn("wow_p95", col("p95") / lag("p95", 1).over(byWk))
+      .withColumn("drifted",
+        coalesce(abs(col("wow_p50") - 1.0) > 0.25
+          || abs(col("wow_p95") - 1.0) > 0.25, lit(false)))
+      .orderBy("wk")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
-    q147, q163, q164, q165, q166, q167)
+    q147, q163, q164, q165, q166, q167, q168)
 }

@@ -306,6 +306,38 @@ class ProjectionAuditSpec extends SparkSpec {
     assert(row.getAs[Double]("chi2") >= 0.0)
   }
 
+  test("q168 weekly quantile drift matches a dense rank-cut replay") {
+    val vals = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us div 604800000000").as("wk"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val byWk = vals.groupBy(_._1).map { case (w, g) =>
+      val sorted = g.map(_._2).sorted
+      val n = sorted.length.toLong
+      def cut(rank: Long) = sorted((rank - 1).toInt)
+      w -> (n, cut((n + 1) / 2), cut((19 * n + 19) / 20))
+    }
+    val rows = operators.Relational.q168.fn(spark, sfDir).collect()
+    assert(rows.length == byWk.size)
+    val wks = rows.map(_.getAs[Long]("wk"))
+    assert(wks.sorted.toSeq == wks.toSeq)
+    rows.foreach { r =>
+      val (n, p50, p95) = byWk(r.getAs[Long]("wk"))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("p50") == p50, s"wk ${r.get(0)} p50")
+      assert(r.getAs[Double]("p95") == p95, s"wk ${r.get(0)} p95")
+      assert(p50 <= p95)
+    }
+    // first week has no predecessor: null ratios, unflagged
+    assert(rows.head.isNullAt(rows.head.fieldIndex("wow_p50")))
+    assert(!rows.head.getAs[Boolean]("drifted"))
+    rows.tail.foreach { r =>
+      assert(r.getAs[Boolean]("drifted") ==
+        (math.abs(r.getAs[Double]("wow_p50") - 1.0) > 0.25 ||
+          math.abs(r.getAs[Double]("wow_p95") - 1.0) > 0.25))
+    }
+  }
+
   test("q156 matches the sign formula densely and preserves distances") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
