@@ -196,5 +196,54 @@ object Incremental {
     ()
   }
 
-  val all: Seq[QueryDef] = Seq(q104)
+  /** Per-day HLL user sketches of an event slice — the mergeable state
+    * [[q169]] maintains. One map-side-combined aggregate; output is
+    * O(days) rows each carrying a bounded sketch binary.
+    */
+  private[graft] def dailyUserSketch(events: DataFrame): DataFrame =
+    events.select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .groupBy("day").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+
+  private val duMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  graft.Memos.register { () => duMemo.clear() }
+  private[graft] def dailyUserTable(s: SparkSession, d: String): String =
+    duMemo.computeIfAbsent((s, d), { _ =>
+      val t = s"graft_mv_daily_users_${graft.Memos.pathToken(d)}"
+      dailyUserSketch(Tables.events(s, d).filter(col("event_id") % 10 =!= 0))
+        .write.mode("overwrite")
+        // external path: files outlive the per-JVM metastore, so a fresh
+        // session overwrites cleanly instead of tripping on the stale dir
+        .option("path",
+          s"${s.sessionState.conf.warehousePath}/graft-mv/$t")
+        .saveAsTable(t)
+      t
+    })
+
+  // q169 — INCREMENTAL DISTINCT-COUNT maintenance (daily active users —
+  // THE metric every warehouse keeps current, and the one a q104-style
+  // additive merge cannot serve: COUNT DISTINCT is not decomposable, so
+  // the snapshot must hold a MERGEABLE sketch, not a number). The
+  // standing state is a persisted (day, HLL sketch) table over the 90%
+  // slice; a refresh sketches only the 10% delta and hll_unions per
+  // day — O(delta) work + an O(days) sketch merge, the corpus never
+  // re-aggregated (plan-guarded: one events scan, the snapshot side
+  // reads sketch binaries). HLL union is LOSSLESS with respect to the
+  // underlying set: the merged sketch is bit-identical to a one-pass
+  // sketch of the whole slice, so the incremental path's estimates
+  // EQUAL the from-scratch estimates exactly (spec-asserted, alongside
+  // a ≤5% accuracy band vs exact distinct). Sketch internals are
+  // engine-specific → rows-only.
+  val q169: QueryDef = QueryDef.rowsOnly("q169_incremental_distinct") { (s, d) =>
+    val snapshot = s.table(dailyUserTable(s, d))
+    val delta = dailyUserSketch(
+      Tables.events(s, d).filter(col("event_id") % 10 === 0))
+    snapshot.unionByName(delta)
+      .groupBy("day").agg(expr("hll_union_agg(sk)").as("sk"))
+      .select(col("day"),
+        expr("hll_sketch_estimate(sk)").as("approx_users"))
+      .orderBy("day")
+  }
+
+  val all: Seq[QueryDef] = Seq(q104, q169)
 }

@@ -338,6 +338,32 @@ class ProjectionAuditSpec extends SparkSpec {
     }
   }
 
+  test("q169 incremental distinct: merge equals one-pass sketch, 5% of exact, one corpus scan") {
+    val rows = operators.Incremental.q169.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // lossless-merge: incremental result == one-pass sketch of everything
+    val onePass = operators.Incremental.dailyUserSketch(Tables.events(spark, sfDir))
+      .select(col("day"), expr("hll_sketch_estimate(sk)").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == onePass, "merged sketches differ from the one-pass sketch")
+    // accuracy: within 5% of exact distinct per day
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == exact.keySet)
+    rows.foreach { case (day, est) =>
+      val err = math.abs(est - exact(day)).toDouble / exact(day)
+      assert(err <= 0.05, s"day $day: est $est vs exact ${exact(day)} ($err)")
+    }
+    // incremental plan: the raw events table is scanned once (the delta);
+    // the snapshot side reads persisted sketch binaries
+    val plan = operators.Incremental.q169.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("events.parquet").length - 1 == 1,
+      s"expected exactly one events scan:\n$plan")
+  }
+
   test("q156 matches the sign formula densely and preserves distances") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
