@@ -245,5 +245,33 @@ object Incremental {
       .orderBy("day")
   }
 
+  /** STREAMING distinct-count maintenance — q169's live face, the
+    * sketch-table variant of [[refreshStream]]: each micro-batch's
+    * per-day HLL sketches APPEND under a `batch_id` partition via the
+    * same ledger-gated [[idempotentAppend]] (exactly-once table contents
+    * under at-least-once foreachBatch replay — a replayed batch
+    * regenerates identical sketches, the determinism idempotentAppend
+    * demands); [[readDistinctView]] compacts per day with hll_union_agg
+    * at read. Merge-on-read: a trigger costs O(batch), never a snapshot
+    * rewrite, and the periodic offline compaction story is q104's.
+    */
+  def distinctStream(events: DataFrame, snapTable: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          idempotentAppend(dailyUserSketch(batch), batchId, snapTable)
+      }
+
+  /** The DAU view over appended sketch partials: one O(days + recent
+    * partials) groupBy — HLL union collapses any number of per-batch
+    * partial sketches per day losslessly.
+    */
+  def readDistinctView(s: SparkSession, snapTable: String): DataFrame =
+    s.table(snapTable).groupBy("day")
+      .agg(expr("hll_union_agg(sk)").as("sk"))
+      .select(col("day"), expr("hll_sketch_estimate(sk)").as("approx_users"))
+
   val all: Seq[QueryDef] = Seq(q104, q169)
 }

@@ -181,4 +181,49 @@ class StreamMvSpec extends SparkSpec {
     assert(view == Map(10L -> (1L, 10050L)),
       s"compacted-away id replay must skip, got $view")
   }
+
+  test("streaming distinct MV: sketch partials union to the one-pass estimate; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val snap = "graft_test_dau_stream"
+    dropSnap(snap)
+    val day0 = 86400000000L
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("ts_us", "user_id")
+    val q = Incremental.distinctStream(stream, snap).start()
+    val all = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    try {
+      // two triggers, same day split across both + a second day
+      val b1 = Seq((day0 + 1L, 1L), (day0 + 2L, 2L), (2 * day0 + 1L, 1L))
+      val b2 = Seq((day0 + 3L, 2L), (day0 + 4L, 3L), (2 * day0 + 2L, 9L))
+      all ++= b1 ++= b2
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val view = Incremental.readDistinctView(spark, snap).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // parity: union of per-batch partial sketches == one-pass sketch
+    val onePass = Incremental.dailyUserSketch(
+        all.toSeq.toDF("ts_us", "user_id"))
+      .select(col("day"), expr("hll_sketch_estimate(sk)").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(view == onePass, s"view $view vs one-pass $onePass")
+    // tiny exact sets: HLL is exact here — day 1 has users {1,2,3}
+    assert(view(1L) == 3L && view(2L) == 2L)
+    // an at-least-once REPLAY of batch 1 must not change the view
+    Incremental.idempotentAppend(
+      Incremental.dailyUserSketch(b1rows(day0)), 0L, snap)
+    val replayed = Incremental.readDistinctView(spark, snap).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed == view, "ledgered replay changed the view")
+  }
+
+  private def b1rows(day0: Long) = {
+    import spark.implicits._
+    Seq((day0 + 1L, 1L), (day0 + 2L, 2L), (2 * day0 + 1L, 1L))
+      .toDF("ts_us", "user_id")
+  }
 }
