@@ -1668,8 +1668,77 @@ object Relational {
       .orderBy("wk")
   }
 
+  // q170 — PATH CONVERSION rates (what q143's frequency ranking cannot
+  // say: WHICH 3-step journeys convert — the target table a next-best-
+  // action model or a UX fix list reads; q165 credits channels globally,
+  // this localizes to concrete paths): the same user-windowed lead
+  // machinery at a 24 h VISIT horizon (the corpus' events are sparse in
+  // time — 30-min session triples barely exist, daily journeys do; the
+  // horizon is the analyst's knob) with one more lead for the OUTCOME — a path instance
+  // converts if its next in-session event is a purchase; per-path
+  // conversion is an exact-integer division ranked on the ROUNDED value
+  // (engine-identical order), min-support 10 against small-sample
+  // noise. Purchase inside the path is excluded (those journeys already
+  // converted — counting them would double-credit). One window shuffle
+  // + a \|types\|³-bounded groupBy, top-15 TakeOrdered.
+  val q170: QueryDef = QueryDef.sql(
+    "q170_path_conversion",
+    """WITH seq AS (
+      |  SELECT event_type AS t1,
+      |    lead(event_type, 1) OVER w AS t2,
+      |    lead(event_type, 2) OVER w AS t3,
+      |    lead(event_type, 3) OVER w AS t4,
+      |    epoch_us(ts) AS ts1,
+      |    epoch_us(lead(ts, 1) OVER w) AS ts2,
+      |    epoch_us(lead(ts, 2) OVER w) AS ts3,
+      |    epoch_us(lead(ts, 3) OVER w) AS ts4
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |paths AS (
+      |  SELECT t1 || '>' || t2 || '>' || t3 AS path,
+      |    CASE WHEN t4 = 'purchase' AND ts4 <= ts3 + 86400000000
+      |      THEN 1 ELSE 0 END AS conv
+      |  FROM seq
+      |  WHERE t3 IS NOT NULL
+      |    AND ts2 <= ts1 + 86400000000 AND ts3 <= ts2 + 86400000000
+      |    AND t1 <> 'purchase' AND t2 <> 'purchase' AND t3 <> 'purchase')
+      |SELECT path, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(conv) AS BIGINT) AS n_conv,
+      |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
+      |FROM paths
+      |GROUP BY path
+      |HAVING count(*) >= 10
+      |ORDER BY round(CAST(sum(conv) AS DOUBLE) / count(*), 6) DESC, path
+      |LIMIT 15""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"),
+        lead(col("event_type"), 3).over(w).as("t4"),
+        col("ts_us").as("ts1"),
+        lead(col("ts_us"), 1).over(w).as("ts2"),
+        lead(col("ts_us"), 2).over(w).as("ts3"),
+        lead(col("ts_us"), 3).over(w).as("ts4"))
+      .filter(col("t3").isNotNull &&
+        col("ts2") <= col("ts1") + 86400000000L &&
+        col("ts3") <= col("ts2") + 86400000000L &&
+        col("t1") =!= "purchase" && col("t2") =!= "purchase" &&
+        col("t3") =!= "purchase")
+      .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"),
+        when(col("t4") === "purchase" &&
+          col("ts4") <= col("ts3") + 86400000000L, 1L).otherwise(0L).as("conv"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"), sum("conv").as("n_conv"))
+      .filter(col("n") >= 10)
+      .select(col("path"), col("n"), col("n_conv"),
+        round(col("n_conv").cast("double") / col("n"), 6).as("conv_rate"))
+      .orderBy(desc("conv_rate"), asc("path"))
+      .limit(15)
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
-    q147, q163, q164, q165, q166, q167, q168)
+    q147, q163, q164, q165, q166, q167, q168, q170)
 }

@@ -364,6 +364,48 @@ class ProjectionAuditSpec extends SparkSpec {
       s"expected exactly one events scan:\n$plan")
   }
 
+  test("q170 path conversion matches a dense replay at sf0.01") {
+    val d = "/root/testdata/sf0.01" // sf0.001 has too few daily triples
+    val evs = Tables.events(spark, d)
+      .select("user_id", "ts_us", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val H = 86400000000L
+    val paths = evs.values.flatMap { g =>
+      val s = g.sortBy(e => (e._2, e._3))
+      s.indices.flatMap { i =>
+        if (i + 2 < s.length) {
+          val (a, b, c) = (s(i), s(i + 1), s(i + 2))
+          val gapOk = b._2 <= a._2 + H && c._2 <= b._2 + H
+          val noPurch = Seq(a, b, c).forall(_._4 != "purchase")
+          if (gapOk && noPurch) {
+            val conv = i + 3 < s.length &&
+              s(i + 3)._4 == "purchase" && s(i + 3)._2 <= c._2 + H
+            Some((s"${a._4}>${b._4}>${c._4}", conv))
+          } else None
+        } else None
+      }
+    }.toSeq
+    val dense = paths.groupBy(_._1)
+      .map { case (p, g) => p -> (g.size.toLong, g.count(_._2).toLong) }
+      .filter(_._2._1 >= 10)
+      .toSeq
+      .map { case (p, (n, c)) =>
+        val r6 = BigDecimal(c.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (p, n, c, r6)
+      }
+      .sortBy { case (p, _, _, r) => (-r, p) }.take(15)
+    val rows = operators.Relational.q170.fn(spark, d).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_conv"), r.getAs[Double]("conv_rate")))
+    assert(rows.toSeq == dense, s"\ngot   ${rows.toSeq}\ndense $dense")
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, c, r) =>
+      assert(c <= n && r >= 0.0 && r <= 1.0)
+    }
+  }
+
   test("q156 matches the sign formula densely and preserves distances") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
