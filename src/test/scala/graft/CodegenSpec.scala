@@ -190,4 +190,76 @@ class CodegenSpec extends SparkSpec {
       }
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
+
+  test("round-8 expressions run under WSCG; codegen == interpreted == reference") {
+    import graft.functions.{DeflateLen, InterCount}
+    import org.apache.spark.unsafe.types.UTF8String
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import spark.implicits._
+      val samples = Seq("", "a", "spark " * 50, "héllo wörld çafé — ünïcode",
+        "mixed ascii and ünïcödé text with some repetition repetition repetition")
+      // WSCG coverage over a real scan (a literal frame constant-folds
+      // to a LocalTableScan and never exercises the generated path)
+      val wscg = Tables.documents(spark, sfDir).select(
+        VectorExprs.deflateLen(col("text")).as("dl"),
+        VectorExprs.interCountSorted(
+          sort_array(array_distinct(VectorExprs.charNgrams(col("text"), 2))),
+          typedlit(Array("ab", "ar", "pe", "rk", "ti"))).as("ic"))
+      assert(wscg.queryExecution.executedPlan.toString.contains("*(1) Project"))
+      assert(wscg.collect().nonEmpty)
+      val df = samples.toDF("t").select(col("t"),
+        VectorExprs.deflateLen(col("t")).as("dl"),
+        VectorExprs.interCountSorted(
+          sort_array(array_distinct(VectorExprs.charNgrams(col("t"), 2))),
+          typedlit(Array("ab", "ar", "pe", "rk", "ti"))).as("ic"))
+      val rows = df.collect().map(r => r.getAs[String]("t") -> r).toMap
+      samples.foreach { s0 =>
+        val r = rows(s0)
+        // codegen (query) vs interpreted (compute) vs an independent
+        // java.util.zip reference for the byte length
+        assert(r.getAs[Int]("dl") ==
+          DeflateLen(null).compute(UTF8String.fromString(s0)), s"deflate '$s0'")
+        val d = new java.util.zip.Deflater(6, false)
+        d.setInput(s0.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](s0.getBytes("UTF-8").length + 64)
+        var ref = 0
+        while (!d.finished()) ref += d.deflate(buf)
+        d.end()
+        assert(r.getAs[Int]("dl") == ref, s"deflate ref '$s0'")
+        // intersection against the dense set computation
+        val grams = (if (s0.length < 2) Seq.empty
+          else (0 to s0.length - 2).map(i => s0.substring(i, i + 2))).distinct.toSet
+        val want = grams.intersect(Set("ab", "ar", "pe", "rk", "ti")).size
+        assert(r.getAs[Int]("ic") == want, s"interCount '$s0'")
+      }
+      // MahalanobisSq / WhitenProject: codegen path vs direct compute on
+      // the real embeddings (float arrays; multi-byte concerns don't
+      // apply, reference-object codegen does)
+      val m = ml.Whitening.model(spark, sfDir)
+      val scored = Tables.embeddings(spark, sfDir).limit(16)
+        .select(col("vec_id"), col("embedding"),
+          VectorExprs.mahalanobisSq(col("embedding"), m.mean, m.cinv).as("d2"),
+          VectorExprs.whitenProject(col("embedding"), m.mean, m.wrows, m.k).as("w"))
+      assert(scored.queryExecution.executedPlan.toString.contains("*(1) Project"))
+      scored.collect().foreach { r =>
+        val x = r.getSeq[Float](1).toArray
+        val diff = x.map(_.toDouble).zip(m.mean).map { case (a, b) => a - b }
+        var acc = 0.0
+        for (j <- 0 until m.dim) {
+          var dot = 0.0
+          for (i <- 0 until m.dim) dot += m.cinv(j * m.dim + i) * diff(i)
+          acc += diff(j) * dot
+        }
+        assert(math.abs(r.getAs[Double]("d2") - acc) < 1e-9,
+          s"vec ${r.getLong(0)} maha")
+        val w = r.getSeq[Double](3)
+        for (j <- 0 until m.k) {
+          var dot = 0.0
+          for (i <- 0 until m.dim) dot += m.wrows(j * m.dim + i) * diff(i)
+          assert(math.abs(w(j) - dot) < 1e-9, s"vec ${r.getLong(0)} w$j")
+        }
+      }
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }

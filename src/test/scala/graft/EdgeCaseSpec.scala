@@ -229,4 +229,49 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!out(1).isNullAt(0) && out(1).getLong(0) < 1024L)
     assert(out(2).isNullAt(0), "null input must yield null, not a crash")
   }
+
+  test("jacobiEigen degenerate matrices: identity, diagonal, rank-deficient") {
+    import graft.ml.Whitening.jacobiEigen
+    val (li, vi) = jacobiEigen(Array.tabulate(4, 4)((i, j) => if (i == j) 1.0 else 0.0))
+    assert(li.forall(l => math.abs(l - 1.0) < 1e-12))
+    // orthonormality survives the no-rotation path
+    for (a <- 0 until 4; b <- 0 until 4) {
+      val dot = (0 until 4).map(i => vi(i)(a) * vi(i)(b)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-12)
+    }
+    val (ld, _) = jacobiEigen(Array(
+      Array(5.0, 0.0, 0.0), Array(0.0, -2.0, 0.0), Array(0.0, 0.0, 0.5)))
+    assert(ld.sorted.zip(Seq(-2.0, 0.5, 5.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // rank-1: outer(u, u) with u = (1, 2) → eigvals {0, 5}
+    val (lr, _) = jacobiEigen(Array(Array(1.0, 2.0), Array(2.0, 4.0)))
+    assert(lr.sorted.zip(Seq(0.0, 5.0)).forall { case (a, b) => math.abs(a - b) < 1e-10 })
+  }
+
+  test("absorbConv degenerate chains: certain conversion, no conversion, full removal") {
+    import graft.operators.Relational.absorbConv
+    val certain = Seq(("START", "click", 3L), ("click", "CONV", 3L))
+    assert(math.abs(absorbConv(certain, Set.empty) - 1.0) < 1e-12)
+    val never = Seq(("START", "click", 3L), ("click", "DROP", 3L))
+    assert(absorbConv(never, Set.empty) == 0.0)
+    // removing the only path cuts conversion to zero
+    assert(absorbConv(certain, Set("click")) == 0.0)
+    // a 50/50 branch
+    val half = Seq(("START", "click", 2L), ("click", "CONV", 1L), ("click", "DROP", 1L))
+    assert(math.abs(absorbConv(half, Set.empty) - 0.5) < 1e-12)
+  }
+
+  test("q150/q161 on a degenerate single-length corpus: cuts collapse, one stage") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-degenerate")
+    (1L to 20L).map(i => (i, "word " * 10, "en", "srcA", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w = text.TextAnalysis.q150.fn(spark, dir.toString).collect()
+    assert(w.length == 1)
+    assert(w.head.getAs[Long]("p05") == 50L && w.head.getAs[Long]("p95") == 50L)
+    assert(w.head.getAs[Double]("mean_raw") == w.head.getAs[Double]("mean_winsor"))
+    val c = text.TextAnalysis.q161.fn(spark, dir.toString).collect()
+    assert(c.length == 1 && c.head.getAs[Int]("stage") == 1)
+    assert(c.head.getAs[Long]("n_docs") == 20L)
+  }
 }
