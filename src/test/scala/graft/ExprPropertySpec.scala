@@ -100,4 +100,39 @@ class ExprPropertySpec extends SparkSpec {
     }.toMap
     assert(got == want, s"mismatch:\n got=$got\nwant=$want")
   }
+
+  test("InterCount equals Scala Set intersection; bounded and symmetric") {
+    import spark.implicits._
+    val setGen = Gen.listOf(Gen.oneOf((1 to 12).map(i => s"t$i")))
+    val pairs = samples(Gen.zip(setGen, setGen), 30)
+      .map { case (a, b) => (a.toSet, b.toSet) }
+    val df = pairs.map { case (a, b) =>
+      (a.toArray.sorted, b.toArray.sorted) }.toDF("a", "b")
+    val got = df.select(
+        VectorExprs.interCountSorted(col("a"), col("b")).as("ab"),
+        VectorExprs.interCountSorted(col("b"), col("a")).as("ba"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    pairs.zip(got).foreach { case ((a, b), (ab, ba)) =>
+      assert(ab == a.intersect(b).size, s"$a ∩ $b")
+      assert(ab == ba, "intersection must be symmetric")
+      assert(ab <= math.min(a.size, b.size))
+    }
+  }
+
+  test("DeflateLen: concatenating a string with itself compresses sublinearly") {
+    import spark.implicits._
+    val strGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+      .map(s => s * 4) // ensure enough length for the dictionary to bite
+    val strs = samples(strGen, 20).filter(_.length >= 40)
+    assert(strs.nonEmpty)
+    val df = strs.map(s => (s, s + s)).toDF("s", "ss")
+    val got = df.select(VectorExprs.deflateLen(col("s")).as("a"),
+        VectorExprs.deflateLen(col("ss")).as("b"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    got.foreach { case (a, b) =>
+      assert(a > 0 && b > 0)
+      // the second copy is pure back-reference: far below double cost
+      assert(b < 2 * a, s"doubling cost $a -> $b not sublinear")
+    }
+  }
 }
