@@ -1737,8 +1737,97 @@ object Relational {
       .limit(15)
   }
 
+  // q171 — RFM SEGMENTATION (the classic customer-value grid: tertile
+  // scores on Recency/Frequency/Monetary → 27 segments, the table a
+  // retention or campaign budget is allocated against). Exactness
+  // discipline: all three metrics are INTEGERS (days via epoch-µs div,
+  // order counts, cents via the q104 rounding), tertile cuts use the
+  // integer-ceil rank rule over BOUNDED histograms — recency in days,
+  // frequency as small counts, monetary bucketed to 1000-cent cells —
+  // so the cumulative windows never run on data-proportional input
+  // (the raw per-customer monetary table would be O(customers)
+  // distinct). One customer-keyed aggregate is the only corpus
+  // shuffle; cuts broadcast back; ≤27 rows out, all-integer except one
+  // rounded average.
+  val q171: QueryDef = QueryDef.sql(
+    "q171_rfm_segments", {
+      def cutSql(src: String, v: String) =
+        s"""${src}h AS (SELECT $v AS v, count(*) AS cnt FROM cust GROUP BY 1),
+           |${src}c AS (
+           |  SELECT min(CASE WHEN cum >= (total + 2) // 3 THEN v END) AS c1,
+           |    min(CASE WHEN cum >= (2 * total + 2) // 3 THEN v END) AS c2
+           |  FROM (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum,
+           |          sum(cnt) OVER () AS total FROM ${src}h) t)""".stripMargin
+      s"""WITH mx AS (
+         |  SELECT max(epoch_us(o_orderdate)) // 86400000000 AS maxday FROM orders),
+         |cust AS (
+         |  SELECT o_custkey,
+         |    CAST(mx.maxday - max(epoch_us(o_orderdate)) // 86400000000 AS BIGINT) AS r_days,
+         |    CAST(count(*) AS BIGINT) AS f,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000 AS BIGINT) AS m_buck,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+         |  FROM orders CROSS JOIN mx GROUP BY o_custkey, mx.maxday),
+         |${cutSql("r", "r_days")},
+         |${cutSql("f", "f")},
+         |${cutSql("m", "m_buck")},
+         |scored AS (
+         |  SELECT
+         |    (CASE WHEN r_days <= rc.c1 THEN 3 WHEN r_days <= rc.c2 THEN 2 ELSE 1 END) * 100
+         |    + (CASE WHEN f <= fc.c1 THEN 1 WHEN f <= fc.c2 THEN 2 ELSE 3 END) * 10
+         |    + (CASE WHEN m_buck <= mc.c1 THEN 1 WHEN m_buck <= mc.c2 THEN 2 ELSE 3 END)
+         |      AS segment,
+         |    m_cents
+         |  FROM cust CROSS JOIN rc CROSS JOIN fc CROSS JOIN mc)
+         |SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+         |  CAST(sum(m_cents) AS BIGINT) AS total_cents,
+         |  round(CAST(sum(m_cents) AS DOUBLE) / count(*), 6) AS avg_cents
+         |FROM scored GROUP BY segment ORDER BY segment""".stripMargin
+    }) { (s, d) =>
+    val orders = Tables.orders(s, d)
+      .withColumn("oday",
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+    val mx = orders.agg(max("oday").as("maxday"))
+    val cust = orders.crossJoin(broadcast(mx))
+      .groupBy("o_custkey", "maxday")
+      .agg(max("oday").as("cday"), count(lit(1)).as("f"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("m_cents"))
+      .select(col("o_custkey"), (col("maxday") - col("cday")).as("r_days"),
+        col("f"), expr("m_cents div 100000").as("m_buck"), col("m_cents"))
+    def cuts(v: String): DataFrame = {
+      val h = cust.groupBy(col(v).as("v")).agg(count(lit(1)).as("cnt"))
+      h.withColumn("cum",
+          sum("cnt").over(Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum("cnt").over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .agg(
+          min(when(col("cum") >= expr("(total + 2) div 3"), col("v"))).as(s"${v}_c1"),
+          min(when(col("cum") >= expr("(2 * total + 2) div 3"), col("v"))).as(s"${v}_c2"))
+    }
+    cust
+      .crossJoin(broadcast(cuts("r_days")))
+      .crossJoin(broadcast(cuts("f")))
+      .crossJoin(broadcast(cuts("m_buck")))
+      .select(
+        (when(col("r_days") <= col("r_days_c1"), 3)
+          .when(col("r_days") <= col("r_days_c2"), 2).otherwise(1) * 100
+          + when(col("f") <= col("f_c1"), 1)
+            .when(col("f") <= col("f_c2"), 2).otherwise(3) * 10
+          + when(col("m_buck") <= col("m_buck_c1"), 1)
+            .when(col("m_buck") <= col("m_buck_c2"), 2).otherwise(3))
+          .as("segment"),
+        col("m_cents"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"), sum("m_cents").as("total_cents"))
+      .select(col("segment"), col("n_customers"), col("total_cents"),
+        round(col("total_cents").cast("double") / col("n_customers"), 6)
+          .as("avg_cents"))
+      .orderBy("segment")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
-    q147, q163, q164, q165, q166, q167, q168, q170)
+    q147, q163, q164, q165, q166, q167, q168, q170, q171)
 }

@@ -406,6 +406,48 @@ class ProjectionAuditSpec extends SparkSpec {
     }
   }
 
+  test("q171 RFM segments match a dense tertile replay; customers conserve") {
+    val cust = Tables.orders(spark, sfDir)
+      .withColumn("oday",
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+      .groupBy("o_custkey")
+      .agg(max("oday").as("cday"), count(lit(1)).as("f"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val maxday = cust.map(_._2).max
+    val rows3 = cust.map { case (k, cd, f, m) =>
+      (k, maxday - cd, f, m / 100000L, m)
+    }
+    def tertiles(vs: Seq[Long]): (Long, Long) = {
+      val sorted = vs.sorted
+      val n = sorted.length.toLong
+      (sorted(((n + 2) / 3 - 1).toInt), sorted(((2 * n + 2) / 3 - 1).toInt))
+    }
+    val (rc1, rc2) = tertiles(rows3.map(_._2))
+    val (fc1, fc2) = tertiles(rows3.map(_._3))
+    val (mc1, mc2) = tertiles(rows3.map(_._4))
+    val dense = rows3.groupBy { case (_, r, f, mb, _) =>
+      val rs = if (r <= rc1) 3 else if (r <= rc2) 2 else 1
+      val fs = if (f <= fc1) 1 else if (f <= fc2) 2 else 3
+      val ms = if (mb <= mc1) 1 else if (mb <= mc2) 2 else 3
+      rs * 100 + fs * 10 + ms
+    }.map { case (seg, g) => seg -> (g.size.toLong, g.map(_._5).sum) }
+    val rows = operators.Relational.q171.fn(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == cust.length.toLong)
+    assert(rows.length == dense.size)
+    rows.foreach { r =>
+      val (n, tot) = dense(r.getAs[Int]("segment"))
+      assert(r.getAs[Long]("n_customers") == n, s"seg ${r.get(0)}")
+      assert(r.getAs[Long]("total_cents") == tot, s"seg ${r.get(0)} cents")
+      assert(math.abs(r.getAs[Double]("avg_cents") - tot.toDouble / n) < 1e-3)
+    }
+    // segments are valid RFM codes
+    rows.foreach { r =>
+      val s0 = r.getAs[Int]("segment")
+      assert(Seq(s0 / 100, s0 / 10 % 10, s0 % 10).forall(d => d >= 1 && d <= 3))
+    }
+  }
+
   test("q156 matches the sign formula densely and preserves distances") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
