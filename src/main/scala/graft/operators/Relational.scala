@@ -1826,8 +1826,383 @@ object Relational {
       .orderBy("segment")
   }
 
+  // q172 — MARKET-BASKET association rules at the brand level (the
+  // classic support/confidence/lift table a merchandiser or recommender
+  // cold-start reads; brand granularity keeps the rule space scale-free —
+  // part-level pairs at TPC-H's uniform draw almost never repeat, brand
+  // pairs always do). Shape: ONE order-keyed shuffle builds the distinct
+  // per-order brand basket (collect_set, bounded by |brands| = 25); pair
+  // generation is a map-side double-explode over the sorted set (≤ k²/2
+  // rows per basket, k ≤ 25), landing in an O(brands²) ≤ 325-key
+  // aggregate with map-side partials. Singles counts and the basket
+  // count reuse the SAME grouped exchange (AQE exchange reuse — the
+  // three branches share an identical subplan). All counts integer-exact;
+  // support/confidence are single IEEE divisions and lift is one
+  // double-mul + divide written in the identical operand order both
+  // engines, rounded once at the end; top-20 by (rounded lift, pair)
+  // so the LIMIT boundary is deterministic.
+  val q172: QueryDef = QueryDef.sql(
+    "q172_market_basket",
+    """WITH b AS (
+      |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (SELECT count(DISTINCT okey) AS n_orders FROM b),
+      |s AS (SELECT brand, count(*) AS cnt FROM b GROUP BY brand),
+      |pr AS (
+      |  SELECT a.brand AS brand_a, c.brand AS brand_b, count(*) AS n_ab
+      |  FROM b a JOIN b c ON a.okey = c.okey AND a.brand < c.brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, n_ab,
+      |  round(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+      |  round(CAST(n_ab AS DOUBLE) / sa.cnt, 6) AS conf_a_b,
+      |  round(CAST(n_ab AS DOUBLE) / sb.cnt, 6) AS conf_b_a,
+      |  round(CAST(n_ab AS DOUBLE) * n_orders / (sa.cnt * sb.cnt), 6) AS lift
+      |FROM pr JOIN s sa ON pr.brand_a = sa.brand
+      |  JOIN s sb ON pr.brand_b = sb.brand CROSS JOIN n
+      |WHERE n_ab >= 5
+      |ORDER BY lift DESC, brand_a, brand_b
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val baskets = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val singles = baskets
+      .select(explode(col("brands")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("cnt"))
+    val pairs = baskets
+      .select(explode(col("brands")).as("brand_a"), col("brands"))
+      .select(col("brand_a"), explode(col("brands")).as("brand_b"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(
+        col("brand").as("brand_a"), col("cnt").as("cnt_a"))), "brand_a")
+      .join(broadcast(singles.select(
+        col("brand").as("brand_b"), col("cnt").as("cnt_b"))), "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .filter(col("n_ab") >= 5)
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_orders"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("cnt_a"), 6).as("conf_a_b"),
+        round(col("n_ab").cast("double") / col("cnt_b"), 6).as("conf_b_a"),
+        round(col("n_ab").cast("double") * col("n_orders")
+          / (col("cnt_a") * col("cnt_b")), 6).as("lift"))
+      .orderBy(desc("lift"), col("brand_a"), col("brand_b"))
+      .limit(20)
+  }
+
+  // q173 — AUTOMATED COLUMN PROFILE of a table (the ANALYZE/data-catalog
+  // staple an engineer reads before writing the first query: per-column
+  // null count, exact distinct cardinality, min/max): one aggregate over
+  // orders computes every column's stats — the multi-distinct plans as
+  // ONE shuffle via Catalyst's Expand (a documented ×(cols+1) row
+  // expansion; at 100 TB the profiler's default is the sketch family —
+  // approx_count_distinct / q90's HLL — exactness is kept here because
+  // the oracle demands it and the trade is the operator's own lesson).
+  // Timestamps profile as exact epoch-µs (engine-portable, no formatting
+  // hazard); numerics as doubles (all values < 2^53, conversions exact);
+  // strings keep lexicographic min/max in their own columns. The 1×N
+  // wide row reshapes to long form with a local explode — no second pass.
+  val q173: QueryDef = {
+    val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_odate_us")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    def block(c: String, isNum: Boolean) = {
+      val minMax =
+        if (isNum) s"CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,\n  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+        else s"CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,\n  min($c) AS min_str, max($c) AS max_str"
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  $minMax
+         |FROM o""".stripMargin
+    }
+    QueryDef.sql(
+      "q173_column_profile",
+      s"""WITH o AS (SELECT *, epoch_us(o_orderdate) AS o_odate_us FROM orders)
+         |${(numCols.map(block(_, isNum = true)) ++
+             strCols.map(block(_, isNum = false))).mkString("\nUNION ALL\n")}
+         |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .withColumn("o_odate_us",
+          expr("unix_micros(cast(o_orderdate as timestamp))"))
+      val aggs =
+        (numCols ++ strCols).flatMap { c =>
+          Seq(
+            sum(col(c).isNull.cast("long")).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_nd"))
+        } ++
+        numCols.flatMap { c =>
+          Seq(min(col(c)).cast("double").as(s"${c}_min"),
+            max(col(c)).cast("double").as(s"${c}_max"))
+        } ++
+        strCols.flatMap { c =>
+          Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+        } :+ count(lit(1)).as("n_rows")
+      val wide = o.agg(aggs.head, aggs.tail: _*)
+      val rows =
+        numCols.map { c =>
+          struct(lit(c).as("col_name"), col(s"${c}_nulls").as("n_nulls"),
+            col(s"${c}_nd").as("n_distinct"),
+            col(s"${c}_min").as("min_num"), col(s"${c}_max").as("max_num"),
+            lit(null).cast("string").as("min_str"),
+            lit(null).cast("string").as("max_str"))
+        } ++
+        strCols.map { c =>
+          struct(lit(c).as("col_name"), col(s"${c}_nulls").as("n_nulls"),
+            col(s"${c}_nd").as("n_distinct"),
+            lit(null).cast("double").as("min_num"),
+            lit(null).cast("double").as("max_num"),
+            col(s"${c}_min").as("min_str"), col(s"${c}_max").as("max_str"))
+        }
+      wide
+        .select(col("n_rows"), explode(array(rows: _*)).as("p"))
+        .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
+          col("p.n_distinct"), col("p.min_num"), col("p.max_num"),
+          col("p.min_str"), col("p.max_str"))
+        .orderBy("col_name")
+    }
+  }
+
+  // q174 — ITEM-ITEM COLLABORATIVE FILTERING affinity (the "customers who
+  // buy X also buy Y" recommender primitive — distinct semantics from
+  // q172: baskets count order-level co-OCCURRENCE, this measures
+  // customer-level purchase-VECTOR alignment, so a brand pair bought by
+  // the same people in similar proportions scores high even when never
+  // in one order): brand-brand cosine over per-customer purchase-count
+  // vectors. Shape: orderkey shuffle join attaches customers to
+  // lineitems, ONE (custkey, brand) aggregate builds the vector entries,
+  // a custkey-keyed collect gathers each customer's ≤25-entry vector,
+  // pair products explode map-side into an O(brands²) dot-product
+  // aggregate; norms are a 25-row aggregate off the same entry table.
+  // Dots and squared norms are exact integers; cosine is
+  // dot / (√ssa · √ssb) in the identical operand order both engines
+  // (IEEE sqrt is correctly rounded — bit-identical), rounded once.
+  val q174: QueryDef = QueryDef.sql(
+    "q174_brand_affinity",
+    """WITH cb AS (
+      |  SELECT o.o_custkey AS c, p.p_brand AS brand, count(*) AS cnt
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |nrm AS (SELECT brand, CAST(sum(cnt * cnt) AS BIGINT) AS ss
+      |        FROM cb GROUP BY brand),
+      |pr AS (
+      |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+      |    CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+      |  FROM cb a JOIN cb b ON a.c = b.c AND a.brand < b.brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, dot,
+      |  round(CAST(dot AS DOUBLE)
+      |    / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))), 6)
+      |    AS cosine
+      |FROM pr JOIN nrm na ON pr.brand_a = na.brand
+      |  JOIN nrm nb ON pr.brand_b = nb.brand
+      |ORDER BY cosine DESC, brand_a, brand_b
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val cb = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey", "p_brand")
+      .agg(count(lit(1)).as("cnt"))
+    val norms = cb.groupBy("p_brand")
+      .agg(sum(col("cnt") * col("cnt")).as("ss"))
+    val pairs = cb
+      .groupBy("o_custkey")
+      .agg(collect_list(struct(col("p_brand").as("brand"),
+        col("cnt").as("cnt"))).as("v"))
+      .select(explode(col("v")).as("a"), col("v"))
+      .select(col("a"), explode(col("v")).as("b"))
+      .filter(col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).as("dot"))
+    pairs
+      .join(broadcast(norms.select(
+        col("p_brand").as("brand_a"), col("ss").as("ss_a"))), "brand_a")
+      .join(broadcast(norms.select(
+        col("p_brand").as("brand_b"), col("ss").as("ss_b"))), "brand_b")
+      .select(col("brand_a"), col("brand_b"), col("dot"),
+        round(col("dot").cast("double")
+          / (sqrt(col("ss_a").cast("double"))
+            * sqrt(col("ss_b").cast("double"))), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("brand_a"), col("brand_b"))
+      .limit(20)
+  }
+
+  // q175 — UNPIVOT / MELT (the inverse relational primitive of q15's
+  // pivot: wide matrix → long triples, what every plotting/ML-ingest
+  // layer wants): q15's day × event_type count matrix stacks back to
+  // (day, event_type, cnt) via a Generate — map-side, no extra
+  // exchange beyond the pivot's own groupBy. The oracle is the
+  // ROUND-TRIP IDENTITY: unpivot(pivot(events)) must hash-equal the
+  // direct long-form aggregate (absent combos leave as the pivot's
+  // nulls and are dropped, mirroring GROUP BY's absent groups).
+  val q175: QueryDef = QueryDef.sql(
+    "q175_unpivot_melt",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS cnt
+      |FROM events
+      |GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+      |ORDER BY day, event_type""".stripMargin) { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", types)
+      .count()
+      .select(col("day"),
+        expr(s"stack(${types.length}, " +
+          types.map(t => s"'$t', `$t`").mkString(", ") +
+          ") AS (event_type, cnt)"))
+      .filter(col("cnt").isNotNull)
+      .orderBy("day", "event_type")
+  }
+
+  // q176 — SCD2 POINT-IN-TIME JOIN (the canonical consumer of q110's
+  // history build: each fact joins the dimension VERSION valid at its
+  // own timestamp — the join that makes "what did the customer look
+  // like when this shipped" answerable without leaking future state):
+  // lineitem shipments join the per-customer [valid_from, valid_to)
+  // version intervals on custkey + containment. The FIRST version's
+  // validity is floored at the epoch — the conventional SCD2 backfill
+  // row, needed because this corpus ships lines YEARS before their
+  // order — so per-key intervals tile [0, +inf) and every shipment
+  // matches EXACTLY one version (spec-asserted). Shipments landing in
+  // a version other than their own order's surface as
+  // same_version = false (the rows a naive "join latest state"
+  // computes wrong), and pre-history ones as backfill = true. Shape:
+  // one custkey-keyed window builds the interval table from the CHANGE
+  // LOG (never a fact table); the PIT join shuffles both sides on
+  // custkey with the band as residual predicate, versions-per-key
+  // bounded by orders per customer. All interval math exact epoch-µs
+  // integers, value sums exact cents; ≤8-row output.
+  val q176: QueryDef = QueryDef.sql(
+    "q176_scd2_point_in_time",
+    """WITH v0 AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    epoch_us(o_orderdate) AS vfrom,
+      |    coalesce(epoch_us(lead(o_orderdate) OVER w), 9223372036854775807)
+      |      AS vto,
+      |    row_number() OVER w AS rn
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |v AS (
+      |  SELECT o_custkey, o_orderkey, vfrom, vto,
+      |    CASE WHEN rn = 1 THEN 0 ELSE vfrom END AS vfrom_eff
+      |  FROM v0),
+      |f AS (
+      |  SELECT o.o_custkey AS custkey, l.l_orderkey AS fact_order,
+      |    epoch_us(l.l_shipdate) AS ship_us,
+      |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS val_cents
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT
+      |  (f.fact_order = v.o_orderkey) AS same_version,
+      |  (v.vto = 9223372036854775807) AS is_current,
+      |  (f.ship_us < v.vfrom) AS backfill,
+      |  count(*) AS n_ship,
+      |  CAST(sum(f.val_cents) AS BIGINT) AS value_cents
+      |FROM f JOIN v ON f.custkey = v.o_custkey
+      |  AND f.ship_us >= v.vfrom_eff AND f.ship_us < v.vto
+      |GROUP BY 1, 2, 3
+      |ORDER BY same_version, is_current, backfill""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val v = Tables.orders(s, d)
+      .withColumn("vfrom", expr("unix_micros(cast(o_orderdate as timestamp))"))
+      .withColumn("vto",
+        coalesce(lead(col("vfrom"), 1).over(w), lit(Long.MaxValue)))
+      .withColumn("vfrom_eff",
+        when(row_number().over(w) === 1, 0L).otherwise(col("vfrom")))
+      .select(col("o_custkey").as("v_custkey"),
+        col("o_orderkey").as("v_orderkey"), col("vfrom"), col("vfrom_eff"),
+        col("vto"))
+    val f = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        expr("unix_micros(cast(l_shipdate as timestamp))").as("ship_us"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("val_cents"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+    f.join(v,
+        col("o_custkey") === col("v_custkey")
+          && col("ship_us") >= col("vfrom_eff") && col("ship_us") < col("vto"))
+      .groupBy(
+        (col("l_orderkey") === col("v_orderkey")).as("same_version"),
+        (col("vto") === lit(Long.MaxValue)).as("is_current"),
+        (col("ship_us") < col("vfrom")).as("backfill"))
+      .agg(count(lit(1)).as("n_ship"),
+        sum(col("val_cents")).as("value_cents"))
+      .orderBy("same_version", "is_current", "backfill")
+  }
+
+  // q177 — EXACT TOP-DOWN PRORATION (the financial-allocation primitive:
+  // spread each order's booked total across its line items by weight so
+  // the allocated cents RECONCILE to the total exactly — off-by-a-cent
+  // per group is the bug class this operator exists to kill, and naive
+  // double-share allocation guarantees it). Largest-remainder method in
+  // pure int64: total_cents and per-line weight_cents are exact (q104's
+  // cents rule), base share = (total·w) div Σw, and the leftover
+  // (total − Σbase < n_lines) goes one cent each to the largest
+  // remainders ((total·w) mod Σw, ties by line number) — every quantity
+  // an integer, so Spark and DuckDB agree bit-for-bit with NO rounding
+  // discipline needed anywhere. Shape: ONE orderkey shuffle carries the
+  // join to orders and both per-order windows (Σw + remainder rank —
+  // partitions bounded by ≤7 lines); the output rollup is O(flags).
+  // Reconciliation is structural (Σalloc = Σtotal by construction) and
+  // the oracle re-derives it from scratch.
+  val q177: QueryDef = QueryDef.sql(
+    "q177_exact_proration",
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+      |  FROM lineitem),
+      |j AS (
+      |  SELECT li.*, CAST(round(o.o_totalprice * 100) AS BIGINT) AS total
+      |  FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+      |s1 AS (
+      |  SELECT *, sum(w) OVER (PARTITION BY l_orderkey) AS sw FROM j),
+      |s2 AS (
+      |  SELECT *, (total * w) // sw AS base, (total * w) % sw AS rem
+      |  FROM s1),
+      |shares AS (
+      |  SELECT *,
+      |    total - sum(base) OVER (PARTITION BY l_orderkey) AS leftover,
+      |    row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY rem DESC, l_linenumber) AS rem_rank
+      |  FROM s2)
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS alloc_cents,
+      |  count(*) AS n_lines
+      |FROM shares
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    val wo = Window.partitionBy("l_orderkey")
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("w"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("total")),
+        col("l_orderkey") === col("o_orderkey"))
+    val shares = li
+      .withColumn("sw", sum("w").over(wo))
+      .withColumn("base", expr("(total * w) div sw"))
+      .withColumn("rem", expr("(total * w) % sw"))
+      .withColumn("leftover", col("total") - sum("base").over(wo))
+      .withColumn("rem_rank", row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(desc("rem"), col("l_linenumber"))))
+    shares
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("base")
+          + when(col("rem_rank") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
-    q147, q163, q164, q165, q166, q167, q168, q170, q171)
+    q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
+    q175, q176, q177)
 }

@@ -415,4 +415,52 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"),
       s"neighbor top-k must ride the bounded TopKNbr aggregate:\n$plan")
   }
+
+  test("q172 basket rules: part broadcast, map-side pair partials, top-20 as TakeOrdered") {
+    val plan = planOf("q172_market_basket")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part dimension must broadcast onto lineitem:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"pair counts must combine map-side (O(brands²) keys):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"only the 1-row n_orders crossJoin may appear (as BNLJ):\n$plan")
+  }
+
+  test("q173 profile: one corpus scan, multi-distinct rides one Expand") {
+    val plan = planOf("q173_column_profile")
+    assert(plan.split("Scan parquet").length == 2,
+      s"the profiler must read orders exactly once:\n$plan")
+    assert(plan.contains("Expand"),
+      s"multi-distinct must plan the single-pass Expand, not per-column jobs:\n$plan")
+  }
+
+  test("q174 affinity: dot products aggregate map-side, top-20 as TakeOrdered") {
+    val plan = planOf("q174_brand_affinity")
+    assert(plan.contains("partial_sum"),
+      s"dot aggregate must combine map-side:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation must ride the per-customer explode, never a cross join:\n$plan")
+  }
+
+  test("q176 PIT join: custkey-keyed with the band residual, no range-join cartesian") {
+    val plan = planOf("q176_scd2_point_in_time")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"PIT join must stay a keyed join with the band as residual predicate:\n$plan")
+    assert(plan.contains("Window"),
+      s"the interval table must come from the per-customer window build:\n$plan")
+  }
+
+  test("q177 proration: both windows share the one orderkey exchange") {
+    val plan = planOf("q177_exact_proration")
+    // Σw, Σbase and the remainder rank all partition by l_orderkey — Spark
+    // must plan them over a single hashpartitioning(l_orderkey) exchange
+    val exchanges = "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"per-order windows must reuse one orderkey exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
 }
