@@ -203,5 +203,5 @@ object GanQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q33, q35, q36, q37, VectorAgg.q34, VectorAgg.q144)
+  val all: Seq[QueryDef] = Seq(q28, q29, q30, q31, q33, q35, q36, q37, VectorAgg.q34, VectorAgg.q144, VectorAgg.q180)
 }

@@ -130,4 +130,84 @@ object VectorAgg {
       .groupBy("label", "assigned").agg(count(lit(1)).as("n"))
       .orderBy("label", "assigned")
   }
+
+  // q180 — EXACT ROC AUC of the class-0 centroid scorer (the
+  // ranking-quality staple for any scoring filter: "over ALL thresholds
+  // at once, how well does this score separate the class from the
+  // rest" — the one-number readout a curation bar like q162's or a
+  // classifier like q144's is judged by). Score = −distance to q34's
+  // class-0 centroid (the same index-ordered ‖x‖² − 2x·c + ‖c‖² 3-sum
+  // expression both engines, so quantizing to 2 dp is engine-identical),
+  // label = (class 0). AUC by the Mann–Whitney identity
+  // P(s⁺ > s⁻) + ½P(s⁺ = s⁻) — but the textbook global rank is a
+  // single-partition window that dies at scale, so this plans the
+  // HISTOGRAM rank-sum: quantized scores collapse to a bounded value
+  // table (the 2-dp quantization IS the scale lever, stated in the
+  // contract), one cumulative window over that bounded table yields
+  // neg-below-each-score, and wins2 = Σ(2·np·neg_below + np·nn) counts
+  // ordered pairs exactly in int64 (ties half-weight via the ×2
+  // scaling). ONE corpus exchange (the score groupBy); AUC is a single
+  // division in identical operand order, rounded once.
+  val q180: QueryDef = QueryDef.sql(
+    "q180_roc_auc",
+    """WITH cent AS (
+      |  SELECT list(round(m, 6) ORDER BY i) AS c
+      |  FROM (
+      |    SELECT i, avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS m
+      |    FROM embeddings, range(1, 65) t(i)
+      |    WHERE label = 0
+      |    GROUP BY i) x),
+      |sc AS (
+      |  SELECT (e.label = 0) AS pos,
+      |    -round(
+      |      list_sum(list_transform(e.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |      - 2 * list_sum(list_transform(range(1, 65),
+      |        i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+      |          * cent.c[CAST(i AS INT)]))
+      |      + list_sum(list_transform(cent.c, x -> x * x)), 2) AS score
+      |  FROM embeddings e CROSS JOIN cent),
+      |h AS (
+      |  SELECT score,
+      |    CAST(count(CASE WHEN pos THEN 1 END) AS BIGINT) AS np,
+      |    CAST(count(CASE WHEN NOT pos THEN 1 END) AS BIGINT) AS nn
+      |  FROM sc GROUP BY score),
+      |c2 AS (
+      |  SELECT score, np, nn,
+      |    coalesce(sum(nn) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS neg_below
+      |  FROM h),
+      |t AS (
+      |  SELECT CAST(sum(np) AS BIGINT) AS p, CAST(sum(nn) AS BIGINT) AS n,
+      |    CAST(sum(2 * np * neg_below + np * nn) AS BIGINT) AS wins2
+      |  FROM c2)
+      |SELECT p AS n_pos, n AS n_neg,
+      |  round(CAST(wins2 AS DOUBLE) / (2.0 * p * n), 6) AS auc
+      |FROM t""".stripMargin) { (s, d) =>
+    import graft.functions.VectorExprs
+    val c0: Array[Double] = q34.fn(s, d).take(1024)
+      .filter(_.getInt(0) == 0).sortBy(_.getLong(1)).map(_.getDouble(2))
+    var cc = 0.0
+    var i = 0
+    while (i < c0.length) { cc += c0(i) * c0(i); i += 1 }
+    val dist = VectorExprs.dotProduct(col("embedding"), col("embedding")) -
+      lit(2.0) * VectorExprs.dotProduct(col("embedding"), typedlit(c0.toSeq)) +
+      lit(cc)
+    val sc = Tables.embeddings(s, d)
+      .select((col("label") === 0).as("pos"), (-round(dist, 2)).as("score"))
+    val h = sc.groupBy("score").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+    // cumulative over the BOUNDED quantized-score table only
+    val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    h.withColumn("neg_below", coalesce(sum("nn").over(w), lit(0L)))
+      .agg(sum("np").as("p"), sum("nn").as("n"),
+        sum(lit(2L) * col("np") * col("neg_below")
+          + col("np") * col("nn")).as("wins2"))
+      .select(col("p").as("n_pos"), col("n").as("n_neg"),
+        round(col("wins2").cast("double")
+          / (lit(2.0) * col("p") * col("n")), 6).as("auc"))
+  }
 }

@@ -2200,9 +2200,175 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  // q178 — INTERVAL UNION / UTILIZATION (the billing-and-engagement
+  // staple SQL is famously bad at: each event opens a 30-min activity
+  // interval, and the question is each user's UNION length — overlaps
+  // counted once, the number "sum of durations" overstates): classic
+  // sweep-line as ONE per-user window pass — events sorted by start,
+  // covered += max(0, end − max(start, max-prior-end)) where
+  // max-prior-end is a running window max over [unbounded, 1 preceding].
+  // All arithmetic exact epoch-µs integers (greatest/least portable);
+  // user partitions are real keys bounded by events-per-user; the
+  // per-user totals collapse to an O(hour-buckets) engagement histogram.
+  val q178: QueryDef = QueryDef.sql(
+    "q178_interval_coverage",
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+      |  FROM events),
+      |sw AS (
+      |  SELECT user_id, s, e,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_e
+      |  FROM iv),
+      |cov AS (
+      |  SELECT user_id,
+      |    CAST(sum(greatest(e - greatest(s, coalesce(prior_e, s)),
+      |      0)) AS BIGINT) AS covered_us
+      |  FROM sw GROUP BY user_id)
+      |SELECT covered_us // 3600000000 AS covered_hours,
+      |  count(*) AS n_users,
+      |  CAST(sum(covered_us) AS BIGINT) AS total_covered_us
+      |FROM cov
+      |GROUP BY covered_us // 3600000000
+      |ORDER BY covered_hours""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = Tables.events(s, d)
+      .select(col("user_id"), col("ts_us").as("s"),
+        (col("ts_us") + lit(1800000000L)).as("e"))
+      .withColumn("prior_e", max("e").over(w))
+      .groupBy("user_id")
+      .agg(sum(greatest(
+        col("e") - greatest(col("s"), coalesce(col("prior_e"), col("s"))),
+        lit(0L))).as("covered_us"))
+    cov
+      .groupBy(expr("covered_us div 3600000000").as("covered_hours"))
+      .agg(count(lit(1)).as("n_users"),
+        sum("covered_us").as("total_covered_us"))
+      .orderBy("covered_hours")
+  }
+
+  // q179 — PEAK CONCURRENCY (max simultaneous open sessions — the
+  // licensing/occupancy/capacity high-water mark): every event opens a
+  // [ts, ts+30 min) session; boundaries (+1 at open, −1 at close,
+  // closes ordered BEFORE opens at the same instant per half-open
+  // semantics) accumulate to a running census whose max is the peak.
+  // The naive global ordered cumsum is a single-partition window — the
+  // shape that dies at scale — so this plans the TWO-LEVEL PREFIX SUM:
+  // within-hour cumsums run on hour-partitioned windows (real keys),
+  // per-hour net sums collapse to an O(hours) table whose own
+  // cumulative prefix (a window over bounded rows — the documented
+  // exception) joins back broadcast, and running = prior-hours prefix +
+  // within-hour cumsum. Exact integers end-to-end; the oracle replays
+  // the straightforward single-sweep formulation and must agree on
+  // (peak, first instant it is reached).
+  val q179: QueryDef = QueryDef.sql(
+    "q179_peak_concurrency",
+    """WITH b AS (
+      |  SELECT epoch_us(ts) AS t, 1 AS d FROM events
+      |  UNION ALL
+      |  SELECT epoch_us(ts) + 1800000000 AS t, -1 AS d FROM events),
+      |r AS (
+      |  SELECT t, d, CAST(sum(d) OVER (ORDER BY t, d) AS BIGINT) AS running
+      |  FROM b),
+      |m AS (SELECT max(running) AS peak FROM r)
+      |SELECT m.peak AS peak_concurrency,
+      |  CAST(min(CASE WHEN r.running = m.peak THEN r.t END) AS BIGINT)
+      |    AS first_peak_us
+      |FROM r CROSS JOIN m
+      |GROUP BY m.peak""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("ts_us"))
+    val bounds = ev.select(col("ts_us").as("t"), lit(1).as("d"))
+      .unionAll(ev.select((col("ts_us") + lit(1800000000L)).as("t"),
+        lit(-1).as("d")))
+      .withColumn("hour", expr("t div 3600000000"))
+    // level 1: within-hour running sums on real partition keys
+    val wIn = Window.partitionBy("hour").orderBy("t", "d")
+    val inHour = bounds.withColumn("run_in", sum("d").over(wIn))
+    // level 2: per-hour nets -> cumulative prefix BEFORE each hour
+    // (window over the O(hours) table only), broadcast back
+    val wH = Window.orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = bounds.groupBy("hour").agg(sum("d").as("net"))
+      .withColumn("prefix", coalesce(sum("net").over(wH), lit(0L)))
+      .select("hour", "prefix")
+    val running = inHour.join(broadcast(prefix), "hour")
+      .select(col("t"), (col("prefix") + col("run_in")).as("running"))
+    val peak = running.agg(max("running").as("peak_concurrency"))
+    running.join(broadcast(peak), col("running") === col("peak_concurrency"))
+      .groupBy("peak_concurrency")
+      .agg(min("t").as("first_peak_us"))
+  }
+
+  // q181 — REVENUE CONCENTRATION (the "do 10% of customers drive 80% of
+  // revenue" audit: Gini coefficient + top-decile spend share): customer
+  // totals are exact cents from ONE customer-keyed aggregate, then —
+  // q171's histogram discipline — collapse to 1000-cent buckets so every
+  // cumulative window runs on a BOUNDED value table, never O(customers)
+  // rows (the contract is Gini OVER THE BUCKETED distribution, stated,
+  // deterministic, and replayed identically by the oracle). Grouped-data
+  // Gini = 1 − Σ f_b·(2·cum_share_before + share_b) with f, share single
+  // IEEE divisions from exact integers in identical operand order; the
+  // top-decile cut uses the integer-ceil rank rule over the same
+  // histogram. Two rounded outputs, one row.
+  val q181: QueryDef = QueryDef.sql(
+    "q181_revenue_concentration",
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |h AS (
+      |  SELECT cents // 100000 AS b, count(*) AS n_c,
+      |    CAST(sum(cents) AS BIGINT) AS s_c
+      |  FROM cust GROUP BY cents // 100000),
+      |c AS (
+      |  SELECT b, n_c, s_c,
+      |    coalesce(sum(n_c) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_n,
+      |    coalesce(sum(s_c) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_s,
+      |    sum(n_c) OVER () AS tot_n, sum(s_c) OVER () AS tot_s
+      |  FROM h)
+      |SELECT
+      |  CAST(max(tot_n) AS BIGINT) AS n_customers,
+      |  CAST(max(tot_s) AS BIGINT) AS total_cents,
+      |  round(1.0 - sum((CAST(n_c AS DOUBLE) / tot_n)
+      |    * (2.0 * cum_s / tot_s + CAST(s_c AS DOUBLE) / tot_s)), 6)
+      |    AS gini,
+      |  round(CAST(sum(CASE WHEN cum_n + n_c > tot_n - (tot_n + 9) // 10
+      |      THEN s_c ELSE 0 END) AS DOUBLE) / max(tot_s), 6)
+      |    AS top_decile_share_ub
+      |FROM c""".stripMargin) { (s, d) =>
+    val cust = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+    val h = cust
+      .groupBy(expr("cents div 100000").as("b"))
+      .agg(count(lit(1)).as("n_c"), sum("cents").as("s_c"))
+    val wPrev = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    h.withColumn("cum_n", coalesce(sum("n_c").over(wPrev), lit(0L)))
+      .withColumn("cum_s", coalesce(sum("s_c").over(wPrev), lit(0L)))
+      .withColumn("tot_n", sum("n_c").over(wAll))
+      .withColumn("tot_s", sum("s_c").over(wAll))
+      .agg(
+        max("tot_n").as("n_customers"),
+        max("tot_s").as("total_cents"),
+        round(lit(1.0) - sum((col("n_c").cast("double") / col("tot_n"))
+          * (lit(2.0) * col("cum_s") / col("tot_s")
+            + col("s_c").cast("double") / col("tot_s"))), 6).as("gini"),
+        round(sum(when(col("cum_n") + col("n_c")
+            > col("tot_n") - expr("(tot_n + 9) div 10"), col("s_c"))
+          .otherwise(0L)).cast("double") / max("tot_s"), 6)
+          .as("top_decile_share_ub"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
-    q175, q176, q177)
+    q175, q176, q177, q178, q179, q181)
 }

@@ -454,6 +454,39 @@ class PlanSpec extends SparkSpec {
       s"the interval table must come from the per-customer window build:\n$plan")
   }
 
+  test("q178 coverage: sweep-line window partitions on user_id (real keys)") {
+    val plan = planOf("q178_interval_coverage")
+    assert(plan.contains("Window"), s"sweep-line must be a window pass:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"the sweep window must partition on user_id, not run globally:\n$plan")
+  }
+
+  test("q179 peak concurrency: the corpus-sized cumsum partitions by hour") {
+    val plan = planOf("q179_peak_concurrency")
+    // the two-level decomposition: within-hour windows on real keys; the
+    // only unpartitioned window runs over the O(hours) net table
+    assert(plan.contains("hashpartitioning(hour"),
+      s"within-hour cumsum must partition on hour:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"per-hour nets must combine map-side:\n$plan")
+  }
+
+  test("q180 AUC: one corpus exchange (score groupBy), cumsum on the bounded table") {
+    val plan = planOf("q180_roc_auc")
+    assert(plan.contains("partial_sum"),
+      s"score histogram must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no pairwise join — the histogram rank-sum replaces it:\n$plan")
+  }
+
+  test("q181 concentration: cumulative windows run on the bucket table only") {
+    val plan = planOf("q181_revenue_concentration")
+    assert(plan.contains("partial_sum"),
+      s"customer totals and bucket sums must combine map-side:\n$plan")
+    assert(!plan.contains("hashpartitioning(o_custkey, "),
+      s"windows must not run per-customer — buckets only:\n$plan")
+  }
+
   test("q177 proration: both windows share the one orderkey exchange") {
     val plan = planOf("q177_exact_proration")
     // Σw, Σbase and the remainder rank all partition by l_orderkey — Spark

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q180: the histogram rank-sum AUC must equal the O(n²) pairwise
+  * definition computed directly on collected rows — proving the bounded
+  * decomposition exact, not just plausible.
+  */
+class RankMetricSpec extends SparkSpec {
+
+  test("q180 histogram AUC equals the direct pairwise Mann-Whitney count") {
+    // replay the scorer: class-0 centroid from raw rows, distance per
+    // vector, 2-dp quantization — then the O(n²) pairwise AUC
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("embedding"), col("label"))
+      .collect()
+      .map(r => (r.getSeq[Float](0).map(_.toDouble).toArray, r.getInt(1)))
+    val c0raw = vecs.filter(_._2 == 0).map(_._1)
+    val dim = c0raw.head.length
+    val c0 = Array.tabulate(dim) { i =>
+      BigDecimal(c0raw.map(_(i)).sum / c0raw.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cc = c0.map(x => x * x).sum
+    val scored = vecs.map { case (v, l) =>
+      var vv = 0.0; var vc = 0.0; var i = 0
+      while (i < dim) { vv += v(i) * v(i); vc += v(i) * c0(i); i += 1 }
+      val score = -BigDecimal(vv - 2.0 * vc + cc)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (score, l == 0)
+    }
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filter(!_._2).map(_._1)
+    var wins2 = 0L
+    for (p <- pos; n <- neg)
+      wins2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    val expectAuc = wins2.toDouble / (2.0 * pos.length * neg.length)
+    val r = ml.VectorAgg.q180.fn(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(r.head.getAs[Long]("n_neg") == neg.length.toLong)
+    assert(math.abs(r.head.getAs[Double]("auc") - expectAuc) < 2e-6,
+      s"auc ${r.head.getAs[Double]("auc")} vs pairwise $expectAuc")
+    // the centroid scorer must actually rank class 0 above the rest —
+    // otherwise the eval target is vacuous
+    assert(expectAuc > 0.8, s"expected a discriminative score, auc $expectAuc")
+  }
+
+  test("q181 bucketed Gini and top-decile share replay from raw customer totals") {
+    val cust = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      .collect().map(_.getAs[Long]("cents"))
+    val hist = cust.groupBy(_ / 100000L).toSeq
+      .map { case (b, xs) => (b, xs.length.toLong, xs.sum) }
+      .sortBy(_._1)
+    val totN = hist.map(_._2).sum
+    val totS = hist.map(_._3).sum
+    var cumN = 0L
+    var cumS = 0L
+    var gini = 1.0
+    var topShare = 0L
+    val cut = totN - (totN + 9) / 10
+    hist.foreach { case (_, n, sC) =>
+      gini -= (n.toDouble / totN) * (2.0 * cumS / totS + sC.toDouble / totS)
+      if (cumN + n > cut) topShare += sC
+      cumN += n
+      cumS += sC
+    }
+    val r = operators.Relational.q181.fn(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_customers") == totN)
+    assert(r.head.getAs[Long]("total_cents") == totS)
+    assert(math.abs(r.head.getAs[Double]("gini") - gini) < 1e-6, "gini")
+    assert(math.abs(r.head.getAs[Double]("top_decile_share_ub")
+      - topShare.toDouble / totS) < 1e-6, "top decile share")
+    // structural bounds: 0 <= gini < 1, and the top decile can't hold
+    // less than a tenth of the spend
+    assert(gini >= 0.0 && gini < 1.0)
+    assert(topShare.toDouble / totS >= 0.1 - 1e-9)
+  }
+}

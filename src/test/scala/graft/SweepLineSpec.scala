@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dense replays for the sweep-line pair: q178 interval union per user
+  * and q179 global peak concurrency (whose Spark plan is the two-level
+  * prefix sum — this spec replays the SINGLE-sweep definition and so
+  * also proves the decomposition lossless).
+  */
+class SweepLineSpec extends SparkSpec {
+
+  private val Len = 1800000000L // 30 min in µs
+
+  private lazy val events: Array[(Long, Long)] =
+    Tables.events(spark, sfDir).select("user_id", "ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  test("q178 replay: per-user union length via direct interval merge") {
+    val perUser = events.groupBy(_._1).map { case (u, es) =>
+      val ivs = es.map(e => (e._2, e._2 + Len)).sortBy(identity)
+      var covered = 0L
+      var reach = Long.MinValue
+      ivs.foreach { case (s, e) =>
+        covered += math.max(0L, e - math.max(s, if (reach == Long.MinValue) s else reach))
+        reach = math.max(reach, e)
+      }
+      u -> covered
+    }
+    val hist = perUser.values.groupBy(_ / 3600000000L)
+      .map { case (h, vs) => h -> (vs.size.toLong, vs.sum) }
+    val rows = operators.Relational.q178.fn(spark, sfDir).collect()
+    assert(rows.length == hist.size)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("covered_hours")
+      val (n, tot) = hist(h)
+      assert(r.getAs[Long]("n_users") == n, s"bucket $h users")
+      assert(r.getAs[Long]("total_covered_us") == tot, s"bucket $h total")
+    }
+    // union length never exceeds sum of durations, and is positive
+    val totalCovered = rows.map(_.getAs[Long]("total_covered_us")).sum
+    assert(totalCovered > 0 && totalCovered <= events.length.toLong * Len)
+    // overlaps must exist in this corpus, else the operator is vacuous
+    assert(totalCovered < events.length.toLong * Len,
+      "expected overlapping intervals (union < sum of durations)")
+  }
+
+  test("q179 replay: single-sweep peak equals the two-level plan's answer") {
+    val bounds = events.flatMap(e => Seq((e._2, 1), (e._2 + Len, -1)))
+      .sortBy(identity) // (t asc, d asc) => closes before opens at ties
+    var run = 0L
+    var peak = 0L
+    var firstPeakT = Long.MaxValue
+    // group ties on (t, d): RANGE frame semantics give peers one value
+    bounds.groupBy(identity).toSeq.sortBy(_._1).foreach { case ((t, d), g) =>
+      run += d.toLong * g.length
+      if (run > peak) { peak = run; firstPeakT = t }
+    }
+    val r = operators.Relational.q179.fn(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("peak_concurrency") == peak, "peak mismatch")
+    assert(r.head.getAs[Long]("first_peak_us") == firstPeakT, "first-peak instant")
+    assert(peak >= 1)
+  }
+}
