@@ -562,5 +562,24 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Live occupancy gauge — q179's streaming face. Each event opens a
+    * `sessionLen` session, so the count of events in a sliding window of
+    * EXACTLY that length is the number of sessions still open at the
+    * window's end instant (the census q179 computes in batch, here
+    * sampled every `slide`). Sliding windows are Spark's native
+    * windowed-aggregation state — no custom state machine, watermark
+    * bounds it — and each event lands in len/slide windows, so state is
+    * O(active windows), never O(events). The sampled gauge is a LOWER
+    * bound on q179's exact peak (the true max can fall between sample
+    * instants) — asserted against the batch answer in StreamingSpec.
+    */
+  def occupancyStream(events: DataFrame, sessionLen: String = "30 minutes",
+      slide: String = "5 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), sessionLen, slide).as("w"))
+      .agg(count(lit(1)).as("open_sessions"))
+      .select(col("w.end").as("sampled_at"), col("open_sessions"))
+
   val all: Seq[QueryDef] = Seq(q80, q81, q82, q83, q134)
 }

@@ -486,4 +486,42 @@ class StreamingSpec extends SparkSpec {
     assert(gotLate == batch,
       s"streamed late counts $gotLate diverge from batch $batch")
   }
+
+  test("occupancyStream: sliding census matches hand count and bounds q179's peak") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Timestamp]
+    val df = mem.toDF().toDF("ts")
+    val q = Events.occupancyStream(df).writeStream
+      .format("memory").queryName("occupancy").outputMode(OutputMode.Update).start()
+    // three sessions: two overlap (10:02, 10:14), one isolated (11:40)
+    mem.addData(
+      Timestamp.valueOf("2024-01-01 10:02:00"),
+      Timestamp.valueOf("2024-01-01 10:14:00"),
+      Timestamp.valueOf("2024-01-01 11:40:00"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("occupancy").collect()
+      .map(r => r.getAs[Timestamp]("sampled_at").toString -> r.getAs[Long]("open_sessions"))
+      .toMap
+    // at 10:20 both the 10:02 and 10:14 sessions are open
+    assert(out("2024-01-01 10:20:00.0") == 2L, s"overlap census: $out")
+    // by 10:35 the 10:02 session has closed (len 30 min)
+    assert(out("2024-01-01 10:35:00.0") == 1L)
+    // the isolated session is alone in every window containing it
+    assert(out("2024-01-01 11:45:00.0") == 1L)
+    // batch cross-check on the real corpus: the same sliding census in
+    // batch mode peaks at most at q179's exact answer (samples can only
+    // miss the true instant, never exceed it)
+    val sampledMax = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "30 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max("n")).collect().head.getLong(0)
+    val exactPeak = operators.Relational.q179.fn(spark, sfDir)
+      .collect().head.getAs[Long]("peak_concurrency")
+    assert(sampledMax <= exactPeak,
+      s"sampled census $sampledMax exceeds the exact peak $exactPeak")
+    assert(sampledMax >= (exactPeak + 1) / 2,
+      s"sampled census $sampledMax implausibly far below peak $exactPeak")
+  }
 }
