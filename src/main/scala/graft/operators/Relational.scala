@@ -2366,9 +2366,92 @@ object Relational {
           .as("top_decile_share_ub"))
   }
 
+  // q182 — ORDERED LIST AGGREGATION (the string_agg / array_agg surface:
+  // collapse a detail table to one ordered, delimited value per key —
+  // what feeds exports, dedup keys, and "journey string" features):
+  // per customer, the status sequence of their orders in (date, key)
+  // order plus the distinct sorted priorities. Ordering is the whole
+  // contract — collect_list order is partition-nondeterministic, so the
+  // values ride a struct sort (sort_array on (date, key, status)) before
+  // joining; DuckDB replays with string_agg(... ORDER BY). One
+  // customer-keyed exchange; per-key lists bounded by orders/customer.
+  // Output keyed by customer — O(customers) rows, fine for a dump query
+  // (the operator's point is the ordered-collapse mechanics).
+  val q182: QueryDef = QueryDef.sql(
+    "q182_group_concat",
+    """SELECT o_custkey,
+      |  string_agg(o_orderstatus, ',' ORDER BY o_orderdate, o_orderkey)
+      |    AS status_seq,
+      |  string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+      |    AS priorities,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(unix_micros(cast(o_orderdate as timestamp)) as d, o_orderkey as k, o_orderstatus as st))), x -> x.st)"),
+          ",").as("status_seq"),
+        array_join(array_sort(collect_set(col("o_orderpriority"))), "|")
+          .as("priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  // q183 — COHORT LTV TRIANGLE (the lifetime-value curve: customers
+  // grouped by first-purchase month, cumulative revenue per cohort at
+  // each age in months — the table payback periods and LTV/CAC read
+  // off; q93 counts retention HEADS, this accumulates VALUE): first
+  // purchase via one customer-keyed min, cohort/age in CALENDAR months
+  // (year·12+month integer arithmetic — engine-exact, no epoch-day
+  // division drift), revenue exact cents. The cumulative-over-age
+  // window runs on the O(cohorts × ages) matrix, never on orders; the
+  // only corpus shuffles are the two keyed aggregates (customer min,
+  // then (cohort, age) cents).
+  val q183: QueryDef = QueryDef.sql(
+    "q183_cohort_ltv",
+    """WITH fo AS (
+      |  SELECT o_custkey,
+      |    min(CAST(date_part('year', o_orderdate) * 12
+      |      + date_part('month', o_orderdate) AS BIGINT)) AS cohort_m
+      |  FROM orders GROUP BY o_custkey),
+      |rev AS (
+      |  SELECT fo.cohort_m,
+      |    CAST(date_part('year', o.o_orderdate) * 12
+      |      + date_part('month', o.o_orderdate) AS BIGINT) - fo.cohort_m
+      |      AS age_m,
+      |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents,
+      |    count(*) AS n_orders
+      |  FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+      |  GROUP BY 1, 2)
+      |SELECT cohort_m, age_m, n_orders, cents,
+      |  CAST(sum(cents) OVER (PARTITION BY cohort_m ORDER BY age_m)
+      |    AS BIGINT) AS cum_cents
+      |FROM rev
+      |ORDER BY cohort_m, age_m""".stripMargin) { (s, d) =>
+    val om = Tables.orders(s, d)
+      .withColumn("m",
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long"))
+    val fo = om.groupBy("o_custkey").agg(min("m").as("cohort_m"))
+    val rev = om
+      .join(fo, "o_custkey")
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("age_m"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy("cohort_m").orderBy("age_m")
+    rev
+      .select(col("cohort_m"), col("age_m"), col("n_orders"), col("cents"),
+        sum("cents").over(w).as("cum_cents"))
+      .orderBy("cohort_m", "age_m")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178, q179, q181)
+    q175, q176, q177, q178, q179, q181, q182, q183)
 }
