@@ -2449,9 +2449,95 @@ object Relational {
       .orderBy("cohort_m", "age_m")
   }
 
+  // q184 — KOLMOGOROV–SMIRNOV DRIFT TEST, integer-exact (the standard
+  // two-sample "did the distribution move" check next to q137's JS
+  // divergence and q168's quantile ratios; KS is the one with a
+  // DISTRIBUTION-FREE critical value, so the flag needs no baseline
+  // tuning). Slices: even vs odd epoch-DAY of the order date — a true
+  // A/A pair, so the operator doubles as its own null calibration (the
+  // flag must NOT fire; q167's A/A lesson). Exactness: the textbook
+  // D = max|F₀−F₁| compares ratios of cumulative counts — ratio doubles
+  // would ulp-drift across engines at the argmax, so the comparison is
+  // CROSS-MULTIPLIED: diff_num = |cum0·n1 − cum1·n0|, an exact int64,
+  // and the max + its argmin bucket are integer decisions; only the
+  // final D and critical value are (identical-operand-order) doubles
+  // rounded once. Shape: one corpus aggregate to the O(1000-cent
+  // buckets, slice) table; every window runs on that bounded table.
+  val q184: QueryDef = QueryDef.sql(
+    "q184_ks_drift",
+    """WITH o AS (
+      |  SELECT (epoch_us(o_orderdate) // 86400000000) % 2 AS sl,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS b
+      |  FROM orders),
+      |h AS (
+      |  SELECT b,
+      |    CAST(count(CASE WHEN sl = 0 THEN 1 END) AS BIGINT) AS c0,
+      |    CAST(count(CASE WHEN sl = 1 THEN 1 END) AS BIGINT) AS c1
+      |  FROM o GROUP BY b),
+      |c AS (
+      |  SELECT b,
+      |    sum(c0) OVER (ORDER BY b) AS cum0,
+      |    sum(c1) OVER (ORDER BY b) AS cum1,
+      |    sum(c0) OVER () AS n0, sum(c1) OVER () AS n1
+      |  FROM h),
+      |d AS (
+      |  SELECT b, abs(cum0 * n1 - cum1 * n0) AS dn, n0, n1
+      |  FROM c),
+      |m AS (SELECT max(dn) AS mx FROM d),
+      |agg AS (
+      |  SELECT max(d.n0) AS n0x, max(d.n1) AS n1x, max(m.mx) AS mx,
+      |    min(CASE WHEN d.dn = m.mx THEN d.b END) AS at_b
+      |  FROM d CROSS JOIN m)
+      |SELECT
+      |  CAST(n0x AS BIGINT) AS n0, CAST(n1x AS BIGINT) AS n1,
+      |  round(CAST(mx AS DOUBLE)
+      |    / (CAST(n0x AS DOUBLE) * n1x), 6) AS ks_d,
+      |  round(1.358 * sqrt(CAST(n0x + n1x AS DOUBLE)
+      |    / (CAST(n0x AS DOUBLE) * n1x)), 6) AS ks_crit_05,
+      |  (CAST(mx AS DOUBLE) / (CAST(n0x AS DOUBLE) * n1x))
+      |    > (1.358 * sqrt(CAST(n0x + n1x AS DOUBLE)
+      |      / (CAST(n0x AS DOUBLE) * n1x))) AS drift_flag,
+      |  CAST(at_b AS BIGINT) AS at_bucket
+      |FROM agg""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(
+      expr("(unix_micros(cast(o_orderdate as timestamp)) div 86400000000) % 2")
+        .as("sl"),
+      expr("cast(round(o_totalprice * 100) as bigint) div 100000").as("b"))
+    val h = o.groupBy("b").agg(
+      sum(when(col("sl") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("sl") === 1, 1L).otherwise(0L)).as("c1"))
+    val wCum = Window.orderBy("b")
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dTab = h
+      .withColumn("cum0", sum("c0").over(wCum))
+      .withColumn("cum1", sum("c1").over(wCum))
+      .withColumn("n0", sum("c0").over(wAll))
+      .withColumn("n1", sum("c1").over(wAll))
+      .select(col("b"),
+        abs(col("cum0") * col("n1") - col("cum1") * col("n0")).as("dn"),
+        col("n0"), col("n1"))
+    val mx = dTab.agg(max("dn").as("mx"))
+    dTab.crossJoin(broadcast(mx))
+      .groupBy("mx")
+      .agg(max("n0").as("n0x"), max("n1").as("n1x"),
+        min(when(col("dn") === col("mx"), col("b"))).as("at_b"))
+      .select(
+        col("n0x").as("n0"), col("n1x").as("n1"),
+        round(col("mx").cast("double")
+          / (col("n0x").cast("double") * col("n1x")), 6).as("ks_d"),
+        round(lit(1.358) * sqrt((col("n0x") + col("n1x")).cast("double")
+          / (col("n0x").cast("double") * col("n1x"))), 6).as("ks_crit_05"),
+        (col("mx").cast("double")
+          / (col("n0x").cast("double") * col("n1x"))
+          > lit(1.358) * sqrt((col("n0x") + col("n1x")).cast("double")
+            / (col("n0x").cast("double") * col("n1x")))).as("drift_flag"),
+        col("at_b").as("at_bucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178, q179, q181, q182, q183)
+    q175, q176, q177, q178, q179, q181, q182, q183, q184)
 }
