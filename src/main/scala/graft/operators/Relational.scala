@@ -2535,9 +2535,108 @@ object Relational {
         col("at_b").as("at_bucket"))
   }
 
+  // q185 — WEIGHTED PERCENTILES per group (q12 weights every row
+  // equally; pricing/capacity questions weight by VOLUME — "the price
+  // at which half the shipped QUANTITY clears" is a different number
+  // from the median line price): weighted p50/p90 of line price with
+  // l_quantity as integer weight, via the integer-ceil rank rule over
+  // 1000-cent value buckets (the q171/q181 histogram discipline — the
+  // contract is quantiles of the BUCKETED distribution, so cumulative
+  // windows run on O(buckets) rows per group, never O(lines)). Weights,
+  // cumulative weights, and the ceil targets are all exact int64; cut
+  // selection is min-bucket-at-target — an integer decision needing no
+  // rounding anywhere.
+  val q185: QueryDef = QueryDef.sql(
+    "q185_weighted_percentile",
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) // 100000 AS b,
+      |    CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem),
+      |h AS (
+      |  SELECT flag, b, CAST(sum(w) AS BIGINT) AS wb
+      |  FROM li GROUP BY flag, b),
+      |c AS (
+      |  SELECT flag, b, wb,
+      |    sum(wb) OVER (PARTITION BY flag ORDER BY b) AS cumw,
+      |    sum(wb) OVER (PARTITION BY flag) AS totw
+      |  FROM h)
+      |SELECT flag,
+      |  CAST(max(totw) AS BIGINT) AS total_weight,
+      |  CAST(min(CASE WHEN cumw >= (totw + 1) // 2 THEN b END) * 100000
+      |    AS BIGINT) AS p50_bucket_cents,
+      |  CAST(min(CASE WHEN cumw >= (9 * totw + 9) // 10 THEN b END) * 100000
+      |    AS BIGINT) AS p90_bucket_cents
+      |FROM c
+      |GROUP BY flag
+      |ORDER BY flag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      expr("cast(round(l_extendedprice * 100) as bigint) div 100000").as("b"),
+      expr("cast(l_quantity as bigint)").as("w"))
+    val h = li.groupBy("flag", "b").agg(sum("w").as("wb"))
+    val wCum = Window.partitionBy("flag").orderBy("b")
+    val wAll = Window.partitionBy("flag")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    h.withColumn("cumw", sum("wb").over(wCum))
+      .withColumn("totw", sum("wb").over(wAll))
+      .groupBy("flag")
+      .agg(
+        max("totw").as("total_weight"),
+        (min(when(col("cumw") >= expr("(totw + 1) div 2"), col("b")))
+          * 100000L).as("p50_bucket_cents"),
+        (min(when(col("cumw") >= expr("(9 * totw + 9) div 10"), col("b")))
+          * 100000L).as("p90_bucket_cents"))
+      .orderBy("flag")
+  }
+
+  // q186 — BENFORD FIRST-DIGIT AUDIT (the forensic-accounting staple:
+  // natural multi-scale amounts follow P(d) = log10(1+1/d); invoiced or
+  // synthesized amounts that DON'T are the anomaly — and this corpus's
+  // uniform-ish prices are exactly such a deviation, which the audit
+  // surfaces honestly rather than hides). First digit extracted via
+  // bigint→string (log10-on-double near powers of ten is an
+  // engine-portability hazard; string heads are exact in both). Output
+  // is per-digit: observed count, observed frequency, Benford expectancy,
+  // and that digit's chi-square contribution (n_d − N·p)²/(N·p) — each
+  // row a PER-ROW expression from integers and literals, so nothing
+  // multi-term needs rounding discipline; the 9-row table sums to the
+  // audit statistic client-side. One corpus aggregate, 9 rows out.
+  val q186: QueryDef = QueryDef.sql(
+    "q186_benford_audit",
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders),
+      |h AS (
+      |  SELECT digit, count(*) AS n FROM d GROUP BY digit),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM h)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n AS DOUBLE) / tot, 6) AS freq,
+      |  round((ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS benford_p,
+      |  round((CAST(n AS DOUBLE) - tot * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+      |    * (CAST(n AS DOUBLE) - tot * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+      |    / (tot * (ln(1.0 + 1.0 / digit) / ln(10.0))), 6) AS chi2_contrib
+      |FROM h CROSS JOIN t
+      |ORDER BY digit""".stripMargin) { (s, d) =>
+    val dig = Tables.orders(s, d).select(
+      expr("cast(substr(cast(cast(round(o_totalprice * 100) as bigint) as string), 1, 1) as bigint)")
+        .as("digit"))
+    val h = dig.groupBy("digit").agg(count(lit(1)).as("n"))
+    val t = h.agg(sum("n").as("tot"))
+    val p = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
+    val dev = col("n").cast("double") - col("tot") * p
+    h.crossJoin(broadcast(t))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("freq"),
+        round(p, 6).as("benford_p"),
+        round(dev * dev / (col("tot") * p), 6).as("chi2_contrib"))
+      .orderBy("digit")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178, q179, q181, q182, q183, q184)
+    q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186)
 }

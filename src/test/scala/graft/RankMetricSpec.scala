@@ -113,4 +113,55 @@ class RankMetricSpec extends SparkSpec {
       s"A/A slices flagged drift: D=$ksD crit=${r.head.getAs[Double]("ks_crit_05")}")
     assert(ksD > 0.0, "identical cdfs would make the test vacuous")
   }
+
+  test("q185 weighted percentile replay: rank rule over cumulative weights") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100) as bigint) div 100000").as("b"),
+        expr("cast(l_quantity as bigint)").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = operators.Relational.q185.fn(spark, sfDir).collect()
+    val byFlag = li.groupBy(_._1)
+    assert(rows.length == byFlag.size)
+    rows.foreach { r =>
+      val f = r.getAs[String]("flag")
+      val hist = byFlag(f).groupBy(_._2).map { case (b, xs) => b -> xs.map(_._3).sum }
+        .toSeq.sortBy(_._1)
+      val tot = hist.map(_._2).sum
+      def cut(num: Long, den: Long): Long = {
+        val target = (num * tot + den - 1) / den
+        var cum = 0L
+        hist.find { case (_, wb) => cum += wb; cum >= target }.get._1 * 100000L
+      }
+      assert(r.getAs[Long]("total_weight") == tot, s"$f weight")
+      assert(r.getAs[Long]("p50_bucket_cents") == cut(1, 2), s"$f p50")
+      assert(r.getAs[Long]("p90_bucket_cents") == cut(9, 10), s"$f p90")
+      assert(r.getAs[Long]("p50_bucket_cents") <= r.getAs[Long]("p90_bucket_cents"))
+    }
+  }
+
+  test("q186 Benford replay: digit counts, expectancies, per-digit chi2 contributions") {
+    val digits = Tables.orders(spark, sfDir)
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("c"))
+      .collect().map(_.getLong(0).toString.head.asDigit.toLong)
+    val n = digits.length.toLong
+    val counts = digits.groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    val rows = operators.Relational.q186.fn(spark, sfDir).collect()
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      assert(d >= 1 && d <= 9)
+      assert(r.getAs[Long]("n") == counts(d), s"digit $d count")
+      val p = math.log(1.0 + 1.0 / d) / math.log(10.0)
+      assert(math.abs(r.getAs[Double]("benford_p") - p) < 1e-6)
+      val dev = counts(d).toDouble - n * p
+      assert(math.abs(r.getAs[Double]("chi2_contrib") - dev * dev / (n * p)) < 1e-4,
+        s"digit $d contrib")
+    }
+    // counts conserve; uniform-ish synthetic prices must DEVIATE from
+    // Benford (the audit's honest finding on this corpus)
+    assert(counts.values.sum == n)
+    val chi2 = rows.map(_.getAs[Double]("chi2_contrib")).sum
+    assert(chi2 > 20.0, s"expected a clear Benford deviation, chi2 $chi2")
+  }
 }
