@@ -241,6 +241,64 @@ object Graph {
       .orderBy("vec_id")
   }
 
+  /** Level-synchronous multi-source BFS over an undirected edge list
+    * (`id_a`, `id_b`): every seed starts at depth 0, each round the
+    * current frontier's unvisited neighbors get depth+1. Returns the
+    * final (id, depth) table for all REACHED nodes. Each round is one
+    * keyed join of the frontier against the edge list + a distinct +
+    * an anti-join against the visited set — all keyed shuffles over
+    * O(frontier·k) rows, no driver-side reads beyond the one-count
+    * early-exit probe; rounds are driver-paced with lazy localCheckpoint
+    * truncating lineage (q78's pageRank discipline). The frontier is the
+    * WHOLE level, so rounds = graph diameter, not node count — the
+    * level-synchronous shape that scales.
+    */
+  def bfsLayers(edges0: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    val fwd = edges0.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    var visited = seeds.select(col("id"), lit(0L).as("depth"))
+      .localCheckpoint(false)
+    var frontier = visited
+    var d = 0
+    while (d < maxDepth && frontier.limit(1).count() > 0) {
+      d += 1
+      frontier = frontier
+        .join(edges, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select(col("id").as("vid")), col("id") === col("vid"),
+          "left_anti")
+        .select(col("id"), lit(d.toLong).as("depth"))
+        .localCheckpoint(false)
+      visited = visited.union(frontier).localCheckpoint(false)
+    }
+    visited
+  }
+
+  // q187 — BFS REACHABILITY LAYERS over the kNN graph (the hop-distance
+  // census: how much of the corpus is within h hops of a seed set — the
+  // expansion profile that says whether a similarity graph is one
+  // well-connected region or islands, and how far label propagation /
+  // NSW search can reach from an anchor set). Seeds: vec_id % 250 = 0.
+  // Output: nodes per depth + one unreachable row (depth −1) — the
+  // O(diameter)-row expansion histogram. Approximate graph → rows-only;
+  // GraphSpec replays the BFS densely on the driver, exact
+  // layer-for-layer.
+  val q187: QueryDef = QueryDef.rowsOnly("q187_bfs_layers") { (s, d) =>
+    val edges = graft.sim.Similarity.approxKnnGraphCached(s, d, 3)
+    val seeds = graft.Tables.embeddings(s, d)
+      .filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("id"))
+    val reached = bfsLayers(edges, seeds, maxDepth = 20)
+    val all = graft.Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    val withDepth = all
+      .join(reached.select(col("id").as("rid"), col("depth")),
+        col("id") === col("rid"), "left")
+      .select(coalesce(col("depth"), lit(-1L)).as("depth"))
+    withDepth.groupBy("depth").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("depth")
+  }
+
   /** Triangle census + clustering coefficients over an undirected edge
     * list (`src`, `dst` in either orientation; self-loops and duplicate
     * orientations dropped). Returns ONE row: node/edge/triangle counts,
@@ -345,5 +403,5 @@ object Graph {
       .select(col("id_a").as("src"), col("id_b").as("dst")))
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q135, q141)
+  val all: Seq[QueryDef] = Seq(q78, q135, q141, q187)
 }

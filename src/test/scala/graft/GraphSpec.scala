@@ -195,4 +195,35 @@ class GraphSpec extends SparkSpec {
     assert(gcc >= 0.0 && gcc <= 1.0, s"global_cc out of range: $gcc")
     assert(alcc >= 0.0 && alcc <= 1.0, s"avg_local_cc out of range: $alcc")
   }
+
+  test("q187 BFS layers match a dense driver replay, layer for layer") {
+    import org.apache.spark.sql.functions._
+    val edgeRows = sim.Similarity.approxKnnGraphCached(spark, sfDir, 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edgeRows ++ edgeRows.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, es) => k -> es.map(_._2).toSet }
+    val allIds = Tables.embeddings(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val seeds = allIds.filter(_ % 250 == 0)
+    // dense BFS
+    var depthOf = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    var d = 0
+    while (frontier.nonEmpty && d < 20) {
+      d += 1
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(depthOf.contains)
+      depthOf ++= frontier.map(_ -> d)
+    }
+    val expect = allIds.toSeq
+      .map(id => depthOf.getOrElse(id, -1).toLong)
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val got = graph.Graph.q187.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("depth") -> r.getAs[Long]("n_nodes")).toMap
+    assert(got == expect, s"layer histogram:\n got    $got\n expect $expect")
+    // structural: depth-0 count equals the seed count, everything accounted
+    assert(got(0L) == seeds.size.toLong)
+    assert(got.values.sum == allIds.size.toLong)
+  }
 }
