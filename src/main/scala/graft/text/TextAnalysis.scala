@@ -1986,8 +1986,87 @@ object TextAnalysis {
       .orderBy("stage")
   }
 
+  /** Persisted text INVERTED INDEX — the search-engine artifact (the
+    * vector family has its cell-partitioned ANN table; this is the
+    * postings-table twin for text). One corpus pass explodes tokens to
+    * (term, doc_id, tf) postings, which persist PARTITIONED BY a 64-way
+    * term-hash bucket: a probe computes its terms' buckets driver-side,
+    * so the scan prunes to ≤|terms| partitions and the corpus is never
+    * touched at query time — the difference between q69's per-query
+    * corpus scan and an INDEXED lookup. Vocabulary growth only widens
+    * partitions, never adds them (the bucket count is the scale knob).
+    */
+  def writeInvertedIndex(s: SparkSession, d: String, table: String): Unit =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(64L)))
+      .select("term", "doc_id", "tf", "tb") // partition column last
+      .write.mode("overwrite")
+      .partitionBy("tb")
+      .option("path",
+        s"${s.sessionState.conf.warehousePath}/graft-textindex/$table")
+      .saveAsTable(table)
+
+  private val invIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  graft.Memos.register { () => invIdxMemo.clear() }
+  private[graft] def invertedIndexTable(s: SparkSession, d: String): String =
+    invIdxMemo.computeIfAbsent((s, d), { _ =>
+      val t = s"graft_text_idx_${graft.Memos.pathToken(d)}"
+      writeInvertedIndex(s, d, t)
+      t
+    })
+
+  /** Conjunctive (AND) search over the persisted inverted index: docs
+    * containing EVERY probe term, with the summed term frequency as a
+    * crude rank signal. The postings scan prunes to the probe terms'
+    * hash-bucket partitions (driver-side arithmetic, no corpus access);
+    * the intersection is one doc-keyed aggregate over the ≤|terms|
+    * postings lists with a distinct-term count gate.
+    */
+  def probeConjunctive(s: SparkSession, d: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    // probe buckets via the SAME xxhash64 the index writer used — a
+    // 3-row local relation, no corpus or index access
+    val buckets: Seq[Long] = {
+      import s.implicits._
+      terms.toDF("t").select(pmod(xxhash64(col("t")), lit(64L)))
+        .collect().map(_.getLong(0)).distinct.toIndexedSeq
+    }
+    s.table(invertedIndexTable(s, d))
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("n_terms"), sum("tf").as("n_hits"))
+      .filter(col("n_terms") === terms.size)
+      .select("doc_id", "n_hits")
+  }
+
+  // q188 — CONJUNCTIVE INDEXED SEARCH (AND-of-terms over the persisted
+  // postings table): the operational difference from q69's BM25 is that
+  // the corpus is NEVER scanned at query time — the probe reads only
+  // the ≤|terms| pruned index partitions. The oracle replays the
+  // SEMANTICS (all terms present, summed tf) from the raw documents, so
+  // the index build + pruned probe must agree with a direct scan
+  // hash-exactly.
+  val q188: QueryDef = {
+    val terms = Seq("spark", "join", "window")
+    def cnt(t: String) =
+      s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x = '$t'))"
+    QueryDef.sql(
+      "q188_conjunctive_search",
+      s"""SELECT doc_id,
+         |  CAST(${terms.map(cnt).mkString(" + ")} AS BIGINT) AS n_hits
+         |FROM documents
+         |WHERE ${terms.map(t => s"${cnt(t)} > 0").mkString(" AND ")}
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      probeConjunctive(s, d, terms).orderBy("doc_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120,
     q123, q124, q126, q127, q129, q130, q136, q137, q146, q149, q150,
-    q151, q152, q159, q160, q161)
+    q151, q152, q159, q160, q161, q188)
 }
