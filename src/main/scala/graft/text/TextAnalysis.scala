@@ -2019,6 +2019,24 @@ object TextAnalysis {
       t
     })
 
+  /** INCREMENTAL index maintenance: append a batch of new documents'
+    * postings to an existing inverted index table — q48's
+    * incremental-dedup posture applied to search. The batch tokenizes
+    * and writes ONLY its own terms' bucket partitions; existing
+    * partitions are never rewritten, re-shuffled, or read — O(batch)
+    * work per refresh, and probes see old + new docs identically
+    * (spec-asserted equal to a one-shot rebuild over the union).
+    */
+  def appendToInvertedIndex(s: SparkSession, table: String,
+      batch: DataFrame): Unit =
+    batch
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(64L)))
+      .select("term", "doc_id", "tf", "tb") // partition column last
+      .write.mode("append").insertInto(table)
+
   /** Conjunctive (AND) search over the persisted inverted index: docs
     * containing EVERY probe term, with the summed term frequency as a
     * crude rank signal. The postings scan prunes to the probe terms'

@@ -40,4 +40,29 @@ class InvertedIndexSpec extends SparkSpec {
       .collect().count(_.getSeq[String](1).contains("spark"))
     assert(one.length == direct)
   }
+
+  test("incremental append: probe over old+new equals a one-shot rebuild") {
+    import spark.implicits._
+    val table = text.TextAnalysis.invertedIndexTable(spark, sfDir)
+    val before = text.TextAnalysis
+      .probeConjunctive(spark, sfDir, Seq("spark", "join"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // two synthetic docs: one matches the probe, one must not
+    val batch = Seq(
+      (900001L, "spark join spark window"),
+      (900002L, "merge sort only")).toDF("doc_id", "text")
+    text.TextAnalysis.appendToInvertedIndex(spark, table, batch)
+    try {
+      val after = text.TextAnalysis
+        .probeConjunctive(spark, sfDir, Seq("spark", "join"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == before + ((900001L, 3L)),
+        s"append must add exactly the matching new doc: ${after.diff(before)}")
+    } finally {
+      // restore the shared memoized table for other suites: an
+      // overwrite rebuild from the pristine corpus (same table name,
+      // memo stays valid)
+      text.TextAnalysis.writeInvertedIndex(spark, sfDir, table)
+    }
+  }
 }
