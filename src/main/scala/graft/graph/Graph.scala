@@ -403,5 +403,83 @@ object Graph {
       .select(col("id_a").as("src"), col("id_b").as("dst")))
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q135, q141, q187)
+  // q189 — LINK PREDICTION over the exact kNN graph (the recommender /
+  // graph-completion staple: which NON-edges look most like edges —
+  // candidates to merge in dedup review, or neighbors an ANN graph
+  // build missed): Adamic–Adar over the 2-hop wedge candidates —
+  // common neighbors weighted by 1/ln(degree), so a promiscuous hub
+  // vouches for less than a selective node. Shape: the wedge self-join
+  // keys on the shared MIDDLE vertex (q141's shape, same hub-skew
+  // lever), candidate volume is bounded by wedge count O(n·k²), the
+  // known-edge anti-join keys on the pair, degrees broadcast back.
+  // The per-pair 1/ln(deg) sum is a bounded multi-term double → house
+  // rounding; ranking on (rounded score, pair) keeps the top-20
+  // boundary deterministic. DuckDB replays the WHOLE chain from raw
+  // embeddings (q141's kNN CTE) hash-exactly.
+  val q189: QueryDef = QueryDef.sql(
+    "q189_link_prediction",
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |knn AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      CAST(row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY round(list_sum(list_transform(range(1, 65),
+      |            i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+      |          / (a.nrm * b.nrm), 8) DESC, b.vec_id) AS INTEGER) AS rn
+      |    FROM v a JOIN v b ON a.vec_id <> b.vec_id) t
+      |  WHERE rn <= 3),
+      |und AS (
+      |  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      |  FROM knn WHERE id_a <> id_b),
+      |adjd AS (SELECT u AS src, v AS dst FROM und
+      |         UNION ALL SELECT v AS src, u AS dst FROM und),
+      |deg AS (SELECT src AS node, count(*) AS deg FROM adjd GROUP BY src),
+      |wedge AS (
+      |  SELECT a.dst AS u, b.dst AS v, a.src AS mid
+      |  FROM adjd a JOIN adjd b ON a.src = b.src AND a.dst < b.dst),
+      |cand AS (
+      |  SELECT w.u, w.v, w.mid FROM wedge w
+      |  LEFT JOIN und e ON e.u = w.u AND e.v = w.v
+      |  WHERE e.u IS NULL),
+      |sc AS (
+      |  SELECT cand.u, cand.v, CAST(count(*) AS BIGINT) AS common_nbrs,
+      |    round(sum(1.0 / ln(deg.deg)), 6) AS adamic_adar
+      |  FROM cand JOIN deg ON deg.node = cand.mid
+      |  GROUP BY cand.u, cand.v)
+      |SELECT u AS id_a, v AS id_b, common_nbrs, adamic_adar
+      |FROM sc
+      |ORDER BY adamic_adar DESC, id_a, id_b
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val und = graft.sim.Similarity.q52TopKAgg(s, d)
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+    val deg = adj.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val wedges = adj.as("a")
+      .join(adj.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.dst").as("u"), col("b.dst").as("v"),
+        col("a.src").as("mid"))
+    wedges
+      .join(und.select(col("u").as("eu"), col("v").as("ev")),
+        col("u") === col("eu") && col("v") === col("ev"), "left_anti")
+      // keyed join on the middle vertex — deg is O(nodes), so no forced
+      // broadcast (AQE promotes it when genuinely small)
+      .join(deg, col("mid") === col("node"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common_nbrs"),
+        round(sum(lit(1.0) / log(col("deg"))), 6).as("adamic_adar"))
+      .select(col("u").as("id_a"), col("v").as("id_b"),
+        col("common_nbrs"), col("adamic_adar"))
+      .orderBy(desc("adamic_adar"), col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(q78, q135, q141, q187, q189)
 }

@@ -2634,9 +2634,78 @@ object Relational {
       .orderBy("digit")
   }
 
+  // q190 — CUSUM CHANGEPOINT DETECTION, integer-exact (the "WHEN did
+  // the level shift" question q96/q147 don't answer — they score
+  // single hours against local baselines; CUSUM finds the global
+  // partition point where the before/after means differ most): over
+  // hourly event counts, the textbook statistic max_k |Σ_{i≤k}(n_i−μ)|
+  // compares double deviations — so, q184's cross-multiplication
+  // trick: scale by K = #hours, d_i = K·n_i − N (exact int64, sums to
+  // zero), and the max-|cusum| argmax becomes a pure integer decision
+  // with a min-hour tiebreak. Only the normalized magnitude
+  // |cusum*|/(K·N) rounds once at the end. Shape: one corpus
+  // aggregate to the O(hours) count table; the cumulative window runs
+  // on that bounded table (the documented exception); 1 row out with
+  // before/after mean rates as single rounded divisions.
+  val q190: QueryDef = QueryDef.sql(
+    "q190_cusum_changepoint",
+    """WITH h AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |             CAST(sum(n) AS BIGINT) AS tot FROM h),
+      |c AS (
+      |  SELECT hr, n,
+      |    sum(t.k * n - t.tot) OVER (ORDER BY hr) AS cusum,
+      |    sum(n) OVER (ORDER BY hr) AS cum_n,
+      |    row_number() OVER (ORDER BY hr) AS pos,
+      |    t.k AS k, t.tot AS tot
+      |  FROM h CROSS JOIN t),
+      |m AS (SELECT max(abs(cusum)) AS mx FROM c),
+      |best AS (
+      |  SELECT min(hr) AS cp_hr FROM c CROSS JOIN m WHERE abs(c.cusum) = m.mx),
+      |cp AS (
+      |  SELECT c.* FROM c JOIN best ON c.hr = best.cp_hr)
+      |SELECT
+      |  CAST(cp.k AS BIGINT) AS n_hours, CAST(cp.tot AS BIGINT) AS n_events,
+      |  CAST(cp.hr * 3600000000 AS BIGINT) AS changepoint_us,
+      |  CAST(cp.cusum AS BIGINT) AS cusum_scaled,
+      |  round(abs(CAST(cp.cusum AS DOUBLE)) / (CAST(cp.k AS DOUBLE) * cp.tot), 6)
+      |    AS magnitude,
+      |  round(CAST(cp.cum_n AS DOUBLE) / cp.pos, 6) AS mean_before,
+      |  round(CAST(cp.tot - cp.cum_n AS DOUBLE) / (cp.k - cp.pos), 6)
+      |    AS mean_after
+      |FROM cp""".stripMargin) { (s, d) =>
+    val h = Tables.events(s, d)
+      .groupBy(expr("ts_us div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val t = h.agg(count(lit(1)).as("k"), sum("n").as("tot"))
+    val wCum = Window.orderBy("hr")
+    val c = h.crossJoin(broadcast(t))
+      .withColumn("cusum", sum(col("k") * col("n") - col("tot")).over(wCum))
+      .withColumn("cum_n", sum("n").over(wCum))
+      .withColumn("pos", row_number().over(wCum))
+    val m = c.agg(max(abs(col("cusum"))).as("mx"))
+    c.crossJoin(broadcast(m))
+      .filter(abs(col("cusum")) === col("mx"))
+      .groupBy("k", "tot", "mx")
+      .agg(min(struct(col("hr"), col("cusum"), col("cum_n"), col("pos")))
+        .as("b"))
+      .select(
+        col("k").as("n_hours"), col("tot").as("n_events"),
+        (col("b.hr") * 3600000000L).as("changepoint_us"),
+        col("b.cusum").as("cusum_scaled"),
+        round(abs(col("b.cusum").cast("double"))
+          / (col("k").cast("double") * col("tot")), 6).as("magnitude"),
+        round(col("b.cum_n").cast("double") / col("b.pos"), 6)
+          .as("mean_before"),
+        round((col("tot") - col("b.cum_n")).cast("double")
+          / (col("k") - col("b.pos")), 6).as("mean_after"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186)
+    q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190)
 }

@@ -226,4 +226,41 @@ class GraphSpec extends SparkSpec {
     assert(got(0L) == seeds.size.toLong)
     assert(got.values.sum == allIds.size.toLong)
   }
+
+  test("q189 link prediction matches a dense Adamic-Adar replay; no candidate is an edge") {
+    import org.apache.spark.sql.functions._
+    val und = sim.Similarity.q52TopKAgg(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))))
+      .filter(e => e._1 != e._2).distinct
+    val edgeSet = und.toSet
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, es) => k -> es.map(_._2).toSet }
+    val deg = adj.map { case (k, ns) => k -> ns.size }
+    // dense candidate scores: all 2-hop non-edge pairs
+    val scores = collection.mutable.Map.empty[(Long, Long), (Int, Double)]
+    adj.foreach { case (mid, ns) =>
+      val sorted = ns.toSeq.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.size) {
+        val p = (sorted(i), sorted(j))
+        if (!edgeSet.contains(p)) {
+          val (c, a) = scores.getOrElse(p, (0, 0.0))
+          scores(p) = (c + 1, a + 1.0 / math.log(deg(mid).toDouble))
+        }
+      }
+    }
+    val rows = graph.Graph.q189.fn(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val p = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      assert(!edgeSet.contains(p), s"$p is already an edge")
+      val (cn, aa) = scores(p)
+      assert(r.getAs[Long]("common_nbrs") == cn.toLong, s"$p common")
+      assert(math.abs(r.getAs[Double]("adamic_adar") - aa) < 1e-6, s"$p score")
+    }
+    // the returned 20 really are the global top by (rounded score, pair)
+    val bestScore = scores.values.map(_._2).max
+    assert(math.abs(rows.head.getAs[Double]("adamic_adar") - bestScore) < 1e-6)
+  }
 }

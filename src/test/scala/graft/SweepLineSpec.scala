@@ -61,4 +61,36 @@ class SweepLineSpec extends SparkSpec {
     assert(r.head.getAs[Long]("first_peak_us") == firstPeakT, "first-peak instant")
     assert(peak >= 1)
   }
+
+  test("q190 CUSUM replay: integer argmax and the before/after means") {
+    val hours = events.map(_._2 / 3600000000L)
+      .groupBy(identity).map { case (h, xs) => h -> xs.length.toLong }
+      .toSeq.sortBy(_._1)
+    val k = hours.length.toLong
+    val tot = hours.map(_._2).sum
+    var cusum = 0L
+    var cumN = 0L
+    var best = -1L
+    var cp = (0L, 0L, 0L, 0L) // hr, cusum, cum_n, pos
+    hours.zipWithIndex.foreach { case ((hr, n), i) =>
+      cusum += k * n - tot
+      cumN += n
+      if (math.abs(cusum) > best) { best = math.abs(cusum); cp = (hr, cusum, cumN, i + 1L) }
+    }
+    val r = operators.Relational.q190.fn(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_hours") == k && row.getAs[Long]("n_events") == tot)
+    assert(row.getAs[Long]("changepoint_us") == cp._1 * 3600000000L, "cp instant")
+    assert(row.getAs[Long]("cusum_scaled") == cp._2, "scaled cusum")
+    assert(math.abs(row.getAs[Double]("magnitude")
+      - best.toDouble / (k.toDouble * tot)) < 1e-6)
+    assert(math.abs(row.getAs[Double]("mean_before")
+      - cp._3.toDouble / cp._4) < 1e-6)
+    assert(math.abs(row.getAs[Double]("mean_after")
+      - (tot - cp._3).toDouble / (k - cp._4)) < 1e-6)
+    // the statistic is meaningful: a real partition point strictly
+    // inside the series
+    assert(cp._4 >= 1 && cp._4 < k)
+  }
 }
