@@ -2703,9 +2703,63 @@ object Relational {
           / (col("k") - col("b.pos")), 6).as("mean_after"))
   }
 
+  // q191 — SEASONAL DECOMPOSITION, STL-lite (the time-series triad
+  // trend + seasonal + residual: q147 SCORES hours against a seasonal
+  // profile, this EXTRACTS the components — the starting point of any
+  // forecast or capacity plan): hourly counts → trend = centered ±12 h
+  // moving average (one division of exact integer window sums — edge
+  // windows keep their true row count, no padding lie), detrended =
+  // n − trend (single IEEE ops, engine-identical unrounded), seasonal =
+  // per-hour-of-day mean of detrended (multi-term double → house
+  // rounding), residual RMS against the ROUNDED seasonal so both
+  // engines subtract the same number. Shape: one corpus aggregate to
+  // the O(hours) table; the trend window and the O(24) seasonal rollup
+  // both run on bounded rows. 24-row output.
+  val q191: QueryDef = QueryDef.sql(
+    "q191_seasonal_decompose",
+    """WITH h AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |tr AS (
+      |  SELECT hr, n, hr % 24 AS hod,
+      |    CAST(sum(n) OVER w AS DOUBLE) / count(n) OVER w AS trend
+      |  FROM h
+      |  WINDOW w AS (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |se AS (
+      |  SELECT hod, count(*) AS n_obs,
+      |    round(avg(n - trend), 6) AS seasonal
+      |  FROM tr GROUP BY hod)
+      |SELECT se.hod, CAST(se.n_obs AS BIGINT) AS n_obs, se.seasonal,
+      |  round(sqrt(avg((tr.n - tr.trend - se.seasonal)
+      |    * (tr.n - tr.trend - se.seasonal))), 6) AS resid_rms
+      |FROM tr JOIN se ON tr.hod = se.hod
+      |GROUP BY se.hod, se.n_obs, se.seasonal
+      |ORDER BY se.hod""".stripMargin) { (s, d) =>
+    val h = Tables.events(s, d)
+      .groupBy(expr("ts_us div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("hr").rowsBetween(-12, 12)
+    val tr = h
+      .withColumn("hod", col("hr") % 24)
+      .withColumn("trend",
+        sum("n").over(w).cast("double") / count("n").over(w))
+    val se = tr.groupBy("hod").agg(
+      count(lit(1)).as("n_obs"),
+      round(avg(col("n") - col("trend")), 6).as("seasonal"))
+    tr.join(se, "hod")
+      .groupBy("hod", "n_obs", "seasonal")
+      .agg(round(sqrt(avg(
+        (col("n") - col("trend") - col("seasonal"))
+          * (col("n") - col("trend") - col("seasonal")))), 6)
+        .as("resid_rms"))
+      .select(col("hod"), col("n_obs"), col("seasonal"), col("resid_rms"))
+      .orderBy("hod")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190)
+    q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
+    q191)
 }

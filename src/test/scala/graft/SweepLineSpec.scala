@@ -93,4 +93,38 @@ class SweepLineSpec extends SparkSpec {
     // inside the series
     assert(cp._4 >= 1 && cp._4 < k)
   }
+
+  test("q191 decomposition replay: centered trend, seasonal means, residual RMS") {
+    val hours = events.map(_._2 / 3600000000L)
+      .groupBy(identity).map { case (h, xs) => h -> xs.length.toLong }
+      .toSeq.sortBy(_._1)
+    val n = hours.map(_._2.toDouble).toArray
+    val trend = n.indices.map { i =>
+      val lo = math.max(0, i - 12); val hi = math.min(n.length - 1, i + 12)
+      val w = (lo to hi).map(n(_))
+      w.sum / w.length
+    }
+    val byHod = hours.zipWithIndex.groupBy { case ((hr, _), _) => hr % 24 }
+    val seasonal = byHod.map { case (hod, xs) =>
+      val det = xs.map { case ((_, cnt), i) => cnt.toDouble - trend(i) }
+      hod -> BigDecimal(det.sum / det.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = operators.Relational.q191.fn(spark, sfDir).collect()
+    assert(rows.length == byHod.size)
+    rows.foreach { r =>
+      val hod = r.getAs[Long]("hod")
+      assert(r.getAs[Long]("n_obs") == byHod(hod).size.toLong)
+      assert(math.abs(r.getAs[Double]("seasonal") - seasonal(hod)) < 2e-6, s"hod $hod seasonal")
+      val resid = byHod(hod).map { case ((_, cnt), i) =>
+        val d = cnt.toDouble - trend(i) - seasonal(hod); d * d
+      }
+      val rms = math.sqrt(resid.sum / resid.length)
+      assert(math.abs(r.getAs[Double]("resid_rms") - rms) < 2e-6, s"hod $hod rms")
+    }
+    // decomposition sanity: seasonal components roughly cancel (they are
+    // means of detrended values whose global mean is ~0)
+    val sMean = seasonal.values.sum / seasonal.size
+    assert(math.abs(sMean) < 1.0, s"seasonal components off-center: $sMean")
+  }
 }
