@@ -2756,10 +2756,65 @@ object Relational {
       .orderBy("hod")
   }
 
+  // q192 — FORECAST BACKTEST, integer-exact (the skill-score readout
+  // that closes the q147/q190/q191 time-series family: BEFORE anyone
+  // trusts a forecasting model, the question is whether it beats the
+  // free baselines — and by how much, measured on held-out history):
+  // one-step-ahead backtest of two zero-parameter forecasters over
+  // hourly counts — naive (previous hour's count) and seasonal-naive
+  // (same hour yesterday, 24 rows back) — scored where BOTH have a
+  // forecast. Both forecasts are PRIOR OBSERVED COUNTS (lag windows
+  // over the O(hours) table), so absolute errors are exact integers,
+  // MAEs are single rounded divisions, and the skill ratio
+  // naive/seasonal is one more — a skill > 1 says daily seasonality is
+  // real signal a model must beat, not decoration. One corpus
+  // aggregate; lag windows on bounded rows; 1-row output.
+  val q192: QueryDef = QueryDef.sql(
+    "q192_forecast_backtest",
+    """WITH h AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |f AS (
+      |  SELECT hr, n,
+      |    lag(n, 1) OVER (ORDER BY hr) AS f_naive,
+      |    lag(n, 24) OVER (ORDER BY hr) AS f_seasonal
+      |  FROM h),
+      |s AS (SELECT * FROM f WHERE f_naive IS NOT NULL
+      |      AND f_seasonal IS NOT NULL)
+      |SELECT
+      |  CAST(count(*) AS BIGINT) AS n_scored,
+      |  CAST(sum(abs(n - f_naive)) AS BIGINT) AS abs_err_naive,
+      |  CAST(sum(abs(n - f_seasonal)) AS BIGINT) AS abs_err_seasonal,
+      |  round(CAST(sum(abs(n - f_naive)) AS DOUBLE) / count(*), 6)
+      |    AS mae_naive,
+      |  round(CAST(sum(abs(n - f_seasonal)) AS DOUBLE) / count(*), 6)
+      |    AS mae_seasonal,
+      |  round(CAST(sum(abs(n - f_naive)) AS DOUBLE)
+      |    / sum(abs(n - f_seasonal)), 6) AS skill_vs_naive
+      |FROM s""".stripMargin) { (s, d) =>
+    val h = Tables.events(s, d)
+      .groupBy(expr("ts_us div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("hr")
+    h.withColumn("f_naive", lag("n", 1).over(w))
+      .withColumn("f_seasonal", lag("n", 24).over(w))
+      .filter(col("f_naive").isNotNull && col("f_seasonal").isNotNull)
+      .agg(
+        count(lit(1)).as("n_scored"),
+        sum(abs(col("n") - col("f_naive"))).as("abs_err_naive"),
+        sum(abs(col("n") - col("f_seasonal"))).as("abs_err_seasonal"),
+        round(sum(abs(col("n") - col("f_naive"))).cast("double")
+          / count(lit(1)), 6).as("mae_naive"),
+        round(sum(abs(col("n") - col("f_seasonal"))).cast("double")
+          / count(lit(1)), 6).as("mae_seasonal"),
+        round(sum(abs(col("n") - col("f_naive"))).cast("double")
+          / sum(abs(col("n") - col("f_seasonal"))), 6).as("skill_vs_naive"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
-    q191)
+    q191, q192)
 }

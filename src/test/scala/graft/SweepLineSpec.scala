@@ -127,4 +127,28 @@ class SweepLineSpec extends SparkSpec {
     val sMean = seasonal.values.sum / seasonal.size
     assert(math.abs(sMean) < 1.0, s"seasonal components off-center: $sMean")
   }
+
+  test("q192 backtest replay: integer lag errors, MAEs, and the skill ratio") {
+    val hours = events.map(_._2 / 3600000000L)
+      .groupBy(identity).map { case (h, xs) => h -> xs.length.toLong }
+      .toSeq.sortBy(_._1).map(_._2)
+    var eNaive = 0L
+    var eSeasonal = 0L
+    var scored = 0L
+    for (i <- 24 until hours.length) {
+      scored += 1
+      eNaive += math.abs(hours(i) - hours(i - 1))
+      eSeasonal += math.abs(hours(i) - hours(i - 24))
+    }
+    val r = operators.Relational.q192.fn(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_scored") == scored)
+    assert(row.getAs[Long]("abs_err_naive") == eNaive, "naive abs err")
+    assert(row.getAs[Long]("abs_err_seasonal") == eSeasonal, "seasonal abs err")
+    assert(math.abs(row.getAs[Double]("mae_naive") - eNaive.toDouble / scored) < 1e-6)
+    assert(math.abs(row.getAs[Double]("skill_vs_naive")
+      - eNaive.toDouble / eSeasonal) < 1e-6)
+    assert(scored > 0 && eSeasonal > 0)
+  }
 }
