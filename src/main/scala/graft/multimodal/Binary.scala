@@ -409,5 +409,130 @@ object Binary {
     s.createDataFrame(rows, outSchema).orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q70, q71, q72, q74)
+  // q193 — PERCEPTUAL-HASH NEAR-DUP over binary payloads (the image-dedup
+  // path: aHash — block means vs the global mean — over the payload's
+  // 8×8 = 64-block structure, then q43's hamming-band LSH; a real
+  // deployment swaps byte values for decoded luma, the distributed shape
+  // is identical). Every bit decision is CROSS-MULTIPLIED integer math
+  // (block_sum·L > total·block_len — never a float mean), so both
+  // engines compute identical 64-bit signatures. Candidates form ONLY
+  // inside 16-bit band buckets (4 bands: pigeonhole makes recall exact
+  // only to hamming ≤ 3; at this gate of 12 the band filter is the
+  // standard LSH recall/cost trade and the oracle mirrors the BLOCKED
+  // plan — q42's discipline, the contract is the funnel, not all-pairs
+  // truth. Band width is the selectivity lever: 8-bit bands measured
+  // 713k candidates over 5k docs — ~29% of all pairs, no LSH at all —
+  // 16-bit bands cut that to 8.7k); ids-only pairs, the corpus never
+  // pair-joins. Verify = exact hamming over the 64 bits, pairs dedup on
+  // (a, b). Empty payloads get the all-false signature deterministically.
+  val q193: QueryDef = {
+    val nBands = 4
+    val maxHamming = 12
+    QueryDef.sql(
+      "q193_phash_near_dup",
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) = 0 THEN []
+         |      ELSE list_transform(range(1, length(text) + 1),
+         |        i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) END
+         |      AS codes,
+         |    CAST(length(text) AS BIGINT) AS len
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 64), j ->
+         |      CASE WHEN (len * (j + 1)) // 64 > (len * j) // 64 THEN
+         |        coalesce(list_sum(codes[CAST((len * j) // 64 + 1 AS INT)
+         |            : CAST((len * (j + 1)) // 64 AS INT)]), 0) * len
+         |          > coalesce(list_sum(codes), 0)
+         |            * ((len * (j + 1)) // 64 - (len * j) // 64)
+         |      ELSE false END) AS sig
+         |  FROM c),
+         |b AS (
+         |  SELECT doc_id, sig, k,
+         |    list_aggregate(list_transform(range(0, 16),
+         |      i -> CASE WHEN sig[CAST(k * 16 + i + 1 AS INT)]
+         |        THEN '1' ELSE '0' END), 'string_agg', '') AS band
+         |  FROM h CROSS JOIN range(0, $nBands) t(k)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+         |    a.sig AS sig_a, bb.sig AS sig_b
+         |  FROM b a JOIN b bb
+         |    ON a.k = bb.k AND a.band = bb.band AND a.doc_id < bb.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(len(list_filter(range(1, 65),
+         |    i -> sig_a[CAST(i AS INT)] <> sig_b[CAST(i AS INT)])) AS BIGINT)
+         |    AS hamming
+         |FROM pairs
+         |WHERE len(list_filter(range(1, 65),
+         |  i -> sig_a[CAST(i AS INT)] <> sig_b[CAST(i AS INT)])) <= $maxHamming
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      // signature via a NATIVE partition kernel over the payload bytes —
+      // this module's charter (the q71 BatchDecoder shape: binary decode
+      // is a per-partition byte loop, not an expression tree). The SQL
+      // HOF formulation (64 slice+aggregate lambdas per row) measured
+      // 12 s at sf0.1 and a posexplode rewrite 7 s; the byte loop is the
+      // plan a real perceptual hash runs anyway. Byte value == code
+      // point because the corpus is ASCII (q70 asserts is_ascii — the
+      // same contract q71's oracle rides).
+      val src = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val sigSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("sig", ArrayType(BooleanType, containsNull = false))))
+      val sigRows = src.rdd.mapPartitions { it =>
+        it.map { r =>
+          val p = r.getAs[Array[Byte]]("payload")
+          val len = p.length.toLong
+          val sig = new Array[Boolean](64)
+          if (len > 0) {
+            var tot = 0L
+            var i = 0
+            while (i < p.length) { tot += (p(i) & 0xff); i += 1 }
+            var j = 0
+            while (j < 64) {
+              val lo = (len * j / 64).toInt
+              val hi = (len * (j + 1) / 64).toInt
+              if (hi > lo) {
+                var bs = 0L
+                var q = lo
+                while (q < hi) { bs += (p(q) & 0xff); q += 1 }
+                sig(j) = bs * len > tot * (hi - lo)
+              }
+              j += 1
+            }
+          }
+          Row(r.getAs[Long]("doc_id"), sig.toSeq)
+        }
+      }
+      // three consumers (band explode + two pair-side sig joins):
+      // materialize the O(docs × 64-bool) table once
+      val h = s.createDataFrame(sigRows, sigSchema).localCheckpoint(false)
+      val bands = h.select(col("doc_id"), col("sig"),
+          explode(expr(s"sequence(0, ${nBands - 1})")).as("k"))
+        .withColumn("band", expr(
+          "array_join(transform(slice(sig, cast(k * 16 + 1 as int), 16), b -> if(b, '1', '0')), '')"))
+      // ids-only pair generation + dedup, signatures join in AFTER (the
+      // heavy-payloads-after-pair-gen rule: a degenerate band bucket
+      // otherwise drags two 64-slot arrays through the pair DISTINCT);
+      // at scale the sig table persists once (writeSignatureTable's
+      // treatment), locally the cheap projection recomputes
+      val idPairs = bands.select("k", "band", "doc_id").as("a")
+        .join(bands.select("k", "band", "doc_id").as("b"),
+          col("a.k") === col("b.k") && col("a.band") === col("b.band")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      idPairs
+        .join(h.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(h.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .withColumn("hamming", expr(
+          "cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x != y), z -> z)) as bigint)"))
+        .filter(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q70, q71, q72, q74, q193)
 }

@@ -42,4 +42,44 @@ class BatchDecodeSpec extends SparkSpec {
       assert(got == ref, s"batchSize=$bs changed the output")
     }
   }
+
+  test("q193 perceptual near-dup matches a dense aHash + band replay") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def sig(text: String): Array[Boolean] = {
+      val codes = text.map(_.toLong)
+      val len = codes.length.toLong
+      val tot = codes.sum
+      Array.tabulate(64) { j =>
+        val lo = (len * j / 64).toInt; val hi = (len * (j + 1) / 64).toInt
+        if (hi > lo) {
+          val bs = codes.slice(lo, hi).sum
+          bs * len > tot * (hi - lo)
+        } else false
+      }
+    }
+    val sigs = docs.map { case (id, t) => id -> sig(t) }.toMap
+    // band candidates: 4 bands x 16 bits
+    val byBand = collection.mutable.Map.empty[(Int, Seq[Boolean]), List[Long]]
+    sigs.foreach { case (id, sg) =>
+      for (k <- 0 until 4) {
+        val key = (k, sg.slice(k * 16, k * 16 + 16).toSeq)
+        byBand(key) = id :: byBand.getOrElse(key, Nil)
+      }
+    }
+    val expect = byBand.values.flatMap { ids =>
+      val sorted = ids.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.size) yield (sorted(i), sorted(j))
+    }.toSet.flatMap { p: (Long, Long) =>
+      val h = sigs(p._1).zip(sigs(p._2)).count { case (a, b) => a != b }
+      if (h <= 12) Some((p._1, p._2, h.toLong)) else None
+    }
+    val got = multimodal.Binary.q193.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming"))).toSet
+    assert(got == expect, s"got ${got.size} pairs, expect ${expect.size}")
+    assert(expect.nonEmpty, "the corpus must surface perceptual near-dups")
+    // signatures are genuinely discriminative: far more docs than pairs
+    assert(expect.size < docs.length / 10)
+  }
 }
