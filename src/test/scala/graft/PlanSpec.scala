@@ -487,6 +487,39 @@ class PlanSpec extends SparkSpec {
       s"windows must not run per-customer — buckets only:\n$plan")
   }
 
+  test("q183 LTV triangle: the cumulative window runs on the cohort matrix, not per-customer") {
+    val plan = planOf("q183_cohort_ltv")
+    assert(plan.contains("hashpartitioning(cohort_m"),
+      s"the cum window must partition on cohort_m:\n$plan")
+    assert(!plan.contains("Window") || !plan.contains("hashpartitioning(o_custkey,"),
+      s"no per-customer window may appear:\n$plan")
+  }
+
+  test("q185 weighted percentiles: rank windows partition per group over the bucket table") {
+    val plan = planOf("q185_weighted_percentile")
+    assert(plan.contains("hashpartitioning(flag"),
+      s"cumulative weights must partition on the group key:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"bucket weights must combine map-side:\n$plan")
+  }
+
+  test("q190 CUSUM: one corpus aggregate feeds the bounded hour table") {
+    val plan = planOf("q190_cusum_changepoint")
+    assert(plan.contains("partial_count"),
+      s"hourly counts must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"only broadcast 1-row joins allowed:\n$plan")
+  }
+
+  test("q193 perceptual near-dup: band-keyed pairs, never a cartesian") {
+    val plan = planOf("q193_phash_near_dup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay inside band buckets:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"the band join must be keyed:\n$plan")
+  }
+
   test("q177 proration: both windows share the one orderkey exchange") {
     val plan = planOf("q177_exact_proration")
     // Σw, Σbase and the remainder rank all partition by l_orderkey — Spark
