@@ -1106,15 +1106,25 @@ object Dedup {
       .select("doc_id").distinct()
     val decon = nonEval.join(conta, Seq("doc_id"), "left_anti")
     val tt = decon.agg(sum("n_tok")).take(1).head.getAs[Long](0)
+    // stage 4 token budget: the naive shape is a per-source cumulative
+    // window over EVERY surviving document — a multi-TB single-task sort
+    // per source at 100 TB. q103 solved the identical problem with a
+    // bounded (source, qkey) token histogram that finds each source's
+    // boundary quality key first; reuse it here so the window runs over
+    // ≈ quota tokens per source. The composed DuckDB oracle replays the
+    // UNPRUNED window and must hash-match — the prune is proven lossless
+    // every round, not assumed.
+    val scored = decon
+      .withColumn("qkey",
+        expr("cast(round(1000.0 * n_stop / n_tok) as int)"))
+      .withColumn("w",
+        expr("cast(substring(source, 4, 8) as int)") % 4 + 1)
     val byQ = Window.partitionBy("source")
       .orderBy(desc("qkey"), asc("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val budget = decon
-      .withColumn("qkey",
-        expr("cast(round(1000.0 * n_stop / n_tok) as int)"))
+    val budget = graft.text.TextAnalysis.boundaryPrune(s, scored, tt)
       .withColumn("cum", sum("n_tok").over(byQ))
-      .withColumn("quota", floor(lit(0.25) * lit(tt) *
-        (expr("cast(substring(source, 4, 8) as int)") % 4 + 1) / lit(50.0)))
+      .withColumn("quota", floor(lit(0.25) * lit(tt) * col("w") / lit(50.0)))
       .filter(col("cum") - col("n_tok") < col("quota"))
     def stage(name: String, df: org.apache.spark.sql.DataFrame) =
       df.agg(count(lit(1)).as("nd"), sum("n_tok").as("nt"))

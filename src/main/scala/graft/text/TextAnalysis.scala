@@ -932,9 +932,22 @@ object TextAnalysis {
     */
   private[graft] def budgetCandidates(s: SparkSession, d: String):
       (org.apache.spark.sql.DataFrame, Long) = {
-    import s.implicits._
     val scored = budgetScored(s, d)
     val tt = scored.agg(sum("n_tok")).take(1).head.getLong(0)
+    (boundaryPrune(s, scored, tt), tt)
+  }
+
+  /** The boundary-key prune itself, decoupled from q103's scoring so any
+    * per-source greedy token-budget stage can reuse it (q115's curation
+    * funnel consumes it on the POST-dedup/decontamination survivor set).
+    * `scored` must carry (source, w ∈ 1..4, qkey ∈ [0,1000], n_tok);
+    * extra columns ride through untouched. Quota rule is the shared
+    * contract: floor(0.25 · tt · w / 50).
+    */
+  private[graft] def boundaryPrune(s: SparkSession,
+      scored: org.apache.spark.sql.DataFrame, tt: Long):
+      org.apache.spark.sql.DataFrame = {
+    import s.implicits._
     val histCap = 64 * 1024
     val hist = scored.groupBy("source", "w", "qkey")
       .agg(sum("n_tok").as("btok"))
@@ -955,10 +968,10 @@ object TextAnalysis {
       }
       (src, t)
     }.toSeq
-    val cands = scored.join(
+    scored.join(
       broadcast(boundary.toDF("source", "tmin")), Seq("source"))
       .filter(col("qkey") >= col("tmin"))
-    (cands, tt)
+      .drop("tmin")
   }
 
   // q103 — TOKEN-BUDGET MIX: fill a global token budget (25% of corpus

@@ -283,6 +283,20 @@ class PlanSpec extends SparkSpec {
       s"q117 must never shuffle the exploded corpus on gram:\n$plan")
   }
 
+  test("q115 budget stage windows only the boundary-pruned candidates, never the full survivor set") {
+    val plan = planOf("q115_curation_funnel")
+    // the naive stage-4 shape — Window.partitionBy(source) over EVERY
+    // surviving document — is a multi-TB single-task sort per source at
+    // 100 TB. The plan must show exactly one Window (the budget cumsum)
+    // and its input subtree must carry the q103 boundary filter
+    // (qkey >= tmin against the broadcast boundary table).
+    val wins = "Window".r.findAllIn(plan).size
+    assert(wins == 1, s"expected exactly one Window (the budget stage), got $wins:\n$plan")
+    val below = plan.split("Window", 2)(1)
+    assert(below.contains("tmin"),
+      s"the budget window must consume the boundary-pruned candidates (qkey >= tmin):\n$plan")
+  }
+
   test("q121 shuffle shard: the shard window is the ONLY hash exchange (no global sort rank)") {
     val plan = planOf("q121_shuffle_shard")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size

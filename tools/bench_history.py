@@ -23,6 +23,12 @@ Usage:
       per-query mins only, no cv; used once to backfill history)
 
 Re-running with the same label replaces that round's entry (idempotent).
+
+Label convention (r9): ONE entry per round, labeled `rNN` exactly so the
+round-health fold-in finds CORRECTNESS_rNN.json. Mid-round dev sweeps are
+not appended (or are appended under the final label and overwritten); the
+canonical append happens at round CLOSE, after the correctness artifact
+exists, so every recorded round carries its health counts.
 """
 import json
 import re
