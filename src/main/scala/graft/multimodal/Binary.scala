@@ -158,6 +158,74 @@ object Binary {
     }
   }
 
+  /** REAL image decoder (r9) — PNG via `javax.imageio`, the JDK's public
+    * built-in codec: decodes actual encoded bytes through the SAME
+    * columnar contract as the stub, closing the "digests of a stub" gap
+    * for payloads a user actually has. Features per item: width, height,
+    * then an 8-bin luma histogram (integer Rec.601 luma (299r + 587g +
+    * 114b)/1000 — exact integer math, and PNG is lossless, so the
+    * histogram is bit-deterministic across JVMs). A payload ImageIO
+    * cannot decode (truncated file, wrong format) yields the −1 sentinel
+    * row instead of throwing — at 100 TB one corrupt object must
+    * quarantine, never kill the job (spec-asserted). The catalog entries
+    * keep the stub (their DuckDB oracles replay byte arithmetic); this
+    * decoder is exercised by BatchDecodeSpec over real encoded fixtures
+    * with batch-boundary independence proven, and is what a deployment
+    * routes `image/png` payloads to via [[decoderFor]].
+    */
+  object PngBatchDecoder extends BatchDecoder {
+    val nFeatures = 10 // width, height, 8 luma-histogram fractions
+    def decode(batch: BinaryBatch): Array[Double] = {
+      val out = new Array[Double](batch.size * nFeatures)
+      val hist = new Array[Long](8)
+      var i = 0
+      while (i < batch.size) {
+        val in = new java.io.ByteArrayInputStream(
+          batch.data, batch.offsets(i), batch.itemLength(i))
+        val img =
+          try javax.imageio.ImageIO.read(in)
+          catch { case _: java.io.IOException => null }
+        if (img == null) {
+          java.util.Arrays.fill(out, i * nFeatures, (i + 1) * nFeatures, -1.0)
+        } else {
+          val w = img.getWidth
+          val h = img.getHeight
+          java.util.Arrays.fill(hist, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              hist(lum >> 5) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = math.max(w.toLong * h, 1L).toDouble
+          out(i * nFeatures) = w.toDouble
+          out(i * nFeatures + 1) = h.toDouble
+          var k = 0
+          while (k < 8) { out(i * nFeatures + 2 + k) = hist(k) / n; k += 1 }
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Modality → decoder dispatch table (the router's one swap point: a
+    * deployment adds a codec by adding a row here; routing, batching,
+    * and the partition plan never change). `png` is the real-bytes path.
+    */
+  def decoderFor(modality: String): BatchDecoder = modality match {
+    case "image" => HistBatchDecoder
+    case "audio" => AmplitudeBatchDecoder
+    case "png"   => PngBatchDecoder
+    case _       => WhitespaceBatchDecoder
+  }
+
   object WhitespaceBatchDecoder extends BatchDecoder { // "text": ws fraction
     val nFeatures = 1
     def decode(batch: BinaryBatch): Array[Double] = {
@@ -241,6 +309,34 @@ object Binary {
       }
     }
     s.createDataFrame(rows, outSchema).orderBy("doc_id")
+  }
+
+  /** Codec-agnostic decode plumbing over an arbitrary (doc_id, payload)
+    * frame: per partition, fixed-size columnar batches through ONE
+    * decoder call each, full feature vectors out. This is the entry
+    * point for REAL payloads (BatchDecodeSpec drives PNG bytes through
+    * it); the catalog queries keep their digest projections on top of
+    * the same batching.
+    */
+  private[graft] def decodeWith(s: SparkSession, src: DataFrame,
+      dec: BatchDecoder, batchSize: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", IntegerType),
+      StructField("features", ArrayType(DoubleType, containsNull = false))))
+    val rows = src.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { group =>
+        val batch = BinaryBatch.pack(group.iterator.map(r =>
+          (r.getAs[Long]("doc_id"), 0, r.getAs[Array[Byte]]("payload"))))
+        val feats = dec.decode(batch)
+        val nf = dec.nFeatures
+        (0 until batch.size).iterator.map { i =>
+          Row(batch.ids(i), batch.itemLength(i),
+            feats.slice(i * nf, (i + 1) * nf).toSeq)
+        }
+      }
+    }
+    s.createDataFrame(rows, outSchema)
   }
 
   private val FrameBytes = 64
@@ -387,11 +483,7 @@ object Binary {
         group.groupBy(_.getAs[String]("modality")).iterator.flatMap { case (m, rs) =>
           val batch = BinaryBatch.pack(rs.iterator.map(r =>
             (r.getAs[Long]("doc_id"), 0, r.getAs[Array[Byte]]("body"))))
-          val dec: BatchDecoder = m match {
-            case "image" => HistBatchDecoder
-            case "audio" => AmplitudeBatchDecoder
-            case _       => WhitespaceBatchDecoder
-          }
+          val dec: BatchDecoder = decoderFor(m)
           val f = dec.decode(batch)
           val nf = dec.nFeatures
           (0 until batch.size).iterator.map { i =>

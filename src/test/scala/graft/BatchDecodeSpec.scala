@@ -43,6 +43,72 @@ class BatchDecodeSpec extends SparkSpec {
     }
   }
 
+  test("PNG decoder: real encoded bytes through the columnar contract, batch-boundary independent") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // deterministic fixtures: solid fills, gradients, and a checkerboard
+    // at two sizes — REAL PNG encodings, not synthetic byte streams
+    def render(id: Int): BufferedImage = {
+      val (w, h) = if (id % 2 == 0) (16, 12) else (9, 21)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = id % 3 match {
+          case 0 => (id * 21 % 256) << 16 | (id * 47 % 256) << 8 | (id * 89 % 256)
+          case 1 => (x * 255 / math.max(w - 1, 1)) << 16 |
+            (y * 255 / math.max(h - 1, 1)) << 8 | 128
+          case _ => if ((x + y) % 2 == 0) 0xffffff else 0x000000
+        }
+        img.setRGB(x, y, rgb)
+      }
+      img
+    }
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val images = (0 until 12).map(i => i.toLong -> render(i))
+    val payloads = images.map { case (id, img) => (id, png(img)) } :+
+      // corrupt payload: a truncated PNG must quarantine, not throw
+      (99L, png(render(0)).take(40))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(payloads.map { case (id, p) => Row(id, p) }, 4),
+      schema)
+    val ref = Binary.decodeWith(spark, src, Binary.PngBatchDecoder, 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getSeq[Double](2).toList)).toMap
+    // boundary independence: per-item results identical at any batch size
+    for (bs <- Seq(1, 3)) {
+      val got = Binary.decodeWith(spark, src, Binary.PngBatchDecoder, bs)
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getSeq[Double](2).toList)).toMap
+      assert(got == ref, s"batchSize=$bs changed the PNG decode output")
+    }
+    // decoded features equal the directly-computed truth (PNG is
+    // lossless, so the luma histogram must be EXACT)
+    images.foreach { case (id, img) =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val hist = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 +
+          ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        hist(lum >> 5) += 1
+      }
+      val expect = List(w.toDouble, h.toDouble) ++
+        hist.map(_.toDouble / (w * h)).toList
+      assert(ref(id)._2 == expect, s"image $id decoded features diverged")
+    }
+    // the corrupt payload yields the sentinel row
+    assert(ref(99L)._2 == List.fill(10)(-1.0), "corrupt PNG must quarantine")
+    // router dispatch: the png modality resolves to the real decoder
+    assert(Binary.decoderFor("png") eq Binary.PngBatchDecoder)
+  }
+
   test("q193 perceptual near-dup matches a dense aHash + band replay") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
