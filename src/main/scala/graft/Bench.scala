@@ -56,6 +56,10 @@ object Bench {
     val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
+    // dev-only: timed-rep count (default 3, the driver protocol). Large
+    // one-off SFs (the sf1 scale checkpoint) use 2 to keep wall-clock
+    // sane; min-of-2 interleaved is still a defensible steady-state read.
+    val nReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val reps = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     // a query that THROWS must not masquerade as a fast rep — record the
@@ -66,7 +70,7 @@ object Bench {
       val used = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
       if (used > storageHighWater) storageHighWater = used
     }
-    for (rep <- 0 to 3; name <- names) {
+    for (rep <- 0 to nReps; name <- names) {
       val t0 = System.nanoTime()
       var ok = true
       try SparkEntry.queries(name)(spark, sfDir).count()

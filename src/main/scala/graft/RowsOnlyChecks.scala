@@ -1,0 +1,475 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Verify-time invariant checks for the catalog's rows-only queries.
+  *
+  * The 38 queries without a DuckDB oracle (sketch estimates, trained
+  * models, zlib, engine-specific hashes) were previously pass/fail only
+  * inside ScalaTest — a round artifact reader had to re-run sbt to know.
+  * Each entry here distills its query's spec bars into an invariant the
+  * [[Verify]] drive can execute on the freshly-computed result at the
+  * driver's scale factor, emitting `rows_only_checks.json` next to the
+  * oracle dumps: every catalog id then has an explicit machine-readable
+  * pass/fail in round artifacts. The full ScalaTest spec (named per
+  * entry) remains the deeper gate — dense replays, plan shapes,
+  * streaming parity; these are the re-runnable release checks.
+  *
+  * A check returns failure messages (empty = pass) and must be cheap:
+  * one or two extra Spark jobs at most, reusing the engine's memoized
+  * models/indexes where the query itself does.
+  */
+object RowsOnlyChecks {
+
+  final case class Check(
+      spec: String,
+      invariant: String,
+      run: (SparkSession, String, DataFrame) => Seq[String])
+
+  private def fail(cond: Boolean, msg: => String): Seq[String] =
+    if (cond) Nil else Seq(msg)
+
+  /** Recall of `df`'s vec_id set against the exact brute-force top-k for
+    * the family's fixed query vector (q50's, the one every flat ANN tier
+    * shares).
+    */
+  private def recallVsBrute(s: SparkSession, d: String, df: DataFrame,
+      floor: Double, k: Int = 10): Seq[String] = {
+    val got = df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = graft.sim.Similarity.bruteTopK(s, d, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    fail(recall >= floor, f"recall@$k $recall%.3f < floor $floor")
+  }
+
+  /** Mean per-query recall of a batch ANN result (qid, vec_id) against
+    * per-qid exact brute force using the qids' own embeddings as query
+    * vectors (in-corpus queries — self-match included on both sides).
+    */
+  private def batchRecall(s: SparkSession, d: String, df: DataFrame,
+      floor: Double): Seq[String] = {
+    val byQ = df.select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val qids = byQ.keys.toSeq.sorted
+    val qvecs = Tables.embeddings(s, d)
+      .filter(col("vec_id").isin(qids: _*))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val recalls = qids.map { q =>
+      val exact = graft.sim.Similarity.bruteTopK(s, d, 10, qvecs(q))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.intersect(byQ(q)).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    fail(mean >= floor,
+      f"mean recall@10 over ${qids.size} queries $mean%.3f < floor $floor")
+  }
+
+  private def monotone(vs: Seq[Double], nonIncreasing: Boolean,
+      what: String): Seq[String] = {
+    val bad = vs.zip(vs.tail).exists { case (a, b) =>
+      if (nonIncreasing) b > a + 1e-9 else b < a - 1e-9 }
+    fail(!bad, s"$what not monotone ${if (nonIncreasing) "non-increasing" else "non-decreasing"}: $vs")
+  }
+
+  private def inUnit(df: DataFrame, c: String): Seq[String] = {
+    val n = df.filter(col(c) < 0 || col(c) > 1 || col(c).isNull ||
+      col(c).isNaN).count()
+    fail(n == 0, s"$n rows with $c outside [0,1]")
+  }
+
+  val checks: Map[String, Check] = Map(
+
+    "q100_nsw_ann" -> Check("OperatorSemanticsSpec", "recall@10 >= 0.9 vs exact brute force",
+      (s, d, df) => recallVsBrute(s, d, df, 0.9) ++ {
+        val sims = df.select("cos_sim").collect().map(_.getDouble(0)).toSeq
+        monotone(sims, nonIncreasing = true, "cos_sim")
+      }),
+
+    "q102_nsw_batch_ann" -> Check("OperatorSemanticsSpec", "mean recall@10 >= 0.9 over the query batch",
+      (s, d, df) => batchRecall(s, d, df, 0.9)),
+
+    "q133_ivf_batch_ann" -> Check("OperatorSemanticsSpec", "mean recall@10 >= 0.8 over the query batch",
+      (s, d, df) => batchRecall(s, d, df, 0.8)),
+
+    "q105_hard_negatives" -> Check("OperatorSemanticsSpec",
+      "every negative's label differs from its query's label; 5 per query",
+      (s, d, df) => {
+        val labels = Tables.embeddings(s, d).select("vec_id", "label")
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val rows = df.select("qid", "neg_id", "neg_label").collect()
+        val wrongLab = rows.count(r => labels(r.getLong(1)) != r.getInt(2))
+        val sameAsQuery = rows.count(r => labels(r.getLong(0)) == r.getInt(2))
+        val perQ = rows.groupBy(_.getLong(0)).values.map(_.length).toSet
+        fail(wrongLab == 0, s"$wrongLab rows with neg_label != corpus label") ++
+          fail(sameAsQuery == 0, s"$sameAsQuery negatives share the query's label") ++
+          fail(perQ == Set(5), s"per-query negative counts $perQ != {5}")
+      }),
+
+    "q107_vocab_overlap" -> Check("OperatorSemanticsSpec",
+      "sketch estimates within 5% (per-source) / 10% (intersection) of exact companions; set algebra sane",
+      (_, _, df) => df.collect().toSeq.flatMap { r =>
+        def rel(est: Long, exact: Long) =
+          math.abs(est - exact).toDouble / math.max(exact, 1L)
+        val (ea, eb, eu, ei) = (r.getAs[Long]("est_a"), r.getAs[Long]("est_b"),
+          r.getAs[Long]("est_union"), r.getAs[Long]("est_inter"))
+        val (xa, xb, xi) = (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"),
+          r.getAs[Long]("exact_inter"))
+        fail(rel(ea, xa) <= 0.05, s"est_a off >5%: $ea vs $xa") ++
+          fail(rel(eb, xb) <= 0.05, s"est_b off >5%: $eb vs $xb") ++
+          fail(rel(ei, xi) <= 0.10, s"est_inter off >10%: $ei vs $xi") ++
+          fail(eu >= math.max(ea, eb) - 1, s"union $eu < max($ea, $eb)") ++
+          fail(ei <= math.min(ea, eb) + math.max(ea.max(eb) / 20, 2),
+            s"inter $ei above min($ea, $eb) beyond slack")
+      }),
+
+    "q116_token_ids" -> Check("OperatorSemanticsSpec",
+      "id totals tie to q87's token counts; digests are sha-256 hex",
+      (s, d, df) => {
+        val totIds = df.agg(sum("n_ids")).head.getLong(0)
+        val totBpe = graft.text.TextAnalysis.q87.fn(s, d)
+          .agg(sum("n_bpe_tok")).head.getLong(0)
+        val badHash = df.filter(!col("ids_hash").rlike("^[0-9a-f]{64}$")).count()
+        fail(totIds == totBpe, s"sum(n_ids) $totIds != q87 sum(n_bpe_tok) $totBpe") ++
+          fail(badHash == 0, s"$badHash malformed ids_hash values")
+      }),
+
+    "q135_label_propagation" -> Check("GraphSpec",
+      "predictions stay in the corpus label domain with positive support, one row per vector",
+      (s, d, df) => {
+        val dom = Tables.embeddings(s, d).select("label").distinct()
+          .collect().map(_.getInt(0)).toSet
+        val rows = df.collect()
+        val badLab = rows.count(r => !dom(r.getAs[Int]("pred_label")))
+        val badSup = rows.count(r => r.getAs[Long]("n_support") < 1)
+        val dup = rows.length - rows.map(_.getAs[Long]("vec_id")).toSet.size
+        fail(badLab == 0, s"$badLab predictions outside the label domain") ++
+          fail(badSup == 0, s"$badSup rows with n_support < 1") ++
+          fail(dup == 0, s"$dup duplicate vec_ids")
+      }),
+
+    "q139_mmr_select" -> Check("SelectionSpec",
+      "contiguous ranks, distinct picks, first pick maximizes pure relevance",
+      (_, _, df) => {
+        val rows = df.orderBy("rank").collect()
+        val ranks = rows.map(_.getAs[Int]("rank")).toSeq
+        val ids = rows.map(_.getAs[Long]("vec_id"))
+        val rel = rows.map(_.getAs[Double]("relevance"))
+        fail(ranks == (1 to rows.length), s"ranks $ranks not 1..${rows.length}") ++
+          fail(ids.toSet.size == ids.length, "duplicate picks") ++
+          fail(rel.head >= rel.max - 1e-9,
+            s"first pick relevance ${rel.head} below a later pick's ${rel.max}")
+      }),
+
+    "q140_kcenter_coreset" -> Check("SelectionSpec",
+      "covering radius is monotone non-increasing over the pick order",
+      (_, _, df) => {
+        val rows = df.orderBy("pick_order").collect()
+        val ids = rows.map(_.getAs[Long]("vec_id"))
+        monotone(rows.map(_.getAs[Double]("radius_after")).toSeq,
+          nonIncreasing = true, "radius_after") ++
+          fail(ids.toSet.size == ids.length, "duplicate centers")
+      }),
+
+    "q146_bpe_size_sweep" -> Check("OperatorSemanticsSpec",
+      "more merges never increase total tokens; chars/token non-decreasing",
+      (_, _, df) => {
+        val rows = df.orderBy("n_merges").collect()
+        monotone(rows.map(_.getAs[Long]("total_tokens").toDouble).toSeq,
+          nonIncreasing = true, "total_tokens") ++
+          monotone(rows.map(_.getAs[Double]("chars_per_tok")).toSeq,
+            nonIncreasing = false, "chars_per_tok")
+      }),
+
+    "q151_compression_ratio" -> Check("CorpusStatsSpec",
+      "zlib lengths positive and deterministic across a re-run; ratio arithmetic consistent",
+      (s, d, df) => {
+        val a = df.collect().map(r => (r.getLong(0), r.getInt(3))).sorted.toSeq
+        val b = graft.text.TextAnalysis.q151.fn(s, d).collect()
+          .map(r => (r.getLong(0), r.getInt(3))).sorted.toSeq
+        val badLen = df.filter(col("comp_len") <= 0).count()
+        val badRatio = df.filter(
+          abs(col("ratio") - col("comp_len").cast("double") / col("raw_len")) > 1e-6).count()
+        fail(a == b, "comp_len not deterministic across re-runs") ++
+          fail(badLen == 0, s"$badLen rows with comp_len <= 0") ++
+          fail(badRatio == 0, s"$badRatio rows where ratio != comp_len/raw_len")
+      }),
+
+    "q153_mahalanobis_whitening" -> Check("ProjectionAuditSpec",
+      "algebraic identities: mean d^2 = dim, whitened variance = 1, cov(w1,w2) = 0",
+      (_, _, df) => {
+        val r = df.agg(avg("maha_sq"), var_pop("w1"), var_pop("w2"),
+          covar_pop("w1", "w2")).head
+        fail(math.abs(r.getDouble(0) - 64.0) < 1e-6,
+          s"mean maha_sq ${r.getDouble(0)} != dim 64") ++
+          fail(math.abs(r.getDouble(1) - 1.0) < 1e-6, s"var(w1) ${r.getDouble(1)} != 1") ++
+          fail(math.abs(r.getDouble(2) - 1.0) < 1e-6, s"var(w2) ${r.getDouble(2)} != 1") ++
+          fail(math.abs(r.getDouble(3)) < 1e-6, s"cov(w1,w2) ${r.getDouble(3)} != 0")
+      }),
+
+    "q158_ivf_recall_curve" -> Check("ProjectionAuditSpec",
+      "recall monotone in probe budget and exactly 1.0 at full probe",
+      (_, _, df) => {
+        val rows = df.orderBy("n_probe").collect()
+        monotone(rows.map(_.getAs[Double]("mean_recall")).toSeq,
+          nonIncreasing = false, "mean_recall") ++
+          fail(rows.last.getAs[Double]("mean_recall") == 1.0,
+            s"full-probe recall ${rows.last.getAs[Double]("mean_recall")} != 1.0")
+      }),
+
+    "q159_bpe_roundtrip" -> Check("CorpusStatsSpec",
+      "decode(encode(x)) reconstructs every document",
+      (_, _, df) => {
+        val bad = df.filter(!col("roundtrip_ok")).count()
+        fail(bad == 0, s"$bad documents failed the BPE round-trip")
+      }),
+
+    "q163_zorder_pruning_audit" -> Check("ProjectionAuditSpec",
+      "clustered layouts prune where arrival order cannot; fractions consistent",
+      (_, _, df) => {
+        val rows = df.collect()
+        val badFrac = rows.count { r =>
+          math.abs(r.getAs[Double]("hit_fraction") -
+            r.getAs[Long]("files_hit").toDouble / r.getAs[Long]("files")) > 1e-9 }
+        val userProbe = rows.filter(_.getAs[String]("probe").contains("user"))
+        val nat = userProbe.filter(_.getAs[String]("layout") == "natural")
+          .map(_.getAs[Double]("hit_fraction")).headOption
+        val clustered = userProbe.filter(_.getAs[String]("layout") != "natural")
+          .map(_.getAs[Double]("hit_fraction"))
+        fail(badFrac == 0, s"$badFrac rows with hit_fraction != files_hit/files") ++
+          fail(nat.exists(n => clustered.nonEmpty && clustered.forall(_ < n)),
+            s"clustered layouts must beat arrival order on the user probe: natural=$nat clustered=${clustered.toSeq}")
+      }),
+
+    "q164_quantile_sketch_audit" -> Check("ProjectionAuditSpec",
+      "every sketch quantile sits within its accuracy's rank-error bound",
+      (_, _, df) => {
+        val bad = df.filter(!col("within_bound")).count()
+        fail(bad == 0, s"$bad sketch quantiles outside the rank-error bound")
+      }),
+
+    "q165_markov_attribution" -> Check("ProjectionAuditSpec",
+      "removal effects non-negative and credit shares sum to 1",
+      (_, _, df) => {
+        val rows = df.collect()
+        val shareSum = rows.map(_.getAs[Double]("credit_share")).sum
+        val badEff = rows.count(r => r.getAs[Double]("removal_effect") < -1e-9 ||
+          r.getAs[Double]("p_removed") > r.getAs[Double]("p_base") + 1e-9)
+        fail(math.abs(shareSum - 1.0) < 1e-9, s"credit shares sum to $shareSum != 1") ++
+          fail(badEff == 0, s"$badEff channels with negative removal effect")
+      }),
+
+    "q169_incremental_distinct" -> Check("ProjectionAuditSpec",
+      "incremental sketch merge equals the from-scratch estimates exactly; <=5% vs exact distinct",
+      (s, d, df) => {
+        val inc = df.collect().map(r => r.getLong(0) -> r.getAs[Long]("approx_users")).toMap
+        val scratch = graft.operators.Incremental
+          .dailyUserSketch(Tables.events(s, d))
+          .select(col("day"), expr("hll_sketch_estimate(sk)").as("n"))
+          .collect().map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+        val exact = Tables.events(s, d)
+          .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+          .groupBy("day").agg(countDistinct("user_id").as("n"))
+          .collect().map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+        val offBand = inc.count { case (day, est) =>
+          math.abs(est - exact(day)).toDouble / exact(day) > 0.05 }
+        fail(inc == scratch, "incremental estimates != from-scratch estimates") ++
+          fail(offBand == 0, s"$offBand days beyond 5% of exact distinct")
+      }),
+
+    "q187_bfs_layers" -> Check("GraphSpec",
+      "depths contiguous from 0 with non-empty layers",
+      (_, _, df) => {
+        val rows = df.orderBy("depth").collect()
+        val depths = rows.map(_.getAs[Long]("depth")).toSeq
+        val empty = rows.count(_.getAs[Long]("n_nodes") < 1)
+        fail(depths == (0L until rows.length), s"depths $depths not contiguous from 0") ++
+          fail(empty == 0, s"$empty empty BFS layers")
+      }),
+
+    "q28_pca_project" -> Check("OperatorSemanticsSpec",
+      "principal order: centered components with var(pc1) >= var(pc2) > 0",
+      (_, _, df) => {
+        val r = df.agg(avg("pc1"), avg("pc2"), var_pop("pc1"), var_pop("pc2")).head
+        fail(math.abs(r.getDouble(0)) < 0.05 && math.abs(r.getDouble(1)) < 0.05,
+          s"components not near-centered: means (${r.getDouble(0)}, ${r.getDouble(1)})") ++
+          fail(r.getDouble(2) >= r.getDouble(3) - 1e-9 && r.getDouble(3) > 0,
+            s"variance order violated: var(pc1)=${r.getDouble(2)} var(pc2)=${r.getDouble(3)}")
+      }),
+
+    "q29_gan_train_features" -> Check("GanSpec",
+      "one row per vector; discriminator scores are probabilities; norms non-negative",
+      (s, d, df) => ganFeatureChecks(s, d, df)),
+
+    "q36_conv_gan_features" -> Check("GanSpec",
+      "one row per vector; discriminator scores are probabilities; norms non-negative",
+      (s, d, df) => ganFeatureChecks(s, d, df)),
+
+    "q30_gan_generate" -> Check("GanSpec",
+      "complete latent grid, constant sample dim, probability scores",
+      (_, _, df) => {
+        val rows = df.collect()
+        val grid = rows.map(r => (r.getAs[Int]("grid_i"), r.getAs[Int]("grid_j"))).toSet
+        val dims = rows.map(_.getAs[Int]("sample_dim")).toSet
+        fail(grid.size == rows.length, "duplicate grid cells") ++
+          fail(dims.size == 1 && dims.head > 0, s"sample_dim not constant: $dims") ++
+          inUnit(df, "d_score")
+      }),
+
+    "q31_transfer_classify" -> Check("GanSpec",
+      "correct flag consistent; per-split accuracy matches its rows and beats the uniform prior",
+      (_, _, df) => {
+        val badFlag = df.filter(
+          (col("prediction") === col("label")).cast("int") =!= col("correct")).count()
+        val splits = df.groupBy("split").agg(avg("correct").as("acc"),
+          max("split_accuracy").as("rep"), min("split_accuracy").as("repMin")).collect()
+        // the accuracy bar is OVERALL: the head's hyperparameters are
+        // tuned at spec scale (sf0.001) and the held-out split alone can
+        // sit near chance at other SFs — the spec owns the per-split bar
+        val overall = df.agg(avg("correct")).head.getDouble(0)
+        splits.flatMap { r =>
+          fail(math.abs(r.getAs[Double]("acc") - r.getAs[Double]("rep")) < 1e-6 &&
+            r.getAs[Double]("rep") == r.getAs[Double]("repMin"),
+            s"split ${r.getString(0)}: reported accuracy ${r.getAs[Double]("rep")} != mean(correct) ${r.getAs[Double]("acc")}")
+        }.toSeq ++
+          fail(overall > 0.15, f"overall accuracy $overall%.3f below the uniform prior bar") ++
+          fail(badFlag == 0, s"$badFlag rows with correct != (prediction == label)")
+      }),
+
+    "q33_kmeans_cluster" -> Check("OperatorSemanticsSpec",
+      "cluster sizes positive and partition the corpus",
+      (s, d, df) => {
+        val tot = df.agg(sum("n")).head.getLong(0)
+        val n = Tables.embeddingsCount(s, d)
+        val badN = df.filter(col("n") < 1).count()
+        fail(tot == n, s"cluster sizes sum to $tot != corpus $n") ++
+          fail(badN == 0, s"$badN empty clusters")
+      }),
+
+    "q35_tsne_project" -> Check("OperatorSemanticsSpec",
+      "finite nontrivial 2-d layout with one row per vector",
+      (s, d, df) => {
+        val n = Tables.embeddingsCount(s, d)
+        val rows = df.count()
+        val badVal = df.filter(col("y1").isNull || col("y2").isNull ||
+          col("y1").isNaN || col("y2").isNaN).count()
+        val r = df.agg(stddev_pop("y1"), stddev_pop("y2")).head
+        fail(rows == n, s"$rows rows != corpus $n") ++
+          fail(badVal == 0, s"$badVal non-finite coordinates") ++
+          fail(r.getDouble(0) > 0 && r.getDouble(1) > 0, "degenerate (collapsed) layout")
+      }),
+
+    "q37_cotrain_classify" -> Check("GanSpec",
+      "correct flag consistent and accuracy beats the uniform prior",
+      (_, _, df) => {
+        val badFlag = df.filter(
+          (col("prediction") === col("label")).cast("int") =!= col("correct")).count()
+        val acc = df.agg(avg("correct")).head.getDouble(0)
+        fail(badFlag == 0, s"$badFlag rows with correct != (prediction == label)") ++
+          fail(acc > 0.15, f"accuracy $acc%.3f below the uniform prior bar")
+      }),
+
+    // IVF-family floors are below the sf0.001 spec bars on purpose: the
+    // probe budget is FIXED while cell count grows as sqrt(n), so recall
+    // declines with SF by design (q158's recall curve is the operator
+    // that measures exactly this trade). Measured at sf0.01: q53 = 0.8,
+    // q55 = 0.6; the floors guard against regression, not tier quality.
+    "q53_ivf_ann" -> Check("OperatorSemanticsSpec", "recall@10 >= 0.75 vs exact brute force",
+      (s, d, df) => recallVsBrute(s, d, df, 0.75)),
+
+    "q54_pq_ann" -> Check("OperatorSemanticsSpec", "recall@10 >= 0.7 vs exact brute force",
+      (s, d, df) => recallVsBrute(s, d, df, 0.7)),
+
+    "q55_ivfpq_ann" -> Check("OperatorSemanticsSpec", "recall@10 >= 0.55 vs exact brute force",
+      (s, d, df) => recallVsBrute(s, d, df, 0.55)),
+
+    "q56_ann_index_probe" -> Check("OperatorSemanticsSpec",
+      "persisted-index probe returns exactly q55's rows",
+      (s, d, df) => {
+        val a = df.collect().map(_.toSeq).toSeq
+        val b = graft.sim.Similarity.q55.fn(s, d).collect().map(_.toSeq).toSeq
+        fail(a == b, "q56 != q55 (index probe diverged from the inline plan)")
+      }),
+
+    "q57_approx_knn_graph" -> Check("OperatorSemanticsSpec",
+      "simple bounded-degree graph: no self loops, no duplicate edges, constant out-degree",
+      (_, _, df) => {
+        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val self = rows.count { case (a, b) => a == b }
+        val dup = rows.length - rows.toSet.size
+        val degs = rows.groupBy(_._1).values.map(_.length).toSet
+        fail(self == 0, s"$self self loops") ++
+          fail(dup == 0, s"$dup duplicate edges") ++
+          fail(degs.size == 1, s"out-degrees not constant: $degs")
+      }),
+
+    "q75_bloom_decontaminate" -> Check("BloomDecontaminateSpec",
+      "no false negatives vs exact q47; Bloom hits dominate exact shared-gram counts",
+      (s, d, df) => {
+        val bloom = df.collect().map(r => r.getLong(0) -> r.getAs[Long]("n_maybe")).toMap
+        val exact = graft.dedup.Dedup.q47.fn(s, d).collect()
+          .map(r => r.getLong(0) -> r.getAs[Long]("n_shared")).toMap
+        val missed = exact.keySet -- bloom.keySet
+        val under = exact.count { case (id, n) => bloom.getOrElse(id, 0L) < n }
+        fail(missed.isEmpty, s"${missed.size} contaminated docs MISSED by the Bloom probe") ++
+          fail(under == 0, s"$under docs where n_maybe < exact n_shared")
+      }),
+
+    "q77_sq8_ann" -> Check("OperatorSemanticsSpec", "recall@10 >= 0.8 vs exact brute force",
+      (s, d, df) => recallVsBrute(s, d, df, 0.8)),
+
+    "q78_graph_centrality" -> Check("GraphSpec",
+      "top-20 ranks sorted descending, positive, and within total mass 1",
+      (_, _, df) => {
+        val rs = df.collect().map(_.getAs[Double]("rank")).toSeq
+        monotone(rs, nonIncreasing = true, "rank") ++
+          fail(rs.forall(_ > 0), "non-positive rank")
+      }),
+
+    "q86_bpe_train" -> Check("OperatorSemanticsSpec",
+      "contiguous merge ranks, merged token = left + right, winners seen at least twice",
+      (_, _, df) => {
+        val rows = df.orderBy("rank").collect()
+        val ranks = rows.map(_.getAs[Int]("rank")).toSeq
+        val badCat = rows.count(r =>
+          r.getAs[String]("merged") != r.getAs[String]("left") + r.getAs[String]("right"))
+        val badCnt = rows.count(_.getAs[Long]("pair_count") < 2)
+        fail(ranks == (1 to rows.length), s"ranks not contiguous: $ranks") ++
+          fail(badCat == 0, s"$badCat merges where merged != left+right") ++
+          fail(badCnt == 0, s"$badCnt merges with pair_count < 2")
+      }),
+
+    "q87_bpe_encode" -> Check("OperatorSemanticsSpec",
+      "BPE counts bounded by words below and characters above; ratio arithmetic consistent",
+      (_, _, df) => {
+        val badLow = df.filter(col("n_bpe_tok") < col("n_ws_tok")).count()
+        val badHigh = df.filter(col("n_bpe_tok") > col("n_char")).count()
+        val badRatio = df.filter(abs(col("chars_per_tok") -
+          col("n_char").cast("double") / col("n_bpe_tok")) > 1e-6).count()
+        fail(badLow == 0, s"$badLow docs with fewer BPE tokens than words") ++
+          fail(badHigh == 0, s"$badHigh docs with more BPE tokens than characters") ++
+          fail(badRatio == 0, s"$badRatio rows where chars_per_tok != n_char/n_bpe_tok")
+      }),
+
+    "q90_approx_sketches" -> Check("OperatorSemanticsSpec",
+      "sketch order-counts within 5% of the exact companions",
+      (_, _, df) => df.collect().toSeq.flatMap { r =>
+        val (a, x) = (r.getAs[Long]("approx_orders"), r.getAs[Long]("exact_orders"))
+        fail(math.abs(a - x).toDouble / math.max(x, 1L) <= 0.05,
+          s"flag ${r.getString(0)}: approx $a off >5% from exact $x") ++
+          fail(!r.getAs[Double]("approx_median").isNaN, "NaN approx_median")
+      }))
+
+  private def ganFeatureChecks(s: SparkSession, d: String,
+      df: DataFrame): Seq[String] = {
+    val n = Tables.embeddingsCount(s, d)
+    val rows = df.count()
+    val nf = df.select("n_features").distinct().collect().map(_.getInt(0)).toSet
+    val badNorm = df.filter(col("feat_norm") < 0).count()
+    fail(rows == n, s"$rows rows != corpus $n") ++
+      fail(nf.size == 1 && nf.head > 0, s"n_features not constant: $nf") ++
+      fail(badNorm == 0, s"$badNorm rows with negative feat_norm") ++
+      inUnit(df, "d_score")
+  }
+}

@@ -23,10 +23,30 @@ object Verify {
     // the r7 round shipped with 18 broken queries silently ABSENT from
     // CORRECTNESS (no dump → no row), which no pass-count diff could flag
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // rows-only queries (no DuckDB oracle) get their invariant checks run
+    // HERE, on the same freshly-computed result the dump writes, so every
+    // catalog id carries an explicit machine-readable pass/fail in round
+    // artifacts (oracle ids via the driver's DuckDB compare, rows-only
+    // ids via rows_only_checks.json) — see RowsOnlyChecks.
+    val oracleIds = SparkEntry.oracleSql.keySet
+    val roChecks = scala.collection.mutable.LinkedHashMap[String, (String, String, Seq[String])]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        if (!oracleIds(name)) RowsOnlyChecks.checks.get(name) match {
+          case Some(c) =>
+            val fails = try c.run(spark, sfDir, df)
+              catch { case e: Throwable =>
+                Seq(s"check threw ${e.getClass.getSimpleName}: " +
+                  Option(e.getMessage).map(_.linesIterator.next().take(200)).getOrElse("")) }
+            roChecks(name) = (c.spec, c.invariant, fails)
+          case None =>
+            roChecks(name) = ("", "NO CHECK REGISTERED",
+              Seq("rows-only query without a RowsOnlyChecks entry"))
+        }
+      }
       catch { case e: Throwable =>
         errors(name) = e.getClass.getSimpleName +
           Option(e.getMessage).map(m => ": " + m.linesIterator.next().take(200))
@@ -55,6 +75,19 @@ object Verify {
     // partial correctness data beats none if the driver bails on rc != 0.
     Files.writeString(Paths.get(s"$outDir/errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // rows_only_checks.json: {query: {pass, spec, invariant, failures}}
+    Files.writeString(Paths.get(s"$outDir/rows_only_checks.json"),
+      roChecks.map { case (k, (spec, inv, fails)) =>
+        s"${q(k)}: {${q("pass")}: ${fails.isEmpty}, ${q("spec")}: ${q(spec)}, " +
+          s"${q("invariant")}: ${q(inv)}, ${q("failures")}: " +
+          fails.map(q).mkString("[", ",", "]") + "}"
+      }.mkString("{", ",", "}"))
+    val roFail = roChecks.collect { case (k, (_, _, f)) if f.nonEmpty => k }
+    if (roFail.nonEmpty)
+      System.err.println(s"[verify] ${roFail.size} ROWS-ONLY CHECKS FAILED: " +
+        roFail.mkString(", "))
+    else if (roChecks.nonEmpty)
+      System.err.println(s"[verify] ${roChecks.size} rows-only checks passed")
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} QUERIES FAILED: " +
         errors.keys.mkString(", "))
