@@ -124,13 +124,25 @@ object Bench {
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val qs = fmtMap(best.map { case (k, v) => k -> v.toString })
     val total = best.values.sum
+    // storage-memory budget (VERDICT-r8 #8): the session memos (persisted
+    // NSW adjacency, MV snapshots, cached cluster labels) must stay a
+    // bounded CACHE, not a data-proportional resident set — at sf0.1 the
+    // high-water is ~20 MB; the ceiling is deliberately SF-independent so
+    // a scale jump that silently turns memos linear (the executor-OOM
+    // precursor on a real cluster) fails the run instead of surfacing as
+    // an OOM two scale-ups later. Override per-experiment via env.
+    val storageBudget = sys.env.getOrElse(
+      "SPARK_GRAFT_STORAGE_BUDGET_BYTES", (1L << 30).toString).toLong
+    val overBudget = storageHighWater > storageBudget
     // rc gate: a round with ANY errored query is an invalid benchmark run —
     // stamp it in both artifacts and exit non-zero so the harness cannot
-    // freeze a baseline or claim all-green coverage over a red catalog
-    val rc = if (errors.nonEmpty) 1 else 0
+    // freeze a baseline or claim all-green coverage over a red catalog.
+    // rc=2: timings fine but the memo cache blew its ceiling.
+    val rc = if (errors.nonEmpty) 1 else if (overBudget) 2 else 0
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"sf":"$sfDir",
          |"storage_mem_high_water_bytes":$storageHighWater,
+         |"storage_budget_bytes":$storageBudget,"storage_over_budget":$overBudget,
          |"queries":$qs,
          |"reps":${fmtMap(reps.toMap.map { case (k, v) => k -> v.mkString("[", ",", "]") })},
          |"cv":${fmtMap(cv.map { case (k, v) => k -> f"$v%.3f" })},
@@ -145,6 +157,10 @@ object Bench {
         .stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes("UTF-8"))
+    if (overBudget)
+      System.err.println(s"[bench] STORAGE OVER BUDGET: high-water " +
+        s"$storageHighWater B > ceiling $storageBudget B — memo growth is " +
+        "no longer bounded; see storage_mem_high_water_bytes trend in BENCH_HISTORY")
     if (errors.nonEmpty)
       System.err.println(s"[bench] QUERIES THREW: " +
         errors.toSeq.sortBy(_._1).map { case (n, e) => s"$n ($e)" }.mkString(", "))

@@ -79,6 +79,8 @@ def entry_from_full(label, path):
             "errors": sorted(d.get("errors", {})),
             "storage_mem_high_water_bytes":
                 d.get("storage_mem_high_water_bytes"),
+            "storage_budget_bytes": d.get("storage_budget_bytes"),
+            "storage_over_budget": d.get("storage_over_budget"),
             "queries": qs}
 
 
