@@ -2096,8 +2096,81 @@ object TextAnalysis {
     }
   }
 
+  // q194 — PII SCRUB (the redaction stage every public-corpus pipeline
+  // runs before training: emails / phone numbers / IPv4 literals out,
+  // counted per class and per doc). The shipped corpus is PII-free, so
+  // the operator DETERMINISTICALLY INJECTS synthetic PII keyed on doc_id
+  // (docs ≡0 mod 7 gain an email, mod 11 a phone, mod 13 an IP — mod 77
+  // etc. get several) and then scrubs it — the injection is the test
+  // fixture, the scrub is the general machinery, and the oracle replays
+  // BOTH, so detection counts, replacement order (email → phone → IP),
+  // and the redacted text are engine-parity hash-checked via md5.
+  // Patterns use [0-9] classes only (no \d, \b): the same byte-semantics
+  // in Java regex and RE2. Stateless single-scan projection — no
+  // shuffle, no join; at 100 TB this is pure map parallelism (the same
+  // charter as qualityGateStream, which a deployment would extend with
+  // these patterns at ingest).
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PiiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val PiiIpRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** The scrub machinery behind q194, exposed with the redacted TEXT (the
+    * catalog query ships only its md5): per-class match counts + the
+    * email→phone→IP replacement chain over the injected corpus.
+    */
+  def piiScrubbed(s: SparkSession, d: String, injectSql: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("t", expr(injectSql.replace("AS VARCHAR", "AS STRING")))
+      .withColumn("n_email", expr(s"regexp_count(t, '$PiiEmailRe')").cast("int"))
+      .withColumn("n_phone", expr(s"regexp_count(t, '$PiiPhoneRe')").cast("int"))
+      .withColumn("n_ip", expr(s"regexp_count(t, '$PiiIpRe')").cast("int"))
+      .withColumn("redacted", expr(
+        s"regexp_replace(regexp_replace(regexp_replace(t, '$PiiEmailRe', '<EMAIL>'), " +
+          s"'$PiiPhoneRe', '<PHONE>'), '$PiiIpRe', '<IP>')"))
+
+  /** q194's deterministic fixture: synthetic PII keyed on doc_id. */
+  val PiiInjectSql: String =
+      """concat(text,
+        |  CASE WHEN doc_id % 7 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com now') ELSE '' END,
+        |  CASE WHEN doc_id % 11 = 0 THEN concat(' call 415-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' today') ELSE '' END,
+        |  CASE WHEN doc_id % 13 = 0 THEN concat(' host 10.', CAST(doc_id % 256 AS VARCHAR), '.0.', CAST(doc_id % 250 + 1 AS VARCHAR), ' up') ELSE '' END)"""
+      .stripMargin
+
+  val q194: QueryDef =
+    QueryDef.sql(
+      "q194_pii_scrub",
+      s"""WITH inj AS (SELECT doc_id, source, $PiiInjectSql AS t FROM documents),
+         |red AS (
+         |  SELECT doc_id, source, t,
+         |    len(regexp_extract_all(t, '$PiiEmailRe')) AS n_email,
+         |    len(regexp_extract_all(t, '$PiiPhoneRe')) AS n_phone,
+         |    len(regexp_extract_all(t, '$PiiIpRe')) AS n_ip,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$PiiEmailRe', '<EMAIL>', 'g'), '$PiiPhoneRe', '<PHONE>', 'g'),
+         |      '$PiiIpRe', '<IP>', 'g') AS redacted
+         |  FROM inj)
+         |SELECT doc_id, source,
+         |  CAST(n_email AS INTEGER) AS n_email,
+         |  CAST(n_phone AS INTEGER) AS n_phone,
+         |  CAST(n_ip AS INTEGER) AS n_ip,
+         |  (n_email + n_phone + n_ip > 0) AS had_pii,
+         |  CAST(length(redacted) AS INTEGER) AS n_chars_redacted,
+         |  md5(redacted) AS redacted_md5
+         |FROM red ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Spark face: same injection (VARCHAR→STRING cast spelling is the
+      // only dialect change), counts via regexp_count, scrub via nested
+      // regexp_replace (global by default in Spark; 'g' flag in DuckDB)
+      piiScrubbed(s, d, PiiInjectSql)
+        .select(col("doc_id"), col("source"),
+          col("n_email"), col("n_phone"), col("n_ip"),
+          (col("n_email") + col("n_phone") + col("n_ip") > 0).as("had_pii"),
+          length(col("redacted")).as("n_chars_redacted"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120,
     q123, q124, q126, q127, q129, q130, q136, q137, q146, q149, q150,
-    q151, q152, q159, q160, q161, q188)
+    q151, q152, q159, q160, q161, q188, q194)
 }
