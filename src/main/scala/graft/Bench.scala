@@ -46,7 +46,12 @@ object Bench {
       // map-side combine to sort-based (serialize + sort every buffer) —
       // measured ~20% slower on the pair-aggregation family (q52/q148/
       // q141). 4096 groups × O(k)-sized buffers is a few MB per task.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "4096"))
+      // scale checkpoints override: group counts and row-group fan-out
+      // must track the corpus (see Verify.scala for the rationale)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

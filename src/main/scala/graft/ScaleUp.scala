@@ -52,6 +52,11 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, inDir, outDir, factor)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, inDir: String, outDir: String, factor: Int): Unit = {
     new java.io.File(outDir).mkdirs()
 
     def read(t: String): DataFrame = spark.read.parquet(s"$inDir/$t.parquet")
@@ -78,7 +83,16 @@ object ScaleUp {
       */
     def write(t: String, df: DataFrame): Unit = {
       val tmp = s"$outDir/_tmp_$t"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // small row groups keep the single-file layout SPLITTABLE: Spark
+      // partitions parquet scans only at row-group boundaries, so a
+      // coalesce(1) file with the default 128 MB block is ONE task no
+      // matter what maxPartitionBytes says — at this corpus's size that
+      // serializes every scan (measured: the sf1 exact-kNN pair stage ran
+      // single-task). Real 100 TB tables are thousands of files; 1 MB row
+      // groups restore that shape for the checkpoint corpus.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (1 << 20).toString)
+        .parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"no parquet part written for $t"))
@@ -120,7 +134,5 @@ object ScaleUp {
             "(pmod(xxhash64(vec_id, i, graft_rep), 1001) - 500) / 100000.0" +
             " as float))"))))))
     write("embeddings", emb)
-
-    spark.stop()
   }
 }

@@ -13,8 +13,16 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // see Bench.scala: keep large-group object aggregates hash-based
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      // see Bench.scala: keep large-group object aggregates hash-based.
+      // Both knobs scale with the corpus (env-overridable for scale
+      // checkpoints): group counts grow with data, so a fixed fallback
+      // threshold silently flips the pair-aggregation family to
+      // sort-based at 100x; and split size must let row groups of the
+      // checkpoint corpus fan out across cores.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "4096"))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
