@@ -30,7 +30,20 @@ object Gan {
       lrG: Double = 0.01,
       realLabel: Double = 0.95, // label smoothing (reference :405-406)
       seed: Long = 666L,        // reference's numberOfTheBeast (:75)
-      arch: String = "mlp")     // "mlp" | "conv" (reference's CNN family)
+      arch: String = "mlp",     // "mlp" | "conv" (reference's CNN family)
+      // Local-step cap between parameter averages. Synchronous averaging
+      // of NONCONVEX nets only works while the locally-trained replicas
+      // stay close to the broadcast point they started from; with the cap
+      // tied to partition size, 10× more data meant 10× more local SGD
+      // steps per round, the replicas diverged, and their average
+      // destroyed the learned features (measured at the r9 sf1
+      // checkpoint: the co-trained head fell to chance, 0.095). Capping
+      // local batches per round — the local-SGD treatment: sync
+      // frequency follows STEPS, not epochs — keeps divergence bounded at
+      // any corpus size; a per-round rotating window keeps the full
+      // partition participating across rounds. 12 = the ~sf0.1 per-round
+      // batch count every accuracy bar was tuned at.
+      maxBatchesPerRound: Int = 12)
 
   /** Discriminator for the configured architecture: the reference's CNN
     * (conv→pool→conv→pool→dense, :118-165) maps to [[ConvDis]] on the 8×8
@@ -101,6 +114,25 @@ object Gan {
     }.toDF("vec_id", "x")
   }
 
+  /** Estimated batches per partition (≥1) — sizes the rotating
+    * local-step window (see Config.maxBatchesPerRound).
+    */
+  private def estBatchesPerPart(rows: Long, parts: Int, batchSize: Int): Int =
+    math.max(1L, (rows / math.max(parts, 1) + batchSize - 1) / batchSize).toInt
+
+  /** Is batch index `bi` inside round `round`'s modular
+    * [start, start+cap) window over a `span`-batch partition?
+    */
+  private def inRoundWindow(bi: Int, round: Int, span: Int, cap: Int): Boolean =
+    if (span <= cap) true
+    else {
+      val pos = bi % span
+      val start = (round * cap) % span
+      val end = (start + cap) % span
+      if (start < end) pos >= start && pos < end
+      else pos >= start || pos < end
+    }
+
   /** Train on a (vec_id, x: Array[Double]) DataFrame. */
   def train(data: DataFrame, cfg: Config = Config()): Model = {
     val sc = data.sparkSession.sparkContext
@@ -109,6 +141,7 @@ object Gan {
     var dP = dis.init(cfg.seed)
     var gP = gen.init(cfg.seed + 1)
     val rdd = data.select("x").rdd.map(_.getSeq[Double](0).toArray).cache()
+    val span = estBatchesPerPart(rdd.count(), rdd.getNumPartitions, cfg.batchSize)
 
     for (round <- 0 until cfg.rounds) {
       val bcD = sc.broadcast(dP)
@@ -123,8 +156,11 @@ object Gan {
           val rng = new java.util.Random(cfg.seed + round * 7919L + pid * 131L)
           var batches = 0L
           // stream fixed-size batches off the iterator — only one batch is
-          // ever resident, not the whole partition
-          it.grouped(cfg.batchSize).foreach { batch =>
+          // ever resident, not the whole partition; the rotating window
+          // caps local steps per averaging round (Config.maxBatchesPerRound)
+          it.grouped(cfg.batchSize).zipWithIndex.collect {
+            case (b, bi) if inRoundWindow(bi, round, span, cfg.maxBatchesPerRound) => b
+          }.foreach { batch =>
             // --- discriminator step: real→realLabel, fake→(1−realLabel),
             // interleaved so sequential SGD carries no recency bias toward
             // either class.
@@ -206,6 +242,7 @@ object Gan {
     val rdd = data.select("x", "label").rdd
       .map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
       .cache()
+    val span = estBatchesPerPart(rdd.count(), rdd.getNumPartitions, cfg.batchSize)
 
     for (round <- 0 until cfg.rounds) {
       val bcD = sc.broadcast(dP)
@@ -219,7 +256,10 @@ object Gan {
           val h = bcH.value.clone()
           val rng = new java.util.Random(cfg.seed + round * 7919L + pid * 131L)
           var batches = 0L
-          it.grouped(cfg.batchSize).foreach { batch =>
+          // rotating local-step window, same treatment as train
+          it.grouped(cfg.batchSize).zipWithIndex.collect {
+            case (b, bi) if inRoundWindow(bi, round, span, cfg.maxBatchesPerRound) => b
+          }.foreach { batch =>
             // adversarial steps (same as train)
             batch.foreach { case (x, _) =>
               val (cd, o) = dis.fwd(d, x)
@@ -287,6 +327,64 @@ object Gan {
         hP = sumH.map(_ / n)
       }
       bcD.destroy(); bcG.destroy(); bcH.destroy()
+    }
+    // Head-polish rounds: the co-trained head chased a MOVING feature
+    // space — every averaging round changed the discriminator under it,
+    // so the averaged head lags the final features (the lag grows with
+    // corpus size: more local steps per round = bigger feature jumps;
+    // the r9 sf1 checkpoint measured the co-trained head at ~chance
+    // while q31's train-after LR head passed). Two head-only rounds
+    // over the FROZEN final features close that gap — linear-softmax
+    // SGD with O(nParams·partitions) sync like every other round, and
+    // NO local-step cap: the cap guards nonconvex feature divergence,
+    // while the frozen-feature head objective is convex — averaging
+    // full-partition passes is safe and every row contributes.
+    for (round <- cfg.rounds until cfg.rounds + 2) {
+      val bcD = sc.broadcast(dP)
+      val bcH = sc.broadcast(hP)
+      val (sumH, n) = rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val d = bcD.value
+          val h = bcH.value.clone()
+          var batches = 0L
+          it.grouped(cfg.batchSize).foreach { batch =>
+            batch.foreach { case (x, label) =>
+              val f = dis.features(d, x)
+              val logits = new Array[Double](nClasses)
+              var k = 0
+              while (k < nClasses) {
+                var a = h(nFeat * nClasses + k)
+                var i = 0
+                while (i < nFeat) { a += f(i) * h(i * nClasses + k); i += 1 }
+                logits(k) = a
+                k += 1
+              }
+              val mx = logits.max
+              var zsum = 0.0
+              k = 0
+              while (k < nClasses) { logits(k) = math.exp(logits(k) - mx); zsum += logits(k); k += 1 }
+              k = 0
+              while (k < nClasses) {
+                val dOut = logits(k) / zsum - (if (k == label) 1.0 else 0.0)
+                h(nFeat * nClasses + k) -= lrHead * dOut
+                var i = 0
+                while (i < nFeat) { h(i * nClasses + k) -= lrHead * f(i) * dOut; i += 1 }
+                k += 1
+              }
+            }
+            batches += 1
+          }
+          var i = 0
+          while (i < h.length) { h(i) *= batches; i += 1 }
+          Iterator((h, batches))
+        }
+      }.treeAggregate((new Array[Double](nFeat * nClasses + nClasses), 0L))(
+        seqOp = { case ((ah, an), (h, nb)) => add(ah, h); (ah, an + nb) },
+        combOp = { case ((ah, an), (bh, bn)) => add(ah, bh); (ah, an + bn) },
+        depth = 2)
+      if (n > 0) hP = sumH.map(_ / n)
+      bcD.destroy(); bcH.destroy()
     }
     (Model(cfg, dP, gP), hP)
   }

@@ -574,12 +574,34 @@ object Similarity {
   // PlanSpec). Scoring is asymmetric-distance (ADC): the query
   // precomputes its squared distance to every code driver-side
   // (O(sub·codes·subDim) math), each row's approximate distance is 8
-  // table lookups (one codegen'd fold), the top-100 ADC candidates come
-  // out of a TakeOrderedAndProject, and the final top-10 is an exact
-  // cosine rerank over those 100 rows only. Pure PQ scans every cell's
-  // codes (no IVF filter) — q55/q56 add the cell-pruned probe.
-  /** q54's body with the query vector exposed: full-scan ADC top-100
-    * funnel + exact rerank to top-`k`.
+  // table lookups (one codegen'd fold), the ADC candidates come out of a
+  // TakeOrderedAndProject, and the final top-10 is an exact cosine
+  // rerank over those rows only. Pure PQ scans every cell's codes (no
+  // IVF filter) — q55/q56 add the cell-pruned probe.
+  /** ADC rerank budget: the candidate funnel between the compressed scan
+    * and the exact rerank. A FIXED budget silently loses recall as the
+    * corpus grows — with 8×4-bit codes the quantization error exceeds
+    * the distance gaps between near-duplicate cluster members, so ADC
+    * scores tie in cluster-sized groups and a constant-width funnel
+    * covers ever fewer DISTINCT clusters as n grows (measured at the r9
+    * sf1 checkpoint: recall@10 fell 0.7 → 0.0 at 10× with budget 100).
+    * Keeping the funnel a constant FRACTION of the corpus (2%, = the
+    * tuned 100 at the 5k-vector baseline, floor 100 / cap 10k) keeps
+    * cluster coverage — and therefore recall — stable under growth; the
+    * rerank stays O(budget), tiny either way. The fraction is 10%: with
+    * 32-bit codes (8 subspaces × 4 bits) quantized distance only
+    * supports coarse pruning — the r9 sf1 measurement put the true
+    * top-10's ADC ranks at ~4% of the corpus, so 2% missed them
+    * entirely (recall 0.0) while 10% covers them with margin. A funnel
+    * this wide is what a 32-bit codebook honestly buys; shrinking it
+    * means growing the code (more subspaces/bits), not wishing the
+    * budget smaller.
+    */
+  private[graft] def adcBudget(s: SparkSession, d: String): Int =
+    math.min(10000L, math.max(100L, Tables.embeddingsCount(s, d) / 10L)).toInt
+
+  /** q54's body with the query vector exposed: full-scan ADC
+    * corpus-proportional funnel + exact rerank to top-`k`.
     */
   private[graft] def pqTopK(s: SparkSession, d: String, k: Int,
       q: Array[Double] = qvArray): DataFrame = {
@@ -587,8 +609,8 @@ object Similarity {
     val cand = s.table(indexTable(s, d))
       .select(col("vec_id"), adcCol(adcTable(books, q)).as("adc"))
       .orderBy(asc("adc"), asc("vec_id"))
-      .limit(100)
-    // exact rerank over the 100 survivors only
+      .limit(adcBudget(s, d))
+    // exact rerank over the funnel survivors only
     Tables.embeddings(s, d)
       .join(broadcast(cand), "vec_id")
       .select(col("vec_id"), col("label"), round(col("adc"), 6).as("adc"),
@@ -656,7 +678,7 @@ object Similarity {
       .filter(col("cell_id").isin(probes: _*))
       .select(col("vec_id"), col("cell_id"), adcCol(adcTable(books, q)).as("adc"))
       .orderBy(asc("adc"), asc("vec_id"))
-      .limit(100)
+      .limit(adcBudget(s, d)) // corpus-proportional funnel — see adcBudget
     Tables.embeddings(s, d)
       .join(broadcast(cand), "vec_id")
       .select(col("vec_id"), col("label"), col("cell_id"), cosTo(q).as("cos_sim"))
@@ -1677,13 +1699,24 @@ object Similarity {
   // O(n²) pair stage. Approximate by design → rows-only; a spec pins
   // the label property, per-query bounds, and recall vs the exact
   // different-label top-5.
+  //
+  // Funnel width scales with the corpus (like [[adcBudget]]): a query's
+  // nearest neighborhood fills with SAME-LABEL near-duplicates as the
+  // corpus grows (each doc's replicas/near-dups share its label), so a
+  // fixed 15-candidate funnel can run dry after the label filter — the
+  // r9 sf1 checkpoint measured per-query negative counts dropping to
+  // {4,2,1}. 15 per 5k vectors (the tuned baseline), floor 15, cap 200;
+  // candidate volume stays O(queries·funnel), never the corpus.
   val q105: QueryDef = QueryDef.rowsOnly("q105_hard_negatives") { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(pmod(col("vec_id"), lit(53L)) === lit(1L))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("label").as("qlabel"))
     val byCos = Window.partitionBy("qid").orderBy(desc("cos"), asc("node"))
-    nswBatchSearch(s, d, queries.select("qid", "qvec"), 15, expand = 24, maxHops = 8)
+    val funnel = math.min(200L,
+      math.max(15L, 15L * Tables.embeddingsCount(s, d) / 5000L)).toInt
+    nswBatchSearch(s, d, queries.select("qid", "qvec"), funnel,
+      beam = math.max(96, 2 * funnel), expand = 24, maxHops = 8)
       .join(emb.select(col("vec_id").as("node"), col("label")), "node")
       .join(broadcast(queries.select("qid", "qlabel")), "qid")
       .filter(col("label") =!= col("qlabel"))

