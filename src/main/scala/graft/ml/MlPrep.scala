@@ -83,7 +83,8 @@ object MlPrep {
   // multiplicative hash on the key, engine-portable integer arithmetic.
   val q23: QueryDef = QueryDef.sql(
     "q23_train_test_split",
-    """SELECT split, count(*) AS n, round(sum(o_totalprice), 1) AS total
+    """SELECT split, count(*) AS n,
+      |  round(sum(CAST(o_totalprice AS DECIMAL(28,2))), 1)::double AS total
       |FROM (
       |  SELECT CASE WHEN ((o_orderkey % 1000003) * 2654435761) % 97 < 78
       |    THEN 'train' ELSE 'test' END AS split, o_totalprice
@@ -95,7 +96,8 @@ object MlPrep {
         when(((col("o_orderkey") % 1000003L) * 2654435761L % 97L) < 78, "train")
           .otherwise("test"))
       .groupBy("split")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 1).as("total"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ExactSum.centSum(col("o_totalprice"), 2, 1).as("total"))
       .orderBy("split")
   }
 
@@ -171,14 +173,15 @@ object MlPrep {
     "q27_feature_bucketize",
     """SELECT CAST(floor((p_retailprice - 900.0) / 10.0) AS BIGINT) AS bucket,
       |  count(*) AS n, min(p_retailprice) AS lo, max(p_retailprice) AS hi,
-      |  round(sum(p_retailprice), 2) AS total
+      |  round(sum(CAST(p_retailprice AS DECIMAL(28,2))), 2)::double AS total
       |FROM part
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin) { (s, d) =>
     Tables.part(s, d)
       .groupBy(floor((col("p_retailprice") - 900.0) / 10.0).as("bucket"))
       .agg(count(lit(1)).as("n"), min("p_retailprice").as("lo"),
-        max("p_retailprice").as("hi"), round(sum("p_retailprice"), 2).as("total"))
+        max("p_retailprice").as("hi"),
+        graft.functions.ExactSum.centSum(col("p_retailprice"), 2, 2).as("total"))
       .orderBy("bucket")
   }
 

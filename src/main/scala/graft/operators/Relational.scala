@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.functions.ExactSum
 
 /** Relational / analytic core.
   *
@@ -27,26 +28,29 @@ object Relational {
     "q01_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 1) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 1) AS sum_charge,
+      |  round(sum(CAST(l_extendedprice AS DECIMAL(28,2))), 1)::double AS sum_base_price,
+      |  round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))), 1)::double AS sum_disc_price,
+      |  round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 1)::double AS sum_charge,
       |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
-      |  round(sum(l_discount) / count(*), 6) AS avg_disc,
+      |  round(CAST(sum(CAST(l_discount AS DECIMAL(28,2))) AS double) / count(*), 6) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    // money sums per-term-quantized to their cent/1e-4/1e-6 grids so the
+    // totals are order-independent at any corpus size (ExactSum scaladoc);
+    // quantity sums are integer-valued doubles — exact as-is.
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         rsum(col("l_quantity"), 2).as("sum_qty"),
-        rsum(col("l_extendedprice"), 1).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 1).as("sum_charge"),
+        ExactSum.centSum(col("l_extendedprice"), 2, 1).as("sum_base_price"),
+        ExactSum.centSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 1).as("sum_disc_price"),
+        ExactSum.centSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6, 1).as("sum_charge"),
         round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
-        round(sum(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
+        round(sum(col("l_discount").cast("decimal(28,2)")).cast("double") / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -100,7 +104,7 @@ object Relational {
   val q04: QueryDef = QueryDef.sql(
     "q04_broadcast_join",
     """SELECT r_name, n_name, count(*) AS n_orders,
-      |  round(sum(o_totalprice), 1) AS total_price
+      |  round(sum(CAST(o_totalprice AS DECIMAL(28,2))), 1)::double AS total_price
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
       |  JOIN region ON n_regionkey = r_regionkey
@@ -111,7 +115,8 @@ object Relational {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(count(lit(1)).as("n_orders"), rsum(col("o_totalprice"), 1).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"),
+        ExactSum.centSum(col("o_totalprice"), 2, 1).as("total_price"))
       .orderBy("r_name", "n_name")
   }
 
@@ -120,7 +125,7 @@ object Relational {
   val q05: QueryDef = QueryDef.sql(
     "q05_multi_join",
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))), 2)::double AS revenue
       |FROM customer
       |  JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -144,14 +149,14 @@ object Relational {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(ExactSum.centSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2).as("revenue"))
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
   // q06 — TPC-H Q6 shape: predicate-heavy single-pass agg, one output row.
   val q06: QueryDef = QueryDef.sql(
     "q06_conditional_agg",
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    """SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))), 2)::double AS revenue,
       |  count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -162,7 +167,7 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(ExactSum.centSum(col("l_extendedprice") * col("l_discount"), 4, 2).as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -452,7 +457,8 @@ object Relational {
   // nested-loop over a constant-size side, i.e. still linear).
   val q17: QueryDef = QueryDef.sql(
     "q17_range_join",
-    """SELECT band, count(*) AS n_parts, round(sum(p_retailprice), 2) AS sum_price
+    """SELECT band, count(*) AS n_parts,
+      |  round(sum(CAST(p_retailprice AS DECIMAL(28,2))), 2)::double AS sum_price
       |FROM part
       |JOIN (VALUES ('b0', 900.0, 925.0), ('b1', 925.0, 950.0),
       |             ('b2', 950.0, 975.0), ('b3', 975.0, 1000.0))
@@ -467,7 +473,8 @@ object Relational {
     Tables.part(s, d)
       .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
       .groupBy("band")
-      .agg(count(lit(1)).as("n_parts"), rsum(col("p_retailprice"), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n_parts"),
+        ExactSum.centSum(col("p_retailprice"), 2, 2).as("sum_price"))
       .orderBy("band")
   }
 
@@ -642,7 +649,8 @@ object Relational {
       |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
       |types AS (SELECT DISTINCT event_type FROM events),
       |daily AS (
-      |  SELECT CAST(ts AS DATE) AS day, event_type, round(sum(value), 2) AS rev
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |    round(sum(CAST(value AS DECIMAL(28,2))), 2)::double AS rev
       |  FROM events GROUP BY 1, 2),
       |grid AS (SELECT s.day, t.event_type FROM spine s, types t),
       |j AS (
@@ -659,7 +667,8 @@ object Relational {
     val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
     val types = ev.select("event_type").distinct()
     val grid = spine.crossJoin(broadcast(types))
-    val daily = ev.groupBy("day", "event_type").agg(round(sum("value"), 2).as("rev"))
+    val daily = ev.groupBy("day", "event_type")
+      .agg(ExactSum.centSum(col("value"), 2, 2).as("rev"))
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(daily, Seq("day", "event_type"), "left")
@@ -742,7 +751,8 @@ object Relational {
       |  coalesce(CAST(year(l_shipdate) AS INTEGER), -1) AS shipyear,
       |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
       |  CAST(grouping(year(l_shipdate)) AS INTEGER) AS g_year,
-      |  count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+      |  count(*) AS n_rows,
+      |  round(sum(CAST(l_extendedprice AS DECIMAL(28,2))), 2)::double AS sum_price
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, year(l_shipdate))
       |ORDER BY g_flag, g_year, returnflag, shipyear""".stripMargin) { (s, d) =>
@@ -750,7 +760,7 @@ object Relational {
       .withColumn("shipyear", year(col("l_shipdate")))
       .cube("l_returnflag", "shipyear")
       .agg(count(lit(1)).as("n_rows"),
-        rsum(col("l_extendedprice"), 2).as("sum_price"),
+        ExactSum.centSum(col("l_extendedprice"), 2, 2).as("sum_price"),
         grouping(col("l_returnflag")).cast("int").as("g_flag"),
         grouping(col("shipyear")).cast("int").as("g_year"))
       .select(

@@ -21,13 +21,15 @@ object Events {
   val q80: QueryDef = QueryDef.sql(
     "q80_windowed_agg",
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
-      |  event_type, count(*) AS n, round(sum(value), 2) AS total
+      |  event_type, count(*) AS n,
+      |  round(sum(CAST(value AS DECIMAL(28,2))), 2)::double AS total
       |FROM events
       |GROUP BY date_trunc('hour', ts), event_type
       |ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ExactSum.centSum(col("value"), 2, 2).as("total"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n"), col("total"))
       .orderBy("win_start", "event_type")
