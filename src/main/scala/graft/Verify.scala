@@ -83,13 +83,28 @@ object Verify {
     // partial correctness data beats none if the driver bails on rc != 0.
     Files.writeString(Paths.get(s"$outDir/errors.json"),
       errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
-    // rows_only_checks.json: {query: {pass, spec, invariant, failures}}
-    Files.writeString(Paths.get(s"$outDir/rows_only_checks.json"),
-      roChecks.map { case (k, (spec, inv, fails)) =>
-        s"${q(k)}: {${q("pass")}: ${fails.isEmpty}, ${q("spec")}: ${q(spec)}, " +
-          s"${q("invariant")}: ${q(inv)}, ${q("failures")}: " +
-          fails.map(q).mkString("[", ",", "]") + "}"
-      }.mkString("{", ",", "}"))
+    // rows_only_checks.json: {query: {pass, spec, invariant, failures}}.
+    // A filtered dev run (query-name args) must not clobber the full
+    // manifest a prior full run wrote into the same outDir — it only
+    // rewrites when it covers at least the ids already on disk, so the
+    // driver's artifact is always the widest manifest produced there.
+    val roPath = Paths.get(s"$outDir/rows_only_checks.json")
+    val priorIds: Set[String] =
+      if (only.nonEmpty && Files.exists(roPath))
+        "\"(q\\d+[a-z0-9_]*)\"\\s*:\\s*\\{".r
+          .findAllMatchIn(Files.readString(roPath)).map(_.group(1)).toSet
+      else Set.empty
+    if ((priorIds -- roChecks.keySet).isEmpty)
+      Files.writeString(roPath,
+        roChecks.map { case (k, (spec, inv, fails)) =>
+          s"${q(k)}: {${q("pass")}: ${fails.isEmpty}, ${q("spec")}: ${q(spec)}, " +
+            s"${q("invariant")}: ${q(inv)}, ${q("failures")}: " +
+            fails.map(q).mkString("[", ",", "]") + "}"
+        }.mkString("{", ",", "}"))
+    else
+      System.err.println(s"[verify] filtered run: keeping the existing " +
+        s"${priorIds.size}-id rows_only_checks.json (this run checked " +
+        s"${roChecks.size})")
     val roFail = roChecks.collect { case (k, (_, _, f)) if f.nonEmpty => k }
     if (roFail.nonEmpty)
       System.err.println(s"[verify] ${roFail.size} ROWS-ONLY CHECKS FAILED: " +

@@ -2828,10 +2828,122 @@ object Relational {
           / sum(abs(col("n") - col("f_seasonal"))), 6).as("skill_vs_naive"))
   }
 
+  /** Exact per-group quantile WITHOUT a corpus-sized per-group window —
+    * the two-level rank pattern (q179's prefix sums, q103's boundary
+    * keys) applied to order statistics. q12's shape (one window over the
+    * whole per-group value histogram) is exact but funnels each group's
+    * distinct values through one task; here the corpus-sized work stays
+    * in hash aggregates and the windows only ever see bounded tables:
+    *
+    *  1. value histogram (one corpus shuffle, map-side partial),
+    *  2. BUCKET histogram (floor(value/width) — O(groups·range/width)
+    *     rows) → per-group bucket prefix sums find the ≤2 buckets
+    *     containing the quantile's floor/ceil ranks,
+    *  3. rank window over the BOUNDARY BUCKETS ONLY (≈ cnt/buckets rows
+    *     per group, broadcast-joined) picks the endpoint values,
+    *  4. the q12 interpolation form ((ceil(r)−r)·lo + (r−floor(r))·hi —
+    *     the exact IEEE op order quantile_cont uses) yields the value.
+    *
+    * Input `hist`: (groupCols…, valCol, cnt). Output: (groupCols…, n,
+    * outCol), n = group row count.
+    */
+  private[graft] def exactGroupQuantile(hist: DataFrame, groupCols: Seq[String],
+      valCol: String, p: Double, outCol: String,
+      bucketWidth: Double = 1024.0): DataFrame = {
+    val g = groupCols.map(col)
+    val rankOf: Column => Column = n => lit(p) * (n - 1).cast("double")
+    val bhist = hist
+      .groupBy(g :+ floor(col(valCol) / lit(bucketWidth)).as("qbucket"): _*)
+      .agg(sum("cnt").as("bcnt"))
+    val wB = Window.partitionBy(g: _*).orderBy("qbucket")
+    val bcum = bhist
+      .withColumn("bcum_end",
+        sum("bcnt").over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bcum_start", col("bcum_end") - col("bcnt"))
+      .withColumn("n",
+        sum("bcnt").over(wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // buckets holding either endpoint rank: [start,end) ∋ floor(r) or
+    // ceil(r) ⇔ start <= ceil(r) ∧ floor(r) < end (ceil−floor ≤ 1)
+    val boundary = bcum
+      .filter(col("bcum_start") <= ceil(rankOf(col("n"))) &&
+        floor(rankOf(col("n"))) < col("bcum_end"))
+      .select(g :+ col("qbucket") :+ col("bcum_start") :+ col("n"): _*)
+    val wV = Window.partitionBy(g :+ col("qbucket"): _*).orderBy(valCol)
+    val ranked = hist
+      .withColumn("qbucket", floor(col(valCol) / lit(bucketWidth)))
+      .join(broadcast(boundary), groupCols :+ "qbucket")
+      .withColumn("cum_end", col("bcum_start") +
+        sum("cnt").over(wV.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_start", col("cum_end") - col("cnt"))
+    val r = rankOf(col("n"))
+    val agg = ranked.groupBy(g: _*).agg(
+      max(col("n")).as("n"),
+      max(rankOf(col("n"))).as("qr"),
+      max(when(col("cum_start") <= floor(r) && floor(r) < col("cum_end"),
+        col(valCol))).as("qlo"),
+      max(when(col("cum_start") <= ceil(r) && ceil(r) < col("cum_end"),
+        col(valCol))).as("qhi"))
+    agg.select(g :+ col("n") :+
+      when(floor(col("qr")) === ceil(col("qr")), col("qlo"))
+        .otherwise((ceil(col("qr")) - col("qr")) * col("qlo") +
+          (col("qr") - floor(col("qr"))) * col("qhi")).as(outCol): _*)
+  }
+
+  // q195 — ROBUST outlier detection (median/MAD): q96 z-scores against
+  // mean/σ, which heavy outliers themselves inflate (masking); the
+  // median/MAD cutoff (|x − med| > 3·1.4826·MAD, the σ-consistent
+  // scaling) has a 50% breakdown point. Exactness discipline: both
+  // medians come from exactGroupQuantile (the same interpolation IEEE
+  // form DuckDB's quantile_cont uses — proven by q12), deviations are
+  // per-row single IEEE subtractions of an identical med, and the cutoff
+  // comparison multiplies identical doubles — every decision
+  // engine-deterministic, nothing rounded. Scale shape: two corpus-sized
+  // hash aggregates (value + deviation histograms), two broadcast joins
+  // of O(groups) stat rows back onto the fact; windows only touch
+  // bounded bucket tables (exactGroupQuantile scaladoc) — no per-group
+  // corpus sort anywhere.
+  val q195: QueryDef = QueryDef.sql(
+    "q195_mad_outliers",
+    """WITH med AS (
+      |  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+      |  FROM orders GROUP BY o_orderpriority),
+      |dev AS (
+      |  SELECT o.o_orderpriority, m.med,
+      |    abs(o.o_totalprice - m.med) AS adev
+      |  FROM orders o JOIN med m USING (o_orderpriority)),
+      |mad AS (
+      |  SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY o_orderpriority)
+      |SELECT d.o_orderpriority, count(*) AS n,
+      |  max(d.med) AS med, max(m.mad) AS mad,
+      |  CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m USING (o_orderpriority)
+      |GROUP BY d.o_orderpriority
+      |ORDER BY d.o_orderpriority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderpriority"), col("o_totalprice"))
+    val hist = o.groupBy("o_orderpriority", "o_totalprice")
+      .agg(count(lit(1)).as("cnt"))
+    val med = exactGroupQuantile(hist, Seq("o_orderpriority"),
+      "o_totalprice", 0.5, "med").select("o_orderpriority", "med")
+    val dev = o.join(broadcast(med), "o_orderpriority")
+      .withColumn("adev", abs(col("o_totalprice") - col("med")))
+    val dhist = dev.groupBy("o_orderpriority", "adev")
+      .agg(count(lit(1)).as("cnt"))
+    val mad = exactGroupQuantile(dhist, Seq("o_orderpriority"),
+      "adev", 0.5, "mad").select("o_orderpriority", "mad")
+    dev.join(broadcast(mad), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), max("med").as("med"), max("mad").as("mad"),
+        sum(when(col("adev") > lit(3) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).cast("bigint").as("n_outliers"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
-    q191, q192)
+    q191, q192, q195)
 }

@@ -534,6 +534,19 @@ class PlanSpec extends SparkSpec {
       s"the band join must be keyed:\n$plan")
   }
 
+  test("q195 MAD: rank windows carry bucket keys, stats broadcast back, histograms combine map-side") {
+    val plan = planOf("q195_mad_outliers")
+    // the two-level decomposition (exactGroupQuantile): the only window
+    // touching histogram rows is keyed (group, qbucket) — the per-group
+    // corpus-sized sort q12 tolerates must not appear here
+    assert("hashpartitioning\\(o_orderpriority#\\d+, qbucket".r.findFirstIn(plan).isDefined,
+      s"boundary-bucket rank window must partition on (group, qbucket):\n$plan")
+    assert(plan.contains("partial_count"),
+      s"value/deviation histograms must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"median/MAD stat rows must broadcast back onto the fact:\n$plan")
+  }
+
   test("q177 proration: both windows share the one orderkey exchange") {
     val plan = planOf("q177_exact_proration")
     // Σw, Σbase and the remainder rank all partition by l_orderkey — Spark

@@ -37,6 +37,14 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    # big-SF probes: bound DuckDB's spill so a quadratic oracle recompute
+    # can't fill the disk out from under the concurrently-running engine
+    import os
+    if os.environ.get("DUCKDB_MEM_LIMIT"):
+        con.sql(f"SET memory_limit = '{os.environ['DUCKDB_MEM_LIMIT']}'")
+    if os.environ.get("DUCKDB_TMP_DIR"):
+        con.sql(f"SET temp_directory = '{os.environ['DUCKDB_TMP_DIR']}'")
+        con.sql("SET max_temp_directory_size = '20GiB'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
