@@ -131,14 +131,29 @@ object Bench {
     val total = best.values.sum
     // storage-memory budget (VERDICT-r8 #8): the session memos (persisted
     // NSW adjacency, MV snapshots, cached cluster labels) must stay a
-    // bounded CACHE, not a data-proportional resident set — at sf0.1 the
-    // high-water is ~20 MB; the ceiling is deliberately SF-independent so
-    // a scale jump that silently turns memos linear (the executor-OOM
-    // precursor on a real cluster) fails the run instead of surfacing as
-    // an OOM two scale-ups later. Override per-experiment via env.
+    // bounded CACHE, not a data-proportional resident set — the ceiling
+    // is deliberately SF-independent so a scale jump that silently turns
+    // memos linear (the executor-OOM precursor on a real cluster) fails
+    // the run instead of surfacing as an OOM two scale-ups later.
+    // The GATED number is the END-OF-RUN resident set (memos only): the
+    // sf1 checkpoint showed raw high-water also catches per-query
+    // TRANSIENT working caches plus async-unpersist lag (q105's ~370 MB
+    // released caches sampled before the executor drops them) — a
+    // spillable working set that legitimately scales with data and says
+    // nothing about memo growth. Measured residents: ~20 MB at sf0.1,
+    // 61 MB at sf1 (sublinear — √n seed structures). High-water stays
+    // reported for working-set visibility. The end sample retries after
+    // a pause so lazy unpersists from the final queries don't inflate it.
     val storageBudget = sys.env.getOrElse(
       "SPARK_GRAFT_STORAGE_BUDGET_BYTES", (1L << 30).toString).toLong
-    val overBudget = storageHighWater > storageBudget
+    def residentNow(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+    val residentEnd = {
+      val first = residentNow()
+      if (first > storageBudget) { Thread.sleep(3000); residentNow() }
+      else first
+    }
+    val overBudget = residentEnd > storageBudget
     // rc gate: a round with ANY errored query is an invalid benchmark run —
     // stamp it in both artifacts and exit non-zero so the harness cannot
     // freeze a baseline or claim all-green coverage over a red catalog.
@@ -147,6 +162,7 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"sf":"$sfDir",
          |"storage_mem_high_water_bytes":$storageHighWater,
+         |"storage_resident_end_bytes":$residentEnd,
          |"storage_budget_bytes":$storageBudget,"storage_over_budget":$overBudget,
          |"queries":$qs,
          |"reps":${fmtMap(reps.toMap.map { case (k, v) => k -> v.mkString("[", ",", "]") })},
@@ -163,9 +179,9 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes("UTF-8"))
     if (overBudget)
-      System.err.println(s"[bench] STORAGE OVER BUDGET: high-water " +
-        s"$storageHighWater B > ceiling $storageBudget B — memo growth is " +
-        "no longer bounded; see storage_mem_high_water_bytes trend in BENCH_HISTORY")
+      System.err.println(s"[bench] STORAGE OVER BUDGET: end-of-run resident " +
+        s"$residentEnd B > ceiling $storageBudget B — memo growth is " +
+        "no longer bounded; see storage_resident_end_bytes trend in BENCH_HISTORY")
     if (errors.nonEmpty)
       System.err.println(s"[bench] QUERIES THREW: " +
         errors.toSeq.sortBy(_._1).map { case (n, e) => s"$n ($e)" }.mkString(", "))
