@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
 import graft.functions.VectorExprs
@@ -1082,7 +1083,17 @@ object Dedup {
       |  UNION ALL SELECT '2_exact_dedup', count(*), SUM(n_tok) FROM dedup
       |  UNION ALL SELECT '3_decontaminated', count(*), SUM(n_tok) FROM decon
       |  UNION ALL SELECT '4_token_budget', count(*), SUM(n_tok) FROM budget)
-      |ORDER BY stage""".stripMargin) { (s, d) =>
+      |ORDER BY stage""".stripMargin) { (s, d) => curationFunnel(s, d) }
+
+  /** q115's builder. `eager = true` (the catalog entry) persists the two
+    * fan-out frames, evaluates the five 1-row stage aggregates, releases
+    * the caches, and returns the result as a local relation — cache
+    * lifetime stays inside the call. `eager = false` returns the fully
+    * lazy composed plan so PlanSpec can assert the budget stage's shape
+    * (one Window, fed by the boundary-pruned candidates).
+    */
+  private[graft] def curationFunnel(s: SparkSession, d: String,
+      eager: Boolean = true): DataFrame = {
     val docs = Tables.documents(s, d)
     val toks = "split(trim(text), '\\\\s+')"
     val q = docs.select(col("doc_id"), col("source"), col("text"),
@@ -1104,7 +1115,23 @@ object Dedup {
         VectorExprs.charNgrams(col("text"), 20))).as("gram"))
       .join(broadcast(evalGrams), "gram")
       .select("doc_id").distinct()
-    val decon = nonEval.join(conta, Seq("doc_id"), "left_anti")
+    // The funnel fans out: dedup feeds its own stage row PLUS the gram
+    // explode PLUS the anti-join; decon feeds the corpus-total read, the
+    // boundary histogram, and two stage rows. Unpersisted, each consumer
+    // re-runs the whole upstream funnel — 4 recomputes of the gram join
+    // at any scale. Persist the two fan-out points instead (disk-backed,
+    // the standard inter-stage checkpoint on a cluster); decon drops the
+    // text payload first — nothing downstream of decontamination reads
+    // text, so the cached survivor set is 3 narrow columns, not the
+    // corpus. Both caches release before the (driver-local, 5-row)
+    // result returns.
+    val dedupC = if (eager) dedup.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else dedup
+    val deconNarrow = nonEval.join(conta, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "n_tok", "n_stop")
+    val deconC = if (eager) deconNarrow.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else deconNarrow
+    val decon = deconC
     val tt = decon.agg(sum("n_tok")).take(1).head.getAs[Long](0)
     // stage 4 token budget: the naive shape is a per-source cumulative
     // window over EVERY surviving document — a multi-TB single-task sort
@@ -1131,12 +1158,24 @@ object Dedup {
         .select(lit(name).as("stage"),
           col("nd").cast("bigint").as("n_docs"),
           col("nt").cast("bigint").as("n_tokens"))
-    stage("0_corpus", q)
+    val funnel = stage("0_corpus", q)
       .unionByName(stage("1_quality", quality))
       .unionByName(stage("2_exact_dedup", dedup))
       .unionByName(stage("3_decontaminated", decon))
       .unionByName(stage("4_token_budget", budget))
       .orderBy("stage")
+    if (!eager) funnel
+    else {
+      // evaluate the five 1-row stage aggregates while the checkpoints
+      // are live, then release them — the result is a bounded driver
+      // read (one row per funnel stage) and returning it as a local
+      // relation keeps the caches' lifetime inside this call instead of
+      // leaking persisted corpus frames into the session
+      val rows = funnel.take(8)
+      dedupC.unpersist(false)
+      deconC.unpersist(false)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), funnel.schema)
+    }
   }
 
   // q117 — LEAKAGE-GUARDED TRAIN/TEST SPLIT: the decontaminated-split

@@ -284,7 +284,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q115 budget stage windows only the boundary-pruned candidates, never the full survivor set") {
-    val plan = planOf("q115_curation_funnel")
+    // the catalog entry evaluates eagerly and returns a local relation
+    // (cache lifetime stays inside the call); the lazy builder exposes
+    // the composed plan this guard must inspect
+    val plan = graft.dedup.Dedup.curationFunnel(spark, sfDir, eager = false)
+      .queryExecution.executedPlan.toString
     // the naive stage-4 shape — Window.partitionBy(source) over EVERY
     // surviving document — is a multi-TB single-task sort per source at
     // 100 TB. The plan must show exactly one Window (the budget cumsum)
