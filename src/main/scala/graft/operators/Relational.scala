@@ -2924,14 +2924,25 @@ object Relational {
     val o = Tables.orders(s, d).select(col("o_orderpriority"), col("o_totalprice"))
     val hist = o.groupBy("o_orderpriority", "o_totalprice")
       .agg(count(lit(1)).as("cnt"))
-    val med = exactGroupQuantile(hist, Seq("o_orderpriority"),
-      "o_totalprice", 0.5, "med").select("o_orderpriority", "med")
+    // each quantile result is O(groups) — localize it (bounded driver
+    // read, exact doubles pass through unchanged) so the downstream
+    // lineage carries a literal stat table instead of the quantile
+    // subtree: left embedded, the final aggregate re-evaluates the
+    // nested med→dev→mad chain and the fact table is scanned ~9x;
+    // localized, it is scanned 5x (2 per quantile + the final agg)
+    def localize(df: DataFrame): DataFrame = {
+      val rows = df.take(1024)
+      require(rows.length < 1024, "stat-table driver read overflow")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    }
+    val med = localize(exactGroupQuantile(hist, Seq("o_orderpriority"),
+      "o_totalprice", 0.5, "med").select("o_orderpriority", "med"))
     val dev = o.join(broadcast(med), "o_orderpriority")
       .withColumn("adev", abs(col("o_totalprice") - col("med")))
     val dhist = dev.groupBy("o_orderpriority", "adev")
       .agg(count(lit(1)).as("cnt"))
-    val mad = exactGroupQuantile(dhist, Seq("o_orderpriority"),
-      "adev", 0.5, "mad").select("o_orderpriority", "mad")
+    val mad = localize(exactGroupQuantile(dhist, Seq("o_orderpriority"),
+      "adev", 0.5, "mad").select("o_orderpriority", "mad"))
     dev.join(broadcast(mad), "o_orderpriority")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), max("med").as("med"), max("mad").as("mad"),
