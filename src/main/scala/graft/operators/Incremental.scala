@@ -280,5 +280,72 @@ object Incremental {
       .agg(expr("hll_union_agg(sk)").as("sk"))
       .select(col("day"), expr("hll_sketch_estimate(sk)").as("approx_users"))
 
-  val all: Seq[QueryDef] = Seq(q104, q169)
+  // q196 — CDC CHANGELOG APPLY (log compaction): the missing third leg
+  // of the incremental family — q104 merges decomposable AGGREGATES,
+  // q110/q176 keep full HISTORY, this compacts a raw insert/update/
+  // delete op log to current state: per key the HIGHEST-sequence op
+  // wins, a terminal delete drops the key entirely (its payload is
+  // NULL, as a real CDC feed ships deletes). The changelog derives
+  // deterministically from orders (every key inserts at seq 1, key%3=0
+  // updates at seq 2 with +500 cents, key%7=0 deletes at seq 3 — so
+  // I-only, I+U, I+D, and I+U+D keys all occur). Money rides as exact
+  // cents-BIGINT (one IEEE round on both engines, order-insensitive).
+  // Scale shape: compaction is ONE hash aggregate on the key — max_by
+  // partials combine map-side, no window, no per-key sort — so the
+  // reducer holds one (op, price, seq) triple per key, not the key's op
+  // history; the naive row_number-over-(key, seq desc) window shape
+  // would sort every key's full log instead. Trap: max_by over the op
+  // STRING puts a string in the aggregation buffer, and HashAggregate
+  // only takes mutable primitive buffer types — Spark silently demotes
+  // to SortAggregate, a per-partition corpus sort before the partials.
+  // The delete decision is therefore aggregated as an INT flag
+  // (max_by(op='D', seq)) and the strings stay in the log where they
+  // belong. At 100 TB the compacted batch then merges into the standing
+  // snapshot via q104's bucketed full-outer posture — compaction cost
+  // stays O(log batch).
+  val q196: QueryDef = QueryDef.sql(
+    "q196_cdc_apply",
+    """WITH log AS (
+      |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U',
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) + 500
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 3, 'D', NULL
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |state AS (
+      |  SELECT k AS o_orderkey,
+      |    max_by(CASE WHEN op = 'D' THEN 1 ELSE 0 END, seq) AS last_del,
+      |    max_by(price_cents, seq) AS price_cents,
+      |    CAST(max(seq) AS INTEGER) AS last_seq,
+      |    CAST(count(*) AS BIGINT) AS n_ops
+      |  FROM log GROUP BY k)
+      |SELECT o_orderkey, price_cents, last_seq, n_ops
+      |FROM state WHERE last_del = 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("pc"))
+    val log = o.select(col("k"), lit(1).as("seq"), lit("I").as("op"),
+        col("pc").as("price_cents"))
+      .unionByName(o.filter(col("k") % 3 === 0).select(col("k"),
+        lit(2).as("seq"), lit("U").as("op"),
+        (col("pc") + 500).as("price_cents")))
+      .unionByName(o.filter(col("k") % 7 === 0).select(col("k"),
+        lit(3).as("seq"), lit("D").as("op"),
+        lit(null).cast("bigint").as("price_cents")))
+    log.groupBy(col("k").as("o_orderkey"))
+      .agg(expr("max_by(case when op = 'D' then 1 else 0 end, seq)")
+          .as("last_del"),
+        expr("max_by(price_cents, seq)").as("price_cents"),
+        max("seq").cast("int").as("last_seq"),
+        count(lit(1)).as("n_ops"))
+      .filter(col("last_del") === 0)
+      .select("o_orderkey", "price_cents", "last_seq", "n_ops")
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(q104, q169, q196)
 }

@@ -301,6 +301,22 @@ class PlanSpec extends SparkSpec {
       s"the budget window must consume the boundary-pruned candidates (qkey >= tmin):\n$plan")
   }
 
+  test("q196 cdc apply compacts with a hash aggregate, never a sort-based one") {
+    val plan = planOf("q196_cdc_apply")
+    // the op-log compaction must be ONE hash aggregate on the key with
+    // map-side partials — max_by over the op STRING would put a string
+    // in the aggregation buffer and silently demote to SortAggregate
+    // (a per-partition corpus sort before the partials); the int-flag
+    // encoding keeps the buffer mutable-primitive
+    assert(!plan.contains("SortAggregate"),
+      s"compaction demoted to sort-based aggregation:\n$plan")
+    assert("partial_max_by".r.findAllIn(plan).nonEmpty,
+      s"expected map-side max_by partials:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one hash exchange (the key compaction):\n$plan")
+    assert(!plan.contains("Window"), s"no window in the compaction:\n$plan")
+  }
+
   test("q121 shuffle shard: the shard window is the ONLY hash exchange (no global sort rank)") {
     val plan = planOf("q121_shuffle_shard")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
@@ -540,13 +556,26 @@ class PlanSpec extends SparkSpec {
 
   test("q195 MAD: rank windows carry bucket keys, stats broadcast back, histograms combine map-side") {
     val plan = planOf("q195_mad_outliers")
-    // the two-level decomposition (exactGroupQuantile): the only window
-    // touching histogram rows is keyed (group, qbucket) — the per-group
-    // corpus-sized sort q12 tolerates must not appear here
-    assert("hashpartitioning\\(o_orderpriority#\\d+, qbucket".r.findFirstIn(plan).isDefined,
-      s"boundary-bucket rank window must partition on (group, qbucket):\n$plan")
+    // the catalog entry localizes the O(groups) med/mad stat tables, so
+    // the quantile machinery runs inside those bounded driver reads; its
+    // shape is asserted on the lazy exactGroupQuantile composition
+    // directly: the only window touching histogram rows is keyed
+    // (group, qbucket) — the per-group corpus-sized sort q12 tolerates
+    // must not appear
+    import org.apache.spark.sql.functions._
+    val o = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    val hist = o.groupBy("o_orderpriority", "o_totalprice")
+      .agg(count(lit(1)).as("cnt"))
+    val qplan = graft.operators.Relational.exactGroupQuantile(
+      hist, Seq("o_orderpriority"), "o_totalprice", 0.5, "med")
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(o_orderpriority#\\d+, qbucket".r.findFirstIn(qplan).isDefined,
+      s"boundary-bucket rank window must partition on (group, qbucket):\n$qplan")
+    assert(qplan.contains("partial_count"),
+      s"value histogram must combine map-side:\n$qplan")
     assert(plan.contains("partial_count"),
-      s"value/deviation histograms must combine map-side:\n$plan")
+      s"deviation histogram must combine map-side:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"median/MAD stat rows must broadcast back onto the fact:\n$plan")
   }
