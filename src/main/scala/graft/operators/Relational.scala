@@ -2951,10 +2951,64 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  // q197 — ROLLING ACTIVE USERS (DAU / 7-day WAU / stickiness): the
+  // product-health staple q93's weekly cohorts don't give — for every
+  // observed day, how many distinct users were active that day and in
+  // the trailing 7-day window, and their ratio (DAU/WAU stickiness).
+  // Calendar keys are pure integer epoch arithmetic (q147's convention
+  // — engine-exact, no date-function semantics in play); stickiness is
+  // one per-row IEEE division of exact counts, unrounded by house rule.
+  // Scale shape: the corpus collapses to distinct (day, user) pairs in
+  // ONE map-side-combined shuffle — the only corpus-sized exchange.
+  // Each pair then EXPLODES to the ≤7 windows it serves (windows never
+  // scan events; the 7x fan-out multiplies pairs, not events), a
+  // broadcast semi-filter keeps observed days, and the second distinct
+  // is pair-bounded. The window-as-explode shape beats the per-day
+  // range self-join (days x pairs) and the naive COUNT DISTINCT OVER
+  // RANGE window (one task per 7-day frame). At extreme scale the
+  // approximate substitute is q169's per-day HLL table with 7-day
+  // register unions — O(days·7) sketch merges, no pair set at all.
+  val q197: QueryDef = QueryDef.sql(
+    "q197_rolling_active",
+    """WITH pairs AS (
+      |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM pairs),
+      |contrib AS (
+      |  SELECT DISTINCT w.day, p.user_id
+      |  FROM pairs p JOIN days w ON w.day BETWEEN p.day AND p.day + 6),
+      |wau AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS wau
+      |  FROM contrib GROUP BY day),
+      |dau AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS dau
+      |  FROM pairs GROUP BY day)
+      |SELECT day, dau, wau,
+      |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+      |FROM dau JOIN wau USING (day)
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val pairs = Tables.events(s, d)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val days = pairs.select("day").distinct()
+    val wau = pairs
+      .select(explode(expr("sequence(day, day + 6)")).as("day"),
+        col("user_id"))
+      .join(broadcast(days), "day")
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
-    q191, q192, q195)
+    q191, q192, q195, q197)
 }

@@ -301,6 +301,23 @@ class PlanSpec extends SparkSpec {
       s"the budget window must consume the boundary-pruned candidates (qkey >= tmin):\n$plan")
   }
 
+  test("q197 rolling active: pair explode + broadcast day filter, no range window") {
+    val plan = planOf("q197_rolling_active")
+    // the 7-day window forms by exploding each (day, user) pair to the
+    // ≤7 windows it serves and broadcast-filtering observed days — never
+    // a COUNT DISTINCT OVER RANGE window (one task per frame) and never
+    // a days x pairs range join
+    assert(plan.contains("Generate explode"),
+      s"windows must form by exploding the pair set:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the observed-day filter must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"no range window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"no unkeyed join:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"per-day counts must combine map-side:\n$plan")
+  }
+
   test("q196 cdc apply compacts with a hash aggregate, never a sort-based one") {
     val plan = planOf("q196_cdc_apply")
     // the op-log compaction must be ONE hash aggregate on the key with
