@@ -3005,10 +3005,90 @@ object Relational {
       .orderBy("day")
   }
 
+  // q198 — JOIN CARDINALITY AUDIT: predict a join's output size from
+  // per-key count tables WITHOUT running the join — the planning
+  // pre-pass that decides broadcast vs sort-merge vs salt/decline
+  // before committing a cluster to it (q108 diagnoses skew after the
+  // fact; this predicts the blow-up first — the q52-class self-join
+  // pair explosion being the most expensive mistake to discover at run
+  // time). Audited join: lineitem self-join on l_partkey. Three
+  // estimators, each a row: `uniform` (System R: n²/d — what a stats-
+  // only optimizer assumes), `heavy_hitter` (top-20 keys exact +
+  // uniform residual — NDV stats plus a frequent-key sketch, what a
+  // real planner can afford at 100 TB), `exact_per_key` (Σc(k)² over
+  // the full count table — the ground truth, itself computed without
+  // materializing a single joined row). All arithmetic stays in BIGINT
+  // (floor division, both engines), rel_error is one IEEE division.
+  // Scale shape: ONE map-side-combined shuffle builds the count table;
+  // everything after is O(distinct keys) — stats aggregate to one row,
+  // heavy hitters are a bounded top-20 sort push-down, the exact sum is
+  // a second pass over counts, never over data.
+  val q198: QueryDef = QueryDef.sql(
+    "q198_join_cardinality_audit",
+    """WITH c AS (
+      |  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY l_partkey),
+      |s AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS d
+      |  FROM c),
+      |hh AS (SELECT k, c FROM c ORDER BY c DESC, k LIMIT 20),
+      |hhs AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS hn,
+      |    CAST(count(*) AS BIGINT) AS hd,
+      |    CAST(sum(c * c) AS BIGINT) AS hrows
+      |  FROM hh),
+      |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS xrows FROM c),
+      |models AS (
+      |  SELECT 'uniform' AS model, (s.n * s.n) // s.d AS est_rows,
+      |    ex.xrows AS exact_rows
+      |  FROM s, ex
+      |  UNION ALL
+      |  SELECT 'heavy_hitter',
+      |    hhs.hrows +
+      |      ((s.n - hhs.hn) * (s.n - hhs.hn)) // greatest(s.d - hhs.hd, 1),
+      |    ex.xrows
+      |  FROM s, hhs, ex
+      |  UNION ALL
+      |  SELECT 'exact_per_key', ex.xrows, ex.xrows FROM ex)
+      |SELECT model, est_rows, exact_rows,
+      |  CAST(est_rows - exact_rows AS DOUBLE) / exact_rows AS rel_error
+      |FROM models
+      |ORDER BY model""".stripMargin) { (s, d) =>
+    // the count table fans out to the stats pass and the heavy-hitter
+    // pass — persist it (it IS the reusable planner artifact), fold the
+    // global stats and the exact sum into ONE aggregate, and evaluate
+    // the 3-row result eagerly so the cache releases inside the call
+    val c = Tables.lineitem(s, d).groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val se = c.agg(sum("c").as("n"), count(lit(1)).as("d"),
+      sum(col("c") * col("c")).as("xrows"))
+    val hhs = c.orderBy(desc("c"), asc("k")).limit(20)
+      .agg(sum("c").as("hn"), count(lit(1)).as("hd"),
+        sum(col("c") * col("c")).as("hrows"))
+    val both = se.crossJoin(hhs)
+    val uniform = both.select(lit("uniform").as("model"),
+      expr("(n * n) div d").as("est_rows"), col("xrows").as("exact_rows"))
+    val heavy = both.select(lit("heavy_hitter").as("model"),
+      (col("hrows") + expr(
+        "((n - hn) * (n - hn)) div greatest(d - hd, 1L)")).as("est_rows"),
+      col("xrows").as("exact_rows"))
+    val exact = both.select(lit("exact_per_key").as("model"),
+      col("xrows").as("est_rows"), col("xrows").as("exact_rows"))
+    val out = uniform.unionByName(heavy).unionByName(exact)
+      .select(col("model"), col("est_rows"), col("exact_rows"),
+        ((col("est_rows") - col("exact_rows")).cast("double") /
+          col("exact_rows").cast("double")).as("rel_error"))
+      .orderBy("model")
+    val rows = out.take(8)
+    c.unpersist(false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
-    q191, q192, q195, q197)
+    q191, q192, q195, q197, q198)
 }
