@@ -394,6 +394,54 @@ object MlPrep {
       .orderBy("doc_id")
   }
 
+  // q199 — ROBUST SCALING ((x − median) / IQR): the third standard
+  // scaler next to q20 min-max and q21 z-score, and the one a pipeline
+  // wants when the feature has heavy tails — mean/σ are themselves
+  // dragged by the outliers being normalized (q195's masking argument
+  // applied to scaling). All three per-group quantiles come from
+  // exactGroupQuantile (q12's interpolation IEEE form — bit-equal to
+  // DuckDB's quantile_cont), so the per-row (x − med)/(q3 − q1) is
+  // IEEE-deterministic on identical inputs, unrounded by house rule.
+  // Scale shape: ONE corpus shuffle builds the (type, value) histogram
+  // (persisted across the three quantile passes, released before
+  // return); the O(groups) stat table localizes (q195's pattern) and
+  // broadcasts back onto the fact scan — the output projection is pure
+  // map parallelism.
+  val q199: QueryDef = QueryDef.sql(
+    "q199_robust_scale",
+    """SELECT event_id, event_type, (value - med) / (q3 - q1) AS rz
+      |FROM events
+      |JOIN (
+      |  SELECT event_type AS et,
+      |    quantile_cont(value, 0.25) AS q1,
+      |    quantile_cont(value, 0.5) AS med,
+      |    quantile_cont(value, 0.75) AS q3
+      |  FROM events GROUP BY event_type) g
+      |ON event_type = et
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val hist = ev.groupBy("event_type", "value")
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def quant(p: Double, name: String): DataFrame = {
+      val df = graft.operators.Relational.exactGroupQuantile(
+        hist, Seq("event_type"), "value", p, name)
+        .select("event_type", name)
+      val rows = df.take(1024)
+      require(rows.length < 1024, "stat-table driver read overflow")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    }
+    val stats = quant(0.25, "q1")
+      .join(quant(0.5, "med"), "event_type")
+      .join(quant(0.75, "q3"), "event_type")
+      .withColumnRenamed("event_type", "et")
+    hist.unpersist(false)
+    ev.join(broadcast(stats), col("event_type") === col("et"))
+      .select(col("event_id"), col("event_type"),
+        ((col("value") - col("med")) / (col("q3") - col("q1"))).as("rz"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q32,
-    q39, q121, q155, q162)
+    q39, q121, q155, q162, q199)
 }
