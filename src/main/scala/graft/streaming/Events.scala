@@ -583,5 +583,54 @@ object Events {
       .agg(count(lit(1)).as("open_sessions"))
       .select(col("w.end").as("sampled_at"), col("open_sessions"))
 
-  val all: Seq[QueryDef] = Seq(q80, q81, q82, q83, q134)
+  // q200 — EWMA SMOOTHING of the hourly event rate (the monitoring
+  // staple between q96's flat trailing window and q147's seasonal
+  // baseline: an exponentially-weighted level that tracks drift without
+  // forgetting abruptly). Decay α = 1/2, so every weight is 2^-k —
+  // EXACT in IEEE doubles (the q160 sqrt trick's sibling: pick the
+  // constant whose float behavior is specified), making each weighted
+  // term x·2^-k an exact scaling; only the SUM is multi-term and gets
+  // the house rounding. Gap-aware: weights decay per elapsed HOUR
+  // (0.5^(t−i)), not per observed row, so sparse types smooth
+  // correctly. Scale shape: the corpus collapses to O(types·hours)
+  // hourly counts in one map-side-combined shuffle; the triangular
+  // (i ≤ t) self-join and the per-(type, t) aggregation run on that
+  // BOUNDED table — hours grow with wall-clock time, never with corpus
+  // volume, and a 90-day horizon keeps the pair table over it
+  // cluster-trivial. The oracle replays count + join + weighted sum
+  // hash-exactly.
+  val q200: QueryDef = QueryDef.sql(
+    "q200_ewma_hourly",
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |e AS (
+      |  SELECT t.event_type, t.hour_idx, t.n,
+      |    round(sum(i.n * power(0.5, t.hour_idx - i.hour_idx)), 6) AS ewma
+      |  FROM h t JOIN h i
+      |    ON i.event_type = t.event_type AND i.hour_idx <= t.hour_idx
+      |  GROUP BY t.event_type, t.hour_idx, t.n)
+      |SELECT event_type, hour_idx, n, ewma,
+      |  n / ewma AS ratio
+      |FROM e
+      |ORDER BY event_type, hour_idx""".stripMargin) { (s, d) =>
+    val h = Tables.events(s, d)
+      .select(col("event_type"), expr("ts_us div 3600000000").as("hour_idx"))
+      .groupBy("event_type", "hour_idx")
+      .agg(count(lit(1)).as("n"))
+    val t = h.select(col("event_type"), col("hour_idx"), col("n"))
+    val i = h.select(col("event_type").as("iet"), col("hour_idx").as("ih"),
+      col("n").as("in"))
+    t.join(i, col("iet") === col("event_type") &&
+        col("ih") <= col("hour_idx"))
+      .groupBy("event_type", "hour_idx", "n")
+      .agg(round(sum(col("in") *
+        pow(lit(0.5), col("hour_idx") - col("ih"))), 6).as("ewma"))
+      .select(col("event_type"), col("hour_idx"), col("n"), col("ewma"),
+        (col("n") / col("ewma")).as("ratio"))
+      .orderBy("event_type", "hour_idx")
+  }
+
+  val all: Seq[QueryDef] = Seq(q80, q81, q82, q83, q134, q200)
 }
