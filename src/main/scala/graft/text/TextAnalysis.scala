@@ -2169,8 +2169,84 @@ object TextAnalysis {
         .orderBy("doc_id")
     }
 
+  // q201 — CROSS-SOURCE SCORE CALIBRATION: the FIX for what q168/q137
+  // only measure — the same quality score means different things in
+  // different sources (a 0.8 from a clean source ≠ a 0.8 from a noisy
+  // one), so mixing on raw scores (q103/q115's budget keys) silently
+  // over-samples whichever source scores generously. Each doc gets its
+  // mid-rank empirical-CDF position within its OWN source
+  // ((below + c/2)/n — tie-stable, the calibrated sampling key) next to
+  // its global CDF position; the gap column IS the per-doc
+  // miscalibration. Scale shape: a per-row percent_rank would sort each
+  // source's whole corpus in one task (the q103 window trap, again);
+  // the mid-rank CDF needs only the (source, qkey) HISTOGRAM — one
+  // map-side-combined shuffle, prefix-sum windows over the BOUNDED
+  // O(sources·1001) table, and a broadcast join back onto the doc scan.
+  // All counts integer-exact; each CDF is (below + 0.5·c)/n — exact
+  // halving + one division, engine-deterministic unrounded.
+  val q201: QueryDef = QueryDef.sql(
+    "q201_score_calibration",
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    CAST(ROUND(1000.0 * len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |        t -> t = 'the' OR t = 'a' OR t = 'value')) /
+      |      len(regexp_split_to_array(trim(text), '\s+'))) AS INTEGER) AS qkey
+      |  FROM documents),
+      |hist AS (
+      |  SELECT source, qkey, CAST(count(*) AS BIGINT) AS c
+      |  FROM q GROUP BY source, qkey),
+      |src AS (
+      |  SELECT source, qkey, c,
+      |    sum(c) OVER (PARTITION BY source ORDER BY qkey
+      |      ROWS UNBOUNDED PRECEDING) - c AS below,
+      |    sum(c) OVER (PARTITION BY source) AS ns
+      |  FROM hist),
+      |gcdf AS (
+      |  SELECT qkey, CAST(sum(c) AS BIGINT) AS gc,
+      |    sum(sum(c)) OVER (ORDER BY qkey ROWS UNBOUNDED PRECEDING)
+      |      - sum(c) AS gbelow,
+      |    sum(sum(c)) OVER () AS ng
+      |  FROM hist GROUP BY qkey)
+      |SELECT d.doc_id, d.source, d.qkey,
+      |  (s.below + 0.5 * s.c) / s.ns AS cal_src,
+      |  (g.gbelow + 0.5 * g.gc) / g.ng AS cal_glob,
+      |  (s.below + 0.5 * s.c) / s.ns - (g.gbelow + 0.5 * g.gc) / g.ng AS gap
+      |FROM q d
+      |JOIN src s ON d.source = s.source AND d.qkey = s.qkey
+      |JOIN gcdf g ON d.qkey = g.qkey
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val toks = "split(trim(text), '\\\\s+')"
+    val q = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      expr(s"""cast(round(1000.0 *
+        size(filter($toks, t -> t = 'the' OR t = 'a' OR t = 'value')) /
+        size($toks)) as int)""").as("qkey"))
+    val hist = q.groupBy("source", "qkey").agg(count(lit(1)).as("c"))
+    val wSrc = Window.partitionBy("source").orderBy("qkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNs = Window.partitionBy("source")
+    val src = hist
+      .withColumn("below", sum("c").over(wSrc) - col("c"))
+      .withColumn("ns", sum("c").over(wNs))
+    val glob0 = hist.groupBy("qkey").agg(sum("c").as("gc"))
+    val wG = Window.orderBy("qkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val glob = glob0
+      .withColumn("gbelow", sum("gc").over(wG) - col("gc"))
+      .withColumn("ng",
+        sum("gc").over(Window.partitionBy(lit(1))))
+    val calS = (col("below") + lit(0.5) * col("c")) / col("ns")
+    val calG = (col("gbelow") + lit(0.5) * col("gc")) / col("ng")
+    q.join(broadcast(src.select("source", "qkey", "below", "c", "ns")),
+        Seq("source", "qkey"))
+      .join(broadcast(glob.select("qkey", "gbelow", "gc", "ng")), Seq("qkey"))
+      .select(col("doc_id"), col("source"), col("qkey"),
+        calS.as("cal_src"), calG.as("cal_glob"),
+        (calS - calG).as("gap"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120,
     q123, q124, q126, q127, q129, q130, q136, q137, q146, q149, q150,
-    q151, q152, q159, q160, q161, q188, q194)
+    q151, q152, q159, q160, q161, q188, q194, q201)
 }
