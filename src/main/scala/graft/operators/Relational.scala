@@ -3085,10 +3085,96 @@ object Relational {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  // q202 — BOOTSTRAP CONFIDENCE INTERVAL on the per-type mean value,
+  // fully deterministic (the uncertainty companion to q167's test and
+  // q168's drift monitor: a point estimate without an interval invites
+  // overreading 1-replicate noise). Poisson bootstrap: each row's
+  // resample count in replicate r is Poisson(1)⁻¹CDF of a portable-hash
+  // uniform (q156's LCG form — identical BIGINT arithmetic in both
+  // engines; tail truncated at 5, P ≈ 6e-4, documented), so the whole
+  // procedure replays hash-exactly — no RNG, no engine sampler. Money
+  // rides as exact cents·count BIGINT sums (order-independent at any
+  // scale, the ExactSum argument); each replicate mean is ONE division
+  // of exact integers. 90% CI by the discrete rank rule over B=32
+  // replicate means (ranks 2 and 31, r as tiebreak). Scale shape: the
+  // 32× replicate explode collapses in the map-side partial aggregate —
+  // the shuffle carries O(types·B) rows, never corpus×B; the rank
+  // windows see 32 rows per type.
+  val q202: QueryDef = QueryDef.sql(
+    "q202_bootstrap_ci",
+    """WITH base AS (
+      |  SELECT event_type, event_id,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |obs AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS scents
+      |  FROM base GROUP BY event_type),
+      |reps AS (
+      |  SELECT b.event_type, r.r,
+      |    CASE
+      |      WHEN u <= 0.367879 THEN 0 WHEN u <= 0.735759 THEN 1
+      |      WHEN u <= 0.919699 THEN 2 WHEN u <= 0.981012 THEN 3
+      |      WHEN u <= 0.996340 THEN 4 ELSE 5 END AS c,
+      |    b.cents
+      |  FROM base b CROSS JOIN (SELECT unnest(range(32)) AS r) r,
+      |  LATERAL (SELECT CAST((b.event_id * 2654435761 + r.r * 40503)
+      |      % 1000003 AS DOUBLE) / 1000003.0 AS u) u0),
+      |rmeans AS (
+      |  SELECT event_type, r,
+      |    CAST(sum(c * cents) AS BIGINT) AS rs,
+      |    CAST(sum(c) AS BIGINT) AS rn
+      |  FROM reps GROUP BY event_type, r),
+      |ranked AS (
+      |  SELECT event_type, r, rs, rn,
+      |    CAST(rs AS DOUBLE) / (100.0 * rn) AS rmean,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(rs AS DOUBLE) / (100.0 * rn), r) AS rk
+      |  FROM rmeans)
+      |SELECT o.event_type, o.n,
+      |  CAST(o.scents AS DOUBLE) / (100.0 * o.n) AS observed_mean,
+      |  lo.rmean AS boot_lo, hi.rmean AS boot_hi
+      |FROM obs o
+      |JOIN ranked lo ON lo.event_type = o.event_type AND lo.rk = 2
+      |JOIN ranked hi ON hi.event_type = o.event_type AND hi.rk = 31
+      |ORDER BY o.event_type""".stripMargin) { (s, d) =>
+    val base = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      expr("cast(round(value * 100) as bigint)").as("cents"))
+    val obs = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("scents"))
+    val reps = base
+      .select(col("event_type"), col("cents"),
+        explode(expr("sequence(0, 31)")).as("r"),
+        col("event_id"))
+      .withColumn("u", expr(
+        "cast((event_id * 2654435761 + r * 40503) % 1000003 as double) / 1000003.0"))
+      .withColumn("c",
+        when(col("u") <= 0.367879, 0).when(col("u") <= 0.735759, 1)
+          .when(col("u") <= 0.919699, 2).when(col("u") <= 0.981012, 3)
+          .when(col("u") <= 0.996340, 4).otherwise(5))
+      .groupBy("event_type", "r")
+      .agg(sum(col("c") * col("cents")).as("rs"), sum("c").as("rn"))
+    val ranked = reps
+      .withColumn("rmean", col("rs").cast("double") / (lit(100.0) * col("rn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy("rmean", "r")))
+    val lo = ranked.filter(col("rk") === 2)
+      .select(col("event_type"), col("rmean").as("boot_lo"))
+    val hi = ranked.filter(col("rk") === 31)
+      .select(col("event_type"), col("rmean").as("boot_hi"))
+    obs.join(lo, "event_type").join(hi, "event_type")
+      .select(col("event_type"), col("n"),
+        (col("scents").cast("double") / (lit(100.0) * col("n")))
+          .as("observed_mean"),
+        col("boot_lo"), col("boot_hi"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
-    q191, q192, q195, q197, q198)
+    q191, q192, q195, q197, q198, q202)
 }
