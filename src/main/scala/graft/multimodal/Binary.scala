@@ -215,14 +215,85 @@ object Binary {
     }
   }
 
+  /** REAL audio decoder (r9) — WAV/PCM via `javax.sound.sampled`, the
+    * JDK's public built-in audio codec: the audio twin of
+    * [[PngBatchDecoder]], closing the second modality's "digests of a
+    * stub" gap. Features per item: channels, sample rate, frame count,
+    * peak |sample|, DC offset, mean |sample|, RMS, zero-crossing
+    * fraction — the integer accumulations are exact (16-bit samples:
+    * Σs² fits a long below ~8.6e9 frames), the per-feature divisions
+    * and the one IEEE sqrt are correctly rounded, so decode output is
+    * bit-deterministic across JVMs. Only PCM_SIGNED 16-bit is decoded
+    * (both endiannesses via the header flag); anything else — or a
+    * truncated/corrupt payload — yields the −1 sentinel row instead of
+    * throwing (quarantine, never kill the job). Exercised by
+    * BatchDecodeSpec over real synthesized WAV fixtures with
+    * batch-boundary independence proven.
+    */
+  object WavBatchDecoder extends BatchDecoder {
+    val nFeatures = 8
+    def decode(batch: BinaryBatch): Array[Double] = {
+      val out = new Array[Double](batch.size * nFeatures)
+      var i = 0
+      while (i < batch.size) {
+        var feats: Array[Double] = null
+        try {
+          val in = new java.io.ByteArrayInputStream(
+            batch.data, batch.offsets(i), batch.itemLength(i))
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+          val fmt = ais.getFormat
+          if (fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16) {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            if (n > 0) {
+              val big = fmt.isBigEndian
+              var k = 0
+              var sum = 0L; var sumAbs = 0L; var sumSq = 0L
+              var peak = 0L; var zc = 0L; var prev = 0; var seen = false
+              while (k < n) {
+                val b0 = bytes(2 * k); val b1 = bytes(2 * k + 1)
+                val s: Int =
+                  if (big) ((b0 << 8) | (b1 & 0xff)).toShort.toInt
+                  else ((b1 << 8) | (b0 & 0xff)).toShort.toInt
+                sum += s
+                val a = math.abs(s.toLong)
+                sumAbs += a
+                sumSq += s.toLong * s
+                if (a > peak) peak = a
+                if (seen && ((s > 0 && prev < 0) || (s < 0 && prev > 0)))
+                  zc += 1
+                if (s != 0) { prev = s; seen = true }
+                k += 1
+              }
+              feats = Array(fmt.getChannels.toDouble,
+                fmt.getSampleRate.toDouble, n.toDouble, peak.toDouble,
+                sum.toDouble / n, sumAbs.toDouble / n,
+                math.sqrt(sumSq.toDouble / n),
+                zc.toDouble / math.max(n - 1, 1))
+            }
+          }
+        } catch { case _: Exception => feats = null }
+        if (feats == null)
+          java.util.Arrays.fill(out, i * nFeatures, (i + 1) * nFeatures, -1.0)
+        else System.arraycopy(feats, 0, out, i * nFeatures, nFeatures)
+        i += 1
+      }
+      out
+    }
+  }
+
   /** Modality → decoder dispatch table (the router's one swap point: a
     * deployment adds a codec by adding a row here; routing, batching,
-    * and the partition plan never change). `png` is the real-bytes path.
+    * and the partition plan never change). `png` and `wav` are the
+    * real-bytes paths.
     */
   def decoderFor(modality: String): BatchDecoder = modality match {
     case "image" => HistBatchDecoder
     case "audio" => AmplitudeBatchDecoder
     case "png"   => PngBatchDecoder
+    case "wav"   => WavBatchDecoder
     case _       => WhitespaceBatchDecoder
   }
 

@@ -109,6 +109,87 @@ class BatchDecodeSpec extends SparkSpec {
     assert(Binary.decoderFor("png") eq Binary.PngBatchDecoder)
   }
 
+  test("WAV decoder: real encoded bytes through the columnar contract, batch-boundary independent") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // deterministic PCM synthesis: integer-sawtooth and square waves so
+    // the expected features are computable exactly from the sample array
+    def synth(id: Int): (Array[Short], Int, Float) = {
+      val n = 200 + 37 * id
+      val channels = 1 + (id % 2)
+      val rate = if (id % 3 == 0) 8000f else 16000f
+      val samples = Array.tabulate[Short](n * channels) { k =>
+        val phase = (k * (id + 3)) % 97
+        val v =
+          if (id % 2 == 0) ((phase - 48) * 600).toShort       // sawtooth
+          else (if (phase < 48) 9000 else -9000).toShort      // square
+        v
+      }
+      (samples, channels, rate)
+    }
+    def wav(samples: Array[Short], channels: Int, rate: Float,
+        bigEndian: Boolean): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, k) =>
+        if (bigEndian) {
+          bytes(2 * k) = (s >> 8).toByte; bytes(2 * k + 1) = s.toByte
+        } else {
+          bytes(2 * k) = s.toByte; bytes(2 * k + 1) = (s >> 8).toByte
+        }
+      }
+      val fmt = new AudioFormat(
+        AudioFormat.Encoding.PCM_SIGNED, rate, 16, channels,
+        2 * channels, rate, bigEndian)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt,
+        samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val waves = (0 until 8).map(i => i.toLong -> synth(i))
+    val payloads = waves.map { case (id, (sm, ch, rate)) =>
+      (id, wav(sm, ch, rate, bigEndian = id % 4 == 1)) } :+
+      (99L, wav(synth(0)._1, 1, 8000f, bigEndian = false).take(30))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        payloads.map { case (id, p) => Row(id, p) }, 4), schema)
+    val ref = Binary.decodeWith(spark, src, Binary.WavBatchDecoder, 64)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](2).toList).toMap
+    for (bs <- Seq(1, 3)) {
+      val got = Binary.decodeWith(spark, src, Binary.WavBatchDecoder, bs)
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Double](2).toList).toMap
+      assert(got == ref, s"batchSize=$bs changed the WAV decode output")
+    }
+    // decoded features equal the directly-computed truth (PCM is
+    // lossless; every accumulation is integer-exact)
+    waves.foreach { case (id, (sm, ch, rate)) =>
+      val n = sm.length
+      var sum = 0L; var sumAbs = 0L; var sumSq = 0L
+      var peak = 0L; var zc = 0L; var prev = 0; var seen = false
+      sm.foreach { s =>
+        sum += s; sumAbs += math.abs(s.toLong); sumSq += s.toLong * s
+        peak = math.max(peak, math.abs(s.toLong))
+        if (seen && ((s > 0 && prev < 0) || (s < 0 && prev > 0))) zc += 1
+        if (s != 0) { prev = s; seen = true }
+      }
+      val expect = List(ch.toDouble, rate.toDouble, n.toDouble,
+        peak.toDouble, sum.toDouble / n, sumAbs.toDouble / n,
+        math.sqrt(sumSq.toDouble / n), zc.toDouble / math.max(n - 1, 1))
+      assert(ref(id) == expect, s"wave $id decoded features diverged")
+    }
+    // the corrupt payload yields the sentinel row
+    assert(ref(99L) == List.fill(8)(-1.0), "corrupt WAV must quarantine")
+    // router dispatch: the wav modality resolves to the real decoder
+    assert(Binary.decoderFor("wav") eq Binary.WavBatchDecoder)
+  }
+
   test("q193 perceptual near-dup matches a dense aHash + band replay") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
