@@ -1576,7 +1576,107 @@ object Dedup {
       .orderBy("est")
   }
 
+  /** q203's core over any (vec_id, embedding) frame: for every EVAL
+    * vector (vec_id % 50 = 0, the house eval-slice convention), its
+    * top-1 train cosine, the mean of its top-8 (the Artetxe–Schwenk
+    * margin denominator), margin, and the ≥ `threshold` contamination
+    * flag. Factored so the spec can plant a true duplicate — the
+    * synthetic corpus has none (random embeddings, max top-1 ≈ 0.43).
+    */
+  private[graft] def semanticDecon(v0: org.apache.spark.sql.DataFrame,
+      threshold: Double = 0.9): org.apache.spark.sql.DataFrame = {
+    val v = v0.select(col("vec_id"), col("embedding"),
+      sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding")))
+        .as("nrm"))
+    val e = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("eemb"),
+        col("nrm").as("enrm"))
+    val t = v.filter(col("vec_id") % 50 =!= 0)
+    // train scans ONCE against the broadcast eval set (eval sets are
+    // small by nature — benchmarks); the bounded top-k aggregate keeps
+    // 8 rows per eval in the map-side partial, so the shuffle carries
+    // O(evals·8·partitions) rows — never the evals×train pair stream.
+    // The all-pairs cosine here is the EXACT tier; at extreme train
+    // counts the q53 IVF probe path is the documented substitute.
+    val pairs = t.crossJoin(broadcast(e))
+      .select(col("eval_id"), col("vec_id").as("train_id"),
+        (VectorExprs.dotProduct(col("embedding"), col("eemb"))
+          / (col("nrm") * col("enrm"))).as("c"))
+    val topk = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.TopKNbrAgg(
+        org.apache.spark.sql.GraftBridge.expression(col("c")),
+        org.apache.spark.sql.GraftBridge.expression(col("train_id")),
+        8).toAggregateExpression())
+    pairs.groupBy("eval_id").agg(topk.as("nbrs"))
+      .select(col("eval_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("eval_id"), (col("pos") + 1).as("rn"),
+        col("nbr._2").as("train_id"), col("nbr._1").as("c"))
+      .groupBy("eval_id")
+      .agg(max(when(col("rn") === 1, col("train_id"))).as("train_id"),
+        max(when(col("rn") === 1, col("c"))).as("cos_top1"),
+        // the top-8 cosines are already on the 1e-8 grid (TopKNbr's
+        // round), so the mean is computed as an EXACT integer sum over
+        // that grid + one division — an 8-term double average lands on
+        // rounding razor edges (measured at sf0.001: 8th decimal flip
+        // between engines from summation order)
+        (sum(expr("cast(round(c * 1e8) as bigint)")).cast("double")
+          / (count(lit(1)) * lit(1.0e8))).as("mean_top8"))
+      .select(col("eval_id"), col("train_id"), col("cos_top1"),
+        col("mean_top8"),
+        round(col("cos_top1") / col("mean_top8"), 6).as("margin"),
+        (col("cos_top1") >= threshold).as("contaminated"))
+      .orderBy("eval_id")
+  }
+
+  // q203 — SEMANTIC DECONTAMINATION: the third leg of the
+  // decontamination family — q47/q122 catch exact 20-gram overlap, q75
+  // scales that with a Bloom filter, but a PARAPHRASED eval example
+  // shares no 20-gram with its train twin; the embedding-space check
+  // catches what string matching cannot. For every eval vector: top-1
+  // train cosine, mean of top-8, the Artetxe–Schwenk margin
+  // (top1/mean-top8 — a scale-free signal that separates "genuinely
+  // near" from "everything is equally far"), and the threshold flag.
+  // Cosines round-8 per house rule (the TopKNbr aggregate applies the
+  // exact round once per survivor); mean-top8 is a ≤8-term average →
+  // rounded; margin one division of rounded values. The DuckDB oracle
+  // replays the brute ranking window-style, hash-exact.
+  val q203: QueryDef = QueryDef.sql(
+    "q203_semantic_decontamination",
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |e AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+      |t AS (SELECT * FROM v WHERE vec_id % 50 != 0),
+      |p AS (
+      |  SELECT e.vec_id AS eval_id, t.vec_id AS train_id,
+      |    round(list_sum(list_transform(range(1, 65),
+      |        i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+      |          * CAST(t.embedding[CAST(i AS INT)] AS DOUBLE)))
+      |      / (e.nrm * t.nrm), 8) AS c
+      |  FROM e, t),
+      |r AS (
+      |  SELECT eval_id, train_id, c,
+      |    row_number() OVER (PARTITION BY eval_id
+      |      ORDER BY c DESC, train_id) AS rn
+      |  FROM p)
+      |SELECT eval_id,
+      |  max(CASE WHEN rn = 1 THEN train_id END) AS train_id,
+      |  max(CASE WHEN rn = 1 THEN c END) AS cos_top1,
+      |  CAST(sum(CAST(round(c * 1e8) AS BIGINT)) AS DOUBLE)
+      |    / (count(*) * 1e8) AS mean_top8,
+      |  round(max(CASE WHEN rn = 1 THEN c END)
+      |    / (CAST(sum(CAST(round(c * 1e8) AS BIGINT)) AS DOUBLE)
+      |       / (count(*) * 1e8)), 6) AS margin,
+      |  max(CASE WHEN rn = 1 THEN c END) >= 0.9 AS contaminated
+      |FROM r WHERE rn <= 8
+      |GROUP BY eval_id
+      |ORDER BY eval_id""".stripMargin) { (s, d) =>
+    semanticDecon(Tables.embeddings(s, d).select("vec_id", "embedding"))
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q49, q75, q99, q109, q115, q117, q122, q125, q128, q131, q132, q138,
-    q145, q154)
+    q145, q154, q203)
 }

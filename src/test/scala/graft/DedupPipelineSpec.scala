@@ -58,4 +58,38 @@ class DedupPipelineSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("q203 semantic decontamination flags a planted eval/train duplicate") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 100 deterministic pseudo-random unit-ish vectors; eval ids are the
+    // %50==0 slice (0, 50). Plant: eval 50 IS train 7's embedding — a
+    // paraphrase-free identical twin the string decontaminators would
+    // also catch, standing in for the semantic near-twin they cannot.
+    def vec(seed: Long): Array[Float] = Array.tabulate(64) { i =>
+      var z = (seed * 64 + i) * 0x9E3779B97F4A7C15L
+      z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+      z ^= z >>> 27; z *= 0x94D049BB133111EBL
+      z ^= z >>> 31
+      ((z & 0xFFFFF).toFloat / 0x100000) - 0.5f
+    }
+    val rows = (0 until 100).map { id =>
+      val e = if (id == 50) vec(7) else vec(id)
+      Row(id.toLong, e.toSeq)
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val v = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val out = Dedup.semanticDecon(v).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getBoolean(5))).toMap
+    // the planted twin: top-1 is train 7 at cosine 1.0, flagged
+    assert(out(50L)._1 == 7L, s"expected train 7 as top-1, got ${out(50L)}")
+    assert(out(50L)._2 == 1.0, s"expected cosine 1.0, got ${out(50L)._2}")
+    assert(out(50L)._3, "planted duplicate must be flagged contaminated")
+    // the clean eval vector: nothing near, not flagged
+    assert(!out(0L)._3, s"clean eval must not be flagged: ${out(0L)}")
+    assert(out(0L)._2 < 0.9)
+  }
 }
