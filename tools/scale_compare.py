@@ -57,6 +57,19 @@ def main(argv):
         "superlinear": {q: {"base_sec": round(b, 3), "big_sec": round(g, 3),
                             "growth": round(r, 2)} for q, b, g, r in superlin},
     }
+    # The committed artifact carries hand-authored plan notes (the process
+    # requires one per superlinear query). Carry them forward across
+    # regeneration instead of silently dropping them; warn on any
+    # superlinear query that still lacks a note.
+    try:
+        prior_notes = json.load(open("SCALE_AUDIT.json")).get("plan_notes", {})
+    except (FileNotFoundError, json.JSONDecodeError):
+        prior_notes = {}
+    out["plan_notes"] = prior_notes
+    missing = sorted(set(out["superlinear"]) - set(prior_notes))
+    if missing:
+        print(f"\nWARNING: superlinear queries missing a plan note "
+              f"(add to SCALE_AUDIT.json plan_notes): {missing}")
     with open("SCALE_AUDIT.json", "w") as f:
         json.dump(out, f, indent=1)
     return 0
