@@ -348,30 +348,20 @@ object Graph {
         col("global_cc"), col("avg_local_cc"))
   }
 
-  // q141 — TRIANGLE CENSUS of the exact kNN graph: how clustered is the
+  // q141 — TRIANGLE CENSUS of the kNN graph: how clustered is the
   // embedding manifold? High transitivity = tight semantic clusters
   // (dedup/coreset opportunity, q44/q140's hunting ground); a kNN graph
-  // near the random-graph floor says the space is spread thin. Uses
-  // q52's EXACT top-3 graph so DuckDB replays the whole chain
-  // (graph build → census) hash-exactly; the q57 approximate graph
-  // plugs into the same triangleStats at scales where exact kNN is off
-  // the table.
+  // near the random-graph floor says the space is spread thin. The edge
+  // list comes from the GATED kNN supplier (exact top-3 at or below
+  // Similarity.ExactKnnMaxRows vectors, seed-IVF cell-blocked above it
+  // — the sf1 fix for the measured 18× wall growth of the ungated
+  // exact join); DuckDB replays the whole chain (gate → graph build →
+  // census) hash-exactly at EVERY scale, because the blocked branch's
+  // replay is cell-bounded where the exact one is O(n²).
   val q141: QueryDef = QueryDef.sql(
     "q141_knn_triangles",
-    """WITH v AS (
-      |  SELECT vec_id, embedding,
-      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      |  FROM embeddings),
-      |knn AS (
-      |  SELECT id_a, id_b FROM (
-      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |      CAST(row_number() OVER (PARTITION BY a.vec_id
-      |        ORDER BY round(list_sum(list_transform(range(1, 65),
-      |            i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
-      |          / (a.nrm * b.nrm), 8) DESC, b.vec_id) AS INTEGER) AS rn
-      |    FROM v a JOIN v b ON a.vec_id <> b.vec_id) t
-      |  WHERE rn <= 3),
-      |und AS (
+    s"""WITH ${graft.sim.Similarity.gatedKnnDuck(3)},
+      |und AS MATERIALIZED (
       |  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
       |  FROM knn WHERE id_a <> id_b),
       |deg AS (
@@ -399,39 +389,29 @@ object Graph {
       |  round(sum(t) / sum(deg * (deg - 1) / 2.0), 6) AS global_cc,
       |  round(avg(lcc), 6) AS avg_local_cc
       |FROM loc""".stripMargin) { (s, d) =>
-    triangleStats(graft.sim.Similarity.q52TopKAgg(s, d)
+    triangleStats(graft.sim.Similarity.knnEdges(s, d, 3)
       .select(col("id_a").as("src"), col("id_b").as("dst")))
   }
 
-  // q189 — LINK PREDICTION over the exact kNN graph (the recommender /
+  // q189 — LINK PREDICTION over the kNN graph (the recommender /
   // graph-completion staple: which NON-edges look most like edges —
   // candidates to merge in dedup review, or neighbors an ANN graph
   // build missed): Adamic–Adar over the 2-hop wedge candidates —
   // common neighbors weighted by 1/ln(degree), so a promiscuous hub
-  // vouches for less than a selective node. Shape: the wedge self-join
-  // keys on the shared MIDDLE vertex (q141's shape, same hub-skew
-  // lever), candidate volume is bounded by wedge count O(n·k²), the
-  // known-edge anti-join keys on the pair, degrees broadcast back.
-  // The per-pair 1/ln(deg) sum is a bounded multi-term double → house
-  // rounding; ranking on (rounded score, pair) keeps the top-20
-  // boundary deterministic. DuckDB replays the WHOLE chain from raw
-  // embeddings (q141's kNN CTE) hash-exactly.
+  // vouches for less than a selective node. Shape: the edge list comes
+  // from the GATED kNN supplier (exact at or below ExactKnnMaxRows,
+  // cell-blocked above — the sf1 fix for the 17× exact-tier growth);
+  // the wedge self-join keys on the shared MIDDLE vertex (q141's shape,
+  // same hub-skew lever), candidate volume is bounded by wedge count
+  // O(n·k²), the known-edge anti-join keys on the pair, degrees join
+  // back keyed. The per-pair 1/ln(deg) sum is a bounded multi-term
+  // double → house rounding; ranking on (rounded score, pair) keeps the
+  // top-20 boundary deterministic. DuckDB replays the WHOLE chain from
+  // raw embeddings (the gated kNN CTE) hash-exactly at every scale.
   val q189: QueryDef = QueryDef.sql(
     "q189_link_prediction",
-    """WITH v AS (
-      |  SELECT vec_id, embedding,
-      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      |  FROM embeddings),
-      |knn AS (
-      |  SELECT id_a, id_b FROM (
-      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |      CAST(row_number() OVER (PARTITION BY a.vec_id
-      |        ORDER BY round(list_sum(list_transform(range(1, 65),
-      |            i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
-      |          / (a.nrm * b.nrm), 8) DESC, b.vec_id) AS INTEGER) AS rn
-      |    FROM v a JOIN v b ON a.vec_id <> b.vec_id) t
-      |  WHERE rn <= 3),
-      |und AS (
+    s"""WITH ${graft.sim.Similarity.gatedKnnDuck(3)},
+      |und AS MATERIALIZED (
       |  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
       |  FROM knn WHERE id_a <> id_b),
       |adjd AS (SELECT u AS src, v AS dst FROM und
@@ -453,7 +433,7 @@ object Graph {
       |FROM sc
       |ORDER BY adamic_adar DESC, id_a, id_b
       |LIMIT 20""".stripMargin) { (s, d) =>
-    val und = graft.sim.Similarity.q52TopKAgg(s, d)
+    val und = graft.sim.Similarity.knnEdges(s, d, 3)
       .select(least(col("id_a"), col("id_b")).as("u"),
         greatest(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()

@@ -113,39 +113,163 @@ object Similarity {
       .limit(5)
   }
 
-  // q52 — k-NN graph: top-3 cosine neighbors per vector. Exact pair join
-  // is the oracle-checkable baseline (the at-scale path blocks pairs with
-  // q51's buckets / q53's cells first).
-  val q52: QueryDef = QueryDef.sql(
-    "q52_knn_self_join",
-    """WITH v AS (
+  /** Corpus-size gate for the EXACT kNN tier (q52 and its graph
+    * consumers q141/q148/q189): at or below this row count the exact
+    * all-pairs grid join runs (O(n²) pairs — affordable, and exactly the
+    * single-broadcast-chunk regime since it equals [[MaxBuildRows]]);
+    * above it [[knnEdges]] swaps in the cell-blocked tier. The sf1
+    * checkpoint measured the ungated exact tier at 17–21× wall growth on
+    * 10× data — O(n²) by definition; the gate is the implemented fix.
+    */
+  private[graft] final val ExactKnnMaxRows = 4096L
+
+  /** The blocked (approx-tier) kNN edge list with q52's exact output
+    * contract (id_a, rn, id_b, cos_sim): candidate pairs form only
+    * inside shared seed-IVF cells ([[graft.dedup.Dedup.seedCellAssignments]]
+    * — √n cells, top-4 multi-assignment, O(n^1.5·m²) pair volume), the
+    * cosine is computed INLINE in the cell join (embeddings ride along —
+    * no join-back of the pair stream to the corpus, the shape q78's
+    * graph build proved ~7× cheaper than q44's rerank join at sf1), the
+    * symmetric halving + both-direction explode mirror [[q52TopKAgg]],
+    * and the same bounded TopKNbr tail ranks survivors. Duplicate pairs
+    * from multi-assignment collapse in one distinct BEFORE the explode:
+    * the unordered pair is scored identically in every shared cell (same
+    * codegen expression over the same cached rows — bit-identical
+    * doubles), so distinct on (lo, hi, cos) is exact dedup.
+    */
+  private[graft] def blockedKnnEdges(s: SparkSession, d: String, k: Int): DataFrame = {
+    val cells = graft.dedup.Dedup.seedCellAssignments(s, d)
+    val a = cells.select(col("cell"), col("vec_id").as("lo"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = cells.select(col("cell"), col("vec_id").as("hi"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("lo") < col("hi"))
+      // UNROUNDED cosine, like q52TopKAgg: TopKNbr's ε-slack buffer
+      // applies the exact round-8 once per survivor in finish()
+      .select(col("lo"), col("hi"),
+        (VectorExprs.dotProduct(col("emb_a"), col("emb_b"))
+          / (col("nrm_a") * col("nrm_b"))).as("cos_sim"))
+      .distinct()
+    val pairs = scored.select(explode(array(
+        struct(col("lo").as("id_a"), col("hi").as("id_b"), col("cos_sim")),
+        struct(col("hi").as("id_a"), col("lo").as("id_b"), col("cos_sim")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.cos_sim").as("cos_sim"))
+    topKNbrTail(pairs, k)
+  }
+
+  /** [[blockedKnnEdges]] memoized and cached per (session, corpus, k) —
+    * above the gate the same edge table feeds q52, q141 and q189 (k=3),
+    * and the blocked build is the dominant cost of each.
+    */
+  private val knnEdgesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+  graft.Memos.register { () => knnEdgesMemo.values.forEach(_.unpersist()); knnEdgesMemo.clear() }
+
+  /** Gated kNN edge supplier (id_a, rn, id_b, cos_sim): exact
+    * [[q52TopKAgg]] at or below `maxExactRows` vectors, cell-blocked
+    * [[blockedKnnEdges]] above it. The corpus count is the memoized
+    * catalog statistic (no extra action). Exact-tier results are NOT
+    * memoized — small-SF plans and bench numbers are unchanged by the
+    * gate; the blocked tier caches its O(n·k) edge table.
+    */
+  def knnEdges(s: SparkSession, d: String, k: Int,
+      maxExactRows: Long = ExactKnnMaxRows): DataFrame =
+    if (Tables.embeddingsCount(s, d) <= maxExactRows) q52TopKAgg(s, d, k = k)
+    else knnEdgesMemo.computeIfAbsent((s, d, k),
+      { _ => blockedKnnEdges(s, d, k).cache() })
+
+  /** DuckDB replay of [[knnEdges]]: a CTE chain ending in
+    * `knn(id_a, rn, id_b, cos_sim)` with BOTH tiers behind the same
+    * `count(*)` gate — the exact branch's input empties above
+    * [[ExactKnnMaxRows]] (the filter sits inside the CTE, so the O(n²)
+    * join never forms) and the blocked branch's input empties at or
+    * below it. Only one branch is ever non-empty; one shared rank
+    * window orders the union. The blocked branch replays q44's proven
+    * seed→score→cells→candidates chain (feasible in DuckDB at the sf1
+    * checkpoint, where the exact replay OOMs), then scores each
+    * unordered candidate once and emits both directions — the engine's
+    * symmetric halving.
+    */
+  private[graft] def gatedKnnDuck(k: Int): String =
+    s"""nn AS (SELECT count(*) AS n FROM embeddings),
+      |v AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      |  FROM embeddings)
-      |SELECT id_a, rn, id_b, cos_sim FROM (
+      |  FROM embeddings),
+      |vex AS (SELECT * FROM v WHERE (SELECT n FROM nn) <= $ExactKnnMaxRows),
+      |exact_pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    round(list_sum(list_transform(range(1, 65),
       |        i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
-      |      / (a.nrm * b.nrm), 8) AS cos_sim,
-      |    CAST(row_number() OVER (PARTITION BY a.vec_id
-      |      ORDER BY round(list_sum(list_transform(range(1, 65),
-      |          i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
-      |        / (a.nrm * b.nrm), 8) DESC, b.vec_id) AS INTEGER) AS rn
-      |  FROM v a JOIN v b ON a.vec_id <> b.vec_id) t
-      |WHERE rn <= 3
+      |      / (a.nrm * b.nrm), 8) AS cos_sim
+      |  FROM vex a JOIN vex b ON a.vec_id <> b.vec_id),
+      |vbl AS (SELECT * FROM v WHERE (SELECT n FROM nn) > $ExactKnnMaxRows),
+      |seedsb AS (
+      |  SELECT vec_id AS cell, embedding AS semb, nrm AS snrm
+      |  FROM (SELECT vec_id, embedding, nrm,
+      |          row_number() OVER (ORDER BY vec_id) AS srn,
+      |          count(*) OVER () AS bn
+      |        FROM vbl) seedsrc
+      |  WHERE srn <= greatest(16, CAST(ceil(sqrt(bn)) AS BIGINT))),
+      |scoredb AS (
+      |  SELECT w.vec_id, s.cell,
+      |    round(list_sum(list_transform(range(1, 65),
+      |        i -> CAST(w.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(s.semb[CAST(i AS INT)] AS DOUBLE)))
+      |      / (w.nrm * s.snrm), 8) AS c
+      |  FROM vbl w, seedsb s),
+      |cellsb AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cell) AS crn
+      |    FROM scoredb) t
+      |  WHERE crn <= 4),
+      |candb AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM cellsb a JOIN cellsb b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      |scored_cand AS (
+      |  SELECT c.id_a, c.id_b,
+      |    round(list_sum(list_transform(range(1, 65),
+      |        i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+      |      / (a.nrm * b.nrm), 8) AS cos_sim
+      |  FROM candb c JOIN v a ON c.id_a = a.vec_id JOIN v b ON c.id_b = b.vec_id),
+      |blocked_pairs AS (
+      |  SELECT id_a, id_b, cos_sim FROM scored_cand
+      |  UNION ALL SELECT id_b AS id_a, id_a AS id_b, cos_sim FROM scored_cand),
+      |knn AS MATERIALIZED (
+      |  SELECT id_a, rn, id_b, cos_sim FROM (
+      |    SELECT id_a, id_b, cos_sim,
+      |      CAST(row_number() OVER (PARTITION BY id_a
+      |        ORDER BY cos_sim DESC, id_b) AS INTEGER) AS rn
+      |    FROM (SELECT * FROM exact_pairs UNION ALL SELECT * FROM blocked_pairs) u) t
+      |  WHERE rn <= $k)""".stripMargin
+
+  // q52 — k-NN graph: top-3 cosine neighbors per vector, GATED by corpus
+  // size: the exact all-pairs tier runs only up to ExactKnnMaxRows
+  // vectors (where it is the oracle-checkable ground truth AND fits the
+  // single-broadcast-chunk regime); above the gate the edge list comes
+  // from the cell-blocked approx tier (seed-IVF candidate blocking —
+  // O(n^1.5·m²) pair volume, the 10×-checkpoint fix for the measured
+  // 21× wall growth of the ungated exact join). The DuckDB oracle
+  // replays BOTH branches behind the same count(*) gate, so the hash
+  // check stays green at every scale — including sf1, where the exact
+  // replay OOMs the oracle engine but the blocked replay (q44's proven
+  // CTE chain) does not.
+  val q52: QueryDef = QueryDef.sql(
+    "q52_knn_self_join",
+    s"""WITH ${gatedKnnDuck(3)}
+      |SELECT id_a, rn, id_b, cos_sim FROM knn
       |ORDER BY id_a, rn""".stripMargin) { (s, d) =>
-    // Exact kNN graph via a broadcast nested-loop join: Spark ships the
-    // build side to executors (the driver never materializes rows — no
-    // `.collect()`), per-vector norms are projected once so each pair is
-    // a single codegen'd dot product + divide (bit-identical to
-    // CosineSim and the oracle's nrm-product form), and the per-vector
-    // top-3 is a BOUNDED object aggregator (TopKNbr): map-side partial
-    // aggregation reduces the O(n²) pair stream to k rows per vector
-    // before the exchange WITHOUT sorting it (measured ~25% faster than
-    // the Window/WindowGroupLimit form, which sorts every map
-    // partition). At 100 TB vector counts the candidate set comes from
-    // q51's LSH buckets / q53's IVF cells instead of the all-pairs join.
-    q52TopKAgg(s, d)
+    // Below the gate: exact kNN via the chunked broadcast nested-loop
+    // join — per-vector norms projected once, each pair one codegen'd
+    // dot + divide (bit-identical to CosineSim and the oracle's
+    // nrm-product form), per-vector top-3 cut by the BOUNDED TopKNbr
+    // object aggregator map-side before the single exchange. Above the
+    // gate: candidates form only inside shared seed-IVF cells (the q44
+    // blocking quantizer) and the same TopKNbr tail ranks them — the
+    // exact tier never touches a corpus it cannot afford.
+    knnEdges(s, d, 3)
   }
 
   // q52's per-group top-k runs as graft.functions.TopKNbrAgg — a native
@@ -214,6 +338,16 @@ object Similarity {
         .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
           col("p.cos_sim").as("cos_sim"))
     }.reduce(_ unionByName _)
+    topKNbrTail(pairs, k)
+  }
+
+  /** Shared top-k tail of both kNN tiers: groupBy(id_a) + the bounded
+    * TopKNbr object aggregator (map-side partial aggregation cuts any
+    * pair stream to ≤k rows per vector before the exchange, no sort),
+    * exploded to (id_a, rn, id_b, cos_sim) in (round-8 cos desc, id)
+    * order.
+    */
+  private def topKNbrTail(pairs: DataFrame, k: Int): DataFrame = {
     val topk = org.apache.spark.sql.GraftBridge.column(
       graft.functions.TopKNbrAgg(
         org.apache.spark.sql.GraftBridge.expression(col("cos_sim")),
@@ -235,10 +369,12 @@ object Similarity {
   // classes the embedding space actually separates. Complements
   // q144_label_noise (nearest-CENTROID disagreement): centroids catch
   // gross bleed, kNN votes catch local manifold confusion centroids
-  // average away. Scale shape: neighbor lists ride q52's grid pair join +
-  // bounded TopKNbr map-side aggregation (at 100 TB the candidate
-  // generator swaps to q53's IVF cells — the vote/rollup stages are
-  // unchanged); labels join broadcast (O(n) but 2 small columns — at
+  // average away. Scale shape: neighbor lists come from the GATED kNN
+  // supplier (exact grid join + bounded TopKNbr map-side aggregation at
+  // or below ExactKnnMaxRows vectors; seed-IVF cell-blocked candidates
+  // above it — the vote/rollup stages are unchanged across tiers, and
+  // the oracle replays whichever tier the gate picks); labels join
+  // broadcast (O(n) but 2 small columns — at
   // cluster scale the label table is a dimension), the vote argmax
   // windows over ≤k rows per key, and the output is O(classes) rows.
   // Determinism: neighbor sets ordered by (round-8 cosine, id) — the
@@ -247,22 +383,12 @@ object Similarity {
   // division.
   val q148: QueryDef = QueryDef.sql(
     "q148_knn_classify",
-    """WITH v AS (
-      |  SELECT vec_id, label, embedding,
-      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      |  FROM embeddings),
-      |nbr AS (
-      |  SELECT id_a, id_b FROM (
-      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |      CAST(row_number() OVER (PARTITION BY a.vec_id
-      |        ORDER BY round(list_sum(list_transform(range(1, 65),
-      |            i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
-      |          / (a.nrm * b.nrm), 8) DESC, b.vec_id) AS INTEGER) AS rn
-      |    FROM v a JOIN v b ON a.vec_id <> b.vec_id) t
-      |  WHERE rn <= 10),
+    s"""WITH ${gatedKnnDuck(10)},
+      |lab AS (SELECT vec_id, label FROM embeddings),
+      |nbr AS (SELECT id_a, id_b FROM knn),
       |votes AS (
       |  SELECT n.id_a, vb.label AS pred, count(*) AS cnt
-      |  FROM nbr n JOIN v vb ON n.id_b = vb.vec_id
+      |  FROM nbr n JOIN lab vb ON n.id_b = vb.vec_id
       |  GROUP BY 1, 2),
       |pred AS (
       |  SELECT id_a, pred FROM (
@@ -274,11 +400,11 @@ object Similarity {
       |  CAST(sum(CASE WHEN p.pred = va.label THEN 1 ELSE 0 END) AS BIGINT) AS correct,
       |  round(CAST(sum(CASE WHEN p.pred = va.label THEN 1 ELSE 0 END) AS DOUBLE)
       |    / count(*), 6) AS accuracy
-      |FROM pred p JOIN v va ON p.id_a = va.vec_id
+      |FROM pred p JOIN lab va ON p.id_a = va.vec_id
       |GROUP BY va.label
       |ORDER BY label""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val nbrs = q52TopKAgg(s, d, k = 10).select("id_a", "id_b")
+    val nbrs = knnEdges(s, d, 10).select("id_a", "id_b")
     val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
     val votes = nbrs
       .join(broadcast(lab.select(col("vec_id").as("id_b"), col("label").as("pred"))), "id_b")
@@ -585,9 +711,9 @@ object Similarity {
     * scores tie in cluster-sized groups and a constant-width funnel
     * covers ever fewer DISTINCT clusters as n grows (measured at the r9
     * sf1 checkpoint: recall@10 fell 0.7 → 0.0 at 10× with budget 100).
-    * Keeping the funnel a constant FRACTION of the corpus (2%, = the
-    * tuned 100 at the 5k-vector baseline, floor 100 / cap 10k) keeps
-    * cluster coverage — and therefore recall — stable under growth; the
+    * Keeping the funnel a constant FRACTION of the corpus (10% of the
+    * count, floor 100, cap 10000) keeps cluster coverage — and
+    * therefore recall — stable under growth; the
     * rerank stays O(budget), tiny either way. The fraction is 10%: with
     * 32-bit codes (8 subspaces × 4 bits) quantized distance only
     * supports coarse pruning — the r9 sf1 measurement put the true

@@ -634,6 +634,46 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("gated kNN edges: exact tier below the gate, blocked tier above it — same contract") {
+    // Below ExactKnnMaxRows the gate must return the exact grid-join
+    // result verbatim (the catalog behavior at every test SF)...
+    val exact = sim.Similarity.q52TopKAgg(spark, sfDir, k = 3).collect().toSeq
+    val gated = sim.Similarity.knnEdges(spark, sfDir, 3).collect().toSeq
+    assert(gated == exact, "gate must pick the exact tier below the threshold")
+    // ...and with the threshold forced below the corpus, the SAME public
+    // gate must route to the blocked tier (the sf1 catalog behavior),
+    // whose output honors the identical (id_a, rn, id_b, cos_sim)
+    // contract: rn dense from 1 per id_a, ordered by (round-8 cos desc,
+    // id_b), at most k rows per vector, no self-edges.
+    val blocked = sim.Similarity.knnEdges(spark, sfDir, 3, maxExactRows = 1L)
+      .collect().toSeq
+    assert(blocked.nonEmpty)
+    blocked.groupBy(_.getLong(0)).foreach { case (ida, rows) =>
+      val byRn = rows.sortBy(_.getInt(1))
+      assert(byRn.map(_.getInt(1)) == (1 to rows.size).toSeq, s"rn gap for $ida")
+      assert(rows.size <= 3, s"more than k neighbors for $ida")
+      assert(rows.forall(_.getLong(2) != ida), s"self-edge for $ida")
+      val keys = byRn.map(r => (-r.getDouble(3), r.getLong(2)))
+      assert(keys == keys.sorted, s"neighbor order broken for $ida")
+    }
+  }
+
+  test("blocked kNN tier recall >= 0.75 of the exact edges at k=3 and k=10 (sf0.001, sf0.01)") {
+    // The gate's approx tier must stay a faithful stand-in for the exact
+    // tier it replaces above ExactKnnMaxRows: measured recall of the
+    // exact edge set (measured ~0.85-0.95 here; floor pinned with slack).
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01"); k <- Seq(3, 10)) {
+      val exact = sim.Similarity.q52TopKAgg(spark, dir, k = k)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val blocked = sim.Similarity.blockedKnnEdges(spark, dir, k)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = exact.intersect(blocked).size.toDouble / exact.size
+      assert(recall >= 0.75, s"blocked kNN recall@$k $recall at $dir")
+    }
+  }
+
   test("blocked candidate pairs grow sub-quadratically across scale factors") {
     // The quantizer's cell count scales as max(16, ceil(sqrt(n))), so the
     // blocked pair volume should grow ~n^1.5, not the n^2 a fixed cell
