@@ -122,6 +122,16 @@ object Gan {
 
   /** Is batch index `bi` inside round `round`'s modular
     * [start, start+cap) window over a `span`-batch partition?
+    *
+    * `span` is the FLEET-AVERAGE estimate, so a partition holding more
+    * batches than it wraps `bi % span` and maps several physical batches
+    * onto each window slot — selection alone would run a multiple of
+    * `cap` local steps there. Callers therefore pair this with a HARD
+    * per-partition counter ([[roundBatchPicker]]) that stops taking
+    * batches at `cap` regardless of how many match the window: the
+    * window provides cross-round ROTATION (coverage), the counter
+    * provides the divergence cap, and the cap holds under partition
+    * skew by construction.
     */
   private def inRoundWindow(bi: Int, round: Int, span: Int, cap: Int): Boolean =
     if (span <= cap) true
@@ -132,6 +142,22 @@ object Gan {
       if (start < end) pos >= start && pos < end
       else pos >= start || pos < end
     }
+
+  /** The per-round batch selector both trainers stream through: the
+    * rotating [[inRoundWindow]] picks WHICH batches this round visits,
+    * and the hard `taken < cap` counter bounds HOW MANY — at most
+    * `cfg.maxBatchesPerRound` local steps per partition per round, even
+    * when the partition holds more batches than the fleet-average span
+    * estimate.
+    */
+  private def roundBatchPicker[T](it: Iterator[Seq[T]], round: Int,
+      span: Int, cap: Int): Iterator[Seq[T]] = {
+    var taken = 0
+    it.zipWithIndex.collect {
+      case (b, bi) if taken < cap && inRoundWindow(bi, round, span, cap) =>
+        taken += 1; b
+    }
+  }
 
   /** Train on a (vec_id, x: Array[Double]) DataFrame. */
   def train(data: DataFrame, cfg: Config = Config()): Model = {
@@ -158,9 +184,8 @@ object Gan {
           // stream fixed-size batches off the iterator — only one batch is
           // ever resident, not the whole partition; the rotating window
           // caps local steps per averaging round (Config.maxBatchesPerRound)
-          it.grouped(cfg.batchSize).zipWithIndex.collect {
-            case (b, bi) if inRoundWindow(bi, round, span, cfg.maxBatchesPerRound) => b
-          }.foreach { batch =>
+          roundBatchPicker(it.grouped(cfg.batchSize), round, span,
+            cfg.maxBatchesPerRound).foreach { batch =>
             // --- discriminator step: real→realLabel, fake→(1−realLabel),
             // interleaved so sequential SGD carries no recency bias toward
             // either class.
@@ -257,9 +282,8 @@ object Gan {
           val rng = new java.util.Random(cfg.seed + round * 7919L + pid * 131L)
           var batches = 0L
           // rotating local-step window, same treatment as train
-          it.grouped(cfg.batchSize).zipWithIndex.collect {
-            case (b, bi) if inRoundWindow(bi, round, span, cfg.maxBatchesPerRound) => b
-          }.foreach { batch =>
+          roundBatchPicker(it.grouped(cfg.batchSize), round, span,
+            cfg.maxBatchesPerRound).foreach { batch =>
             // adversarial steps (same as train)
             batch.foreach { case (x, _) =>
               val (cd, o) = dis.fwd(d, x)

@@ -218,11 +218,17 @@ object Binary {
   /** REAL audio decoder (r9) — WAV/PCM via `javax.sound.sampled`, the
     * JDK's public built-in audio codec: the audio twin of
     * [[PngBatchDecoder]], closing the second modality's "digests of a
-    * stub" gap. Features per item: channels, sample rate, frame count,
-    * peak |sample|, DC offset, mean |sample|, RMS, zero-crossing
-    * fraction — the integer accumulations are exact (16-bit samples:
-    * Σs² fits a long below ~8.6e9 frames), the per-feature divisions
-    * and the one IEEE sqrt are correctly rounded, so decode output is
+    * stub" gap. Features per item: channels, sample rate, FRAME count
+    * (interleaved samples ÷ channels), peak |sample|, DC offset, mean
+    * |sample|, RMS, zero-crossing fraction. DC/mean/RMS/peak aggregate
+    * over ALL samples of all channels (each sample weighted equally —
+    * channel-agnostic level statistics); the zero-crossing walk STRIDES
+    * PER CHANNEL (a stereo frame boundary is not a waveform crossing)
+    * and normalizes by channels·(frames−1), the number of consecutive
+    * same-channel sample pairs. The integer accumulations are exact
+    * (16-bit samples: Σs² fits a long below ~8.6e9 samples), the
+    * per-feature divisions and the one IEEE sqrt are correctly rounded,
+    * so decode output is
     * bit-deterministic across JVMs. Only PCM_SIGNED 16-bit is decoded
     * (both endiannesses via the header flag); anything else — or a
     * truncated/corrupt payload — yields the −1 sentinel row instead of
@@ -246,32 +252,49 @@ object Binary {
               javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
               fmt.getSampleSizeInBits == 16) {
             val bytes = ais.readAllBytes()
-            val n = bytes.length / 2
+            val n = bytes.length / 2 // interleaved samples (channels × frames)
+            val ch = math.max(fmt.getChannels, 1)
+            val frames = n / ch
             if (n > 0) {
               val big = fmt.isBigEndian
-              var k = 0
-              var sum = 0L; var sumAbs = 0L; var sumSq = 0L
-              var peak = 0L; var zc = 0L; var prev = 0; var seen = false
-              while (k < n) {
+              def sample(k: Int): Int = {
                 val b0 = bytes(2 * k); val b1 = bytes(2 * k + 1)
-                val s: Int =
-                  if (big) ((b0 << 8) | (b1 & 0xff)).toShort.toInt
-                  else ((b1 << 8) | (b0 & 0xff)).toShort.toInt
+                if (big) ((b0 << 8) | (b1 & 0xff)).toShort.toInt
+                else ((b1 << 8) | (b0 & 0xff)).toShort.toInt
+              }
+              // level statistics over ALL samples (channel-agnostic)
+              var k = 0
+              var sum = 0L; var sumAbs = 0L; var sumSq = 0L; var peak = 0L
+              while (k < n) {
+                val s = sample(k)
                 sum += s
                 val a = math.abs(s.toLong)
                 sumAbs += a
                 sumSq += s.toLong * s
                 if (a > peak) peak = a
-                if (seen && ((s > 0 && prev < 0) || (s < 0 && prev > 0)))
-                  zc += 1
-                if (s != 0) { prev = s; seen = true }
                 k += 1
               }
-              feats = Array(fmt.getChannels.toDouble,
-                fmt.getSampleRate.toDouble, n.toDouble, peak.toDouble,
+              // zero crossings stride PER CHANNEL: consecutive samples of
+              // the SAME channel sit `ch` apart in the interleaved stream
+              var zc = 0L
+              var c = 0
+              while (c < ch) {
+                var prev = 0; var seen = false
+                var j = c
+                while (j < n) {
+                  val s = sample(j)
+                  if (seen && ((s > 0 && prev < 0) || (s < 0 && prev > 0)))
+                    zc += 1
+                  if (s != 0) { prev = s; seen = true }
+                  j += ch
+                }
+                c += 1
+              }
+              feats = Array(ch.toDouble,
+                fmt.getSampleRate.toDouble, frames.toDouble, peak.toDouble,
                 sum.toDouble / n, sumAbs.toDouble / n,
                 math.sqrt(sumSq.toDouble / n),
-                zc.toDouble / math.max(n - 1, 1))
+                zc.toDouble / math.max(ch.toLong * (frames - 1), 1L))
             }
           }
         } catch { case _: Exception => feats = null }
@@ -319,13 +342,123 @@ object Binary {
 
   private val DecodeBatchSize = 64
 
-  // q71 — batched partition-parallel feature extraction over the binary
-  // payload. The stub decoder is a deterministic byte-histogram, and the
-  // corpus is pure ASCII (byte == code point, asserted by q70's is_ascii),
-  // so DuckDB replays the digest exactly — the whole decode PLUMBING
-  // (binary handling, batch shape, partition parallelism) is
-  // hash-verified; a real codec swap would return this entry to
-  // rows-only. Fractions are emitted as a sortable digest (dim, rounded
+  /** REAL PNG payload derived deterministically from a doc's text bytes:
+    * a 1×len TYPE_INT_RGB image with r=g=b=byte, encoded by the JDK's
+    * imageio PNG writer. Two identities make this corpus both REAL and
+    * oracle-replayable: (1) PNG is lossless, so the decoded pixels equal
+    * the construction exactly; (2) Rec.601 integer luma of a gray pixel
+    * is the byte itself — (299·b + 587·b + 114·b)/1000 = b — so every
+    * downstream pixel statistic (histogram, aHash) equals the same
+    * statistic over the raw text bytes, which is precisely what the
+    * DuckDB oracle computes from `text`. The bytes on disk are genuine
+    * encoded PNGs (zlib-compressed, CRC'd, magic-signed); only their
+    * CONTENT is text-derived, which is what lets a SQL oracle verify a
+    * binary-codec pipeline end-to-end.
+    */
+  private[graft] def pngPayload(text: Array[Byte]): Array[Byte] = {
+    val w = math.max(text.length, 1)
+    val img = new java.awt.image.BufferedImage(
+      w, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      val b = if (text.length == 0) 0 else text(x) & 0xff
+      img.setRGB(x, 0, (b << 16) | (b << 8) | b)
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL WAV payload from text bytes: 16-bit PCM_SIGNED mono 8 kHz
+    * little-endian, sample k = (byte_k − 128)·256 — the exact-integer map
+    * whose decoded DC offset the oracle recomputes from `text`
+    * ((Σb − 128·len)·256 is an exact integer, and the /len and /32768
+    * normalizations are correctly-rounded IEEE divisions both engines
+    * share; /32768 is a power-of-two scale, exact by construction).
+    */
+  private[graft] def wavPayload(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val pcm = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val s = ((text(k) & 0xff) - 128) * 256
+      pcm(2 * k) = s.toByte            // little-endian low byte
+      pcm(2 * k + 1) = (s >> 8).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The REAL-BYTES binary corpus (r10): one persisted parquet table per
+    * corpus with genuinely encoded media payloads —
+    *   - `png`:     every doc's text rendered as a real PNG ([[pngPayload]]),
+    *                the q71/q193 input;
+    *   - `payload`: the modality-routed column (doc_id%3: 0 → that PNG,
+    *                1 → a real WAV ([[wavPayload]]), else raw UTF-8 text),
+    *                the q74 router input — detection runs on REAL magic
+    *                bytes (\x89PNG / RIFF…WAVE), not synthesized headers.
+    * Built ONCE per (session, corpus) by a partition-parallel encode pass
+    * and persisted under the session warehouse (the indexTable posture):
+    * the catalog queries then READ a binary column from parquet — the
+    * actual 100 TB workload shape — instead of synthesizing payloads
+    * inline. Encoding cost is one-time and O(corpus).
+    */
+  def writeBinaryCorpus(s: SparkSession, d: String, table: String): Unit = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("modality", StringType),
+      StructField("payload", BinaryType),
+      StructField("png", BinaryType)))
+    val rows = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("text"))
+      .rdd.map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val text = r.getAs[Array[Byte]]("text")
+        val png = pngPayload(text)
+        val (m, payload) = (id % 3) match {
+          case 0 => ("image", png)
+          case 1 => ("audio", wavPayload(text))
+          case _ => ("text", text)
+        }
+        Row(id, m, payload, png)
+      }
+    s.createDataFrame(rows, outSchema)
+      .write.mode("overwrite")
+      .option("path",
+        s"${s.sessionState.conf.warehousePath}/graft-binarycorpus/$table")
+      .saveAsTable(table)
+  }
+
+  private val binCorpusMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  graft.Memos.register { () => binCorpusMemo.clear() }
+  private[graft] def binaryCorpusTable(s: SparkSession, d: String): String =
+    binCorpusMemo.computeIfAbsent((s, d), { _ =>
+      val t = s"graft_bincorpus_${graft.Memos.pathToken(d)}"
+      writeBinaryCorpus(s, d, t)
+      t
+    })
+
+  // q71 — batched partition-parallel feature extraction over REAL PNG
+  // payloads (r10): the persisted binary corpus's `png` column decodes
+  // through javax.imageio via the columnar BatchDecoder contract, and
+  // the luma histogram of the decoded pixels IS the byte histogram of
+  // the source text (gray pixels: integer Rec.601 luma == byte; PNG is
+  // lossless) — so the DuckDB oracle still replays the digest exactly
+  // from `text` while the engine path exercises a genuine codec both
+  // directions (encode at table build, decode here). What the hash now
+  // verifies: parquet binary-column I/O, PNG encode→decode round-trip,
+  // the luma identity, batch shape, and partition parallelism.
+  // Fractions are emitted as a sortable digest (dim, rounded
   // sum, rounded max) — raw array columns crash the driver's rows check.
   val q71: QueryDef = QueryDef.sql(
     "q71_decode_features",
@@ -344,16 +477,20 @@ object Binary {
   }
 
   /** q71's implementation: each partition packs fixed-size COLUMNAR
-    * batches (contiguous buffer + offsets) and hands each to the
-    * vectorized decoder in one call — the mapInPandas/Arrow execution
-    * shape, with per-item digests unpacked from the returned feature
-    * matrix. `batchSize` is exposed so the spec can prove batch-boundary
+    * batches (contiguous buffer + offsets) of REAL PNG bytes and hands
+    * each to the vectorized [[PngBatchDecoder]] in one call — the
+    * mapInPandas/Arrow execution shape, with per-item digests unpacked
+    * from the returned feature matrix. The digest runs over the 8
+    * luma-histogram fractions (decoder features 2..9); `n_bytes` is the
+    * DECODED pixel count (width·height = the source text length — the
+    * encoded PNG size is compressor-dependent and never surfaces).
+    * `batchSize` is exposed so the spec can prove batch-boundary
     * independence.
     */
   private[graft] def decodeFeaturesDf(s: SparkSession, d: String,
       batchSize: Int): DataFrame = {
-    val src = Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val src = s.table(binaryCorpusTable(s, d))
+      .select(col("doc_id"), col("png").as("payload"))
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("n_bytes", IntegerType),
@@ -364,17 +501,19 @@ object Binary {
       it.grouped(batchSize).flatMap { group =>
         val batch = BinaryBatch.pack(group.iterator.map(r =>
           (r.getAs[Long]("doc_id"), 0, r.getAs[Array[Byte]]("payload"))))
-        val feats = HistBatchDecoder.decode(batch)
-        val nf = HistBatchDecoder.nFeatures
+        val feats = PngBatchDecoder.decode(batch)
+        val nf = PngBatchDecoder.nFeatures
         (0 until batch.size).iterator.map { i =>
+          val w = feats(i * nf)
+          val h = feats(i * nf + 1)
           var sum = 0.0
           var mx = Double.NegativeInfinity
-          var k = 0
+          var k = 2
           while (k < nf) {
             val v = feats(i * nf + k)
             sum += v; if (v > mx) mx = v; k += 1
           }
-          Row(batch.ids(i), batch.itemLength(i), nf,
+          Row(batch.ids(i), (w * h).toInt, nf - 2,
             math.rint(sum * 1e6) / 1e6, math.rint(mx * 1e6) / 1e6)
         }
       }
@@ -484,62 +623,63 @@ object Binary {
     * the (modality, salt) exchange — the downstream decode is an RDD
     * pass whose plan hides it behind Scan ExistingRDD).
     */
+  /** The router input: the persisted real-bytes corpus with modality
+    * DETECTED from each payload's genuine magic bytes — the PNG 8-byte
+    * signature (\x89PNG\r\n\x1a\n) and the RIFF/WAVE container header —
+    * never from the stored modality column or the doc_id rule (those
+    * exist for the oracle's replay; detection is the router's job).
+    * Rows repartition on (modality, salt): modality-PURE partitions with
+    * each modality spread across the cluster.
+    */
   private[graft] def routedPayloads(s: SparkSession, d: String): DataFrame = {
-    val hdr = when(col("doc_id") % 3 === 0, lit("GIF8"))
-      .when(col("doc_id") % 3 === 1, lit("RIFF")).otherwise(lit(""))
-    val magic = substring(col("payload"), 1, 4)
-    Tables.documents(s, d)
-      .select(col("doc_id"), encode(concat(hdr, col("text")), "UTF-8").as("payload"))
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    s.table(binaryCorpusTable(s, d))
+      .select(col("doc_id"), col("payload"))
       .withColumn("modality",
-        when(magic === lit("GIF8".getBytes("UTF-8")), "image")
-          .when(magic === lit("RIFF".getBytes("UTF-8")), "audio")
+        when(substring(col("payload"), 1, 8) === lit(pngMagic), "image")
+          .when(substring(col("payload"), 1, 4) === lit("RIFF".getBytes("UTF-8"))
+            && substring(col("payload"), 9, 4) === lit("WAVE".getBytes("UTF-8")),
+            "audio")
           .otherwise("text"))
-      .withColumn("body",
-        when(col("modality") === "text", col("payload"))
-          .otherwise(expr("substring(payload, 5, octet_length(payload) - 4)")))
+      .withColumn("body", col("payload"))
       .repartition(col("modality"), pmod(col("doc_id"), lit(8)))
   }
 
-  // q74 — MODALITY ROUTER: a heterogeneous binary corpus dispatched to
-  // per-modality decoders. Modality is detected from the payload's MAGIC
-  // BYTES (the router's real job — here GIF8/RIFF headers synthesized
-  // deterministically from doc_id so the oracle can rebuild the same
-  // corpus), then rows repartition on (modality, salt): every partition
-  // is modality-PURE — the property a GPU codec needs, one kernel per
-  // batch — while the salt spreads each modality across the cluster
-  // instead of one partition per codec. Each partition then streams
-  // columnar batches through its modality's BatchDecoder. ASCII corpus +
-  // deterministic stubs → DuckDB replays detection, routing, and every
-  // digest exactly (q71 precedent).
+  // q74 — MODALITY ROUTER over REAL encoded payloads (r10): the
+  // persisted binary corpus mixes genuine PNGs, genuine WAVs, and raw
+  // text; modality is detected from each payload's REAL magic bytes
+  // (the \x89PNG signature, the RIFF…WAVE container header — the
+  // router's actual job on a heterogeneous data lake), then rows
+  // repartition on (modality, salt): every partition is modality-PURE —
+  // the property a GPU codec needs, one kernel per batch — while the
+  // salt spreads each modality across the cluster. Each partition then
+  // streams columnar batches through its modality's REAL decoder
+  // (imageio / javax.sound; text stays a byte pass). The oracle replays
+  // modality by the corpus construction rule (doc_id%3 — provably what
+  // detection returns, since the builder wrote those payloads) and every
+  // digest from `text` via the lossless construction identities (luma ==
+  // byte; WAV sample == (byte−128)·256), so detection, routing, AND the
+  // decoded features are hash-verified end-to-end.
   val q74: QueryDef = QueryDef.sql(
     "q74_modality_router",
-    """WITH p AS (
-      |  SELECT doc_id,
-      |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'GIF8'
-      |         WHEN 1 THEN 'RIFF' ELSE '' END || text AS payload
-      |  FROM documents),
-      |r AS (
-      |  SELECT doc_id,
-      |    CASE WHEN substr(payload, 1, 4) = 'GIF8' THEN 'image'
-      |         WHEN substr(payload, 1, 4) = 'RIFF' THEN 'audio'
-      |         ELSE 'text' END AS modality,
-      |    CASE WHEN substr(payload, 1, 4) IN ('GIF8', 'RIFF')
-      |         THEN substr(payload, 5) ELSE payload END AS body
-      |  FROM p)
-      |SELECT doc_id, modality, CAST(length(body) AS INTEGER) AS n_bytes,
-      |  round_even(CASE modality
-      |    WHEN 'image' THEN list_max(list_transform(range(0, 8),
-      |      b -> CAST(len(list_filter(range(1, length(body) + 1),
-      |             i -> (unicode(substr(body, CAST(i AS INT), 1)) // 32) = b)) AS DOUBLE)
-      |           / greatest(length(body), 1)))
-      |    WHEN 'audio' THEN list_sum(list_transform(range(1, length(body) + 1),
-      |      i -> CAST(unicode(substr(body, CAST(i AS INT), 1)) AS DOUBLE)))
-      |      / greatest(length(body), 1) / 255
-      |    ELSE CAST(len(list_filter(range(1, length(body) + 1),
-      |      i -> unicode(substr(body, CAST(i AS INT), 1)) IN (32, 10, 9))) AS DOUBLE)
-      |      / greatest(length(body), 1)
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |       WHEN 1 THEN 'audio' ELSE 'text' END AS modality,
+      |  CAST(length(text) AS INTEGER) AS n_bytes,
+      |  round_even(CASE CAST(doc_id % 3 AS INTEGER)
+      |    WHEN 0 THEN list_max(list_transform(range(0, 8),
+      |      b -> CAST(len(list_filter(range(1, length(text) + 1),
+      |             i -> (unicode(substr(text, CAST(i AS INT), 1)) // 32) = b)) AS DOUBLE)
+      |           / greatest(length(text), 1)))
+      |    WHEN 1 THEN CAST((list_sum(list_transform(range(1, length(text) + 1),
+      |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)))
+      |        - 128 * length(text)) * 256 AS DOUBLE)
+      |      / greatest(length(text), 1) / 32768
+      |    ELSE CAST(len(list_filter(range(1, length(text) + 1),
+      |      i -> unicode(substr(text, CAST(i AS INT), 1)) IN (32, 10, 9))) AS DOUBLE)
+      |      / greatest(length(text), 1)
       |  END, 6) AS feat
-      |FROM r
+      |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val routed = routedPayloads(s, d)
     val outSchema = StructType(Seq(
@@ -554,17 +694,35 @@ object Binary {
         group.groupBy(_.getAs[String]("modality")).iterator.flatMap { case (m, rs) =>
           val batch = BinaryBatch.pack(rs.iterator.map(r =>
             (r.getAs[Long]("doc_id"), 0, r.getAs[Array[Byte]]("body"))))
-          val dec: BatchDecoder = decoderFor(m)
+          val dec: BatchDecoder = m match {
+            case "image" => PngBatchDecoder
+            case "audio" => WavBatchDecoder
+            case _       => WhitespaceBatchDecoder
+          }
           val f = dec.decode(batch)
           val nf = dec.nFeatures
           (0 until batch.size).iterator.map { i =>
-            var feat = Double.NegativeInfinity
-            var k = 0
-            while (k < nf) { // nf==1 → the value itself; image → max bucket
-              if (f(i * nf + k) > feat) feat = f(i * nf + k)
-              k += 1
+            // per-modality digest over the REAL decoder's feature vector:
+            // image → max luma-histogram fraction (features 2..9; == the
+            // byte-histogram max, the luma identity); audio → DC offset
+            // (feature 4) on the [-1,1] sample scale (/32768 — exact
+            // power-of-two rescale); text → whitespace fraction.
+            // n_bytes is the DECODED content size (pixels / frames /
+            // bytes — all equal the source text length by construction;
+            // encoded container sizes are compressor-dependent and never
+            // surface).
+            val (nBytes, feat) = m match {
+              case "image" =>
+                var mx = Double.NegativeInfinity
+                var k = 2
+                while (k < nf) { if (f(i * nf + k) > mx) mx = f(i * nf + k); k += 1 }
+                ((f(i * nf) * f(i * nf + 1)).toInt, mx)
+              case "audio" =>
+                (f(i * nf + 2).toInt, f(i * nf + 4) / 32768.0)
+              case _ =>
+                (batch.itemLength(i), f(i * nf))
             }
-            Row(batch.ids(i), m, batch.itemLength(i), math.rint(feat * 1e6) / 1e6)
+            Row(batch.ids(i), m, nBytes, math.rint(feat * 1e6) / 1e6)
           }
         }
       }
@@ -572,11 +730,10 @@ object Binary {
     s.createDataFrame(rows, outSchema).orderBy("doc_id")
   }
 
-  // q193 — PERCEPTUAL-HASH NEAR-DUP over binary payloads (the image-dedup
-  // path: aHash — block means vs the global mean — over the payload's
-  // 8×8 = 64-block structure, then q43's hamming-band LSH; a real
-  // deployment swaps byte values for decoded luma, the distributed shape
-  // is identical). Every bit decision is CROSS-MULTIPLIED integer math
+  // q193 — PERCEPTUAL-HASH NEAR-DUP over REAL PNG payloads (the
+  // image-dedup path: decode via javax.imageio, then aHash — block means
+  // vs the global mean — over the DECODED LUMA's 64-block structure,
+  // then q43's hamming-band LSH). Every bit decision is CROSS-MULTIPLIED integer math
   // (block_sum·L > total·block_len — never a float mean), so both
   // engines compute identical 64-bit signatures. Candidates form ONLY
   // inside 16-bit band buckets (4 bands: pigeonhole makes recall exact
@@ -630,28 +787,53 @@ object Binary {
          |WHERE len(list_filter(range(1, 65),
          |  i -> sig_a[CAST(i AS INT)] <> sig_b[CAST(i AS INT)])) <= $maxHamming
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      // signature via a NATIVE partition kernel over the payload bytes —
-      // this module's charter (the q71 BatchDecoder shape: binary decode
-      // is a per-partition byte loop, not an expression tree). The SQL
-      // HOF formulation (64 slice+aggregate lambdas per row) measured
-      // 12 s at sf0.1 and a posexplode rewrite 7 s; the byte loop is the
-      // plan a real perceptual hash runs anyway. Byte value == code
-      // point because the corpus is ASCII (q70 asserts is_ascii — the
-      // same contract q71's oracle rides).
-      val src = Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      // signature via a NATIVE partition kernel over DECODED PIXELS
+      // (r10): each row's REAL PNG payload decodes through javax.imageio
+      // to its integer-luma sequence first — the actual image-dedup
+      // path, aHash over pixels, not container bytes — then the same
+      // 64-block cross-multiplied bit kernel. The luma sequence equals
+      // the source text bytes (gray pixels, lossless PNG), so the oracle
+      // keeps replaying the signature from `text`; what the hash now
+      // covers end-to-end is decode + pixel aHash + banded LSH. (The SQL
+      // HOF formulation of the kernel measured 12 s at sf0.1 and a
+      // posexplode rewrite 7 s; the per-partition loop is the plan a
+      // real perceptual hash runs anyway.)
+      val src = s.table(binaryCorpusTable(s, d))
+        .select(col("doc_id"), col("png").as("payload"))
       val sigSchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("sig", ArrayType(BooleanType, containsNull = false))))
       val sigRows = src.rdd.mapPartitions { it =>
         it.map { r =>
-          val p = r.getAs[Array[Byte]]("payload")
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]]("payload")))
+            catch { case _: java.io.IOException => null }
+          // decoded integer luma, row-major — == the source text bytes
+          val p: Array[Int] =
+            if (img == null) Array.empty[Int]
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val lum = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  lum(y * w + x) = (((rgb >> 16) & 0xff) * 299 +
+                    ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                  x += 1
+                }
+                y += 1
+              }
+              lum
+            }
           val len = p.length.toLong
           val sig = new Array[Boolean](64)
           if (len > 0) {
             var tot = 0L
             var i = 0
-            while (i < p.length) { tot += (p(i) & 0xff); i += 1 }
+            while (i < p.length) { tot += p(i); i += 1 }
             var j = 0
             while (j < 64) {
               val lo = (len * j / 64).toInt
@@ -659,7 +841,7 @@ object Binary {
               if (hi > lo) {
                 var bs = 0L
                 var q = lo
-                while (q < hi) { bs += (p(q) & 0xff); q += 1 }
+                while (q < hi) { bs += p(q); q += 1 }
                 sig(j) = bs * len > tot * (hi - lo)
               }
               j += 1

@@ -319,7 +319,7 @@ object Incremental {
       |state AS (
       |  SELECT k AS o_orderkey,
       |    max_by(CASE WHEN op = 'D' THEN 1 ELSE 0 END, seq) AS last_del,
-      |    max_by(price_cents, seq) AS price_cents,
+      |    max_by(price_cents, seq) FILTER (WHERE op <> 'D') AS price_cents,
       |    CAST(max(seq) AS INTEGER) AS last_seq,
       |    CAST(count(*) AS BIGINT) AS n_ops
       |  FROM log GROUP BY k)
@@ -339,7 +339,15 @@ object Incremental {
     log.groupBy(col("k").as("o_orderkey"))
       .agg(expr("max_by(case when op = 'D' then 1 else 0 end, seq)")
           .as("last_del"),
-        expr("max_by(price_cents, seq)").as("price_cents"),
+        // price_cents is DEFINED as the payload at the last NON-DELETE
+        // op: a terminal delete ships a NULL payload, and the engines
+        // disagree on max_by over NULL arguments (Spark returns the NULL
+        // at max seq, DuckDB's arg_max skips NULLs) — the FILTER makes
+        // the surviving-rows parity structural instead of an accident of
+        // the last_del=0 filter, so reuse without that filter stays
+        // engine-portable.
+        expr("max_by(price_cents, seq) FILTER (WHERE op <> 'D')")
+          .as("price_cents"),
         max("seq").cast("int").as("last_seq"),
         count(lit(1)).as("n_ops"))
       .filter(col("last_del") === 0)

@@ -168,20 +168,33 @@ class BatchDecodeSpec extends SparkSpec {
       assert(got == ref, s"batchSize=$bs changed the WAV decode output")
     }
     // decoded features equal the directly-computed truth (PCM is
-    // lossless; every accumulation is integer-exact)
+    // lossless; every accumulation is integer-exact). Level stats run
+    // over all interleaved samples; the zero-crossing walk strides per
+    // channel — for the stereo fixtures a channel-to-channel sign flip
+    // at a frame boundary is NOT a waveform crossing.
     waves.foreach { case (id, (sm, ch, rate)) =>
       val n = sm.length
-      var sum = 0L; var sumAbs = 0L; var sumSq = 0L
-      var peak = 0L; var zc = 0L; var prev = 0; var seen = false
+      val frames = n / ch
+      var sum = 0L; var sumAbs = 0L; var sumSq = 0L; var peak = 0L
       sm.foreach { s =>
         sum += s; sumAbs += math.abs(s.toLong); sumSq += s.toLong * s
         peak = math.max(peak, math.abs(s.toLong))
-        if (seen && ((s > 0 && prev < 0) || (s < 0 && prev > 0))) zc += 1
-        if (s != 0) { prev = s; seen = true }
       }
-      val expect = List(ch.toDouble, rate.toDouble, n.toDouble,
+      var zc = 0L
+      for (c <- 0 until ch) {
+        var prev = 0; var seen = false
+        var j = c
+        while (j < n) {
+          val s = sm(j)
+          if (seen && ((s > 0 && prev < 0) || (s < 0 && prev > 0))) zc += 1
+          if (s != 0) { prev = s; seen = true }
+          j += ch
+        }
+      }
+      val expect = List(ch.toDouble, rate.toDouble, frames.toDouble,
         peak.toDouble, sum.toDouble / n, sumAbs.toDouble / n,
-        math.sqrt(sumSq.toDouble / n), zc.toDouble / math.max(n - 1, 1))
+        math.sqrt(sumSq.toDouble / n),
+        zc.toDouble / math.max(ch.toLong * (frames - 1), 1L))
       assert(ref(id) == expect, s"wave $id decoded features diverged")
     }
     // the corrupt payload yields the sentinel row
