@@ -213,21 +213,31 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
-  // q66 — text normalization/scrubbing (the PII-scrub shape: pattern
+  // q66 — text normalization/scrubbing (the stopword-scrub shape: token
   // removal + whitespace collapse, verified via content hash + length
-  // deltas). Pure regexp expression tree, one pass per row.
+  // deltas). The scrub is TOKEN-level (split on \s+, drop stopword
+  // tokens, rejoin) — the same tokenization contract as q61/q62 — NOT a
+  // regex `\b` boundary: `\b` is ASCII-word-boundary in RE2 (DuckDB) but
+  // Unicode-aware in Java (Spark), so on multi-byte text the engines
+  // disagree about the `a` in `año` (caught by the r10 multilingual
+  // slice). Pure expression tree, one pass per row, no lookarounds
+  // anywhere (RE2 has none).
   val q66: QueryDef = QueryDef.sql(
     "q66_normalize_text",
-    """SELECT doc_id,
-      |  md5(trim(regexp_replace(regexp_replace(text, '\b(the|a|value)\b', '', 'g'),
-      |    '\s+', ' ', 'g'))) AS clean_hash,
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |    list_aggregate(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      t -> t <> 'the' AND t <> 'a' AND t <> 'value'),
+      |      'string_agg', ' ') AS clean
+      |  FROM documents)
+      |SELECT doc_id,
+      |  md5(coalesce(clean, '')) AS clean_hash,
       |  CAST(length(text) AS INTEGER) AS n_before,
-      |  CAST(length(trim(regexp_replace(regexp_replace(text, '\b(the|a|value)\b', '', 'g'),
-      |    '\s+', ' ', 'g'))) AS INTEGER) AS n_after
-      |FROM documents
+      |  CAST(length(coalesce(clean, '')) AS INTEGER) AS n_after
+      |FROM c
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val cleaned = trim(regexp_replace(
-      regexp_replace(col("text"), "\\b(the|a|value)\\b", ""), "\\s+", " "))
+    val cleaned = expr(
+      s"array_join(filter($tokensExpr, t -> t <> 'the' AND t <> 'a' AND t <> 'value'), ' ')")
     Tables.documents(s, d)
       .select(col("doc_id"),
         md5(cleaned).as("clean_hash"),
