@@ -31,6 +31,25 @@ import org.apache.spark.sql.functions._
   *     kNN order degenerate, preserves the geometry every recall floor
   *     is measured against).
   *
+  * Factors above 10 add a DECADE-BLOCK bound on near-dup cluster size:
+  * replicas partition into blocks of 10 (block = rep / 10). Within a
+  * block the sf1 scheme applies unchanged (tiny rep suffix / ±5e-3
+  * vector noise → near-dup clusters of ≤10, the measured sf1 density);
+  * across blocks the text gets a block-hash token interleaved every 4
+  * chars (3-gram Jaccard ≤ 0.40 worst-case on the real corpus, SimHash
+  * hamming far off the band gates, edit distance ≫ the 40 gate — below
+  * every near-dup threshold in the engine) and vectors
+  * a ±5·10⁻² per-component block offset (cosine ≈ 0.95 cross-block vs
+  * 0.9995 within — below the 0.99-class cosine dup gates). Rationale: a
+  * 10× corpus should carry the SAME duplicate density, not make every
+  * doc a factor-sized duplicate cluster — the latter turns every
+  * candidate-pair operator's growth into a measurement of the fixture's
+  * quadratic output instead of the engine's scaling (the r9 sf1 audit
+  * had to hand-exclude q43/q109 for exactly this; at factor 100 it
+  * would swamp the whole dedup family). Block 0 (reps 0–9) is
+  * bit-identical to the factor=10 scheme, so regenerating sf1 from this
+  * code reproduces the r9 checkpoint corpus.
+  *
   * Output is one plain parquet FILE per table (same layout the test dirs
   * use, readable by both Spark and the DuckDB oracle path).
   *
@@ -116,22 +135,43 @@ object ScaleUp {
     write("events", expand(read("events"), Seq("event_id", "user_id")))
 
     // text: per-replica suffix token keeps exact-dup groups intra-replica
-    // (cross-replica pairs become near-dups — intended); n_chars must
-    // stay the length contract after the mutation
+    // (cross-replica pairs become near-dups — intended); beyond block 0
+    // (rep ≥ 10) a block token interleaves every 8 chars so near-dup
+    // clusters stay ≤10 members at any factor; n_chars must stay the
+    // length contract after the mutation
     val docs = expand(read("documents"), Seq("doc_id"),
-      Map("text" -> (rep =>
+      Map("text" -> { rep =>
+        val block = floor(rep / lit(10)).cast("long")
+        // token = three block-hash letters (7b/13b/17b mod 26 — each
+        // injective over a decade of blocks, no constant char for blocks
+        // to share): cross-block shared 3-grams are only chunk-interior,
+        // measured worst-case J = 0.40 (rep0 vs mutated) / 0.31 (mutated
+        // vs mutated) over the real corpus — below the 0.5 near-dup gate
+        // with margin (spec-pinned at factor 12)
+        val blockTok = concat(
+          expr("char(97 + (int(floor(graft_rep / 10)) * 7) % 26)"),
+          expr("char(97 + (int(floor(graft_rep / 10)) * 13) % 26)"),
+          expr("char(97 + (int(floor(graft_rep / 10)) * 17) % 26)"))
+        val blocked = when(block === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(.{4})"),
+            concat(lit("$1"), blockTok)))
         when(rep === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" r"), rep.cast("string"))))))
+          .otherwise(concat(blocked, lit(" r"), rep.cast("string")))
+      }))
       .withColumn("n_chars", length(col("text")).cast("long"))
     write("documents", docs)
 
     // embeddings: deterministic ±5e-3 per-component hash perturbation for
-    // r > 0 — breaks exact ties, preserves geometry
+    // r > 0 (breaks exact ties, preserves geometry) + a ±5e-2 per-block
+    // offset beyond block 0 (bounds cosine-dup clusters at ≤10 members;
+    // `div` keeps block 0's formula bit-identical to the factor=10 run)
     val emb = expand(read("embeddings"), Seq("vec_id"),
       Map("embedding" -> (rep =>
         when(rep === 0, col("embedding")).otherwise(
           expr(("transform(embedding, (x, i) -> cast(x + " +
-            "(pmod(xxhash64(vec_id, i, graft_rep), 1001) - 500) / 100000.0" +
+            "(pmod(xxhash64(vec_id, i, graft_rep), 1001) - 500) / 100000.0 + " +
+            "if(graft_rep < 10, cast(0.0 as double), " +
+            "(pmod(xxhash64(vec_id, i, -(graft_rep div 10)), 1001) - 500) / 10000.0)" +
             " as float))"))))))
     write("embeddings", emb)
   }

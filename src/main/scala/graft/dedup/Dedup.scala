@@ -1676,7 +1676,110 @@ object Dedup {
     semanticDecon(Tables.embeddings(s, d).select("vec_id", "embedding"))
   }
 
+  // q204 — EXACT set-similarity self-join via prefix filtering (the
+  // PPJoin/AllPairs family): word-level Jaccard ≥ τ with a DETERMINISTIC
+  // guarantee — the complement of the MinHash tier, whose banding is
+  // probabilistic (q145 measures it biased high on this very corpus).
+  // The classic prefix-filter lemma: order every doc's distinct tokens by
+  // ascending global document frequency (rarest first); if J(A,B) ≥ τ,
+  // then A and B must share a token among each one's first
+  // |d| − ⌈τ·|d|⌉ + 1 tokens — so the RARE-token prefix is the blocking
+  // key and candidates form only inside tiny df-ascending buckets (a
+  // stopword can never become a blocking key; it sits at the END of the
+  // order). Verification is exact: the full lex-sorted token arrays join
+  // in AFTER pair generation keyed by doc_id (q41's payload discipline)
+  // and |A∩B| is one fused two-pointer InterCount pass — integer out, so
+  // J = inter/(|A|+|B|−inter) is a single IEEE division, rounded once
+  // for the boundary filter both engines apply identically. Shuffles:
+  // token explode → df counts (map-side partials, O(vocab) out), the
+  // doc_id re-group, the prefix-token candidate join (bucket sizes
+  // bounded by rarity), the pair-keyed verify join — no all-pairs
+  // surface anywhere; hot-token skew lands on AQE's skew-split.
+  // Spec: zero false negatives vs the brute-force O(n²) join at
+  // sf0.001 (the lemma is a guarantee, not a recall target).
+  val q204: QueryDef = QueryDef.sql(
+    "q204_prefix_filter_join",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, t AS token
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      |        FROM documents)
+      |  WHERE t <> ''),
+      |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY token),
+      |docs AS (
+      |  SELECT tok.doc_id,
+      |    list_sort(list(tok.token)) AS toks,
+      |    list(tok.token ORDER BY df.df, tok.token) AS ord,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM tok JOIN df ON tok.token = df.token
+      |  GROUP BY tok.doc_id),
+      |pref AS (
+      |  SELECT doc_id, unnest(list_slice(ord, 1,
+      |    CAST(n - ceil(0.5 * n) + 1 AS BIGINT))) AS token
+      |  FROM docs),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id),
+      |ver AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+      |    a.n AS n_a, b.n AS n_b
+      |  FROM cand c JOIN docs a ON c.id_a = a.doc_id JOIN docs b ON c.id_b = b.doc_id)
+      |SELECT id_a, id_b, inter, n_a, n_b,
+      |  round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 8) AS jaccard
+      |FROM ver
+      |WHERE round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 8) >= 0.5
+      |ORDER BY jaccard DESC, id_a, id_b
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    prefixFilterJoin(s, d, 0.5).limit(100)
+  }
+
+  /** q204's body with the threshold exposed (the spec replays it at
+    * sf0.001 against the brute-force pair join to prove the lemma holds
+    * end-to-end). Returns ALL pairs with word-Jaccard ≥ `tau`, ordered
+    * (jaccard desc, id_a, id_b).
+    */
+  private[graft] def prefixFilterJoin(s: SparkSession, d: String,
+      tau: Double): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("token"))
+      .filter(col("token") =!= "")
+    val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    // per-doc artifacts off ONE doc_id re-group: the lex-sorted full set
+    // (InterCount's input) and the df-ascending order the prefix slices
+    val docs = tok.join(df, "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("token"))).as("toks"),
+        transform(array_sort(collect_list(struct(col("df"), col("token")))),
+          x => x.getField("token")).as("ord"),
+        count(lit(1)).as("n"))
+      .withColumn("plen", (col("n") - ceil(lit(tau) * col("n")) + 1).cast("int"))
+    // prefix = first plen tokens of ord: posexplode keeps the rank
+    val prefix = docs.select(col("doc_id"), col("plen"),
+        posexplode(col("ord")).as(Seq("pos", "token")))
+      .filter(col("pos") < col("plen"))
+      .select("doc_id", "token")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val side = docs.select(col("doc_id"), col("toks"), col("n"))
+    cand
+      .join(side.select(col("doc_id").as("id_a"), col("toks").as("t_a"),
+        col("n").as("n_a")), "id_a")
+      .join(side.select(col("doc_id").as("id_b"), col("toks").as("t_b"),
+        col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExprs.interCountSorted(col("t_a"), col("t_b"))
+          .cast("long").as("inter"),
+        col("n_a"), col("n_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 8))
+      .filter(col("jaccard") >= tau)
+      .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q49, q75, q99, q109, q115, q117, q122, q125, q128, q131, q132, q138,
-    q145, q154, q203)
+    q145, q154, q203, q204)
 }

@@ -3171,10 +3171,139 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // q205 — autocorrelation function of the hourly event-count series at
+  // lags 1..36 (the periodicity detector the q147/q190/q191/q192
+  // time-series family still lacked: q191 ASSUMES a 24-hour season and
+  // extracts it; ACF is how you LEARN the period — the dominant lag is
+  // the seasonal-naive lag q192 should backtest). Per lag L, Pearson
+  // correlation of (n_h, n_{h+L}) over the overlapping hour pairs in the
+  // cross-multiplied integer form (q184's discipline): every inner sum
+  // (Σx, Σy, Σxy, Σx², Σy², n) is an exact int64 over exact counts, so
+  //   r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − Σx²_tot) · sqrt(n·Σy² − Σy²_tot))
+  // is one identical-operand-order expression of exact integers in both
+  // engines (IEEE sqrt correctly rounded, one division) — rounded once.
+  // Scale shape: ONE corpus aggregate collapses events to the O(hours)
+  // count table; the 36 lags ride a bounded hours×lags self-join (both
+  // sides the O(hours) table), so corpus size never touches the lag
+  // machinery. is_top marks the dominant lag ≥ 2 (lag 1 is trend
+  // adjacency, not a period). On THIS corpus the honest answer is "no
+  // period": events arrive at a uniform rate, so every |r| sits inside
+  // the ~2/√n_hours white-noise band and the top lag is sampling noise —
+  // the q167-A/A convention (the detector must NOT hallucinate structure
+  // on a null corpus; the spec pins that, plus a dense replay of every
+  // r). On data with a real daily cycle the top lag is 24 and becomes
+  // q192's seasonal-naive lag.
+  val q205: QueryDef = QueryDef.sql(
+    "q205_autocorrelation",
+    """WITH hourly AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |lags AS (SELECT unnest(range(1, 37)) AS lag),
+      |pairs AS (
+      |  SELECT l.lag,
+      |    CAST(count(*) AS BIGINT) AS np,
+      |    CAST(sum(a.n) AS BIGINT) AS sx, CAST(sum(b.n) AS BIGINT) AS sy,
+      |    CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
+      |    CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+      |    CAST(sum(b.n * b.n) AS BIGINT) AS syy
+      |  FROM lags l JOIN hourly a ON true JOIN hourly b ON b.h = a.h + l.lag
+      |  GROUP BY l.lag),
+      |acf AS (
+      |  SELECT lag, np,
+      |    round((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / (sqrt(CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |         * sqrt(CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 8) AS r
+      |  FROM pairs)
+      |SELECT lag, np, r,
+      |  lag = (SELECT min(lag) FROM acf x
+      |         WHERE x.lag >= 2 AND x.r = (SELECT max(r) FROM acf y WHERE y.lag >= 2))
+      |    AS is_top
+      |FROM acf
+      |ORDER BY lag""".stripMargin) { (s, d) =>
+    val hourly = Tables.events(s, d)
+      .groupBy(expr("ts_us div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val lags = s.range(1, 37).toDF("lag")
+    val a = hourly.select(col("h").as("ha"), col("n").as("na"))
+    val b = hourly.select(col("h").as("hb"), col("n").as("nb"))
+    val pairs = a.crossJoin(broadcast(lags))
+      .join(b, col("hb") === col("ha") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("np"),
+        sum("na").as("sx"), sum("nb").as("sy"),
+        sum(col("na") * col("nb")).as("sxy"),
+        sum(col("na") * col("na")).as("sxx"),
+        sum(col("nb") * col("nb")).as("syy"))
+    val acf = pairs.select(col("lag"), col("np"),
+      round((col("np").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+        / (sqrt(col("np").cast("double") * col("sxx") - col("sx").cast("double") * col("sx"))
+           * sqrt(col("np").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))),
+        8).as("r"))
+    // dominant-period pick over the bounded 36-row table (lag 1 excluded:
+    // trend adjacency, not a period) — a window over O(lags) rows
+    val topLag = acf.filter(col("lag") >= 2)
+      .select(min(struct(negate(col("r")), col("lag"))).as("t"))
+      .select(col("t.lag").as("top_lag"))
+    acf.join(broadcast(topLag))
+      .select(col("lag"), col("np"), col("r"),
+        (col("lag") === col("top_lag")).as("is_top"))
+      .orderBy("lag")
+  }
+
+  // q207 — equi-depth (equal-frequency) 16-bin histogram of the line-price
+  // distribution: the scale-safe NTILE. The textbook ntile(16) OVER
+  // (ORDER BY price) is a single-partition global-sort window — the shape
+  // §5 bans; here the corpus collapses ONCE to the bounded 1000-cent
+  // bucket table (q171/q181/q185's histogram discipline — the contract is
+  // equi-depth at bucket granularity, stated and replayed identically),
+  // the cumulative window runs on O(buckets) rows, each bucket's bin is
+  // the integer-floor rank rule bin = (cum−1)·16 div N (pure int64 — no
+  // rank decision ever rides a float), and per-bin stats (rows, cents
+  // bounds, exact cents sum) aggregate the SAME bounded table — the
+  // corpus is touched exactly once. Depth skew across bins is reported
+  // (max/min rows per bin) — the number that says whether bucket
+  // granularity is fine enough for the depth contract.
+  val q207: QueryDef = QueryDef.sql(
+    "q207_equidepth_histogram",
+    """WITH b AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 1000 AS bkt,
+      |    CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS scents
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT bkt, cnt, scents,
+      |    sum(cnt) OVER (ORDER BY bkt) AS cum,
+      |    (SELECT sum(cnt) FROM b) AS n
+      |  FROM b)
+      |SELECT CAST((cum - 1) * 16 // n AS BIGINT) AS bin,
+      |  CAST(sum(cnt) AS BIGINT) AS rows_in_bin,
+      |  min(bkt) * 1000 AS lo_cents,
+      |  max(bkt) * 1000 + 999 AS hi_cents,
+      |  CAST(sum(scents) AS BIGINT) AS sum_cents
+      |FROM c
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val b = Tables.lineitem(s, d)
+      .select(expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      .groupBy(expr("cents div 1000").as("bkt"))
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("scents"))
+    val n = b.agg(sum("cnt").as("n"))
+    val c = b.withColumn("cum",
+        sum("cnt").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(n))
+    c.groupBy(expr("(cum - 1) * 16 div n").as("bin"))
+      .agg(sum("cnt").as("rows_in_bin"),
+        (min("bkt") * 1000).as("lo_cents"),
+        (max("bkt") * 1000 + 999).as("hi_cents"),
+        sum("scents").as("sum_cents"))
+      .orderBy("bin")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
-    q191, q192, q195, q197, q198, q202)
+    q191, q192, q195, q197, q198, q202, q205, q207)
 }

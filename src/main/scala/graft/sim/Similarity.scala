@@ -1304,6 +1304,61 @@ object Similarity {
       .limit(20)
   }
 
+  // q208 — RECIPROCAL-RANK FUSION of the lexical and semantic rankers
+  // (the other half of hybrid retrieval: q98 CASCADES lexical→semantic,
+  // which can only rerank what BM25 already surfaced; RRF FUSES two
+  // independent top-k lists so a doc the lexical ranker missed entirely
+  // can still win on semantic rank — the standard ensemble in every
+  // production search stack, score = Σ 1/(K + rank_i), K = 60).
+  // Determinism: ranks are row_number over each BOUNDED top-100 list
+  // (bm25/cosine ties broken by doc_id — the q98-proven orders), the
+  // fused score is a sum of at most two IEEE divisions of exact small
+  // integers evaluated in fixed order (lexical term first), rounded
+  // once for the output boundary; docs missing from a list contribute
+  // nothing for it (COALESCE 0 — the rank-only convention, no score
+  // normalization to disagree on). Scale shape: both funnels are
+  // corpus-shuffle-free (BM25 = broadcast stats + TakeOrdered; cosine =
+  // codegen'd literal-vector projection + TakeOrdered); everything after
+  // is a full-outer join of two 100-row tables — O(1) at any corpus
+  // size.
+  val q208: QueryDef = QueryDef.sql(
+    "q208_rrf_fusion",
+    s"""WITH ${graft.text.TextAnalysis.bm25Duck},
+       |lex AS (
+       |  SELECT doc_id, bm25,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+       |  FROM (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100)),
+       |sem AS (
+       |  SELECT vec_id AS doc_id, cos_sim,
+       |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r_sem
+       |  FROM (SELECT vec_id, $cosToQvDuck AS cos_sim
+       |        FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 100))
+       |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       |  lex.r_lex, sem.r_sem,
+       |  round(COALESCE(1.0 / (60 + lex.r_lex), 0)
+       |      + COALESCE(1.0 / (60 + sem.r_sem), 0), 8) AS rrf
+       |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.text.TextAnalysis.q69.fn(s, d)
+      .orderBy(desc("bm25"), asc("doc_id")).limit(100)
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(desc("bm25"), asc("doc_id"))))
+      .select(col("doc_id"), col("r_lex"))
+    val sem = bruteTopK(s, d, 100)
+      .withColumn("r_sem",
+        row_number().over(Window.orderBy(desc("cos_sim"), asc("vec_id"))))
+      .select(col("vec_id").as("sdoc_id"), col("r_sem"))
+    lex.join(sem, col("doc_id") === col("sdoc_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("sdoc_id")).as("doc_id"),
+        col("r_lex"), col("r_sem"),
+        round(coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)), 8).as("rrf"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(20)
+  }
+
   // ──────────────────── NSW graph ANN (q100) ────────────────────────
 
   /** Within-cell / hub-layer kNN degree of the NSW adjacency. */
@@ -2177,5 +2232,5 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(q38, q50, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q77, q79, q98, q100, q102, q105, q133, q139, q140, q148,
-    q156, q158)
+    q156, q158, q208)
 }

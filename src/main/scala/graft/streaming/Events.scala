@@ -632,5 +632,57 @@ object Events {
       .orderBy("event_type", "hour_idx")
   }
 
-  val all: Seq[QueryDef] = Seq(q80, q81, q82, q83, q134, q200)
+  // q206 — time-weighted average value per user (TWAP — the
+  // irregular-sampling mean: events arrive when they arrive, so the
+  // arithmetic mean over-weights bursts; each observation must count for
+  // the INTERVAL it was the user's current value, the convention every
+  // billing meter, position book, and gauge store uses). Per user, value
+  // v_i holds over [t_i, t_{i+1}): twap = Σ v_i·Δt_i / Σ Δt_i with the
+  // last observation dropped (no interval to hold over; single-event
+  // users carry no interval at all and are excluded by the same rule).
+  // Money rides the cents grid (q104's discipline) and Δt is exact
+  // epoch-µs, so the weighted sum accumulates as DECIMAL(38,0) /
+  // HUGEINT — cents·µs products overflow int64 at real spans, the exact
+  // wide-integer sum is order-insensitive, and the only doubles are the
+  // final correctly-rounded casts feeding one division chain in
+  // identical operand order. Scale shape: ONE user-keyed exchange serves
+  // both the lead() window and the per-user aggregate (same key — no
+  // re-shuffle), per-user TWAPs collapse to the bounded integer-bucket
+  // histogram, so output is O(value range), never O(users).
+  val q206: QueryDef = QueryDef.sql(
+    "q206_time_weighted_avg",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |seg AS (
+      |  SELECT user_id, cents,
+      |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS dt
+      |  FROM e),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(cents AS HUGEINT) * dt) AS DOUBLE)
+      |      / CAST(sum(dt) AS DOUBLE) / 100 AS twap
+      |  FROM seg WHERE dt IS NOT NULL GROUP BY user_id)
+      |SELECT CAST(floor(twap) AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS users,
+      |  round(avg(twap), 6) AS avg_twap
+      |FROM u
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      col("ts_us"), expr("cast(round(value * 100) as bigint)").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val seg = e.withColumn("dt", lead("ts_us", 1).over(w) - col("ts_us"))
+      .filter(col("dt").isNotNull)
+    val u = seg.groupBy("user_id")
+      .agg((sum(col("cents").cast("decimal(38,0)") * col("dt")).cast("double")
+        / sum("dt").cast("double") / lit(100)).as("twap"))
+    u.groupBy(floor(col("twap")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("users"), round(avg("twap"), 6).as("avg_twap"))
+      .orderBy("bucket")
+  }
+
+  val all: Seq[QueryDef] = Seq(q80, q81, q82, q83, q134, q200, q206)
 }

@@ -49,6 +49,59 @@ class ScaleUpSpec extends SparkSpec {
     assert(crossReplicaDups.count() == 0)
   }
 
+  // factor > 10: decade blocks must bound near-dup cluster size at ~10
+  // members — within a block replicas stay near-dups (the sf1 density),
+  // across blocks both the text and the vectors fall below every
+  // near-dup gate in the engine (3-gram Jaccard ≪ 0.5, cosine < 0.99).
+  private lazy val blockDir = {
+    val d = java.nio.file.Files.createTempDirectory("scaleup-blocks").toString
+    ScaleUp.run(spark, sfDir, d, 12)
+    d
+  }
+
+  test("factor>10 decade blocks: same-block texts stay near-dups, cross-block don't") {
+    def grams(t: String): Set[String] =
+      (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet
+    val texts = spark.read.parquet(s"$blockDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baseIds = base("documents").select("doc_id").collect().map(_.getLong(0)).take(10)
+    def jac(a: String, b: String): Double = {
+      val (ga, gb) = (grams(a), grams(b))
+      (ga & gb).size.toDouble / (ga | gb).size
+    }
+    baseIds.foreach { id =>
+      val sameBlock0 = jac(texts(id), texts(id + 10000000L)) // rep 0 vs rep 1
+      val sameBlock1 = jac(texts(id + 100000000L), texts(id + 110000000L)) // rep 10 vs 11
+      val crossBlock = jac(texts(id), texts(id + 110000000L)) // rep 0 vs rep 11
+      assert(sameBlock0 > 0.8, s"doc $id block-0 jaccard $sameBlock0")
+      assert(sameBlock1 > 0.8, s"doc $id block-1 jaccard $sameBlock1")
+      assert(crossBlock < 0.5, s"doc $id cross-block jaccard $crossBlock")
+    }
+    // the n_chars contract survives the block mutation
+    assert(spark.read.parquet(s"$blockDir/documents.parquet")
+      .filter(length(col("text")).cast("long") =!= col("n_chars")).count() == 0)
+  }
+
+  test("factor>10 decade blocks: same-block vectors stay cosine-dups, cross-block don't") {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val embs = spark.read.parquet(s"$blockDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val baseIds = base("embeddings").select("vec_id").collect().map(_.getLong(0)).take(10)
+    baseIds.foreach { id =>
+      val sameBlock = cos(embs(id), embs(id + 10000000L))
+      val crossBlock = cos(embs(id), embs(id + 110000000L))
+      assert(sameBlock > 0.995, s"vec $id same-block cos $sameBlock")
+      assert(crossBlock < 0.99, s"vec $id cross-block cos $crossBlock")
+    }
+  }
+
   test("embedding perturbation is bounded and breaks exact ties") {
     val joined = gen("embeddings").filter(col("vec_id") >= 10000000L)
       .withColumn("base_id", col("vec_id") % 10000000L)

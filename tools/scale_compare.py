@@ -13,7 +13,12 @@ rounds): a 0.1 s query that becomes 0.4 s at 10x data is NOT superlinear
 work, it's amortization. So queries under MIN_BASE seconds at the base SF
 are reported separately (`fixed_cost_regime`) instead of being graded.
 
-Usage: python3 tools/scale_compare.py <base_bench.json> <big_bench.json> <data_factor>
+Usage: python3 tools/scale_compare.py <base_bench.json> <big_bench.json> <data_factor> [out.json]
+
+`out.json` defaults to SCALE_AUDIT.json (the sf0.1→sf1 decade); the sf10
+checkpoint writes SCALE_AUDIT_sf10.json so the two decades coexist.
+Hand-authored plan_notes are carried forward from the OUTPUT artifact
+(each decade keeps its own notes).
 """
 import json
 import statistics
@@ -25,6 +30,7 @@ MIN_BASE = 0.35    # below this, base time is fixed-cost-dominated
 
 def main(argv):
     base_path, big_path, factor = argv[0], argv[1], float(argv[2])
+    out_path = argv[3] if len(argv) > 3 else "SCALE_AUDIT.json"
     base = json.load(open(base_path))["queries"]
     big = json.load(open(big_path))["queries"]
     shared = sorted(set(base) & set(big))
@@ -62,15 +68,15 @@ def main(argv):
     # regeneration instead of silently dropping them; warn on any
     # superlinear query that still lacks a note.
     try:
-        prior_notes = json.load(open("SCALE_AUDIT.json")).get("plan_notes", {})
+        prior_notes = json.load(open(out_path)).get("plan_notes", {})
     except (FileNotFoundError, json.JSONDecodeError):
         prior_notes = {}
     out["plan_notes"] = prior_notes
     missing = sorted(set(out["superlinear"]) - set(prior_notes))
     if missing:
         print(f"\nWARNING: superlinear queries missing a plan note "
-              f"(add to SCALE_AUDIT.json plan_notes): {missing}")
-    with open("SCALE_AUDIT.json", "w") as f:
+              f"(add to {out_path} plan_notes): {missing}")
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     return 0
 
