@@ -1677,22 +1677,30 @@ object Dedup {
   }
 
   // q204 — EXACT set-similarity self-join via prefix filtering (the
-  // PPJoin/AllPairs family): word-level Jaccard ≥ τ with a DETERMINISTIC
-  // guarantee — the complement of the MinHash tier, whose banding is
-  // probabilistic (q145 measures it biased high on this very corpus).
-  // The classic prefix-filter lemma: order every doc's distinct tokens by
-  // ascending global document frequency (rarest first); if J(A,B) ≥ τ,
-  // then A and B must share a token among each one's first
+  // PPJoin/AllPairs family): 20-char-shingle Jaccard ≥ τ with a
+  // DETERMINISTIC guarantee — the complement of the MinHash tier, whose
+  // banding is probabilistic (q145 measures it biased high on this very
+  // corpus). The classic prefix-filter lemma: order every doc's distinct
+  // tokens by ascending global document frequency (rarest first); if
+  // J(A,B) ≥ τ, then A and B must share a token among each one's first
   // |d| − ⌈τ·|d|⌉ + 1 tokens — so the RARE-token prefix is the blocking
   // key and candidates form only inside tiny df-ascending buckets (a
-  // stopword can never become a blocking key; it sits at the END of the
-  // order). Verification is exact: the full lex-sorted token arrays join
-  // in AFTER pair generation keyed by doc_id (q41's payload discipline)
+  // common token can never become a blocking key; it sits at the END of
+  // the order). The token domain MUST be long shingles here, and the
+  // choice is itself the operator's scale lesson: prefix filtering
+  // blocks only where the token universe is large and Zipfian — this
+  // corpus writes every doc from a 31-WORD vocabulary, so word tokens
+  // (and even 5-grams: ~2k distinct) put half the corpus in every
+  // bucket and the candidate set measured QUADRATIC (11.4M pairs at
+  // sf0.1); 20-char shingles (q47's decontamination grain, ~1.1M
+  // distinct at sf0.1) cut that to 258 — true near-dups only.
+  // Verification is exact: the full lex-sorted gram arrays join in
+  // AFTER pair generation keyed by doc_id (q41's payload discipline)
   // and |A∩B| is one fused two-pointer InterCount pass — integer out, so
   // J = inter/(|A|+|B|−inter) is a single IEEE division, rounded once
   // for the boundary filter both engines apply identically. Shuffles:
-  // token explode → df counts (map-side partials, O(vocab) out), the
-  // doc_id re-group, the prefix-token candidate join (bucket sizes
+  // gram explode → df counts (map-side partials, O(vocab) out), the
+  // doc_id re-group, the prefix-gram candidate join (bucket sizes
   // bounded by rarity), the pair-keyed verify join — no all-pairs
   // surface anywhere; hot-token skew lands on AQE's skew-split.
   // Spec: zero false negatives vs the brute-force O(n²) join at
@@ -1700,10 +1708,11 @@ object Dedup {
   val q204: QueryDef = QueryDef.sql(
     "q204_prefix_filter_join",
     """WITH tok AS (
-      |  SELECT DISTINCT doc_id, t AS token
-      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
-      |        FROM documents)
-      |  WHERE t <> ''),
+      |  SELECT doc_id, g AS token
+      |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+      |          range(1, length(text) - 18),
+      |          i -> substr(text, CAST(i AS INT), 20)))) AS g
+      |        FROM documents)),
       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY token),
       |docs AS (
       |  SELECT tok.doc_id,
@@ -1742,8 +1751,8 @@ object Dedup {
       tau: Double): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("token"))
-      .filter(col("token") =!= "")
+        explode(array_distinct(
+          graft.functions.VectorExprs.charNgrams(col("text"), 20))).as("token"))
     val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
     // per-doc artifacts off ONE doc_id re-group: the lex-sorted full set
     // (InterCount's input) and the df-ascending order the prefix slices

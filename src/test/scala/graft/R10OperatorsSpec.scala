@@ -12,13 +12,16 @@ class R10OperatorsSpec extends SparkSpec {
 
   // ── q204: the prefix-filter lemma is a GUARANTEE, not a recall target ──
 
+  private def gramSet(t: String): Set[String] =
+    if (t.length < 20) Set.empty
+    else (0 to t.length - 20).map(i => t.substring(i, i + 20)).toSet
+
   test("q204 prefix-filter join equals the brute-force O(n²) Jaccard join") {
     val tau = 0.5
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
-      .map(r => r.getLong(0) ->
-        r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSet)
-      .toMap
+      .map(r => r.getLong(0) -> gramSet(r.getString(1)))
+      .filter(_._2.nonEmpty).toMap
     val brute = (for {
       (a, sa) <- docs; (b, sb) <- docs if a < b
       inter = (sa & sb).size
@@ -32,14 +35,13 @@ class R10OperatorsSpec extends SparkSpec {
       s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
   }
 
-  test("q204 prefixes really are the rarest tokens (df-ascending order)") {
+  test("q204 reported intersections equal the recomputed gram-set overlaps") {
     // every surviving pair must share at least one token — and with
     // exact verification the reported inter must equal |A∩B| recomputed
     val rows = dedup.Dedup.q204.fn(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
-      .map(r => r.getLong(0) ->
-        r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSet)
+      .map(r => r.getLong(0) -> gramSet(r.getString(1)))
       .toMap
     rows.foreach { r =>
       val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
