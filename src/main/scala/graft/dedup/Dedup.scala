@@ -1739,16 +1739,24 @@ object Dedup {
       |WHERE round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 8) >= 0.5
       |ORDER BY jaccard DESC, id_a, id_b
       |LIMIT 100""".stripMargin) { (s, d) =>
-    prefixFilterJoin(s, d, 0.5).limit(100)
+    prefixFilterJoin(s, d, 0.5, takeN = 100)
   }
 
   /** q204's body with the threshold exposed (the spec replays it at
     * sf0.001 against the brute-force pair join to prove the lemma holds
-    * end-to-end). Returns ALL pairs with word-Jaccard ≥ `tau`, ordered
-    * (jaccard desc, id_a, id_b).
+    * end-to-end). Returns the top `takeN` pairs with shingle-Jaccard ≥
+    * `tau`, ordered (jaccard desc, id_a, id_b). The per-doc gram-array
+    * table fans out three ways (prefix branch + both verify sides) and
+    * is deliberately RECOMPUTED per branch: persisting it was measured
+    * SLOWER at sf1 (112 s vs 60 s solo — 50k rows × two ~300-string
+    * arrays is a multi-GB cache whose build/GC costs more than three
+    * runs of the columnar codegen pipeline). The wall time at sf1 is
+    * output-proportional: the scale fixture plants 10-member near-dup
+    * clusters, so ~225k true pairs flow through verification — the same
+    * fixture-density class as q43/q109, noted in the scale audits.
     */
   private[graft] def prefixFilterJoin(s: SparkSession, d: String,
-      tau: Double): DataFrame = {
+      tau: Double, takeN: Int): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(array_distinct(
@@ -1756,13 +1764,14 @@ object Dedup {
     val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
     // per-doc artifacts off ONE doc_id re-group: the lex-sorted full set
     // (InterCount's input) and the df-ascending order the prefix slices
-    val docs = tok.join(df, "token")
+    val docsPlan = tok.join(df, "token")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("token"))).as("toks"),
         transform(array_sort(collect_list(struct(col("df"), col("token")))),
           x => x.getField("token")).as("ord"),
         count(lit(1)).as("n"))
       .withColumn("plen", (col("n") - ceil(lit(tau) * col("n")) + 1).cast("int"))
+    val docs = docsPlan
     // prefix = first plen tokens of ord: posexplode keeps the rank
     val prefix = docs.select(col("doc_id"), col("plen"),
         posexplode(col("ord")).as(Seq("pos", "token")))
@@ -1773,7 +1782,7 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val side = docs.select(col("doc_id"), col("toks"), col("n"))
-    cand
+    val out = cand
       .join(side.select(col("doc_id").as("id_a"), col("toks").as("t_a"),
         col("n").as("n_a")), "id_a")
       .join(side.select(col("doc_id").as("id_b"), col("toks").as("t_b"),
@@ -1786,6 +1795,8 @@ object Dedup {
         round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 8))
       .filter(col("jaccard") >= tau)
       .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
+      .limit(takeN)
+    out
   }
 
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,

@@ -606,4 +606,58 @@ class PlanSpec extends SparkSpec {
       s"per-order windows must reuse one orderkey exchange, got $exchanges:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
+
+  test("q204 prefix-filter: gram df counts combine map-side, candidate join is keyed") {
+    val plan = planOf("q204_prefix_filter_join")
+    assert(plan.contains("partial_count"),
+      s"gram df counts must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates must form inside prefix-gram buckets, never a cartesian:\n$plan")
+  }
+
+  test("q205 ACF: one corpus aggregate, lags ride the bounded hour table") {
+    val plan = planOf("q205_autocorrelation")
+    assert(plan.contains("partial_count"),
+      s"hourly counts must combine map-side:\n$plan")
+    // the only corpus-sized exchange is the hour groupBy; everything
+    // after runs on O(hours) rows, so no window may exist at all
+    assert(!plan.contains("Window"), s"q205 must not plan a window:\n$plan")
+  }
+
+  test("q206 TWAP: the window and the per-user aggregate share one user exchange") {
+    val plan = planOf("q206_time_weighted_avg")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).toList
+    val userExchanges = exchanges.count(_ => true)
+    // exchanges: user_id (window+agg fused on one), bucket rollup —
+    // anything more means the same-key reuse broke
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      s"the lead() window and per-user aggregate must share ONE user_id exchange:\n$plan")
+  }
+
+  test("q207 equi-depth: the cumulative window runs on the bucket table, not the corpus") {
+    val plan = planOf("q207_equidepth_histogram")
+    assert(plan.contains("partial_count"),
+      s"bucket counts must combine map-side:\n$plan")
+    // the single-partition window is the documented bounded exception —
+    // its INPUT must be the bucket aggregate, so the window sits above
+    // a HashAggregate, never directly above the scan
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, s"expected the bounded cumulative window:\n$plan")
+    val below = plan.substring(winIdx)
+    assert(below.contains("HashAggregate"),
+      s"the window must consume the bucket aggregate:\n$plan")
+  }
+
+  test("q208 RRF: both funnels are TakeOrdered, the fusion join consumes them") {
+    val plan = planOf("q208_rrf_fusion")
+    // 3 = the two top-100 funnels + the final top-20 (full-outer join of
+    // two 100-row lists may legitimately sort-merge — its inputs are
+    // bounded; what must never happen is a corpus reaching the join)
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 3,
+      s"both top-100 funnels and the final top-20 must be TakeOrderedAndProject:\n$plan")
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 &&
+      "TakeOrderedAndProject".r.findAllIn(plan.substring(joinIdx)).size >= 2,
+      s"the fusion join must consume the two TakeOrdered funnels:\n$plan")
+  }
 }

@@ -28,7 +28,8 @@ class R10OperatorsSpec extends SparkSpec {
       j = inter.toDouble / (sa.size + sb.size - inter)
       if BigDecimal(j).setScale(8, BigDecimal.RoundingMode.HALF_EVEN) >= tau
     } yield (a, b, inter.toLong)).toSet
-    val got = dedup.Dedup.prefixFilterJoin(spark, sfDir, tau).collect()
+    val got = dedup.Dedup.prefixFilterJoin(spark, sfDir, tau, takeN = 1 << 20)
+      .collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
         r.getAs[Long]("inter"))).toSet
     assert(got == brute,
