@@ -127,9 +127,9 @@ object RowsOnlyChecks {
     "q116_token_ids" -> Check("OperatorSemanticsSpec",
       "id totals tie to q87's token counts; digests are sha-256 hex",
       (s, d, df) => {
-        val totIds = df.agg(sum("n_ids")).head.getLong(0)
+        val totIds = df.agg(sum("n_ids")).head().getLong(0)
         val totBpe = graft.text.TextAnalysis.q87.fn(s, d)
-          .agg(sum("n_bpe_tok")).head.getLong(0)
+          .agg(sum("n_bpe_tok")).head().getLong(0)
         val badHash = df.filter(!col("ids_hash").rlike("^[0-9a-f]{64}$")).count()
         fail(totIds == totBpe, s"sum(n_ids) $totIds != q87 sum(n_bpe_tok) $totBpe") ++
           fail(badHash == 0, s"$badHash malformed ids_hash values")
@@ -200,7 +200,7 @@ object RowsOnlyChecks {
       "algebraic identities: mean d^2 = dim, whitened variance = 1, cov(w1,w2) = 0",
       (_, _, df) => {
         val r = df.agg(avg("maha_sq"), var_pop("w1"), var_pop("w2"),
-          covar_pop("w1", "w2")).head
+          covar_pop("w1", "w2")).head()
         fail(math.abs(r.getDouble(0) - 64.0) < 1e-6,
           s"mean maha_sq ${r.getDouble(0)} != dim 64") ++
           fail(math.abs(r.getDouble(1) - 1.0) < 1e-6, s"var(w1) ${r.getDouble(1)} != 1") ++
@@ -332,7 +332,7 @@ object RowsOnlyChecks {
     "q28_pca_project" -> Check("OperatorSemanticsSpec",
       "principal order: centered components with var(pc1) >= var(pc2) > 0",
       (_, _, df) => {
-        val r = df.agg(avg("pc1"), avg("pc2"), var_pop("pc1"), var_pop("pc2")).head
+        val r = df.agg(avg("pc1"), avg("pc2"), var_pop("pc1"), var_pop("pc2")).head()
         fail(math.abs(r.getDouble(0)) < 0.05 && math.abs(r.getDouble(1)) < 0.05,
           s"components not near-centered: means (${r.getDouble(0)}, ${r.getDouble(1)})") ++
           fail(r.getDouble(2) >= r.getDouble(3) - 1e-9 && r.getDouble(3) > 0,
