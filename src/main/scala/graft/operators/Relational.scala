@@ -3300,10 +3300,129 @@ object Relational {
       .orderBy("bin")
   }
 
+  // q209 — Spearman (rank) AND Pearson (linear) correlation of quantity vs
+  // price per return flag, in ONE corpus scan: the monotone-vs-linear
+  // association audit (drift dashboards want both — Spearman is the one a
+  // heavy tail can't fake, Pearson the one a nonlinear-but-monotone
+  // relationship deflates; disagreement between them IS the finding).
+  // The scale discipline is q207's: the textbook Spearman ranks each
+  // variable with a global-sort window (rank() OVER (ORDER BY value) —
+  // the single-partition shape §5 bans); here the corpus collapses ONCE
+  // to the bounded (flag, quantity, price-bucket) joint histogram (the
+  // contract is rank correlation at integer-quantity × 1000-cent-bucket
+  // granularity, stated and replayed identically by the oracle). Tied
+  // ranks use the standard mid-rank treatment, kept EXACT by doubling:
+  // r2 = 2·cum_below + cnt + 1 is the integer twice-mid-rank, and Pearson
+  // over an affine transform of the ranks is Pearson over the ranks, so
+  // the ½ never materializes. All six Spearman sums accumulate as
+  // DECIMAL(38,0)/HUGEINT (Σ cnt·r2x·r2y bounds at n·(2n)² ≈ 8.6e23 at
+  // sf10 — past int64, inside decimal38; q206's wide-integer argument),
+  // Pearson's from per-cell exact cents sums (Σcents² needs the same
+  // treatment). Doubles appear only in the final identical-operand-order
+  // correlation expressions (correctly-rounded casts of the same exact
+  // integers in both engines), rounded once. Shuffles: one corpus
+  // aggregate; the rank windows and final joins ride O(domain) tables.
+  val q209: QueryDef = QueryDef.sql(
+    "q209_rank_correlation",
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_quantity) AS BIGINT) AS qv,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |j AS (
+      |  SELECT flag, qv, cents // 1000 AS pb,
+      |    CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(cents) AS BIGINT) AS scents,
+      |    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS scents2
+      |  FROM li GROUP BY 1, 2, 3),
+      |mx AS (
+      |  SELECT flag, qv,
+      |    2 * sum(sum(cnt)) OVER (PARTITION BY flag ORDER BY qv)
+      |      - sum(cnt) + 1 AS r2x
+      |  FROM j GROUP BY flag, qv),
+      |my AS (
+      |  SELECT flag, pb,
+      |    2 * sum(sum(cnt)) OVER (PARTITION BY flag ORDER BY pb)
+      |      - sum(cnt) + 1 AS r2y
+      |  FROM j GROUP BY flag, pb),
+      |t AS (
+      |  SELECT j.flag,
+      |    CAST(sum(j.cnt) AS BIGINT) AS n,
+      |    CAST(sum(CAST(j.cnt AS HUGEINT) * r2x) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(j.cnt AS HUGEINT) * r2y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(j.cnt AS HUGEINT) * r2x * r2x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(j.cnt AS HUGEINT) * r2y * r2y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(j.cnt AS HUGEINT) * r2x * r2y) AS HUGEINT) AS sxy,
+      |    CAST(sum(j.cnt * j.qv) AS BIGINT) AS sq,
+      |    CAST(sum(j.cnt * j.qv * j.qv) AS BIGINT) AS sqq,
+      |    CAST(sum(j.scents) AS BIGINT) AS sc,
+      |    CAST(sum(j.scents2) AS HUGEINT) AS scc,
+      |    CAST(sum(j.qv * j.scents) AS BIGINT) AS sqc
+      |  FROM j JOIN mx ON mx.flag = j.flag AND mx.qv = j.qv
+      |         JOIN my ON my.flag = j.flag AND my.pb = j.pb
+      |  GROUP BY j.flag)
+      |SELECT flag, n,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8)
+      |    AS spearman,
+      |  round((CAST(n AS DOUBLE) * CAST(sqc AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sc AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))), 8)
+      |    AS pearson
+      |FROM t
+      |ORDER BY flag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      expr("cast(round(l_quantity) as bigint)").as("qv"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+    val j = li.groupBy(col("flag"), col("qv"), expr("cents div 1000").as("pb"))
+      .agg(count(lit(1)).as("cnt"),
+        sum("cents").as("scents"),
+        sum(expr("cast(cents as decimal(19,0)) * cents")).as("scents2"))
+    val cum = Window.partitionBy("flag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mx = j.groupBy("flag", "qv").agg(sum("cnt").as("cx"))
+      .withColumn("r2x",
+        lit(2) * sum("cx").over(cum.orderBy("qv")) - col("cx") + 1)
+      .select("flag", "qv", "r2x")
+    val my = j.groupBy("flag", "pb").agg(sum("cnt").as("cy"))
+      .withColumn("r2y",
+        lit(2) * sum("cy").over(cum.orderBy("pb")) - col("cy") + 1)
+      .select("flag", "pb", "r2y")
+    val t = j.join(broadcast(mx), Seq("flag", "qv"))
+      .join(broadcast(my), Seq("flag", "pb"))
+      .groupBy("flag")
+      .agg(sum("cnt").as("n"),
+        sum(expr("cast(cnt as decimal(19,0)) * r2x")).as("sx"),
+        sum(expr("cast(cnt as decimal(19,0)) * r2y")).as("sy"),
+        sum(expr("cast(cnt as decimal(19,0)) * r2x * r2x")).as("sxx"),
+        sum(expr("cast(cnt as decimal(19,0)) * r2y * r2y")).as("syy"),
+        sum(expr("cast(cnt as decimal(19,0)) * r2x * r2y")).as("sxy"),
+        sum(col("cnt") * col("qv")).as("sq"),
+        sum(col("cnt") * col("qv") * col("qv")).as("sqq"),
+        sum("scents").as("sc"),
+        sum("scents2").as("scc"),
+        sum(col("qv") * col("scents")).as("sqc"))
+    def corr(n: Column, sxy: Column, sx: Column, sy: Column,
+        sxx: Column, syy: Column): Column = {
+      def dbl(c: Column) = c.cast("double")
+      round((dbl(n) * dbl(sxy) - dbl(sx) * dbl(sy))
+        / (sqrt(dbl(n) * dbl(sxx) - dbl(sx) * dbl(sx))
+           * sqrt(dbl(n) * dbl(syy) - dbl(sy) * dbl(sy))), 8)
+    }
+    t.select(col("flag"), col("n"),
+      corr(col("n"), col("sxy"), col("sx"), col("sy"),
+        col("sxx"), col("syy")).as("spearman"),
+      corr(col("n"), col("sqc"), col("sq"), col("sc"),
+        col("sqq"), col("scc")).as("pearson"))
+      .orderBy("flag")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
-    q191, q192, q195, q197, q198, q202, q205, q207)
+    q191, q192, q195, q197, q198, q202, q205, q207, q209)
 }

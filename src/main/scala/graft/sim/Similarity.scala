@@ -272,6 +272,51 @@ object Similarity {
     knnEdges(s, d, 3)
   }
 
+  // q210 — mutual (reciprocal) k-nearest-neighbor pairs over the gated
+  // kNN graph: pairs where a is in b's top-3 AND b is in a's top-3. The
+  // embedding-QA staple (mutual-NN pairs are the high-precision subset
+  // every matching/near-dup reviewer starts from — asymmetric neighbors
+  // are usually hub artifacts) and the classic seed set for
+  // correspondence mining. Rides q52's edge supplier unchanged — exact
+  // tier at or below the gate, cell-blocked above it, and ABOVE the gate
+  // the memoized edge table is shared with q52/q141/q189, so mutuality
+  // costs one extra self-join of the O(n·k) edge list keyed on the id
+  // pair (skinny rows, never the corpus) plus two ids-only label joins.
+  // cos_sim is TopKNbr's round-once-per-survivor value, identical in
+  // both directions (same unordered pair, same codegen expression), so
+  // selecting the a→b copy is deterministic. same_label joins the
+  // corpus labels in AFTER pair formation (ids-only — q41's payload
+  // discipline): the mutual-pair label-agreement rate is the
+  // embedding-quality number this audit exists to produce.
+  val q210: QueryDef = QueryDef.sql(
+    "q210_mutual_knn",
+    s"""WITH ${gatedKnnDuck(3)},
+      |m AS (
+      |  SELECT f.id_a, f.id_b, f.rn AS rn_ab, r.rn AS rn_ba, f.cos_sim
+      |  FROM knn f JOIN knn r ON r.id_a = f.id_b AND r.id_b = f.id_a
+      |  WHERE f.id_a < f.id_b)
+      |SELECT m.id_a, m.id_b, m.rn_ab, m.rn_ba, m.cos_sim,
+      |  la.label = lb.label AS same_label
+      |FROM m JOIN embeddings la ON la.vec_id = m.id_a
+      |       JOIN embeddings lb ON lb.vec_id = m.id_b
+      |ORDER BY m.id_a, m.id_b""".stripMargin) { (s, d) =>
+    val e = knnEdges(s, d, 3)
+    val fwd = e.select(col("id_a"), col("id_b"),
+      col("rn").as("rn_ab"), col("cos_sim"))
+    val rev = e.select(col("id_a").as("rv_a"), col("id_b").as("rv_b"),
+      col("rn").as("rn_ba"))
+    val m = fwd.join(rev,
+        col("rv_a") === col("id_b") && col("rv_b") === col("id_a"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "rn_ab", "rn_ba", "cos_sim")
+    val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    m.join(lab.select(col("vec_id").as("id_a"), col("label").as("la")), Seq("id_a"))
+      .join(lab.select(col("vec_id").as("id_b"), col("label").as("lb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("rn_ab"), col("rn_ba"),
+        col("cos_sim"), (col("la") === col("lb")).as("same_label"))
+      .orderBy("id_a", "id_b")
+  }
+
   // q52's per-group top-k runs as graft.functions.TopKNbrAgg — a native
   // TypedImperativeAggregate over primitive buffers (no per-row tuple
   // deserialization, no immutable-List churn) that orders by UNROUNDED
@@ -2232,5 +2277,5 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(q38, q50, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q77, q79, q98, q100, q102, q105, q133, q139, q140, q148,
-    q156, q158, q208)
+    q156, q158, q208, q210)
 }

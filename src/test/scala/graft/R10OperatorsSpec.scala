@@ -170,4 +170,88 @@ class R10OperatorsSpec extends SparkSpec {
     assert(rows.exists(r => r.isNullAt(r.fieldIndex("r_lex"))),
       "no semantic-only doc in the fused top-20 (cascade-equivalent)")
   }
+
+  // ── q209: dense Spearman/Pearson replay with exact BigInt sums ──
+
+  test("q209 rank and linear correlations replay densely from raw rows") {
+    val raw = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        expr("cast(round(l_quantity) as bigint)").as("qv"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = operators.Relational.q209.fn(spark, sfDir).collect()
+    val byFlag = raw.groupBy(_._1)
+    assert(rows.length == byFlag.size)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("flag")
+      val g = byFlag(flag)
+      val n = g.length
+      assert(r.getAs[Long]("n") == n.toLong)
+      // twice-mid-ranks per variable (bucket granularity for price)
+      def ranks2(vals: Seq[Long]): Map[Long, BigInt] = {
+        val cnt = vals.groupBy(identity).view.mapValues(_.size).toMap
+        val sorted = cnt.keys.toSeq.sorted
+        var cum = 0L
+        sorted.map { v =>
+          val c = cnt(v); val r2 = BigInt(2) * cum + c + 1; cum += c
+          v -> r2
+        }.toMap
+      }
+      val rx = ranks2(g.map(_._2).toSeq)
+      val ry = ranks2(g.map(_._3 / 1000).toSeq)
+      def pearson(xs: Seq[BigInt], ys: Seq[BigInt]): Double = {
+        val nn = BigInt(n)
+        val sx = xs.sum; val sy = ys.sum
+        val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+        val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+        (nn.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+          (math.sqrt(nn.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+           math.sqrt(nn.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+      }
+      val spearman = pearson(g.map(t => rx(t._2)).toSeq,
+        g.map(t => ry(t._3 / 1000)).toSeq)
+      val linear = pearson(g.map(t => BigInt(t._2)).toSeq,
+        g.map(t => BigInt(t._3)).toSeq)
+      assert(math.abs(r.getAs[Double]("spearman") - spearman) < 1e-7,
+        s"flag $flag spearman")
+      assert(math.abs(r.getAs[Double]("pearson") - linear) < 1e-7,
+        s"flag $flag pearson")
+      // quantity and price are independent in the generator: both
+      // coefficients must sit near zero (the q167 A/A convention), and
+      // Spearman on ranks must broadly agree with Pearson on values here
+      assert(math.abs(spearman) < 0.15 && math.abs(linear) < 0.15,
+        s"flag $flag correlation hallucinated on independent columns")
+    }
+  }
+
+  // ── q210: mutual pairs derive exactly from the verified kNN edges ──
+
+  test("q210 mutual-kNN pairs equal the reciprocal subset of the q52 graph") {
+    val edges = sim.Similarity.q52.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("rn"), r.getAs[Double]("cos_sim")))
+    val byPair = edges.map(e => (e._1, e._2) -> e).toMap
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = edges.filter { case (a, b, _, _) =>
+      a < b && byPair.contains((b, a))
+    }.map { case (a, b, rnAb, cos) =>
+      val (_, _, rnBa, cosRev) = byPair((b, a))
+      assert(cos == cosRev, s"asymmetric cos on mutual pair ($a,$b)")
+      (a, b, rnAb, rnBa, cos, labels(a) == labels(b))
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = sim.Similarity.q210.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("rn_ab"), r.getAs[Int]("rn_ba"),
+        r.getAs[Double]("cos_sim"), r.getAs[Boolean]("same_label"))).toSeq
+    assert(got == expect,
+      s"mutual sets differ: got ${got.size}, expect ${expect.size}")
+    assert(expect.nonEmpty, "no mutual pairs at this SF — vacuous test")
+    // the generator's labels are independent of embedding geometry, so
+    // the agreement rate lands near the 1/|labels| chance floor — the
+    // audit's value is precisely that it MEASURES this honestly (a real
+    // corpus with label-aligned embeddings reads high); no structure bar.
+  }
 }
