@@ -442,6 +442,75 @@ object MlPrep {
       .orderBy("event_id")
   }
 
+  // q214 — mutual information of each categorical part feature with a
+  // binary price target (the feature-selection ranking the q25/q136
+  // correlation family can't do for categoricals: MI is the
+  // model-agnostic does-this-feature-carry-signal number, in nats, zero
+  // iff independent). Target = retail price ≥ the documented fixed
+  // 95000-cent threshold (the corpus midpoint — a stated contract, not a
+  // data-dependent quantile). The three features unpivot via one stack
+  // (ONE corpus scan, skinny rows) into a single (feature, value,
+  // target) count aggregate — the only corpus shuffle; margins are
+  // window sums over that bounded table (≤ ~180 cells/feature). Absent
+  // cells contribute 0 (the 0·ln 0 MI convention — no smoothing needed,
+  // unlike q213's PSI whose log sits over a ratio of the SAME cell).
+  // Each cell's (c/N)·ln(cN/(c_v·c_t)) term is quantized onto the 1e-9
+  // grid before the cross-cell sum (q211's order-free determinism);
+  // per-feature MI is one exact integer sum scaled once, rounded once.
+  val q214: QueryDef = QueryDef.sql(
+    "q214_feature_mi",
+    """WITH p AS (
+      |  SELECT p_brand, p_type, CAST(p_size // 10 AS VARCHAR) AS sz,
+      |    (CAST(round(p_retailprice * 100) AS BIGINT) >= 95000) AS t
+      |  FROM part),
+      |u AS (
+      |  SELECT 'brand' AS feature, p_brand AS v, t FROM p
+      |  UNION ALL SELECT 'ptype', p_type, t FROM p
+      |  UNION ALL SELECT 'size_decade', sz, t FROM p),
+      |c AS (
+      |  SELECT feature, v, t, CAST(count(*) AS BIGINT) AS cvt
+      |  FROM u GROUP BY 1, 2, 3),
+      |w AS (
+      |  SELECT feature, v, cvt,
+      |    sum(cvt) OVER (PARTITION BY feature, v) AS cv,
+      |    sum(cvt) OVER (PARTITION BY feature, t) AS ctt,
+      |    sum(cvt) OVER (PARTITION BY feature) AS n
+      |  FROM c),
+      |terms AS (
+      |  SELECT feature, v,
+      |    CAST(round(1000000000.0
+      |      * (CAST(cvt AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln((CAST(cvt AS DOUBLE) * CAST(n AS DOUBLE))
+      |        / (CAST(cv AS DOUBLE) * CAST(ctt AS DOUBLE)))) AS BIGINT) AS t9
+      |  FROM w)
+      |SELECT feature, CAST(count(DISTINCT v) AS BIGINT) AS n_values,
+      |  round(CAST(sum(t9) AS DOUBLE) / 1000000000.0, 6) AS mi_nats
+      |FROM terms GROUP BY feature
+      |ORDER BY feature""".stripMargin) { (s, d) =>
+    val p = Tables.part(s, d).select(
+      col("p_brand"), col("p_type"),
+      expr("cast(p_size div 10 as string)").as("sz"),
+      expr("cast(round(p_retailprice * 100) as bigint) >= 95000").as("t"))
+    val u = p.select(expr(
+      "stack(3, 'brand', p_brand, 'ptype', p_type, 'size_decade', sz)")
+      .as(Seq("feature", "v")), col("t"))
+    val c = u.groupBy("feature", "v", "t").agg(count(lit(1)).as("cvt"))
+    val w = c
+      .withColumn("cv", sum("cvt").over(Window.partitionBy("feature", "v")))
+      .withColumn("ctt", sum("cvt").over(Window.partitionBy("feature", "t")))
+      .withColumn("n", sum("cvt").over(Window.partitionBy("feature")))
+    def dbl(c0: String) = col(c0).cast("double")
+    val terms = w.select(col("feature"), col("v"),
+      round(lit(1000000000.0) * (dbl("cvt") / dbl("n"))
+        * log((dbl("cvt") * dbl("n")) / (dbl("cv") * dbl("ctt"))))
+        .cast("bigint").as("t9"))
+    terms.groupBy("feature")
+      .agg(countDistinct("v").as("n_values"), sum("t9").as("s9"))
+      .select(col("feature"), col("n_values"),
+        round(col("s9").cast("double") / 1000000000.0, 6).as("mi_nats"))
+      .orderBy("feature")
+  }
+
   val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q32,
-    q39, q121, q155, q162, q199)
+    q39, q121, q155, q162, q199, q214)
 }

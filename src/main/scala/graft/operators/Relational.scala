@@ -3419,10 +3419,233 @@ object Relational {
       .orderBy("flag")
   }
 
+  // q211 — one-way ANOVA of order value across the five order priorities
+  // (the does-this-segmentation-matter test every dashboard grouping
+  // implies but rarely states: F near 1 says the priority labels explain
+  // nothing about spend — the q167/q184/q209 hypothesis-test family's
+  // missing member for one-continuous-vs-one-categorical). Scale shape:
+  // ONE corpus aggregate to the O(k)=5-row per-group table (ng, Σcents,
+  // Σcents² — the last DECIMAL(38,0)/HUGEINT: cents² sums pass int64 at
+  // sf10), then a bounded 5-row reduction. Cross-group determinism is the
+  // q209 discipline taken one step further: Σg sg²/ng is a sum of
+  // NON-integer terms whose float order would be engine-dependent, so
+  // each term is quantized to its nearest integer FIRST (one double
+  // division of exact ints + one round — identical in both engines;
+  // quantization error ≤0.5 on ~1e20 magnitudes, 1e-17 relative in F) and
+  // the integer sum is exact and order-free. F and η² are then single
+  // identical-operand-order double expressions, rounded once.
+  val q211: QueryDef = QueryDef.sql(
+    "q211_anova_oneway",
+    """WITH o AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |g AS (
+      |  SELECT prio, CAST(count(*) AS BIGINT) AS ng,
+      |    CAST(sum(cents) AS BIGINT) AS sg,
+      |    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sg2
+      |  FROM o GROUP BY prio),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(ng) AS BIGINT) AS n,
+      |    CAST(sum(sg) AS HUGEINT) AS s,
+      |    CAST(sum(sg2) AS HUGEINT) AS s2,
+      |    CAST(sum(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+      |      / CAST(ng AS DOUBLE)) AS HUGEINT)) AS HUGEINT) AS tb
+      |  FROM g),
+      |f AS (
+      |  SELECT k, n, s2, tb,
+      |    CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) AS HUGEINT) AS sterm
+      |  FROM t)
+      |SELECT k AS n_groups, n,
+      |  round(((CAST(tb AS DOUBLE) - CAST(sterm AS DOUBLE)) / (k - 1))
+      |    / ((CAST(s2 AS DOUBLE) - CAST(tb AS DOUBLE)) / (n - k)), 6) AS f_stat,
+      |  round((CAST(tb AS DOUBLE) - CAST(sterm AS DOUBLE))
+      |    / (CAST(s2 AS DOUBLE) - CAST(sterm AS DOUBLE)), 6) AS eta_sq
+      |FROM f""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val g = o.groupBy("prio").agg(
+      count(lit(1)).as("ng"),
+      sum("cents").as("sg"),
+      sum(expr("cast(cents as decimal(19,0)) * cents")).as("sg2"))
+    val t = g.agg(
+      count(lit(1)).as("k"),
+      sum("ng").as("n"),
+      sum("sg").as("s"),
+      sum("sg2").as("s2"),
+      sum(expr("cast(round(cast(sg as double) * cast(sg as double)" +
+        " / cast(ng as double)) as decimal(38,0))")).as("tb"))
+    val f = t.withColumn("sterm",
+      expr("cast(round(cast(s as double) * cast(s as double)" +
+        " / cast(n as double)) as decimal(38,0))"))
+    def dbl(c: String) = col(c).cast("double")
+    f.select(col("k").as("n_groups"), col("n"),
+      round(((dbl("tb") - dbl("sterm")) / (col("k") - 1))
+        / ((dbl("s2") - dbl("tb")) / (col("n") - col("k"))), 6).as("f_stat"),
+      round((dbl("tb") - dbl("sterm"))
+        / (dbl("s2") - dbl("sterm")), 6).as("eta_sq"))
+  }
+
+  // q212 — chi-square independence test of order priority × order status
+  // (the two-categoricals member of the hypothesis-test family: q167
+  // tests one proportion, q211 one continuous-vs-categorical; this is
+  // the segmentation-vs-outcome audit — does status depend on priority —
+  // plus Cramér's V so the answer is an effect SIZE, not just a stat).
+  // ONE corpus aggregate to the ≤(5×3) contingency table; the FULL grid
+  // (including zero cells, which still carry (0−e)²/e mass) forms by
+  // crossing the two bounded margins; row/col/grand totals are window
+  // sums over that bounded table. Each cell's term uses the
+  // cross-multiplied integer form ((o·N − r·c)² / (N·r·c) — numerators
+  // exact up to HUGEINT at sf100) and is quantized onto the 1e-8 grid
+  // before the cross-cell sum (q211's order-free determinism); chi², df,
+  // and Cramér's V are single fixed-order expressions rounded once.
+  val q212: QueryDef = QueryDef.sql(
+    "q212_chi_square",
+    """WITH ct AS (
+      |  SELECT o_orderpriority AS prio, o_orderstatus AS st,
+      |    CAST(count(*) AS BIGINT) AS o
+      |  FROM orders GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT p.prio, c.st
+      |  FROM (SELECT DISTINCT prio FROM ct) p
+      |  CROSS JOIN (SELECT DISTINCT st FROM ct) c),
+      |cf AS (
+      |  SELECT g.prio, g.st, CAST(coalesce(ct.o, 0) AS BIGINT) AS o
+      |  FROM grid g LEFT JOIN ct ON ct.prio = g.prio AND ct.st = g.st),
+      |w AS (
+      |  SELECT prio, st, o,
+      |    sum(o) OVER (PARTITION BY prio) AS rt,
+      |    sum(o) OVER (PARTITION BY st) AS ctot,
+      |    sum(o) OVER () AS n
+      |  FROM cf),
+      |terms AS (
+      |  SELECT prio, st, n,
+      |    CAST(round(100000000.0
+      |      * ((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+      |          - CAST(rt AS DOUBLE) * CAST(ctot AS DOUBLE))
+      |        * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+      |          - CAST(rt AS DOUBLE) * CAST(ctot AS DOUBLE)))
+      |      / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ctot AS DOUBLE)))
+      |      AS HUGEINT) AS term8
+      |  FROM w),
+      |agg AS (
+      |  SELECT CAST(max(n) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT prio) AS BIGINT) AS nr,
+      |    CAST(count(DISTINCT st) AS BIGINT) AS nc,
+      |    CAST(sum(term8) AS HUGEINT) AS t8
+      |  FROM terms)
+      |SELECT n, nr AS n_rows, nc AS n_cols,
+      |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+      |  round(CAST(t8 AS DOUBLE) / 100000000.0, 6) AS chi2,
+      |  round(sqrt((CAST(t8 AS DOUBLE) / 100000000.0)
+      |    / (CAST(n AS DOUBLE) * least(nr - 1, nc - 1))), 6) AS cramers_v
+      |FROM agg""".stripMargin) { (s, d) =>
+    val ct = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("o"))
+    val grid = ct.select("prio").distinct()
+      .crossJoin(ct.select("st").distinct())
+    val cf = grid.join(ct, Seq("prio", "st"), "left")
+      .select(col("prio"), col("st"), coalesce(col("o"), lit(0L)).as("o"))
+    val w = cf
+      .withColumn("rt", sum("o").over(Window.partitionBy("prio")))
+      .withColumn("ctot", sum("o").over(Window.partitionBy("st")))
+      .withColumn("n", sum("o").over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    def dbl(c: String) = col(c).cast("double")
+    val num = dbl("o") * dbl("n") - dbl("rt") * dbl("ctot")
+    val terms = w.select(col("prio"), col("st"), col("n"),
+      round(lit(100000000.0) * (num * num)
+        / (dbl("n") * dbl("rt") * dbl("ctot"))).cast("decimal(38,0)").as("term8"))
+    terms.agg(
+        max("n").as("n"),
+        countDistinct("prio").as("nr"),
+        countDistinct("st").as("nc"),
+        sum("term8").as("t8"))
+      .select(col("n"), col("nr").as("n_rows"), col("nc").as("n_cols"),
+        ((col("nr") - 1) * (col("nc") - 1)).cast("bigint").as("df"),
+        round(col("t8").cast("double") / 100000000.0, 6).as("chi2"),
+        round(sqrt((col("t8").cast("double") / 100000000.0)
+          / (col("n").cast("double") * least(col("nr") - 1, col("nc") - 1))), 6)
+          .as("cramers_v"))
+  }
+
+  // q213 — population stability index of the event-value distribution per
+  // week vs the first week (the model-monitoring staple next to q184's
+  // KS: PSI is symmetric-KL over a FIXED binning — the number risk teams
+  // threshold at 0.1/0.25 — and unlike KS it localizes WHICH bins moved).
+  // ONE corpus aggregate to the bounded (week × 500-cent-bucket)
+  // histogram (the contract stated at that granularity); the full
+  // week×bucket grid forms by crossing two bounded margins so absent
+  // buckets still count, with +1 Laplace smoothing over the GLOBAL
+  // bucket domain making every log finite (the standard PSI zero-bin
+  // treatment, stated in the contract). Each bin's (p−p₀)·ln(p/p₀) term
+  // is quantized onto the 1e-9 grid before the cross-bin sum (q211's
+  // order-free determinism; p and p₀ are single divisions of exact ints,
+  // the ln a libm call both engines agree on far beyond the quantum);
+  // PSI per week is then one exact integer sum scaled once, rounded once.
+  val q213: QueryDef = QueryDef.sql(
+    "q213_psi_drift",
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // 604800000000 AS wk,
+      |    CAST(round(value * 100) AS BIGINT) // 500 AS b
+      |  FROM events),
+      |h AS (SELECT wk, b, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+      |wktot AS (SELECT wk, CAST(sum(c) AS BIGINT) AS nw FROM h GROUP BY wk),
+      |dom AS (SELECT DISTINCT b FROM h),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS bcnt FROM dom),
+      |base AS (SELECT min(wk) AS wk0 FROM h),
+      |grid AS (SELECT w.wk, w.nw, d.b FROM wktot w CROSS JOIN dom d),
+      |p AS (
+      |  SELECT g.wk, g.b,
+      |    CAST(coalesce(h.c, 0) + 1 AS DOUBLE)
+      |      / CAST(g.nw + (SELECT bcnt FROM nb) AS DOUBLE) AS pr
+      |  FROM grid g LEFT JOIN h ON h.wk = g.wk AND h.b = g.b),
+      |pj AS (
+      |  SELECT p.wk, p.b, p.pr, p0.pr AS pr0
+      |  FROM p JOIN p p0 ON p0.b = p.b AND p0.wk = (SELECT wk0 FROM base)),
+      |terms AS (
+      |  SELECT wk,
+      |    CAST(round(1000000000.0 * (pr - pr0) * ln(pr / pr0)) AS BIGINT) AS t9
+      |  FROM pj)
+      |SELECT t.wk, w.nw AS n_events,
+      |  round(CAST(sum(t.t9) AS DOUBLE) / 1000000000.0, 6) AS psi
+      |FROM terms t JOIN wktot w ON w.wk = t.wk
+      |GROUP BY t.wk, w.nw
+      |ORDER BY t.wk""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(
+      expr("ts_us div 604800000000").as("wk"),
+      expr("cast(round(value * 100) as bigint) div 500").as("b"))
+    val h = e.groupBy("wk", "b").agg(count(lit(1)).as("c"))
+    val wktot = h.groupBy("wk").agg(sum("c").as("nw"))
+    val dom = h.select("b").distinct()
+    // bounded scalars: bucket-domain size and the baseline week
+    val bcnt = dom.count()
+    val wk0 = h.agg(min("wk")).head().getLong(0)
+    val grid = wktot.crossJoin(broadcast(dom))
+    val p = grid.join(h, Seq("wk", "b"), "left")
+      .select(col("wk"), col("b"),
+        ((coalesce(col("c"), lit(0L)) + 1).cast("double")
+          / (col("nw") + lit(bcnt)).cast("double")).as("pr"))
+    val p0 = p.filter(col("wk") === wk0)
+      .select(col("b"), col("pr").as("pr0"))
+    val terms = p.join(broadcast(p0), Seq("b"))
+      .select(col("wk"),
+        round(lit(1000000000.0) * (col("pr") - col("pr0"))
+          * log(col("pr") / col("pr0"))).cast("bigint").as("t9"))
+    terms.groupBy("wk").agg(sum("t9").as("s9"))
+      .join(wktot, Seq("wk"))
+      .select(col("wk"), col("nw").as("n_events"),
+        round(col("s9").cast("double") / 1000000000.0, 6).as("psi"))
+      .orderBy("wk")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
-    q191, q192, q195, q197, q198, q202, q205, q207, q209)
+    q191, q192, q195, q197, q198, q202, q205, q207, q209, q211, q212, q213)
 }

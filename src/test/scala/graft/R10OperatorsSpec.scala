@@ -254,4 +254,144 @@ class R10OperatorsSpec extends SparkSpec {
     // audit's value is precisely that it MEASURES this honestly (a real
     // corpus with label-aligned embeddings reads high); no structure bar.
   }
+
+  // ── q211/q212: hypothesis tests replay densely; nulls stay null ──
+
+  test("q211 one-way ANOVA replays from raw cents with exact integer sums") {
+    val raw = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val g = raw.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = g.size
+    val n = raw.length
+    val s = g.values.map(v => BigInt(v.sum)).sum
+    val s2 = g.values.map(_.map(c => BigInt(c) * c).sum).sum
+    def q(x: BigInt, y: Long): BigInt =
+      BigDecimal(x.toDouble * x.toDouble / y.toDouble)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+    val tb = g.values.map(v => q(BigInt(v.sum), v.size)).sum
+    val sterm = q(s, n)
+    val fExp = ((tb - sterm).toDouble / (k - 1)) / ((s2 - tb).toDouble / (n - k))
+    val etaExp = (tb - sterm).toDouble / (s2 - sterm).toDouble
+    val row = operators.Relational.q211.fn(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_groups") == k && row.getAs[Long]("n") == n)
+    assert(math.abs(row.getAs[Double]("f_stat") - fExp) < 1e-5)
+    assert(math.abs(row.getAs[Double]("eta_sq") - etaExp) < 1e-5)
+    // priority and spend are independent in the generator: the A/A
+    // convention — no hallucinated segmentation effect
+    assert(row.getAs[Double]("eta_sq") < 0.01, "effect size on a null corpus")
+  }
+
+  test("q212 chi-square replays from the dense contingency table") {
+    val raw = Tables.orders(spark, sfDir)
+      .select("o_orderpriority", "o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = raw.length.toLong
+    val prios = raw.map(_._1).distinct.sorted
+    val sts = raw.map(_._2).distinct.sorted
+    val cnt = raw.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rt = prios.map(p => p -> raw.count(_._1 == p).toLong).toMap
+    val ct = sts.map(st => st -> raw.count(_._2 == st).toLong).toMap
+    val t8 = (for { p <- prios; st <- sts } yield {
+      val o = cnt.getOrElse((p, st), 0L)
+      val num = o.toDouble * n.toDouble - rt(p).toDouble * ct(st).toDouble
+      BigDecimal(1e8 * (num * num) / (n.toDouble * rt(p).toDouble * ct(st).toDouble))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+    }).sum
+    val chi2Exp = t8.toDouble / 1e8
+    val row = operators.Relational.q212.fn(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("df") == (prios.size - 1) * (sts.size - 1))
+    assert(math.abs(row.getAs[Double]("chi2") - chi2Exp) < 1e-5)
+    val vExp = math.sqrt(chi2Exp / (n.toDouble * math.min(prios.size - 1, sts.size - 1)))
+    assert(math.abs(row.getAs[Double]("cramers_v") - vExp) < 1e-5)
+    // A/A: under independence chi2 ~ mean df, sd sqrt(2·df) — a fixed
+    // Cramér's-V bar would shrink with n and fail small SFs by design
+    val df = (prios.size - 1) * (sts.size - 1)
+    assert(row.getAs[Double]("chi2") < df + 6 * math.sqrt(2.0 * df),
+      "chi2 beyond 6 sigma of the null on independent columns")
+  }
+
+  // ── q213: PSI replays densely; the baseline week reads exactly 0 ──
+
+  test("q213 weekly PSI replays from the dense smoothed histograms") {
+    val raw = Tables.events(spark, sfDir)
+      .select(expr("ts_us div 604800000000").as("wk"),
+        expr("cast(round(value * 100) as bigint) div 500").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dom = raw.map(_._2).distinct.sorted
+    val weeks = raw.map(_._1).distinct.sorted
+    val wk0 = weeks.min
+    val byWk = raw.groupBy(_._1)
+    def probs(wk: Long): Map[Long, Double] = {
+      val rows = byWk(wk)
+      val c = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      dom.map(b => b ->
+        (c.getOrElse(b, 0L) + 1).toDouble / (rows.size + dom.size).toDouble).toMap
+    }
+    val p0 = probs(wk0)
+    val got = operators.Relational.q213.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("wk"), r.getAs[Long]("n_events"), r.getAs[Double]("psi")))
+    assert(got.map(_._1).toSeq == weeks.toSeq)
+    got.foreach { case (wk, nev, psi) =>
+      assert(nev == byWk(wk).size.toLong)
+      val pw = probs(wk)
+      val t9 = dom.map { b =>
+        BigDecimal(1e9 * (pw(b) - p0(b)) * math.log(pw(b) / p0(b)))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+      }.sum
+      val expPsi = BigDecimal(t9.toDouble / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(psi - expPsi) < 1e-9, s"week $wk")
+    }
+    assert(got.find(_._1 == wk0).get._3 == 0.0, "baseline week must read 0")
+    // the generator's weekly value mix is stationary, but finite-sample
+    // PSI has a null mean of ~(B−1)·(1/n₀ + 1/n_w) (chi-square-like), so
+    // a fixed industry bar (0.25) would encode the corpus size and fail
+    // small SFs by design — bound each week at 3× its own null mean
+    val n0 = byWk(wk0).size.toDouble
+    got.filter(_._1 != wk0).foreach { case (wk, nev, psi) =>
+      val nullMean = (dom.size - 1) * (1.0 / n0 + 1.0 / nev)
+      assert(psi < 3.0 * nullMean,
+        s"week $wk psi=$psi beyond 3x the null mean $nullMean")
+    }
+    assert(got.length >= 2, "need at least one non-baseline week")
+  }
+
+  // ── q214: MI replays densely; independent features carry ~no signal ──
+
+  test("q214 per-feature MI replays from the dense joint counts") {
+    val raw = Tables.part(spark, sfDir)
+      .select(col("p_brand"), col("p_type"),
+        expr("cast(p_size div 10 as string)").as("sz"),
+        expr("cast(round(p_retailprice * 100) as bigint) >= 95000").as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    val feats: Map[String, Array[(String, Boolean)]] = Map(
+      "brand" -> raw.map(r => (r._1, r._4)),
+      "ptype" -> raw.map(r => (r._2, r._4)),
+      "size_decade" -> raw.map(r => (r._3, r._4)))
+    val got = ml.MlPrep.q214.fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("feature") ->
+        (r.getAs[Long]("n_values"), r.getAs[Double]("mi_nats"))).toMap
+    assert(got.keySet == feats.keySet)
+    feats.foreach { case (f, rows) =>
+      val n = rows.length
+      val cvt = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cv = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val ctt = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val t9 = cvt.map { case ((v, t), c) =>
+        BigDecimal(1e9 * (c.toDouble / n)
+          * math.log((c.toDouble * n) / (cv(v).toDouble * ctt(t).toDouble)))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+      }.sum
+      assert(got(f)._1 == cv.size.toLong, s"$f n_values")
+      val expMi = BigDecimal(t9.toDouble / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(f)._2 - expMi) < 1e-9, s"$f mi")
+      // price is independent of every categorical in the generator: MI
+      // must sit near 0 (and never below it beyond quantization slack)
+      assert(got(f)._2 > -1e-6 && got(f)._2 < 0.05, s"$f mi=${got(f)._2}")
+    }
+  }
 }
