@@ -52,6 +52,15 @@ object Bench {
       // must track the corpus (see Verify.scala for the rationale)
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
+      // shuffle FILES are only reclaimed when the driver GC collects the
+      // shuffle dependencies — a multi-hour many-query session on a big
+      // heap barely GCs, so spills accumulate across queries and can
+      // fill local disk (the sf10 checkpoint died exactly this way: 41
+      // heavy queries x 3 passes outran the default 30min periodic GC).
+      // On a cluster the external shuffle service + dynamic allocation
+      // bound this; in local mode the knob is the periodic GC interval.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

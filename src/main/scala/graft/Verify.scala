@@ -23,6 +23,10 @@ object Verify {
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "4096"))
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
+      // see Bench.scala: bound cross-query shuffle-file retention on
+      // long sessions (big-SF full-catalog dumps spill tens of GB)
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -3642,10 +3642,80 @@ object Relational {
       .orderBy("wk")
   }
 
+  // q216 — Mann–Whitney U test of order value, finished ('F') vs open
+  // orders (the NONPARAMETRIC two-sample test the hypothesis family
+  // still lacked: q211's ANOVA assumes the group means summarize the
+  // distributions — heavy tails break it; U compares RANKS, the
+  // distribution-free companion to q184's KS with an actual z-score).
+  // The q209 rank discipline verbatim: the corpus collapses ONCE to the
+  // bounded 1000-cent-bucket histogram (contract stated at bucket
+  // granularity), twice-mid-ranks r2 = 2·cum_below + t + 1 keep ties
+  // exact in integers, 2·R_A = Σ ca·r2 and the tie-correction Σ(t³−t)
+  // accumulate DECIMAL(38,0)/HUGEINT (2n² and n³ terms pass int64 by
+  // sf100), and U and z are single identical-operand-order double
+  // expressions off exact integers — z rounded once, U exact (k/2).
+  // Shuffles: one corpus aggregate; the rank window runs on O(buckets).
+  val q216: QueryDef = QueryDef.sql(
+    "q216_mann_whitney",
+    """WITH o AS (
+      |  SELECT (o_orderstatus = 'F') AS ga,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) // 1000 AS pb
+      |  FROM orders),
+      |h AS (
+      |  SELECT pb,
+      |    CAST(count(CASE WHEN ga THEN 1 END) AS BIGINT) AS ca,
+      |    CAST(count(CASE WHEN NOT ga THEN 1 END) AS BIGINT) AS cb
+      |  FROM o GROUP BY pb),
+      |r AS (
+      |  SELECT pb, ca, cb, ca + cb AS t,
+      |    2 * coalesce(sum(ca + cb) OVER (ORDER BY pb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + (ca + cb) + 1 AS r2
+      |  FROM h),
+      |t AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+      |    CAST(sum(CAST(ca AS HUGEINT) * r2) AS HUGEINT) AS ra2,
+      |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS st
+      |  FROM r)
+      |SELECT na AS n_a, nb AS n_b,
+      |  (CAST(ra2 AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1)) / 2.0 AS u_a,
+      |  round(((CAST(ra2 AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1))
+      |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |    / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+      |      * ((CAST(na + nb AS DOUBLE) + 1) - CAST(st AS DOUBLE)
+      |        / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1))))), 6)
+      |    AS z_score
+      |FROM t""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(
+      (col("o_orderstatus") === "F").as("ga"),
+      expr("cast(round(o_totalprice * 100) as bigint) div 1000").as("pb"))
+    val h = o.groupBy("pb").agg(
+      sum(when(col("ga"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("ga"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
+    val r = h.withColumn("t", col("ca") + col("cb"))
+      .withColumn("r2",
+        lit(2) * coalesce(sum(col("ca") + col("cb")).over(w), lit(0L))
+          + col("t") + 1)
+    val t = r.agg(
+      sum("ca").as("na"), sum("cb").as("nb"),
+      sum(expr("cast(ca as decimal(19,0)) * r2")).as("ra2"),
+      sum(expr("cast(t as decimal(19,0)) * t * t - t")).as("st"))
+    def dbl(c: String) = col(c).cast("double")
+    val u2 = dbl("ra2") - dbl("na") * (dbl("na") + 1)
+    val nn = dbl("na") + dbl("nb")
+    t.select(col("na").as("n_a"), col("nb").as("n_b"),
+      (u2 / 2.0).as("u_a"),
+      round((u2 - dbl("na") * dbl("nb"))
+        / (lit(2.0) * sqrt(dbl("na") * dbl("nb") / 12.0
+          * ((nn + 1) - dbl("st") / (nn * (nn - 1))))), 6).as("z_score"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
-    q191, q192, q195, q197, q198, q202, q205, q207, q209, q211, q212, q213)
+    q191, q192, q195, q197, q198, q202, q205, q207, q209, q211, q212, q213,
+    q216)
 }

@@ -2255,8 +2255,84 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // q215 — perplexity-filter retention sweep: for a fixed grid of
+  // bigram-LM score thresholds, the docs/chars each source would retain
+  // (the data-mixing dashboard behind every "quality-filtered" corpus
+  // release — the threshold is a DIAL, and this is the curve you read
+  // before setting it; q67 scores one doc, this prices the POLICY).
+  // Rides q67's oracle-green scorer unchanged, then collapses the
+  // per-doc scores to a bounded (source × 0.01-score-bucket) histogram —
+  // the sweep's only corpus-sized input is the score join, the 8
+  // thresholds ride a bounded cross join. Bucketing is EXACT off the
+  // round-6 score: k6 = round(score·1e6) is the same integer in both
+  // engines, and floor(k6/1e4) can't cross an integer boundary (k6/1e4
+  // is ≥1e-4 from any integer it doesn't hit exactly) — so "bucket ≥
+  // 100τ ⟺ score ≥ τ" holds exactly on the 0.05-step grid. Retention
+  // fractions are single divisions of exact ints, unrounded.
+  val q215: QueryDef = QueryDef.sql(
+    "q215_ppl_filter_sweep",
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, length(text)),
+      |    i -> substr(text, CAST(i AS INT), 2))) AS gram
+      |  FROM documents),
+      |bi AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+      |pref AS (SELECT substr(gram, 1, 1) AS c1, sum(cnt) AS pcnt FROM bi GROUP BY 1),
+      |v AS (
+      |  SELECT CAST(count(DISTINCT c) AS DOUBLE) AS v FROM (
+      |    SELECT unnest(list_transform(range(1, length(text) + 1),
+      |      i -> substr(text, CAST(i AS INT), 1))) AS c
+      |    FROM documents) u),
+      |sc AS (
+      |  SELECT g.doc_id,
+      |    round(avg(ln(CAST(bi.cnt + 1 AS DOUBLE) / (pref.pcnt + v.v))), 6) AS logprob
+      |  FROM g JOIN bi USING (gram) JOIN pref ON substr(g.gram, 1, 1) = pref.c1, v
+      |  GROUP BY g.doc_id),
+      |db AS (
+      |  SELECT d.source, d.n_chars,
+      |    CAST(floor(CAST(round(sc.logprob * 1000000) AS BIGINT) / 10000.0) AS BIGINT) AS b
+      |  FROM sc JOIN documents d USING (doc_id)),
+      |h AS (
+      |  SELECT source, b, CAST(count(*) AS BIGINT) AS nd,
+      |    CAST(sum(n_chars) AS BIGINT) AS nc
+      |  FROM db GROUP BY 1, 2),
+      |taus AS (SELECT unnest(range(-190, -150, 5)) AS t100),
+      |agg AS (
+      |  SELECT h.source, taus.t100,
+      |    CAST(sum(CASE WHEN h.b >= taus.t100 THEN h.nd ELSE 0 END) AS BIGINT) AS docs_kept,
+      |    CAST(sum(CASE WHEN h.b >= taus.t100 THEN h.nc ELSE 0 END) AS BIGINT) AS chars_kept,
+      |    CAST(sum(h.nd) AS BIGINT) AS docs_total,
+      |    CAST(sum(h.nc) AS BIGINT) AS chars_total
+      |  FROM h CROSS JOIN taus
+      |  GROUP BY 1, 2)
+      |SELECT source, CAST(t100 AS DOUBLE) / 100.0 AS tau, docs_kept, chars_kept,
+      |  CAST(docs_kept AS DOUBLE) / docs_total AS frac_docs,
+      |  CAST(chars_kept AS DOUBLE) / chars_total AS frac_chars
+      |FROM agg ORDER BY source, tau""".stripMargin) { (s, d) =>
+    val sc = q67.fn(s, d).select(col("doc_id"), col("logprob"))
+    val db = sc
+      .join(Tables.documents(s, d).select("doc_id", "source", "n_chars"), Seq("doc_id"))
+      .select(col("source"), col("n_chars"),
+        floor(expr("cast(round(logprob * 1000000) as bigint)") / lit(10000.0))
+          .cast("bigint").as("b"))
+    val h = db.groupBy("source", "b")
+      .agg(count(lit(1)).as("nd"), sum("n_chars").as("nc"))
+    val taus = s.range(1)
+      .select(explode(sequence(lit(-190), lit(-155), lit(5))).as("t100"))
+    h.crossJoin(broadcast(taus))
+      .groupBy("source", "t100")
+      .agg(
+        sum(when(col("b") >= col("t100"), col("nd")).otherwise(0L)).as("docs_kept"),
+        sum(when(col("b") >= col("t100"), col("nc")).otherwise(0L)).as("chars_kept"),
+        sum("nd").as("docs_total"), sum("nc").as("chars_total"))
+      .select(col("source"), (col("t100").cast("double") / 100.0).as("tau"),
+        col("docs_kept"), col("chars_kept"),
+        (col("docs_kept").cast("double") / col("docs_total")).as("frac_docs"),
+        (col("chars_kept").cast("double") / col("chars_total")).as("frac_chars"))
+      .orderBy("source", "tau")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120,
     q123, q124, q126, q127, q129, q130, q136, q137, q146, q149, q150,
-    q151, q152, q159, q160, q161, q188, q194, q201)
+    q151, q152, q159, q160, q161, q188, q194, q201, q215)
 }

@@ -394,4 +394,76 @@ class R10OperatorsSpec extends SparkSpec {
       assert(got(f)._2 > -1e-6 && got(f)._2 < 0.05, s"$f mi=${got(f)._2}")
     }
   }
+
+  // ── q215: the sweep replays from q67's verified scores; curves are
+  //    monotone dials ──
+
+  test("q215 retention sweep replays from the verified per-doc scores") {
+    val scores = text.TextAnalysis.q67.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logprob")).toMap
+    val meta = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(t => scores.contains(t._1))
+    def bucket(lp: Double): Long =
+      math.floor(math.round(lp * 1e6).toDouble / 10000.0).toLong
+    val taus = (-190 to -155 by 5).map(_.toLong)
+    val bySource = meta.groupBy(_._2)
+    val got = text.TextAnalysis.q215.fn(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Double]("tau"),
+        r.getAs[Long]("docs_kept"), r.getAs[Long]("chars_kept"),
+        r.getAs[Double]("frac_docs"), r.getAs[Double]("frac_chars")))
+    assert(got.length == bySource.size * taus.size)
+    got.foreach { case (src, tau, dk, ck, fd, fc) =>
+      val rows = bySource(src)
+      val t100 = math.round(tau * 100)
+      val kept = rows.filter(t => bucket(scores(t._1)) >= t100)
+      assert(dk == kept.size.toLong, s"$src tau=$tau docs")
+      assert(ck == kept.map(_._3).sum, s"$src tau=$tau chars")
+      assert(fd == dk.toDouble / rows.size && fc >= 0.0 && fc <= 1.0)
+    }
+    // retention is a dial: non-increasing in tau within every source
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val byTau = rows.sortBy(_._2).map(_._3)
+      assert(byTau.zip(byTau.tail).forall { case (a, b) => a >= b },
+        s"$src retention not monotone: ${byTau.toSeq}")
+    }
+  }
+
+  // ── q216: Mann–Whitney replays densely at bucket granularity ──
+
+  test("q216 Mann-Whitney U replays from the dense bucket histogram") {
+    val raw = Tables.orders(spark, sfDir)
+      .select((col("o_orderstatus") === "F").as("ga"),
+        expr("cast(round(o_totalprice * 100) as bigint) div 1000").as("pb"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val buckets = raw.map(_._2).distinct.sorted
+    val ca = raw.filter(_._1).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cb = raw.filterNot(_._1).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val na = raw.count(_._1).toLong
+    val nb = raw.size - na
+    var cum = 0L
+    var ra2 = BigInt(0)
+    var st = BigInt(0)
+    buckets.foreach { b =>
+      val a = ca.getOrElse(b, 0L); val bb = cb.getOrElse(b, 0L)
+      val t = a + bb
+      val r2 = BigInt(2) * cum + t + 1
+      ra2 += BigInt(a) * r2
+      st += BigInt(t) * t * t - t
+      cum += t
+    }
+    val u2 = ra2.toDouble - na.toDouble * (na.toDouble + 1)
+    val n = na.toDouble + nb.toDouble
+    val zExp = (u2 - na.toDouble * nb) /
+      (2.0 * math.sqrt(na.toDouble * nb / 12.0 * ((n + 1) - st.toDouble / (n * (n - 1)))))
+    val row = operators.Relational.q216.fn(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_a") == na && row.getAs[Long]("n_b") == nb)
+    assert(math.abs(row.getAs[Double]("u_a") - u2 / 2.0) <= math.ulp(u2) * 4)
+    assert(math.abs(row.getAs[Double]("z_score") - zExp) < 1e-5)
+    // status and spend are independent in the generator (A/A): the
+    // standardized U stays inside a wide null band
+    assert(math.abs(row.getAs[Double]("z_score")) < 6.0,
+      s"z=${row.getAs[Double]("z_score")} on independent columns")
+  }
 }
