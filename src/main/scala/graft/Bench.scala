@@ -56,11 +56,14 @@ object Bench {
       // shuffle dependencies — a multi-hour many-query session on a big
       // heap barely GCs, so spills accumulate across queries and can
       // fill local disk (the sf10 checkpoint died exactly this way: 41
-      // heavy queries x 3 passes outran the default 30min periodic GC).
-      // On a cluster the external shuffle service + dynamic allocation
-      // bound this; in local mode the knob is the periodic GC interval.
+      // heavy queries x 3 passes outran Spark's built-in 30min periodic
+      // GC). On a cluster the external shuffle service + dynamic
+      // allocation bound this; in local mode the knob is the periodic GC
+      // interval, so the fallback here must be TIGHTER than the built-in
+      // default or the config is a no-op — 5min bounds spill retention
+      // to a few queries' worth on long sessions.
       .config("spark.cleaner.periodicGC.interval",
-        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "5min"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,9 +24,11 @@ object Verify {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
       // see Bench.scala: bound cross-query shuffle-file retention on
-      // long sessions (big-SF full-catalog dumps spill tens of GB)
+      // long sessions (big-SF full-catalog dumps spill tens of GB).
+      // 5min, not 30min — 30min IS Spark's default, so it wouldn't fix
+      // the spill accumulation it's here to fix.
       .config("spark.cleaner.periodicGC.interval",
-        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "5min"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

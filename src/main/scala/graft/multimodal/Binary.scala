@@ -27,6 +27,22 @@ import graft.{QueryDef, Tables}
   */
 object Binary {
 
+  /** ImageIO's stream cache defaults to a TEMP FILE PER IMAGE
+    * (`FileCacheImageInputStream`): every `ImageIO.read`/`write` call
+    * creates, writes, and deletes a disk file even though our payloads
+    * are already in memory. Per-rep over the corpus that is thousands of
+    * disk round-trips — measured as q193's stable 2× solo-vs-catalog gap
+    * (idle disk solo, contended disk mid-catalog when other queries are
+    * spilling). Memory-backed streams are strictly correct here (whole
+    * payload already heap-resident). JVM-global, so it must run on the
+    * EXECUTOR JVM — call `ensure()` inside the decode/encode path, not
+    * just at driver init.
+    */
+  private[multimodal] object ImageIOInit {
+    javax.imageio.ImageIO.setUseCache(false)
+    def ensure(): Unit = ()
+  }
+
   // q70 — binary column + typed metadata, fully oracle-checkable: byte
   // length, sha256, leading-bytes "magic", ascii flag.
   val q70: QueryDef = QueryDef.sql(
@@ -176,8 +192,10 @@ object Binary {
   object PngBatchDecoder extends BatchDecoder {
     val nFeatures = 10 // width, height, 8 luma-histogram fractions
     def decode(batch: BinaryBatch): Array[Double] = {
+      ImageIOInit.ensure()
       val out = new Array[Double](batch.size * nFeatures)
       val hist = new Array[Long](8)
+      var rowBuf = new Array[Int](0)
       var i = 0
       while (i < batch.size) {
         val in = new java.io.ByteArrayInputStream(
@@ -191,11 +209,15 @@ object Binary {
           val w = img.getWidth
           val h = img.getHeight
           java.util.Arrays.fill(hist, 0L)
+          if (rowBuf.length < w) rowBuf = new Array[Int](w)
           var y = 0
           while (y < h) {
+            // bulk row read: one raster call per row instead of a
+            // per-pixel getRGB (each of which re-resolves the color model)
+            img.getRGB(0, y, w, 1, rowBuf, 0, w)
             var x = 0
             while (x < w) {
-              val rgb = img.getRGB(x, y)
+              val rgb = rowBuf(x)
               val lum = (((rgb >> 16) & 0xff) * 299 +
                 ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
               hist(lum >> 5) += 1
@@ -356,6 +378,7 @@ object Binary {
     * binary-codec pipeline end-to-end.
     */
   private[graft] def pngPayload(text: Array[Byte]): Array[Byte] = {
+    ImageIOInit.ensure() // encode side: no temp-file-per-image either
     val w = math.max(text.length, 1)
     val img = new java.awt.image.BufferedImage(
       w, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -804,6 +827,7 @@ object Binary {
         StructField("doc_id", LongType),
         StructField("sig", ArrayType(BooleanType, containsNull = false))))
       val sigRows = src.rdd.mapPartitions { it =>
+        ImageIOInit.ensure() // no temp-file-per-decode on the executor
         it.map { r =>
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
@@ -814,17 +838,14 @@ object Binary {
             if (img == null) Array.empty[Int]
             else {
               val (w, h) = (img.getWidth, img.getHeight)
+              val rgbBuf = img.getRGB(0, 0, w, h, null, 0, w) // bulk read
               val lum = new Array[Int](w * h)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  lum(y * w + x) = (((rgb >> 16) & 0xff) * 299 +
-                    ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-                  x += 1
-                }
-                y += 1
+              var i = 0
+              while (i < lum.length) {
+                val rgb = rgbBuf(i)
+                lum(i) = (((rgb >> 16) & 0xff) * 299 +
+                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                i += 1
               }
               lum
             }

@@ -3429,10 +3429,13 @@ object Relational {
   // sf10), then a bounded 5-row reduction. Cross-group determinism is the
   // q209 discipline taken one step further: Σg sg²/ng is a sum of
   // NON-integer terms whose float order would be engine-dependent, so
-  // each term is quantized to its nearest integer FIRST (one double
-  // division of exact ints + one round — identical in both engines;
-  // quantization error ≤0.5 on ~1e20 magnitudes, 1e-17 relative in F) and
-  // the integer sum is exact and order-free. F and η² are then single
+  // each term is quantized onto the representable-double grid FIRST (one
+  // double division of exact ints + one round — both operations
+  // bit-identical in the two engines; past 2^53 the round() is a no-op
+  // because the double ULP already exceeds 1, so the quantization
+  // guarantee is ULP-LEVEL, ~1e-16 relative — not ±0.5 absolute) and
+  // the sum of the now-identical terms is order-free because decimal
+  // addition of integers is exact. F and η² are then single
   // identical-operand-order double expressions, rounded once.
   val q211: QueryDef = QueryDef.sql(
     "q211_anova_oneway",
@@ -3615,13 +3618,29 @@ object Relational {
       |FROM terms t JOIN wktot w ON w.wk = t.wk
       |GROUP BY t.wk, w.nw
       |ORDER BY t.wk""".stripMargin) { (s, d) =>
+    // Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    // they agree ONLY because both operands are nonnegative here (ts_us
+    // is a positive epoch, events.value ≥ 0 in this corpus; q168 leans
+    // on the same precondition). A signed metric would need floor() on
+    // both sides.
     val e = Tables.events(s, d).select(
       expr("ts_us div 604800000000").as("wk"),
       expr("cast(round(value * 100) as bigint) div 500").as("b"))
-    val h = e.groupBy("wk", "b").agg(count(lit(1)).as("c"))
+    // ONE corpus shuffle total: the bounded (week × 500-cent-bucket)
+    // histogram persists, driver-reads (q199's stat-table discipline,
+    // capped), and releases — so the grid/smoothing/term algebra below,
+    // which needs h along four branches (wktot, dom, the left join, the
+    // baseline week), runs on a LOCAL bounded table instead of
+    // re-aggregating the events corpus once per branch.
+    val hBig = e.groupBy("wk", "b").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hRows = hBig.take(1 << 20)
+    require(hRows.length < (1 << 20), "week×bucket histogram driver overflow")
+    val h = s.createDataFrame(java.util.Arrays.asList(hRows: _*), hBig.schema)
+    hBig.unpersist(false)
     val wktot = h.groupBy("wk").agg(sum("c").as("nw"))
     val dom = h.select("b").distinct()
-    // bounded scalars: bucket-domain size and the baseline week
+    // bounded scalars read off the LOCAL histogram, not corpus scans
     val bcnt = dom.count()
     val wk0 = h.agg(min("wk")).head().getLong(0)
     val grid = wktot.crossJoin(broadcast(dom))
@@ -3653,7 +3672,9 @@ object Relational {
   // exact in integers, 2·R_A = Σ ca·r2 and the tie-correction Σ(t³−t)
   // accumulate DECIMAL(38,0)/HUGEINT (2n² and n³ terms pass int64 by
   // sf100), and U and z are single identical-operand-order double
-  // expressions off exact integers — z rounded once, U exact (k/2).
+  // expressions off exact integers — z rounded once; U is an exact
+  // half-integer while 2·R_A < 2^53 (ULP-level, still engine-identical,
+  // beyond that).
   // Shuffles: one corpus aggregate; the rank window runs on O(buckets).
   val q216: QueryDef = QueryDef.sql(
     "q216_mann_whitney",
