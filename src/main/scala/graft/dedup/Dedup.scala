@@ -1799,7 +1799,203 @@ object Dedup {
     out
   }
 
+  /** Persisted prefix-filter index for EXACT-τ incremental dedup — q204's
+    * q48 treatment. Three bucketed tables per corpus snapshot:
+    *
+    *  - `graft_pf_df_*` (token, df): the FROZEN token order. The prefix
+    *    lemma holds under ANY fixed global total order — df-ascending is
+    *    only the efficiency heuristic — so freezing the snapshot's order
+    *    keeps later batches CONSISTENT with the stored prefixes without
+    *    touching them (a batch token the snapshot never saw orders as
+    *    df 0: rarest, which is also the efficient choice). Correctness
+    *    never staleness-decays; only bucket selectivity does, and a
+    *    periodic re-freeze is the amortized full rebuild.
+    *  - `graft_pf_prefix_*` (doc_id, token) bucketed on token: the
+    *    corpus docs' prefix tokens — the batch-vs-corpus candidate join
+    *    reads these buckets IN PLACE (no corpus re-shuffle, ever).
+    *  - `graft_pf_docs_*` (doc_id, toks, n) bucketed on doc_id: the
+    *    verify-side artifacts, so exact |A∩B| needs no re-tokenization
+    *    of corpus payloads. (q204's solo recompute-over-persist
+    *    measurement doesn't apply here: that trade was per-query cache
+    *    build vs three in-plan reuses — this is ONE disk write at
+    *    snapshot build amortized over every later refresh, the
+    *    signature-table economics of writeSignatureTable.)
+    *
+    * Prefix length is frozen at τ = 0.5 (q204's gate); any τ' ≥ 0.5
+    * reuses the same index (longer thresholds need shorter prefixes —
+    * monotone, so the stored prefix is a superset).
+    */
+  private val pfMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (String, String, String)]()
+  graft.Memos.register { () => pfMemo.clear() }
+  private[graft] def prefixIndexTables(s: SparkSession,
+      d: String): (String, String, String) =
+    pfMemo.computeIfAbsent((s, d), { _ =>
+      val suffix = graft.Memos.pathToken(d)
+      val (dfT, prefT, docsT) = (s"graft_pf_df_$suffix",
+        s"graft_pf_prefix_$suffix", s"graft_pf_docs_$suffix")
+      val corpus = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)
+      val tok = corpus.select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.VectorExprs.charNgrams(col("text"), 20))).as("token"))
+      val dfTab = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      graft.operators.ScaleJoins.writeBucketed(dfTab, dfT, "token", 8)
+      val docsArt = tok.join(s.table(dfT), "token")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("token"))).as("toks"),
+          transform(array_sort(collect_list(struct(col("df"), col("token")))),
+            x => x.getField("token")).as("ord"),
+          count(lit(1)).as("n"))
+        .withColumn("plen", (col("n") - ceil(lit(0.5) * col("n")) + 1).cast("int"))
+      graft.operators.ScaleJoins.writeBucketed(
+        docsArt.select("doc_id", "toks", "n"), docsT, "doc_id", 8)
+      graft.operators.ScaleJoins.writeBucketed(
+        docsArt.select(col("doc_id"), col("plen"),
+            posexplode(col("ord")).as(Seq("pos", "token")))
+          .filter(col("pos") < col("plen"))
+          .select("doc_id", "token"),
+        prefT, "token", 8)
+      (dfT, prefT, docsT)
+    })
+
+  /** q217's body with the threshold and limit exposed (the spec replays
+    * append-vs-rebuild equality without the LIMIT). Only the BATCH is
+    * tokenized, df-ordered (under the frozen snapshot order via one
+    * left join to the bucketed df table), prefixed, and joined —
+    * the corpus contributes already-bucketed reads: O(batch) shuffle
+    * work per refresh, the corpus never re-shuffles (plan-guarded).
+    */
+  private[graft] def incrementalPrefixJoin(s: SparkSession, d: String,
+      tau: Double, takeN: Int): DataFrame = {
+    val (dfT, prefT, docsT) = prefixIndexTables(s, d)
+    val batchTok = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.VectorExprs.charNgrams(col("text"), 20))).as("token"))
+    val bdocs = batchTok.join(s.table(dfT), Seq("token"), "left")
+      .select(col("doc_id"), col("token"),
+        coalesce(col("df"), lit(0L)).as("df"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("token"))).as("toks"),
+        transform(array_sort(collect_list(struct(col("df"), col("token")))),
+          x => x.getField("token")).as("ord"),
+        count(lit(1)).as("n"))
+      .withColumn("plen", (col("n") - ceil(lit(tau) * col("n")) + 1).cast("int"))
+    val bprefix = bdocs.select(col("doc_id"), col("plen"),
+        posexplode(col("ord")).as(Seq("pos", "token")))
+      .filter(col("pos") < col("plen"))
+      .select("doc_id", "token")
+    // batch-vs-corpus: the corpus prefix buckets are read in place
+    val cross = bprefix.as("b")
+      .join(s.table(prefT).as("c"), col("b.token") === col("c.token"))
+      .select(least(col("b.doc_id"), col("c.doc_id")).as("id_a"),
+        greatest(col("b.doc_id"), col("c.doc_id")).as("id_b"))
+    // batch-vs-batch: dups inside the arriving batch itself
+    val self = bprefix.as("x").join(bprefix.as("y"),
+        col("x.token") === col("y.token") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    val cand = cross.union(self).distinct()
+    // verify side: corpus artifacts come from the persisted bucketed doc
+    // table and batch artifacts ride in-plan. A pair slot can hold either
+    // kind of id, so each slot left-joins BOTH sources and coalesces —
+    // NOT a union of the two artifact sets, which would drag the whole
+    // corpus artifact table through the pair-join exchange (the O(corpus)
+    // shuffle this operator exists to avoid; plan-guarded).
+    val bArt = bdocs.select(col("doc_id"), col("toks"), col("n"))
+    def attach(c: DataFrame, idCol: String, t: String, n: String): DataFrame =
+      c.join(s.table(docsT).select(col("doc_id").as(idCol),
+          col("toks").as("ct"), col("n").as("cn")), Seq(idCol), "left")
+        .join(bArt.select(col("doc_id").as(idCol),
+          col("toks").as("bt"), col("n").as("bn")), Seq(idCol), "left")
+        .withColumn(t, coalesce(col("ct"), col("bt")))
+        .withColumn(n, coalesce(col("cn"), col("bn")))
+        .drop("ct", "cn", "bt", "bn")
+    attach(attach(cand, "id_a", "t_a", "n_a"), "id_b", "t_b", "n_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExprs.interCountSorted(col("t_a"), col("t_b"))
+          .cast("long").as("inter"),
+        col("n_a"), col("n_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 8))
+      .filter(col("jaccard") >= tau)
+      .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
+      .limit(takeN)
+  }
+
+  // q217 — INCREMENTAL prefix-filter dedup: q204's exact-Jaccard release
+  // gate with q48's refresh economics. q48 serves the approximate MinHash
+  // tier incrementally; gates that need a DETERMINISTIC τ guarantee
+  // (q204's reason to exist) previously paid a full corpus rebuild per
+  // arriving batch. Here the corpus snapshot keeps three persisted
+  // bucketed tables (frozen df order, prefix tokens on token, verify
+  // artifacts on doc_id — see prefixIndexTables); a batch refresh
+  // tokenizes and prefixes ONLY the batch under the frozen order and
+  // joins corpus buckets in place — O(batch) shuffle, corpus never
+  // re-shuffled (plan-guarded). The frozen order changes candidate SETS
+  // vs a fresh rebuild but never the verified OUTPUT (the lemma holds
+  // under any consistent total order and verification is exact) — the
+  // spec asserts append == rebuild pair-for-pair; the oracle replays the
+  // frozen-order semantics end-to-end. Output: every ≥ τ pair involving
+  // a batch doc (batch-corpus and batch-batch).
+  val q217: QueryDef = QueryDef.sql(
+    "q217_incremental_prefix_dedup",
+    """WITH tokall AS (
+      |  SELECT doc_id, g AS token
+      |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+      |          range(1, length(text) - 18),
+      |          i -> substr(text, CAST(i AS INT), 20)))) AS g
+      |        FROM documents)),
+      |ctok AS (SELECT * FROM tokall WHERE doc_id % 10 != 0),
+      |btok AS (SELECT * FROM tokall WHERE doc_id % 10 = 0),
+      |cdf AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM ctok GROUP BY token),
+      |cdocs AS (
+      |  SELECT ctok.doc_id,
+      |    list_sort(list(ctok.token)) AS toks,
+      |    list(ctok.token ORDER BY cdf.df, ctok.token) AS ord,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM ctok JOIN cdf ON ctok.token = cdf.token
+      |  GROUP BY ctok.doc_id),
+      |bdocs AS (
+      |  SELECT btok.doc_id,
+      |    list_sort(list(btok.token)) AS toks,
+      |    list(btok.token ORDER BY coalesce(cdf.df, 0), btok.token) AS ord,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM btok LEFT JOIN cdf ON btok.token = cdf.token
+      |  GROUP BY btok.doc_id),
+      |cpref AS (
+      |  SELECT doc_id, unnest(list_slice(ord, 1,
+      |    CAST(n - ceil(0.5 * n) + 1 AS BIGINT))) AS token
+      |  FROM cdocs),
+      |bpref AS (
+      |  SELECT doc_id, unnest(list_slice(ord, 1,
+      |    CAST(n - ceil(0.5 * n) + 1 AS BIGINT))) AS token
+      |  FROM bdocs),
+      |cand AS (
+      |  SELECT least(b.doc_id, c.doc_id) AS id_a,
+      |    greatest(b.doc_id, c.doc_id) AS id_b
+      |  FROM bpref b JOIN cpref c ON b.token = c.token
+      |  UNION
+      |  SELECT x.doc_id, y.doc_id
+      |  FROM bpref x JOIN bpref y ON x.token = y.token AND x.doc_id < y.doc_id),
+      |alldocs AS (
+      |  SELECT doc_id, toks, n FROM cdocs
+      |  UNION ALL SELECT doc_id, toks, n FROM bdocs),
+      |ver AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+      |    a.n AS n_a, b.n AS n_b
+      |  FROM cand c JOIN alldocs a ON c.id_a = a.doc_id
+      |    JOIN alldocs b ON c.id_b = b.doc_id)
+      |SELECT id_a, id_b, inter, n_a, n_b,
+      |  round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 8) AS jaccard
+      |FROM ver
+      |WHERE round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 8) >= 0.5
+      |ORDER BY jaccard DESC, id_a, id_b
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    incrementalPrefixJoin(s, d, 0.5, takeN = 100)
+  }
+
   val all: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q49, q75, q99, q109, q115, q117, q122, q125, q128, q131, q132, q138,
-    q145, q154, q203, q204)
+    q145, q154, q203, q204, q217)
 }

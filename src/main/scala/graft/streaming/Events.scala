@@ -684,5 +684,120 @@ object Events {
       .orderBy("bucket")
   }
 
+  /** Baseline-histogram literals for the PSI monitor: the frozen
+    * reference distribution driver-reads ONCE (bounded — a 500-cent
+    * bucket histogram, the same model-artifact class as k-means
+    * centroids) and embeds as expression literals, so the stream join
+    * against it is a pure map lookup inside one projection — no
+    * stream-static join, no shuffle, nothing to re-read per batch.
+    * Returns (map literal SQL, keys array literal SQL, total count).
+    */
+  private def psiBaselineLiterals(baseline: DataFrame): (String, String, Long) = {
+    val rows = baseline.select(col("b").cast("long"), col("c").cast("long"))
+      .take(1 << 16)
+    require(rows.nonEmpty, "PSI baseline histogram is empty")
+    require(rows.length < (1 << 16), "PSI baseline histogram driver overflow")
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val mapLit = pairs.map { case (k, v) => s"${k}L, ${v}L" }
+      .mkString("map(", ", ", ")")
+    val keysLit = pairs.map(p => s"${p._1}L").mkString("array(", ", ", ")")
+    (mapLit, keysLit, pairs.map(_._2).sum)
+  }
+
+  /** The PSI projection SHARED verbatim by the streaming monitor and its
+    * batch replay (the fertilityMonitorStream/bpeFlatMerges discipline:
+    * equality holds because both faces evaluate literally the same
+    * expression). Input rows carry `w` (window struct), `ents`
+    * (array<struct<b,c>> — the window's bucket histogram, order
+    * IRRELEVANT: every per-bucket term quantizes onto the 1e-9 grid
+    * before an integer sum, q213's order-free determinism) and
+    * `n_events`. Smoothing is q213's +1 Laplace, with the domain = the
+    * union of the baseline's buckets and the window's (per-window — the
+    * streaming analogue of q213's corpus-global domain, stated in the
+    * contract).
+    */
+  private def psiProject(perWin: DataFrame, m0: String, ks0: String,
+      n0: Long, warnAt: Double, alertAt: Double): DataFrame = {
+    val p = "cast(coalesce(element_at(mw, k), 0L) + 1 as double)" +
+      " / cast(n_events + bs as double)"
+    val p0 = s"cast(coalesce(element_at(m0, k), 0L) + 1 as double)" +
+      s" / cast(${n0}L + bs as double)"
+    perWin
+      .withColumn("mw", expr("map_from_entries(ents)"))
+      .withColumn("m0", expr(m0))
+      .withColumn("ks", expr(s"array_union($ks0, transform(ents, e -> e.b))"))
+      .withColumn("bs", expr("cast(size(ks) as bigint)"))
+      .withColumn("psi", expr(
+        s"""round(cast(aggregate(ks, 0L, (acc, k) -> acc +
+           |  cast(round(1000000000.0D * (($p - $p0) * ln(($p) / ($p0))))
+           |    as bigint)) as double) / 1000000000.0D, 6)""".stripMargin))
+      .select(col("w.start").as("win_start"), col("n_events"), col("psi"),
+        when(col("psi") >= alertAt, "alert")
+          .when(col("psi") >= warnAt, "warn").otherwise("ok").as("status"),
+        (col("psi") >= alertAt).as("alert"))
+  }
+
+  /** The (window × 500-cent-bucket) count table both PSI faces reduce
+    * from — q213's bucket contract. Also the helper that builds a FROZEN
+    * baseline histogram from a trusted batch slice (`groupBy(b).count`).
+    */
+  def valueBucketHistogram(events: DataFrame): DataFrame =
+    events.withColumn("b", expr("cast(round(value * 100) as bigint) div 500"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+
+  /** STREAMING PSI drift monitor — q213's pager-signal face: the
+    * population stability index of each event-time window's value
+    * distribution against a FROZEN baseline histogram (the trusted
+    * reference slice a risk team freezes, where batch q213 uses week 0),
+    * emitted ONCE per window when the watermark closes it (append mode —
+    * the monitor alerts on final numbers, not provisional ones). The
+    * 0.1 warn / 0.25 alert defaults are the thresholds the PSI
+    * literature standardizes.
+    *
+    * Scale shape: two CHAINED stateful aggregations (Spark's
+    * multiple-stateful-operator support): (window, bucket) counts —
+    * state O(open windows × bounded buckets) — then the per-window
+    * histogram roll-up via collect_list over the BOUNDED bucket rows
+    * (never raw events; the list a window carries is ≤ |bucket domain|).
+    * The baseline rides as expression literals (bounded driver artifact)
+    * so no per-batch join or shuffle touches it. PSI math is shared
+    * verbatim with [[psiAgainstBaseline]] — StreamingSpec proves
+    * streamed == batch per closed window and both alert polarities.
+    */
+  def psiDriftStream(events: DataFrame, baseline: DataFrame,
+      windowLen: String = "1 hour", watermark: String = "2 hours",
+      warnAt: Double = 0.1, alertAt: Double = 0.25): DataFrame = {
+    val (m0, ks0, n0) = psiBaselineLiterals(baseline)
+    val counts = events.withWatermark("ts", watermark)
+      .withColumn("b", expr("cast(round(value * 100) as bigint) div 500"))
+      .groupBy(window(col("ts"), windowLen).as("w"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val perWin = counts
+      // re-window on the window struct — the documented chained-
+      // aggregation form that keeps event-time semantics attached
+      .groupBy(window(col("w"), windowLen).as("w"))
+      .agg(collect_list(struct(col("b"), col("c"))).as("ents"),
+        sum("c").as("n_events"))
+    psiProject(perWin, m0, ks0, n0, warnAt, alertAt)
+  }
+
+  /** Batch replay of [[psiDriftStream]] on the same rows — the spec's
+    * equality reference and the backfill face (PSI over historical
+    * windows against the same frozen baseline).
+    */
+  def psiAgainstBaseline(events: DataFrame, baseline: DataFrame,
+      windowLen: String = "1 hour",
+      warnAt: Double = 0.1, alertAt: Double = 0.25): DataFrame = {
+    val (m0, ks0, n0) = psiBaselineLiterals(baseline)
+    val counts = events
+      .withColumn("b", expr("cast(round(value * 100) as bigint) div 500"))
+      .groupBy(window(col("ts"), windowLen).as("w"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val perWin = counts.groupBy(window(col("w"), windowLen).as("w"))
+      .agg(collect_list(struct(col("b"), col("c"))).as("ents"),
+        sum("c").as("n_events"))
+    psiProject(perWin, m0, ks0, n0, warnAt, alertAt)
+  }
+
   val all: Seq[QueryDef] = Seq(q80, q81, q82, q83, q134, q200, q206)
 }

@@ -524,4 +524,51 @@ class StreamingSpec extends SparkSpec {
     assert(sampledMax >= (exactPeak + 1) / 2,
       s"sampled census $sampledMax implausibly far below peak $exactPeak")
   }
+
+  test("psiDriftStream: closed-window PSI equals the batch replay; both alert polarities fire") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // frozen baseline: 80 values spread uniformly over buckets 0..3
+    // (value v → bucket round(v*100) div 500: 0.5→0, 5.5→1, 10.5→2, 15.5→3)
+    val baseVals = Seq.tabulate(80)(i => (i % 4) * 5.0 + 0.5)
+    val baseline = Events.valueBucketHistogram(baseVals.toDF("value"))
+    val mem = MemoryStream[(Timestamp, Double)]
+    val df = mem.toDF().toDF("ts", "value")
+    val q = Events.psiDriftStream(df, baseline).writeStream
+      .format("memory").queryName("psi_mon").outputMode(OutputMode.Append).start()
+    def ev(m: String, v: Double) = (Timestamp.valueOf(s"2024-01-01 $m:00"), v)
+    // window 10:00 IN-PROFILE: 40 events with exactly the baseline mix —
+    // with +1 smoothing over the shared 4-bucket domain both p=(10+1)/44
+    // and p0=(20+1)/84 are exactly 0.25, so psi is exactly 0.
+    // window 11:00 DRIFTED: all mass in bucket 3.
+    // Fed across THREE batches so the (window, bucket) counts must
+    // accumulate incrementally in the state store before closing.
+    val inProfile = Seq.tabulate(40)(i => ev(f"10:${i % 50}%02d", (i % 4) * 5.0 + 0.5))
+    val drifted = Seq.tabulate(40)(i => ev(f"11:${i % 50}%02d", 15.5))
+    mem.addData(inProfile.take(20): _*); q.processAllAvailable()
+    mem.addData(inProfile.drop(20) ++ drifted.take(15): _*); q.processAllAvailable()
+    mem.addData(drifted.drop(15): _*); q.processAllAvailable()
+    // sentinel far past the 2h watermark closes both real windows
+    mem.addData(ev("16:00", 0.5)); q.processAllAvailable()
+    q.stop()
+    val out = spark.table("psi_mon").collect()
+      .map(r => r.getAs[Timestamp]("win_start").toString.take(13) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("psi"),
+          r.getAs[String]("status"), r.getAs[Boolean]("alert"))).toMap
+    assert(out.keySet == Set("2024-01-01 10", "2024-01-01 11"),
+      s"exactly the two watermark-closed windows must emit: $out")
+    // batch replay on the SAME rows must agree exactly per closed window
+    val allRows = (inProfile ++ drifted).toDF("ts", "value")
+    val batch = Events.psiAgainstBaseline(allRows, baseline).collect()
+      .map(r => r.getAs[Timestamp]("win_start").toString.take(13) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("psi"),
+          r.getAs[String]("status"), r.getAs[Boolean]("alert"))).toMap
+    assert(out == batch, s"streamed $out != batch $batch")
+    // both polarities: the in-profile window is exactly 0 and quiet,
+    // the drifted window pages
+    assert(out("2024-01-01 10") == ((40L, 0.0, "ok", false)), s"$out")
+    val (nDrift, psiDrift, statusDrift, alertDrift) = out("2024-01-01 11")
+    assert(nDrift == 40L && psiDrift > 0.25 && statusDrift == "alert" && alertDrift,
+      s"drifted window must alert: ${out("2024-01-01 11")}")
+  }
 }
