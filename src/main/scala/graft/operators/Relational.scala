@@ -3732,11 +3732,99 @@ object Relational {
           * ((nn + 1) - dbl("st") / (nn * (nn - 1))))), 6).as("z_score"))
   }
 
+  // q218 — Theil–Sen robust trend of hourly event volume per type (the
+  // monitoring family's missing robust SLOPE: q190 finds level SHIFTS,
+  // q191 removes seasonality, q192 backtests a forecast — none says
+  // "traffic is drifting at X/hour" in a way one outage spike can't
+  // fake; the OLS slope can, so both ship and their disagreement is the
+  // finding, q209's Spearman-vs-Pearson discipline). TS slope = exact
+  // MEDIAN of all pairwise slopes (n_j−n_i)/(x_j−x_i) over OBSERVED
+  // hours. Scale shape: ONE corpus aggregate to the bounded
+  // (type × hour) table; the pair self-join and its rank window run on
+  // O(hours²) rows — bounded by the TIME DOMAIN, corpus-independent
+  // (the q205/q190 bounded-table discipline; 10× data = same hours,
+  // bigger counts). Determinism: each pairwise slope is a single IEEE
+  // division of exact ints (bit-identical both engines); the median
+  // picks positions (cnt+1) div 2 and cnt div 2 + 1 of the slope-sorted
+  // order — tie permutations can't change the VALUES at fixed sorted
+  // positions — and averages ≤2 identical doubles; hours rebase to the
+  // global min (one broadcast scalar off the bounded table) so OLS
+  // moments stay small; OLS sums are exact wide integers, both slopes
+  // single identical-operand-order expressions rounded once.
+  val q218: QueryDef = QueryDef.sql(
+    "q218_theil_sen_trend",
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hi,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |h0 AS (SELECT min(hi) AS h0 FROM h),
+      |hb AS (SELECT event_type, hi - (SELECT h0 FROM h0) AS x, n FROM h),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |    CAST(b.n - a.n AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      |  FROM hb a JOIN hb b
+      |    ON a.event_type = b.event_type AND a.x < b.x),
+      |r AS (
+      |  SELECT event_type, slope,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM pairs),
+      |med AS (
+      |  SELECT event_type, CAST(max(cnt) AS BIGINT) AS n_pairs,
+      |    sum(slope) / count(*) AS ts_raw
+      |  FROM r WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+      |  GROUP BY event_type),
+      |ols AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * n) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      |  FROM hb GROUP BY event_type)
+      |SELECT o.event_type, o.m AS n_hours, m.n_pairs,
+      |  round(m.ts_raw, 6) AS ts_slope,
+      |  round((CAST(o.m AS DOUBLE) * CAST(o.sxy AS DOUBLE)
+      |      - CAST(o.sx AS DOUBLE) * CAST(o.sy AS DOUBLE))
+      |    / (CAST(o.m AS DOUBLE) * CAST(o.sxx AS DOUBLE)
+      |      - CAST(o.sx AS DOUBLE) * CAST(o.sx AS DOUBLE)), 6) AS ols_slope
+      |FROM ols o JOIN med m ON m.event_type = o.event_type
+      |ORDER BY o.event_type""".stripMargin) { (s, d) =>
+    val h = Tables.events(s, d)
+      .select(col("event_type"), expr("ts_us div 3600000000").as("hi"))
+      .groupBy("event_type", "hi").agg(count(lit(1)).as("n"))
+    val h0 = h.agg(min("hi").as("h0"))
+    val hb = h.crossJoin(broadcast(h0))
+      .select(col("event_type"), (col("hi") - col("h0")).as("x"), col("n"))
+    val pairs = hb.as("a").join(hb.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.x") < col("b.x"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.n") - col("a.n")).cast("double")
+          / (col("b.x") - col("a.x")).cast("double")).as("slope"))
+    val r = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("slope")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+    val med = r.filter(expr("rn = (cnt + 1) div 2 or rn = cnt div 2 + 1"))
+      .groupBy("event_type")
+      .agg(max("cnt").as("n_pairs"), (sum("slope") / count(lit(1))).as("ts_raw"))
+    val ols = hb.groupBy("event_type").agg(
+      count(lit(1)).as("m"),
+      sum("x").as("sx"), sum("n").as("sy"),
+      sum(expr("cast(x as decimal(19,0)) * n")).as("sxy"),
+      sum(expr("cast(x as decimal(19,0)) * x")).as("sxx"))
+    def tsd(c: String) = col(c).cast("double")
+    ols.join(med, "event_type")
+      .select(col("event_type"), col("m").as("n_hours"), col("n_pairs"),
+        round(col("ts_raw"), 6).as("ts_slope"),
+        round((tsd("m") * tsd("sxy") - tsd("sx") * tsd("sy"))
+          / (tsd("m") * tsd("sxx") - tsd("sx") * tsd("sx")), 6).as("ols_slope"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
     q191, q192, q195, q197, q198, q202, q205, q207, q209, q211, q212, q213,
-    q216)
+    q216, q218)
 }

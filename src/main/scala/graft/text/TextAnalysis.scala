@@ -2331,8 +2331,145 @@ object TextAnalysis {
       .orderBy("source", "tau")
   }
 
+  // q219 — retrieval ranking EVALUATION (MRR@10 / NDCG@10 — the missing
+  // eval member of the q69/q98/q208 retrieval family: the engine can
+  // score, fuse, and rerank, but a curation loop also has to MEASURE a
+  // ranking against relevance labels before trusting it). Five
+  // single-term BM25 rankings (q69's Okapi constants, scores rounded to
+  // 6 before ranking); relevance is the deterministic graded label
+  // rel = clamp(tf − 2, 0, 3) — relevant iff the term occurs ≥ 3 times,
+  // saturating at 5 — so BM25's length normalization makes the ranking
+  // CORRELATED with but not identical to the labels, and the metrics
+  // land strictly inside (0,1). Scale shape: one corpus scan → skinny
+  // (term, doc, score, rel) rows via a map-side 5-way explode with the
+  // stats row broadcast (q69's discipline); top-10 per term via the
+  // bounded TopKNbr map-side aggregate — ONE shuffle of O(terms × k)
+  // partials, never a per-term corpus sort (the §5-banned tiny-key
+  // global window); label joins broadcast the 50 top rows back; DCG and
+  // ideal-DCG terms quantize onto the 1e-9 grid before their integer
+  // sums (q211's order-free discipline), IDCG derives from the bounded
+  // per-term relevance histogram, final ratios rounded once. Tie-break
+  // everywhere: (score desc, doc_id asc) — TopKNbr's native order,
+  // mirrored by the oracle's row_number.
+  val q219: QueryDef = QueryDef.sql(
+    "q219_rank_eval",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+      |cs AS (SELECT count(*) AS n, round(avg(len(tk)), 6) AS avgdl FROM toks),
+      |terms(term) AS (SELECT unnest(['filter', 'join', 'merge', 'scan', 'spark'])),
+      |tf AS (
+      |  SELECT t.term, k.doc_id, len(k.tk) AS dl,
+      |    len(list_filter(k.tk, x -> x = t.term)) AS tf
+      |  FROM toks k CROSS JOIN terms t),
+      |df AS (
+      |  SELECT term, CAST(count(*) FILTER (WHERE tf > 0) AS BIGINT) AS df
+      |  FROM tf GROUP BY term),
+      |sc AS (
+      |  SELECT tf.term, tf.doc_id,
+      |    round(ln((n - df + 0.5) / (df + 0.5) + 1) * (tf * 2.2)
+      |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25,
+      |    greatest(least(tf - 2, 3), 0) AS rel
+      |  FROM tf JOIN df USING (term), cs),
+      |ranked AS (
+      |  SELECT term, doc_id, bm25, rel,
+      |    row_number() OVER (PARTITION BY term
+      |      ORDER BY bm25 DESC, doc_id) AS rnk
+      |  FROM sc),
+      |top10 AS (SELECT * FROM ranked WHERE rnk <= 10),
+      |relhist AS (
+      |  SELECT term,
+      |    CAST(count(*) FILTER (WHERE rel > 0) AS BIGINT) AS n_rel,
+      |    count(*) FILTER (WHERE rel = 3) AS c3,
+      |    count(*) FILTER (WHERE rel = 2) AS c2,
+      |    count(*) FILTER (WHERE rel = 1) AS c1
+      |  FROM sc GROUP BY term),
+      |dcg AS (
+      |  SELECT term,
+      |    CAST(sum(CAST(round(1000000000.0 * (pow(2, rel) - 1)
+      |      / log2(rnk + 1)) AS BIGINT)) AS BIGINT) AS dcg9,
+      |    min(CASE WHEN rel > 0 THEN rnk END) AS first_rel
+      |  FROM top10 GROUP BY term),
+      |idcg AS (
+      |  SELECT r.term,
+      |    CAST(sum(CAST(round(1000000000.0 *
+      |        (pow(2, CASE WHEN g.p <= r.c3 THEN 3
+      |          WHEN g.p <= r.c3 + r.c2 THEN 2
+      |          WHEN g.p <= r.c3 + r.c2 + r.c1 THEN 1 ELSE 0 END) - 1)
+      |        / log2(g.p + 1)) AS BIGINT)) AS BIGINT) AS idcg9
+      |  FROM relhist r, (SELECT unnest(range(1, 11)) AS p) g
+      |  GROUP BY r.term)
+      |SELECT r.term, r.n_rel,
+      |  round(coalesce(CAST(1 AS DOUBLE) / d.first_rel, 0), 6) AS rr_at_10,
+      |  round(CASE WHEN i.idcg9 = 0 THEN 0
+      |    ELSE CAST(d.dcg9 AS DOUBLE) / i.idcg9 END, 6) AS ndcg_at_10
+      |FROM relhist r
+      |JOIN dcg d ON d.term = r.term
+      |JOIN idcg i ON i.term = r.term
+      |ORDER BY r.term""".stripMargin) { (s, d) =>
+    val terms = Seq("filter", "join", "merge", "scan", "spark")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
+    val statCols = Seq(
+      count(lit(1)).as("n"),
+      round(avg(size(col("tk"))), 6).as("avgdl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("tk"), t), 1L).otherwise(0L)).as(s"df$i")
+      }
+    val stats = toks.agg(statCols.head, statCols.tail: _*)
+    val tfDf = toks.select(
+      col("doc_id") +: size(col("tk")).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          expr(s"size(filter(tk, x -> x = '$t'))").as(s"tf$i")
+        }: _*)
+    def bm(i: Int) = {
+      val (tfc, dfc) = (col(s"tf$i"), col(s"df$i"))
+      round(log((col("n") - dfc + 0.5) / (dfc + 0.5) + 1) * (tfc * 2.2) /
+        (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+    }
+    val sc = tfDf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), explode(array(terms.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("term"), bm(i).as("bm25"),
+          greatest(least(col(s"tf$i") - 2, lit(3)), lit(0)).cast("int").as("rel"))
+      }: _*)).as("e"))
+      .select(col("e.term").as("term"), col("doc_id"),
+        col("e.bm25").as("bm25"), col("e.rel").as("rel"))
+    // top-10 per term: bounded map-side aggregate, (score desc, id asc)
+    val topk = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.TopKNbrAgg(
+        org.apache.spark.sql.GraftBridge.expression(col("bm25")),
+        org.apache.spark.sql.GraftBridge.expression(col("doc_id")),
+        10).toAggregateExpression())
+    val top10 = sc.groupBy("term").agg(topk.as("nbrs"))
+      .select(col("term"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("term"), (col("pos") + 1).cast("long").as("rnk"),
+        col("nbr._2").as("doc_id"))
+    val t10 = sc.join(broadcast(top10), Seq("term", "doc_id"))
+    val dcg = t10.groupBy("term").agg(
+      sum(expr("cast(round(1000000000.0D * (pow(2.0D, rel) - 1.0D)" +
+        " / log2(rnk + 1)) as bigint)")).as("dcg9"),
+      min(when(col("rel") > 0, col("rnk"))).as("first_rel"))
+    val relhist = sc.groupBy("term").agg(
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"),
+      sum(when(col("rel") === 3, 1L).otherwise(0L)).as("c3"),
+      sum(when(col("rel") === 2, 1L).otherwise(0L)).as("c2"),
+      sum(when(col("rel") === 1, 1L).otherwise(0L)).as("c1"))
+    relhist.join(dcg, "term")
+      .withColumn("idcg9", expr(
+        """aggregate(sequence(1, 10), 0L, (acc, p) -> acc +
+          |  cast(round(1000000000.0D *
+          |    (pow(2.0D, case when p <= c3 then 3
+          |      when p <= c3 + c2 then 2
+          |      when p <= c3 + c2 + c1 then 1 else 0 end) - 1.0D)
+          |    / log2(p + 1)) as bigint))""".stripMargin))
+      .select(col("term"), col("n_rel"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("rr_at_10"),
+        round(when(col("idcg9") === 0, lit(0.0))
+          .otherwise(col("dcg9").cast("double") / col("idcg9")), 6).as("ndcg_at_10"))
+      .orderBy("term")
+  }
+
   val all: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68,
     q69, q73, q76, q86, q87, q101, q103, q107, q116, q118, q119, q120,
     q123, q124, q126, q127, q129, q130, q136, q137, q146, q149, q150,
-    q151, q152, q159, q160, q161, q188, q194, q201, q215)
+    q151, q152, q159, q160, q161, q188, q194, q201, q215, q219)
 }
