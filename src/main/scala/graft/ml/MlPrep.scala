@@ -511,6 +511,259 @@ object MlPrep {
       .orderBy("feature")
   }
 
+  // q223 — Brier score with its Murphy decomposition (reliability −
+  // resolution + uncertainty) for a leakage-safe binned probability
+  // scorer (the CALIBRATION audit q201's rank-normalization and q180's
+  // AUC both skip: AUC says the scorer ORDERS well, this says whether
+  // its probabilities MEAN what they claim — the difference between a
+  // ranking model and one you can threshold at a stated risk level).
+  // Structure: a train/test split on orderkey parity (the q23/q202
+  // deterministic-split convention — no RNG, replays exactly), the
+  // scorer is the train-side Laplace-smoothed urgent-rate per 10000-cent
+  // value bucket p̂_b = (u+1)/(n+2), evaluated on the held-out side.
+  // All inputs are exact integer counts off ONE corpus aggregate to the
+  // bounded (bucket × split) table; every per-bin term (Brier mass,
+  // reliability, resolution) is quantized onto the 1e-9 grid before its
+  // cross-bin sum (q213's order-free determinism), and the four outputs
+  // are single identical-operand-order expressions rounded once. The
+  // Murphy identity brier = rel − res + unc holds to quantization error
+  // (spec-pinned at 1e-6); test buckets unseen in train score the prior
+  // 1/2 by the same smoothing formula, stated in the contract.
+  val q223: QueryDef = QueryDef.sql(
+    "q223_brier_reliability",
+    """WITH o AS (
+      |  SELECT o_orderkey % 2 = 0 AS train,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS vb,
+      |    CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS y
+      |  FROM orders),
+      |h AS (
+      |  SELECT vb,
+      |    CAST(count(CASE WHEN train THEN 1 END) AS BIGINT) AS n_tr,
+      |    CAST(sum(CASE WHEN train THEN y ELSE 0 END) AS BIGINT) AS u_tr,
+      |    CAST(count(CASE WHEN NOT train THEN 1 END) AS BIGINT) AS n_te,
+      |    CAST(sum(CASE WHEN NOT train THEN y ELSE 0 END) AS BIGINT) AS u_te
+      |  FROM o GROUP BY vb),
+      |tot AS (
+      |  SELECT CAST(sum(n_tr) AS BIGINT) AS ntr, CAST(sum(n_te) AS BIGINT) AS nte,
+      |    CAST(sum(u_te) AS BIGINT) AS ute,
+      |    CAST(count(CASE WHEN n_te > 0 THEN 1 END) AS BIGINT) AS nbins
+      |  FROM h),
+      |terms AS (
+      |  SELECT h.vb, h.n_te, h.u_te,
+      |    CAST(u_tr + 1 AS DOUBLE) / CAST(n_tr + 2 AS DOUBLE) AS ph,
+      |    CAST(h.u_te AS DOUBLE) / CAST(h.n_te AS DOUBLE) AS yb,
+      |    CAST(t.ute AS DOUBLE) / CAST(t.nte AS DOUBLE) AS ybar
+      |  FROM h, tot t WHERE h.n_te > 0),
+      |q AS (
+      |  SELECT
+      |    CAST(round(1000000000.0 * (CAST(u_te AS DOUBLE) * (1.0 - ph) * (1.0 - ph)
+      |      + CAST(n_te - u_te AS DOUBLE) * ph * ph)) AS BIGINT) AS br9,
+      |    CAST(round(1000000000.0 * CAST(n_te AS DOUBLE)
+      |      * (ph - yb) * (ph - yb)) AS BIGINT) AS rel9,
+      |    CAST(round(1000000000.0 * CAST(n_te AS DOUBLE)
+      |      * (yb - ybar) * (yb - ybar)) AS BIGINT) AS res9
+      |  FROM terms)
+      |SELECT t.ntr AS n_train, t.nte AS n_test, t.nbins AS n_bins,
+      |  round(CAST(sum(br9) AS DOUBLE) / 1000000000.0 / CAST(t.nte AS DOUBLE), 6)
+      |    AS brier,
+      |  round(CAST(sum(rel9) AS DOUBLE) / 1000000000.0 / CAST(t.nte AS DOUBLE), 6)
+      |    AS reliability,
+      |  round(CAST(sum(res9) AS DOUBLE) / 1000000000.0 / CAST(t.nte AS DOUBLE), 6)
+      |    AS resolution,
+      |  round((CAST(t.ute AS DOUBLE) / CAST(t.nte AS DOUBLE))
+      |    * (1.0 - CAST(t.ute AS DOUBLE) / CAST(t.nte AS DOUBLE)), 6)
+      |    AS uncertainty
+      |FROM q, tot t GROUP BY t.ntr, t.nte, t.nbins, t.ute""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(
+      (col("o_orderkey") % 2 === 0).as("train"),
+      expr("cast(round(o_totalprice * 100) as bigint) div 10000").as("vb"),
+      (col("o_orderpriority") === "1-URGENT").cast("int").as("y"))
+    val h = o.groupBy("vb").agg(
+      sum(when(col("train"), 1L).otherwise(0L)).as("n_tr"),
+      sum(when(col("train"), col("y")).otherwise(0)).as("u_tr"),
+      sum(when(!col("train"), 1L).otherwise(0L)).as("n_te"),
+      sum(when(!col("train"), col("y")).otherwise(0)).as("u_te"))
+    val tot = h.agg(
+      sum("n_tr").as("ntr"), sum("n_te").as("nte"), sum("u_te").as("ute"),
+      sum(when(col("n_te") > 0, 1L).otherwise(0L)).as("nbins"))
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val terms = h.filter(col("n_te") > 0).crossJoin(broadcast(tot))
+      .select(col("n_te"), col("u_te"), col("ntr"), col("nte"), col("ute"),
+        col("nbins"),
+        (dbl(col("u_tr") + 1) / dbl(col("n_tr") + 2)).as("ph"),
+        (dbl(col("u_te")) / dbl(col("n_te"))).as("yb"),
+        (dbl(col("ute")) / dbl(col("nte"))).as("ybar"))
+    val q = terms.select(col("ntr"), col("nte"), col("ute"), col("nbins"),
+      round(lit(1000000000.0) * (dbl(col("u_te")) * (lit(1.0) - col("ph"))
+        * (lit(1.0) - col("ph"))
+        + dbl(col("n_te") - col("u_te")) * col("ph") * col("ph")))
+        .cast("bigint").as("br9"),
+      round(lit(1000000000.0) * dbl(col("n_te"))
+        * (col("ph") - col("yb")) * (col("ph") - col("yb")))
+        .cast("bigint").as("rel9"),
+      round(lit(1000000000.0) * dbl(col("n_te"))
+        * (col("yb") - col("ybar")) * (col("yb") - col("ybar")))
+        .cast("bigint").as("res9"))
+    q.groupBy("ntr", "nte", "ute", "nbins")
+      .agg(sum("br9").as("sbr"), sum("rel9").as("srel"), sum("res9").as("sres"))
+      .select(col("ntr").as("n_train"), col("nte").as("n_test"),
+        col("nbins").as("n_bins"),
+        round(dbl(col("sbr")) / 1000000000.0 / dbl(col("nte")), 6).as("brier"),
+        round(dbl(col("srel")) / 1000000000.0 / dbl(col("nte")), 6)
+          .as("reliability"),
+        round(dbl(col("sres")) / 1000000000.0 / dbl(col("nte")), 6)
+          .as("resolution"),
+        round((dbl(col("ute")) / dbl(col("nte")))
+          * (lit(1.0) - dbl(col("ute")) / dbl(col("nte"))), 6)
+          .as("uncertainty"))
+  }
+
+  // q224 — K-fold out-of-fold target mean encoding of customer nation
+  // against order value (the leakage-safe categorical encoder every
+  // tabular training pipeline ships: encoding a category with ITS OWN
+  // rows' target leaks the label, so fold f's encoding must see every
+  // fold EXCEPT f — and at 100 TB you cannot afford K passes, so the
+  // whole computation is ONE (category × fold) aggregate and O(|cats|·K)
+  // algebra: oof sums are total-minus-own-fold differences of exact
+  // cents integers, never a second scan). Smoothing shrinks thin cells
+  // toward the fold's own leave-fold-out GLOBAL prior (m=100, the
+  // standard m-estimate); prior and encoding are single
+  // identical-operand-order divisions of exact ints rounded once.
+  // Folds by orderkey modulus (the q23/q202/q223 deterministic-split
+  // convention); the nation dim broadcasts onto the fact scan.
+  val q224: QueryDef = QueryDef.sql(
+    "q224_target_encoding",
+    """WITH o AS (
+      |  SELECT c.c_nationkey AS nation, o.o_orderkey % 5 AS fold,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      |nf AS (
+      |  SELECT nation, fold, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS sc
+      |  FROM o GROUP BY 1, 2),
+      |w AS (
+      |  SELECT nation, fold, n, sc,
+      |    sum(n) OVER (PARTITION BY nation) AS n_nat,
+      |    sum(sc) OVER (PARTITION BY nation) AS s_nat,
+      |    sum(n) OVER (PARTITION BY fold) AS n_fold,
+      |    sum(sc) OVER (PARTITION BY fold) AS s_fold,
+      |    sum(n) OVER () AS n_all,
+      |    sum(sc) OVER () AS s_all
+      |  FROM nf)
+      |SELECT nation, fold, CAST(n_nat - n AS BIGINT) AS n_oof,
+      |  round(CAST(s_all - s_fold AS DOUBLE)
+      |    / CAST(n_all - n_fold AS DOUBLE) / 100.0, 6) AS prior,
+      |  round((CAST(s_nat - sc AS DOUBLE) / 100.0
+      |      + 100.0 * (CAST(s_all - s_fold AS DOUBLE)
+      |        / CAST(n_all - n_fold AS DOUBLE) / 100.0))
+      |    / (CAST(n_nat - n AS DOUBLE) + 100.0), 6) AS encoding
+      |FROM w ORDER BY nation, fold""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey").as("nation"),
+        (col("o_orderkey") % 5).as("fold"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val nf = o.groupBy("nation", "fold")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+    val w = nf
+      .withColumn("n_nat", sum("n").over(Window.partitionBy("nation")))
+      .withColumn("s_nat", sum("sc").over(Window.partitionBy("nation")))
+      .withColumn("n_fold", sum("n").over(Window.partitionBy("fold")))
+      .withColumn("s_fold", sum("sc").over(Window.partitionBy("fold")))
+      .withColumn("n_all", sum("n").over(Window.partitionBy()))
+      .withColumn("s_all", sum("sc").over(Window.partitionBy()))
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val prior = dbl(col("s_all") - col("s_fold")) /
+      dbl(col("n_all") - col("n_fold")) / 100.0
+    w.select(col("nation"), col("fold"),
+        (col("n_nat") - col("n")).as("n_oof"),
+        round(prior, 6).as("prior"),
+        round((dbl(col("s_nat") - col("sc")) / 100.0 + lit(100.0) * prior)
+          / (dbl(col("n_nat") - col("n")) + 100.0), 6).as("encoding"))
+      .orderBy("nation", "fold")
+  }
+
+  // q227 — decision-stump best split by Gini gain (the CART split
+  // primitive every tree/GBM trainer runs millions of times — one
+  // feature, one pass, the exact threshold search that is O(n log n)
+  // per node in a naive engine and O(buckets) here: q214 RANKS features
+  // by MI, this finds the CUT): candidate thresholds are the 1000-cent
+  // bucket boundaries (contract at bucket granularity); ONE corpus
+  // aggregate to the bounded (bucket: n, urgent) table, left/right
+  // class counts for EVERY threshold come from one cumulative window
+  // over O(buckets) rows, and the Gini gain 2/N·[U(N−U)/N − uₗ(nₗ−uₗ)/nₗ
+  // − uᵣ(nᵣ−uᵣ)/nᵣ] is a fixed-operand-order expression of exact
+  // integers QUANTIZED onto the 1e-12 grid — the argmax is then an
+  // integer decision with a bucket tiebreak, engine-identical even at
+  // exact gain ties (q222's boundary-exactness discipline applied to a
+  // search). Degenerate thresholds (empty side) are excluded; output is
+  // the winning boundary with both side's counts and rates.
+  val q227: QueryDef = QueryDef.sql(
+    "q227_gini_best_split",
+    """WITH o AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 1000 AS vb,
+      |    CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y
+      |  FROM orders),
+      |h AS (
+      |  SELECT vb, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS u
+      |  FROM o GROUP BY vb),
+      |c AS (
+      |  SELECT vb,
+      |    sum(n) OVER (ORDER BY vb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+      |    sum(u) OVER (ORDER BY vb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ul,
+      |    sum(n) OVER () AS nn, sum(u) OVER () AS uu
+      |  FROM h),
+      |g AS (
+      |  SELECT vb, nl, ul, nn - nl AS nr, uu - ul AS ur, nn, uu,
+      |    CAST(round(1000000000000.0 * 2.0
+      |      * (CAST(uu AS DOUBLE) * CAST(nn - uu AS DOUBLE) / CAST(nn AS DOUBLE)
+      |        - CAST(ul AS DOUBLE) * CAST(nl - ul AS DOUBLE) / CAST(nl AS DOUBLE)
+      |        - CAST(uu - ul AS DOUBLE) * CAST((nn - nl) - (uu - ul) AS DOUBLE)
+      |          / CAST(nn - nl AS DOUBLE))
+      |      / CAST(nn AS DOUBLE)) AS BIGINT) AS g12
+      |  FROM c WHERE nl > 0 AND nl < nn)
+      |SELECT vb * 1000 + 999 AS split_cents,
+      |  CAST(nl AS BIGINT) AS n_left, CAST(ul AS BIGINT) AS u_left,
+      |  CAST(nr AS BIGINT) AS n_right, CAST(ur AS BIGINT) AS u_right,
+      |  round(CAST(g12 AS DOUBLE) / 1000000000000.0, 9) AS gini_gain,
+      |  round(CAST(ul AS DOUBLE) / CAST(nl AS DOUBLE), 6) AS rate_left,
+      |  round(CAST(ur AS DOUBLE) / CAST(nr AS DOUBLE), 6) AS rate_right
+      |FROM g ORDER BY g12 DESC, vb LIMIT 1""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(
+      expr("cast(round(o_totalprice * 100) as bigint) div 1000").as("vb"),
+      (col("o_orderpriority") === "1-URGENT").cast("bigint").as("y"))
+    val h = o.groupBy("vb").agg(count(lit(1)).as("n"), sum("y").as("u"))
+    val wc = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, 0)
+    val c = h
+      .withColumn("nl", sum("n").over(wc))
+      .withColumn("ul", sum("u").over(wc))
+      .withColumn("nn", sum("n").over(Window.partitionBy()))
+      .withColumn("uu", sum("u").over(Window.partitionBy()))
+    def dbl(x: org.apache.spark.sql.Column) = x.cast("double")
+    val g = c.filter(col("nl") > 0 && col("nl") < col("nn"))
+      .select(col("vb"), col("nl"), col("ul"),
+        (col("nn") - col("nl")).as("nr"), (col("uu") - col("ul")).as("ur"),
+        col("nn"), col("uu"),
+        round(lit(1000000000000.0) * lit(2.0)
+          * (dbl(col("uu")) * dbl(col("nn") - col("uu")) / dbl(col("nn"))
+            - dbl(col("ul")) * dbl(col("nl") - col("ul")) / dbl(col("nl"))
+            - dbl(col("uu") - col("ul"))
+              * dbl((col("nn") - col("nl")) - (col("uu") - col("ul")))
+              / dbl(col("nn") - col("nl")))
+          / dbl(col("nn"))).cast("bigint").as("g12"))
+    g.orderBy(col("g12").desc, col("vb")).limit(1)
+      .select((col("vb") * 1000 + 999).as("split_cents"),
+        col("nl").as("n_left"), col("ul").as("u_left"),
+        col("nr").as("n_right"), col("ur").as("u_right"),
+        round(dbl(col("g12")) / 1000000000000.0, 9).as("gini_gain"),
+        round(dbl(col("ul")) / dbl(col("nl")), 6).as("rate_left"),
+        round(dbl(col("ur")) / dbl(col("nr")), 6).as("rate_right"))
+  }
+
   val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q32,
-    q39, q121, q155, q162, q199, q214)
+    q39, q121, q155, q162, q199, q214, q223, q224, q227)
 }

@@ -3820,11 +3820,497 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // q220 — Kruskal–Wallis H across the five order priorities (the
+  // k-SAMPLE nonparametric test closing the hypothesis-test lattice:
+  // q211's ANOVA is k-sample but assumes means summarize, q216's U is
+  // rank-based but two-sample — KW is "does ANY priority's value
+  // distribution differ" with no distributional assumption, the test
+  // run before trusting a segmentation that heavy tails could fake).
+  // The q209/q216 rank discipline verbatim: the corpus collapses ONCE
+  // to the bounded 1000-cent-bucket histogram (contract stated at
+  // bucket granularity), twice-mid-ranks r2 = 2·cum_below + t + 1 keep
+  // ties exact in integers, per-group rank sums 2·R_g = Σ c·r2 and the
+  // tie term Σ(t³−t) accumulate DECIMAL(38,0)/HUGEINT. The cross-group
+  // Σ (2R_g)²/n_g mixes fractions, so each term is quantized to its
+  // nearest integer before the sum (q211's order-free determinism —
+  // ULP-level relative error, ~1e-16, since both engines round the
+  // identical double); H, its tie correction, and the ε² effect size
+  // are single identical-operand-order expressions rounded once.
+  // Shuffles: one corpus aggregate; everything after runs on O(buckets)
+  // and O(k)=5 rows. Spec replays densely via BigInt and pins H below
+  // the 6σ chi²(4) null band on the generator's independent columns.
+  val q220: QueryDef = QueryDef.sql(
+    "q220_kruskal_wallis",
+    """WITH o AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) // 1000 AS pb
+      |  FROM orders),
+      |h AS (SELECT g, pb, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1, 2),
+      |tb AS (SELECT pb, CAST(sum(c) AS BIGINT) AS t FROM h GROUP BY pb),
+      |r AS (
+      |  SELECT pb, t,
+      |    2 * coalesce(sum(t) OVER (ORDER BY pb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+      |  FROM tb),
+      |gr AS (
+      |  SELECT h.g, CAST(sum(h.c) AS BIGINT) AS ng,
+      |    CAST(sum(CAST(h.c AS HUGEINT) * r.r2) AS HUGEINT) AS r2g
+      |  FROM h JOIN r ON r.pb = h.pb GROUP BY h.g),
+      |gtot AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n,
+      |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS st
+      |  FROM tb),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(CAST(round(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+      |      / CAST(ng AS DOUBLE)) AS HUGEINT)) AS HUGEINT) AS s4
+      |  FROM gr)
+      |SELECT g.n, s.k AS k_groups,
+      |  round(3.0 * CAST(s.s4 AS DOUBLE)
+      |      / (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) + 1))
+      |    - 3.0 * (CAST(g.n AS DOUBLE) + 1), 6) AS h,
+      |  round((3.0 * CAST(s.s4 AS DOUBLE)
+      |      / (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) + 1))
+      |    - 3.0 * (CAST(g.n AS DOUBLE) + 1))
+      |    / (1.0 - CAST(g.st AS DOUBLE)
+      |      / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE)
+      |        - CAST(g.n AS DOUBLE))), 6) AS h_tie_corrected,
+      |  round(((3.0 * CAST(s.s4 AS DOUBLE)
+      |      / (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) + 1))
+      |    - 3.0 * (CAST(g.n AS DOUBLE) + 1))
+      |    / (1.0 - CAST(g.st AS DOUBLE)
+      |      / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE)
+      |        - CAST(g.n AS DOUBLE)))
+      |    - CAST(s.k AS DOUBLE) + 1)
+      |    / (CAST(g.n AS DOUBLE) - CAST(s.k AS DOUBLE)), 6) AS epsilon_sq
+      |FROM s, gtot g""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(
+      col("o_orderpriority").as("g"),
+      expr("cast(round(o_totalprice * 100) as bigint) div 1000").as("pb"))
+    // ONE corpus shuffle total (q213's stat-table discipline): the bounded
+    // (group × bucket) histogram persists, driver-reads capped, and
+    // releases — the pooled-rank table and the per-group rank sums both
+    // branch off a LOCAL bounded table, not a re-aggregated corpus.
+    val hBig = o.groupBy("g", "pb").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hRows = hBig.take(1 << 20)
+    require(hRows.length < (1 << 20), "group×price-bucket histogram overflow")
+    val h = s.createDataFrame(java.util.Arrays.asList(hRows: _*), hBig.schema)
+    hBig.unpersist(false)
+    val tb = h.groupBy("pb").agg(sum("c").as("t"))
+    val w = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
+    val r = tb.withColumn("r2",
+      lit(2) * coalesce(sum("t").over(w), lit(0L)) + col("t") + 1)
+    val gr = h.join(r.select("pb", "r2"), Seq("pb"))
+      .groupBy("g").agg(
+        sum("c").as("ng"),
+        sum(expr("cast(c as decimal(19,0)) * r2")).as("r2g"))
+    val glob = tb.agg(
+      sum("t").as("n"),
+      sum(expr("cast(t as decimal(19,0)) * t * t - t")).as("st"))
+    val sAgg = gr.agg(
+      count(lit(1)).as("k"),
+      sum(round(col("r2g").cast("double") * col("r2g").cast("double")
+        / col("ng").cast("double")).cast("decimal(38,0)")).as("s4"))
+    def dbl(c: String) = col(c).cast("double")
+    val hExpr = lit(3.0) * dbl("s4") / (dbl("n") * (dbl("n") + 1)) -
+      lit(3.0) * (dbl("n") + 1)
+    val tieC = lit(1.0) - dbl("st") / (dbl("n") * dbl("n") * dbl("n") - dbl("n"))
+    sAgg.crossJoin(glob)
+      .select(col("n"), col("k").as("k_groups"),
+        round(hExpr, 6).as("h"),
+        round(hExpr / tieC, 6).as("h_tie_corrected"),
+        round((hExpr / tieC - dbl("k") + 1) / (dbl("n") - dbl("k")), 6)
+          .as("epsilon_sq"))
+  }
+
+  // q221 — Kendall tau-b rank correlation between line quantity and
+  // price (the THIRD association coefficient next to q209's
+  // Spearman/Pearson pair: tau is a direct probability statement —
+  // P(concordant) − P(discordant) — with better small-disagreement
+  // robustness, and its O(n²) pair semantics are exactly the thing a
+  // naive engine cannot run at 100 TB). Scale shape: the corpus
+  // collapses ONCE to the bounded (quantity × 1000-cent-bucket) joint
+  // histogram (contract at that granularity), the FULL grid forms by
+  // crossing the two bounded margins, and the pair counting becomes a
+  // 2-D dominance prefix-sum — concordant = Σ c·LT with LT the
+  // strictly-below-in-both count built from two bounded windows
+  // (prefix along pb within q, then prefix along q within pb), the
+  // same for discordant with the reversed second coordinate. Every
+  // count is an exact integer (DECIMAL(38,0)/HUGEINT — C,D reach n²/2
+  // ≈ 2e17 at sf10); tau-b's denominator √((n0−tq)(n0−tp)) and the
+  // final ratio are one identical-operand-order double expression
+  // rounded once. Shuffles: one corpus aggregate; the grid and both
+  // windows run on O(|q-domain| × |pb-domain|) rows, corpus-free.
+  // Spec replays C/D densely from raw rows via BigInt.
+  val q221: QueryDef = QueryDef.sql(
+    "q221_kendall_tau",
+    """WITH l AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) // 1000 AS pb
+      |  FROM lineitem),
+      |h AS (SELECT q, pb, CAST(count(*) AS BIGINT) AS c FROM l GROUP BY 1, 2),
+      |qd AS (SELECT DISTINCT q FROM h),
+      |pd AS (SELECT DISTINCT pb FROM h),
+      |grid AS (
+      |  SELECT qd.q, pd.pb, CAST(coalesce(h.c, 0) AS BIGINT) AS c
+      |  FROM qd CROSS JOIN pd
+      |  LEFT JOIN h ON h.q = qd.q AND h.pb = pd.pb),
+      |pp AS (
+      |  SELECT q, pb, c,
+      |    coalesce(sum(c) OVER (PARTITION BY q ORDER BY pb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below_pb,
+      |    sum(c) OVER (PARTITION BY q) AS rowtot
+      |  FROM grid),
+      |lt AS (
+      |  SELECT q, pb, c,
+      |    coalesce(sum(below_pb) OVER (PARTITION BY pb ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ltc,
+      |    coalesce(sum(rowtot - below_pb - c) OVER (PARTITION BY pb ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gtc
+      |  FROM pp),
+      |agg AS (
+      |  SELECT CAST(sum(CAST(c AS HUGEINT) * ltc) AS HUGEINT) AS conc,
+      |    CAST(sum(CAST(c AS HUGEINT) * gtc) AS HUGEINT) AS disc
+      |  FROM lt),
+      |mq AS (
+      |  SELECT CAST(sum(CAST(cq AS HUGEINT) * (cq - 1)) AS HUGEINT) AS tq2
+      |  FROM (SELECT CAST(sum(c) AS BIGINT) AS cq FROM h GROUP BY q)),
+      |mp AS (
+      |  SELECT CAST(sum(CAST(cp AS HUGEINT) * (cp - 1)) AS HUGEINT) AS tp2
+      |  FROM (SELECT CAST(sum(c) AS BIGINT) AS cp FROM h GROUP BY pb)),
+      |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h)
+      |SELECT nt.n, CAST(agg.conc AS DOUBLE) AS conc, CAST(agg.disc AS DOUBLE) AS disc,
+      |  round((CAST(agg.conc AS DOUBLE) - CAST(agg.disc AS DOUBLE))
+      |    / sqrt((CAST(nt.n AS DOUBLE) * (CAST(nt.n AS DOUBLE) - 1) / 2.0
+      |        - CAST(mq.tq2 AS DOUBLE) / 2.0)
+      |      * (CAST(nt.n AS DOUBLE) * (CAST(nt.n AS DOUBLE) - 1) / 2.0
+      |        - CAST(mp.tp2 AS DOUBLE) / 2.0)), 6) AS tau_b
+      |FROM agg, mq, mp, nt""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d).select(
+      col("l_quantity").cast("bigint").as("q"),
+      expr("cast(round(l_extendedprice * 100) as bigint) div 1000").as("pb"))
+    // ONE corpus shuffle total: the bounded joint histogram persists,
+    // driver-reads (q213's stat-table discipline, capped), and releases —
+    // the grid, both margins, and the total all branch off a LOCAL
+    // bounded table instead of re-aggregating the corpus per branch.
+    val hBig = l.groupBy("q", "pb").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hRows = hBig.take(1 << 21)
+    require(hRows.length < (1 << 21), "quantity×price-bucket grid overflow")
+    val h = s.createDataFrame(java.util.Arrays.asList(hRows: _*), hBig.schema)
+    hBig.unpersist(false)
+    val qd = h.select("q").distinct()
+    val pd = h.select("pb").distinct()
+    val grid = qd.crossJoin(broadcast(pd))
+      .join(h, Seq("q", "pb"), "left")
+      .select(col("q"), col("pb"), coalesce(col("c"), lit(0L)).as("c"))
+    val wpb = Window.partitionBy("q").orderBy("pb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pp = grid
+      .withColumn("below_pb", coalesce(sum("c").over(wpb), lit(0L)))
+      .withColumn("rowtot", sum("c").over(Window.partitionBy("q")))
+    val wq = Window.partitionBy("pb").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lt = pp
+      .withColumn("ltc", coalesce(sum("below_pb").over(wq), lit(0L)))
+      .withColumn("gtc",
+        coalesce(sum(col("rowtot") - col("below_pb") - col("c")).over(wq),
+          lit(0L)))
+    val agg = lt.agg(
+      sum(expr("cast(c as decimal(19,0)) * ltc")).as("conc"),
+      sum(expr("cast(c as decimal(19,0)) * gtc")).as("disc"))
+    val mq = h.groupBy("q").agg(sum("c").as("cq"))
+      .agg(sum(expr("cast(cq as decimal(19,0)) * (cq - 1)")).as("tq2"))
+    val mp = h.groupBy("pb").agg(sum("c").as("cp"))
+      .agg(sum(expr("cast(cp as decimal(19,0)) * (cp - 1)")).as("tp2"))
+    val nt = h.agg(sum("c").as("n"))
+    def dbl(c: String) = col(c).cast("double")
+    val n0 = dbl("n") * (dbl("n") - 1) / 2.0
+    agg.crossJoin(mq).crossJoin(mp).crossJoin(nt)
+      .select(col("n"), col("conc").cast("double").as("conc"),
+        col("disc").cast("double").as("disc"),
+        round((dbl("conc") - dbl("disc"))
+          / sqrt((n0 - dbl("tq2") / 2.0) * (n0 - dbl("tp2") / 2.0)), 6)
+          .as("tau_b"))
+  }
+
+  // q222 — Benjamini–Hochberg FDR over the per-event-type Mann–Whitney
+  // family (the MULTIPLE-TESTING layer the hypothesis family needed:
+  // q184/q211/q216 each run ONE test, but a monitoring deck runs one
+  // per metric — at α=0.05 a 20-test deck fires a false alarm most
+  // weeks, and BH step-up is the standard correction that still
+  // controls the false-DISCOVERY rate). Per type, value ranks compare
+  // even vs odd epoch days (a true A/A pair — the q167/q205 null
+  // convention: the corrected family should stay quiet) under the
+  // q216 rank discipline on the bounded per-type 500-cent histogram.
+  // The step-up decision is made ENTIRELY in exact arithmetic: the m=5
+  // critical values Φ⁻¹(1 − i·α/(2m)) are PRECOMPUTED LITERALS on the
+  // 1e-9 grid (no erf in either engine), z quantizes onto the same
+  // grid, ranks order by that exact integer (type tiebreak), and
+  // reject = rank ≤ max{i : |z9|_(i) ≥ crit9_i} — every comparison
+  // integer-vs-literal, so both engines agree bit-for-bit even AT the
+  // boundary. Shuffles: one corpus aggregate; rank windows on
+  // O(types × buckets); the BH scan on 5 rows. Spec replays the
+  // step-up densely and proves the alert polarity on an injected shift.
+  val q222: QueryDef = QueryDef.sql(
+    "q222_bh_fdr",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) // 86400000000) % 2 = 0 AS ga,
+      |    CAST(round(value * 100) AS BIGINT) // 500 AS b
+      |  FROM events),
+      |h AS (
+      |  SELECT event_type, b,
+      |    CAST(count(CASE WHEN ga THEN 1 END) AS BIGINT) AS ca,
+      |    CAST(count(CASE WHEN NOT ga THEN 1 END) AS BIGINT) AS cb
+      |  FROM e GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, ca, cb, ca + cb AS t,
+      |    2 * coalesce(sum(ca + cb) OVER (PARTITION BY event_type ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + (ca + cb) + 1 AS r2
+      |  FROM h),
+      |t AS (
+      |  SELECT event_type,
+      |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+      |    CAST(sum(CAST(ca AS HUGEINT) * r2) AS HUGEINT) AS ra2,
+      |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS st
+      |  FROM r GROUP BY event_type),
+      |z AS (
+      |  SELECT event_type, na, nb,
+      |    CAST(round(1000000000.0 *
+      |      ((CAST(ra2 AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1))
+      |          - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |      / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+      |        * ((CAST(na + nb AS DOUBLE) + 1) - CAST(st AS DOUBLE)
+      |          / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1)))))
+      |      ) AS BIGINT) AS z9
+      |  FROM t),
+      |rk AS (
+      |  SELECT event_type, na, nb, z9,
+      |    row_number() OVER (ORDER BY abs(z9) DESC, event_type) AS rn
+      |  FROM z),
+      |crit(rn, crit9) AS (VALUES
+      |  (1, 2575829304), (2, 2326347874), (3, 2170090378),
+      |  (4, 2053748911), (5, 1959963985)),
+      |flag AS (
+      |  SELECT rk.*, crit.crit9, abs(rk.z9) >= crit.crit9 AS hit
+      |  FROM rk JOIN crit ON crit.rn = rk.rn),
+      |kmax AS (SELECT coalesce(max(rn) FILTER (WHERE hit), 0) AS k FROM flag)
+      |SELECT f.event_type, f.na AS n_even, f.nb AS n_odd,
+      |  round(CAST(f.z9 AS DOUBLE) / 1000000000.0, 6) AS z_score,
+      |  f.rn AS bh_rank,
+      |  round(CAST(f.crit9 AS DOUBLE) / 1000000000.0, 6) AS z_crit,
+      |  f.rn <= kmax.k AS rejected
+      |FROM flag f, kmax ORDER BY f.rn""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(
+      col("event_type"),
+      (expr("(ts_us div 86400000000) % 2") === 0).as("ga"),
+      expr("cast(round(value * 100) as bigint) div 500").as("b"))
+    val h = e.groupBy("event_type", "b").agg(
+      sum(when(col("ga"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("ga"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("event_type").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = h.withColumn("t", col("ca") + col("cb"))
+      .withColumn("r2",
+        lit(2) * coalesce(sum(col("ca") + col("cb")).over(w), lit(0L))
+          + col("t") + 1)
+    val t = r.groupBy("event_type").agg(
+      sum("ca").as("na"), sum("cb").as("nb"),
+      sum(expr("cast(ca as decimal(19,0)) * r2")).as("ra2"),
+      sum(expr("cast(t as decimal(19,0)) * t * t - t")).as("st"))
+    def dbl(c: String) = col(c).cast("double")
+    val nn = dbl("na") + dbl("nb")
+    val zExpr = ((dbl("ra2") - dbl("na") * (dbl("na") + 1))
+      - dbl("na") * dbl("nb")) /
+      (lit(2.0) * sqrt(dbl("na") * dbl("nb") / 12.0
+        * ((nn + 1) - dbl("st") / (nn * (nn - 1)))))
+    val z = t.select(col("event_type"), col("na"), col("nb"),
+      round(lit(1000000000.0) * zExpr).cast("bigint").as("z9"))
+    val rk = z.withColumn("rn",
+      row_number().over(Window.orderBy(abs(col("z9")).desc, col("event_type"))))
+    val crit = s.createDataFrame(Seq(
+      (1, 2575829304L), (2, 2326347874L), (3, 2170090378L),
+      (4, 2053748911L), (5, 1959963985L))).toDF("rn", "crit9")
+    val flag = rk.join(broadcast(crit), Seq("rn"))
+      .withColumn("hit", abs(col("z9")) >= col("crit9"))
+    val kmax = flag.agg(
+      coalesce(max(when(col("hit"), col("rn"))), lit(0)).as("k"))
+    flag.crossJoin(broadcast(kmax))
+      .select(col("event_type"), col("na").as("n_even"), col("nb").as("n_odd"),
+        round(col("z9").cast("double") / 1000000000.0, 6).as("z_score"),
+        col("rn").cast("bigint").as("bh_rank"),
+        round(col("crit9").cast("double") / 1000000000.0, 6).as("z_crit"),
+        (col("rn") <= col("k")).as("rejected"))
+      .orderBy("bh_rank")
+  }
+
+  // q225 — winsorized and trimmed robust means per return flag (the
+  // robust ESTIMATOR companion to q195's robust DETECTOR: MAD says
+  // which rows are outliers, the winsorized/trimmed mean is the
+  // headline number reported once tails are distrusted — the standard
+  // pair of tail treatments, clamp vs drop, shipped side by side with
+  // the raw mean so the gap IS the tail's leverage). The q171/q185
+  // histogram discipline: the corpus collapses ONCE to the bounded
+  // (flag × 1000-cent-bucket) table carrying per-bucket exact cents
+  // sums, the p05/p95 cutoff buckets come from the integer-ceil rank
+  // rule (20·cum ≥ n and 20·cum ≥ 19·n — pure integer decisions) over
+  // the per-flag cumulative window on O(buckets) rows, and each mean
+  // is ONE division of exact int64: interior buckets contribute their
+  // exact cents sums, clamped tails contribute count × the boundary
+  // bucket's start (low) / end (high) cents — the contract stated at
+  // bucket granularity and replayed identically by the oracle.
+  // Shuffles: one corpus aggregate. Spec replays cutoffs and all three
+  // means densely and pins winsor/trim between them.
+  val q225: QueryDef = QueryDef.sql(
+    "q225_winsorized_mean",
+    """WITH l AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) // 1000 AS pb
+      |  FROM lineitem),
+      |h AS (
+      |  SELECT g, pb, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(cents) AS BIGINT) AS sc
+      |  FROM l GROUP BY 1, 2),
+      |r AS (
+      |  SELECT g, pb, c, sc,
+      |    sum(c) OVER (PARTITION BY g ORDER BY pb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY g) AS n
+      |  FROM h),
+      |cuts AS (
+      |  SELECT g, max(n) AS n,
+      |    min(CASE WHEN 20 * cum >= n THEN pb END) AS lo_pb,
+      |    min(CASE WHEN 20 * cum >= 19 * n THEN pb END) AS hi_pb
+      |  FROM r GROUP BY g),
+      |parts AS (
+      |  SELECT r.g, cuts.n, cuts.lo_pb, cuts.hi_pb,
+      |    CAST(sum(CASE WHEN r.pb >= cuts.lo_pb AND r.pb <= cuts.hi_pb
+      |      THEN r.sc ELSE 0 END) AS BIGINT) AS sc_in,
+      |    CAST(sum(CASE WHEN r.pb >= cuts.lo_pb AND r.pb <= cuts.hi_pb
+      |      THEN r.c ELSE 0 END) AS BIGINT) AS c_in,
+      |    CAST(sum(CASE WHEN r.pb < cuts.lo_pb THEN r.c ELSE 0 END) AS BIGINT)
+      |      AS c_lo,
+      |    CAST(sum(CASE WHEN r.pb > cuts.hi_pb THEN r.c ELSE 0 END) AS BIGINT)
+      |      AS c_hi,
+      |    CAST(sum(r.sc) AS BIGINT) AS sc_all
+      |  FROM r JOIN cuts ON cuts.g = r.g
+      |  GROUP BY r.g, cuts.n, cuts.lo_pb, cuts.hi_pb)
+      |SELECT g, CAST(n AS BIGINT) AS n,
+      |  lo_pb * 1000 AS lo_cut_cents, hi_pb * 1000 + 999 AS hi_cut_cents,
+      |  round(CAST(sc_all AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_raw,
+      |  round(CAST(sc_in + c_lo * (lo_pb * 1000) + c_hi * (hi_pb * 1000 + 999)
+      |      AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_winsor,
+      |  round(CAST(sc_in AS DOUBLE) / CAST(c_in AS DOUBLE) / 100.0, 6)
+      |    AS mean_trimmed
+      |FROM parts ORDER BY g""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("g"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+      expr("cast(round(l_extendedprice * 100) as bigint) div 1000").as("pb"))
+    val h = l.groupBy("g", "pb").agg(
+      count(lit(1)).as("c"), sum("cents").as("sc"))
+    val wg = Window.partitionBy("g").orderBy("pb")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val r = h
+      .withColumn("cum", sum("c").over(wg))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+    val cuts = r.groupBy("g").agg(
+      max("n").as("n"),
+      min(when(lit(20) * col("cum") >= col("n"), col("pb"))).as("lo_pb"),
+      min(when(lit(20) * col("cum") >= lit(19) * col("n"), col("pb")))
+        .as("hi_pb"))
+    val parts = r.select("g", "pb", "c", "sc")
+      .join(broadcast(cuts), Seq("g"))
+      .groupBy("g", "n", "lo_pb", "hi_pb").agg(
+        sum(when(col("pb") >= col("lo_pb") && col("pb") <= col("hi_pb"),
+          col("sc")).otherwise(0L)).as("sc_in"),
+        sum(when(col("pb") >= col("lo_pb") && col("pb") <= col("hi_pb"),
+          col("c")).otherwise(0L)).as("c_in"),
+        sum(when(col("pb") < col("lo_pb"), col("c")).otherwise(0L)).as("c_lo"),
+        sum(when(col("pb") > col("hi_pb"), col("c")).otherwise(0L)).as("c_hi"),
+        sum("sc").as("sc_all"))
+    def dbl(c: Column) = c.cast("double")
+    parts.select(col("g"), col("n"),
+        (col("lo_pb") * 1000).as("lo_cut_cents"),
+        (col("hi_pb") * 1000 + 999).as("hi_cut_cents"),
+        round(dbl(col("sc_all")) / dbl(col("n")) / 100.0, 6).as("mean_raw"),
+        round(dbl(col("sc_in") + col("c_lo") * (col("lo_pb") * 1000)
+          + col("c_hi") * (col("hi_pb") * 1000 + 999))
+          / dbl(col("n")) / 100.0, 6).as("mean_winsor"),
+        round(dbl(col("sc_in")) / dbl(col("c_in")) / 100.0, 6)
+          .as("mean_trimmed"))
+      .orderBy("g")
+  }
+
+  // q226 — Cochran–Armitage trend test of urgent-order rate across
+  // ordered price bands (the ORDERED-categorical member the hypothesis
+  // family lacked: q212's chi-square treats categories as unordered and
+  // burns power — when the question is "does the rate RISE with value",
+  // the trend test with integer scores w_i = band index is the standard
+  // answer, the dose-response staple). Ten fixed 50000-cent bands (a
+  // stated contract — equal-width, not data-dependent quantiles, so the
+  // banding is engine-free); ALL moments are exact integers off ONE
+  // corpus aggregate to the ≤10-row band table: the numerator
+  // N·Σwᵢuᵢ − U·Σwᵢnᵢ and variance pieces N·Σwᵢ²nᵢ − (Σwᵢnᵢ)² stay in
+  // int64 (w ≤ 9, N ≤ 2^31 at sf100 → ≤ 9·N² ≈ 4e19… DECIMAL(38,0) to
+  // be explicit), z is ONE identical-operand-order expression of those
+  // integers rounded once. A/A: priority is independent of price in
+  // this corpus, so the spec pins |z| < 6 and replays densely.
+  val q226: QueryDef = QueryDef.sql(
+    "q226_cochran_armitage",
+    """WITH o AS (
+      |  SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 5000000, 9)
+      |      AS w,
+      |    CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y
+      |  FROM orders),
+      |b AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS u
+      |  FROM o GROUP BY w),
+      |t AS (
+      |  SELECT CAST(sum(n) AS HUGEINT) AS nn, CAST(sum(u) AS HUGEINT) AS uu,
+      |    CAST(sum(w * u) AS HUGEINT) AS swu,
+      |    CAST(sum(w * n) AS HUGEINT) AS swn,
+      |    CAST(sum(w * w * n) AS HUGEINT) AS sw2n,
+      |    CAST(count(*) AS BIGINT) AS bands
+      |  FROM b)
+      |SELECT CAST(nn AS BIGINT) AS n, CAST(uu AS BIGINT) AS n_urgent, bands,
+      |  round((CAST(nn AS DOUBLE) * CAST(swu AS DOUBLE)
+      |      - CAST(uu AS DOUBLE) * CAST(swn AS DOUBLE))
+      |    / sqrt(CAST(uu AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(uu AS DOUBLE))
+      |      * (CAST(nn AS DOUBLE) * CAST(sw2n AS DOUBLE)
+      |        - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE))
+      |      / CAST(nn AS DOUBLE)), 6) AS z_trend
+      |FROM t""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(
+      least(expr("cast(round(o_totalprice * 100) as bigint) div 5000000"),
+        lit(9L)).as("w"),
+      (col("o_orderpriority") === "1-URGENT").cast("bigint").as("y"))
+    val b = o.groupBy("w").agg(count(lit(1)).as("n"), sum("y").as("u"))
+    val t = b.agg(
+      sum("n").cast("decimal(38,0)").as("nn"),
+      sum("u").cast("decimal(38,0)").as("uu"),
+      sum(expr("w * u")).cast("decimal(38,0)").as("swu"),
+      sum(expr("w * n")).cast("decimal(38,0)").as("swn"),
+      sum(expr("w * w * n")).cast("decimal(38,0)").as("sw2n"),
+      count(lit(1)).as("bands"))
+    def dbl(c: String) = col(c).cast("double")
+    t.select(col("nn").cast("bigint").as("n"),
+      col("uu").cast("bigint").as("n_urgent"), col("bands"),
+      round((dbl("nn") * dbl("swu") - dbl("uu") * dbl("swn"))
+        / sqrt(dbl("uu") * (dbl("nn") - dbl("uu"))
+          * (dbl("nn") * dbl("sw2n") - dbl("swn") * dbl("swn"))
+          / dbl("nn")), 6).as("z_trend"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
     q191, q192, q195, q197, q198, q202, q205, q207, q209, q211, q212, q213,
-    q216, q218)
+    q216, q218, q220, q221, q222, q225, q226)
 }
