@@ -3836,9 +3836,16 @@ object Relational {
   // ULP-level relative error, ~1e-16, since both engines round the
   // identical double); H, its tie correction, and the ε² effect size
   // are single identical-operand-order expressions rounded once.
-  // Shuffles: one corpus aggregate; everything after runs on O(buckets)
-  // and O(k)=5 rows. Spec replays densely via BigInt and pins H below
-  // the 6σ chi²(4) null band on the generator's independent columns.
+  // Shuffles: one corpus aggregate, then ONE LINEAR CHAIN of windows on
+  // the bounded (group × bucket) table — the pooled cumulative comes
+  // from a RANGE frame (all buckets strictly below this pb, across
+  // groups), the per-bucket total from a pb-partitioned window, and the
+  // tie term rides exactly one row per bucket (row_number flag), so the
+  // histogram is never reused across branches (no driver localization,
+  // no re-aggregation; the global-ordered window runs on domain-bounded
+  // rows — the documented exception). Spec replays densely via BigInt
+  // and pins H below the 6σ chi²(4) null band on the generator's
+  // independent columns.
   val q220: QueryDef = QueryDef.sql(
     "q220_kruskal_wallis",
     """WITH o AS (
@@ -3846,82 +3853,74 @@ object Relational {
       |    CAST(round(o_totalprice * 100) AS BIGINT) // 1000 AS pb
       |  FROM orders),
       |h AS (SELECT g, pb, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1, 2),
-      |tb AS (SELECT pb, CAST(sum(c) AS BIGINT) AS t FROM h GROUP BY pb),
       |r AS (
-      |  SELECT pb, t,
-      |    2 * coalesce(sum(t) OVER (ORDER BY pb
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
-      |  FROM tb),
+      |  SELECT g, pb, c,
+      |    sum(c) OVER (PARTITION BY pb) AS t,
+      |    coalesce(sum(c) OVER (ORDER BY pb
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+      |    row_number() OVER (PARTITION BY pb ORDER BY g) AS rnp
+      |  FROM h),
       |gr AS (
-      |  SELECT h.g, CAST(sum(h.c) AS BIGINT) AS ng,
-      |    CAST(sum(CAST(h.c AS HUGEINT) * r.r2) AS HUGEINT) AS r2g
-      |  FROM h JOIN r ON r.pb = h.pb GROUP BY h.g),
-      |gtot AS (
-      |  SELECT CAST(sum(t) AS BIGINT) AS n,
-      |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS st
-      |  FROM tb),
+      |  SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+      |    CAST(sum(CAST(c AS HUGEINT) * (2 * cumb + t + 1)) AS HUGEINT) AS r2g,
+      |    CAST(sum(CASE WHEN rnp = 1
+      |      THEN CAST(t AS HUGEINT) * t * t - t ELSE 0 END) AS HUGEINT) AS stp
+      |  FROM r GROUP BY g),
       |s AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+      |    CAST(sum(stp) AS HUGEINT) AS st,
       |    CAST(sum(CAST(round(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
       |      / CAST(ng AS DOUBLE)) AS HUGEINT)) AS HUGEINT) AS s4
       |  FROM gr)
-      |SELECT g.n, s.k AS k_groups,
+      |SELECT s.n, s.k AS k_groups,
       |  round(3.0 * CAST(s.s4 AS DOUBLE)
-      |      / (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) + 1))
-      |    - 3.0 * (CAST(g.n AS DOUBLE) + 1), 6) AS h,
+      |      / (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) + 1))
+      |    - 3.0 * (CAST(s.n AS DOUBLE) + 1), 6) AS h,
       |  round((3.0 * CAST(s.s4 AS DOUBLE)
-      |      / (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) + 1))
-      |    - 3.0 * (CAST(g.n AS DOUBLE) + 1))
-      |    / (1.0 - CAST(g.st AS DOUBLE)
-      |      / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE)
-      |        - CAST(g.n AS DOUBLE))), 6) AS h_tie_corrected,
+      |      / (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) + 1))
+      |    - 3.0 * (CAST(s.n AS DOUBLE) + 1))
+      |    / (1.0 - CAST(s.st AS DOUBLE)
+      |      / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)
+      |        - CAST(s.n AS DOUBLE))), 6) AS h_tie_corrected,
       |  round(((3.0 * CAST(s.s4 AS DOUBLE)
-      |      / (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) + 1))
-      |    - 3.0 * (CAST(g.n AS DOUBLE) + 1))
-      |    / (1.0 - CAST(g.st AS DOUBLE)
-      |      / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE)
-      |        - CAST(g.n AS DOUBLE)))
+      |      / (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) + 1))
+      |    - 3.0 * (CAST(s.n AS DOUBLE) + 1))
+      |    / (1.0 - CAST(s.st AS DOUBLE)
+      |      / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)
+      |        - CAST(s.n AS DOUBLE)))
       |    - CAST(s.k AS DOUBLE) + 1)
-      |    / (CAST(g.n AS DOUBLE) - CAST(s.k AS DOUBLE)), 6) AS epsilon_sq
-      |FROM s, gtot g""".stripMargin) { (s, d) =>
+      |    / (CAST(s.n AS DOUBLE) - CAST(s.k AS DOUBLE)), 6) AS epsilon_sq
+      |FROM s""".stripMargin) { (s, d) =>
     val o = Tables.orders(s, d).select(
       col("o_orderpriority").as("g"),
       expr("cast(round(o_totalprice * 100) as bigint) div 1000").as("pb"))
-    // ONE corpus shuffle total (q213's stat-table discipline): the bounded
-    // (group × bucket) histogram persists, driver-reads capped, and
-    // releases — the pooled-rank table and the per-group rank sums both
-    // branch off a LOCAL bounded table, not a re-aggregated corpus.
-    val hBig = o.groupBy("g", "pb").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hRows = hBig.take(1 << 20)
-    require(hRows.length < (1 << 20), "group×price-bucket histogram overflow")
-    val h = s.createDataFrame(java.util.Arrays.asList(hRows: _*), hBig.schema)
-    hBig.unpersist(false)
-    val tb = h.groupBy("pb").agg(sum("c").as("t"))
-    val w = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
-    val r = tb.withColumn("r2",
-      lit(2) * coalesce(sum("t").over(w), lit(0L)) + col("t") + 1)
-    val gr = h.join(r.select("pb", "r2"), Seq("pb"))
-      .groupBy("g").agg(
-        sum("c").as("ng"),
-        sum(expr("cast(c as decimal(19,0)) * r2")).as("r2g"))
-    val glob = tb.agg(
-      sum("t").as("n"),
-      sum(expr("cast(t as decimal(19,0)) * t * t - t")).as("st"))
+    val h = o.groupBy("g", "pb").agg(count(lit(1)).as("c"))
+    val r = h
+      .withColumn("t", sum("c").over(Window.partitionBy("pb")))
+      .withColumn("cumb", coalesce(sum("c").over(
+        Window.orderBy("pb").rangeBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("rnp", row_number().over(
+        Window.partitionBy("pb").orderBy("g")))
+    val gr = r.groupBy("g").agg(
+      sum("c").as("ng"),
+      sum(expr("cast(c as decimal(19,0)) * (2 * cumb + t + 1)")).as("r2g"),
+      sum(when(col("rnp") === 1,
+        expr("cast(t as decimal(19,0)) * t * t - t"))
+        .otherwise(expr("cast(0 as decimal(19,0))"))).as("stp"))
     val sAgg = gr.agg(
-      count(lit(1)).as("k"),
+      count(lit(1)).as("k"), sum("ng").as("n"), sum("stp").as("st"),
       sum(round(col("r2g").cast("double") * col("r2g").cast("double")
         / col("ng").cast("double")).cast("decimal(38,0)")).as("s4"))
     def dbl(c: String) = col(c).cast("double")
     val hExpr = lit(3.0) * dbl("s4") / (dbl("n") * (dbl("n") + 1)) -
       lit(3.0) * (dbl("n") + 1)
     val tieC = lit(1.0) - dbl("st") / (dbl("n") * dbl("n") * dbl("n") - dbl("n"))
-    sAgg.crossJoin(glob)
-      .select(col("n"), col("k").as("k_groups"),
-        round(hExpr, 6).as("h"),
-        round(hExpr / tieC, 6).as("h_tie_corrected"),
-        round((hExpr / tieC - dbl("k") + 1) / (dbl("n") - dbl("k")), 6)
-          .as("epsilon_sq"))
+    sAgg.select(col("n"), col("k").as("k_groups"),
+      round(hExpr, 6).as("h"),
+      round(hExpr / tieC, 6).as("h_tie_corrected"),
+      round((hExpr / tieC - dbl("k") + 1) / (dbl("n") - dbl("k")), 6)
+        .as("epsilon_sq"))
   }
 
   // q221 — Kendall tau-b rank correlation between line quantity and
@@ -3930,8 +3929,11 @@ object Relational {
   // P(concordant) − P(discordant) — with better small-disagreement
   // robustness, and its O(n²) pair semantics are exactly the thing a
   // naive engine cannot run at 100 TB). Scale shape: the corpus
-  // collapses ONCE to the bounded (quantity × 1000-cent-bucket) joint
-  // histogram (contract at that granularity), the FULL grid forms by
+  // collapses ONCE to the bounded (quantity × 10000-cent-bucket) joint
+  // histogram (contract at that granularity — the coarser axis keeps
+  // the 50×~1050 grid cheap to localize; 1000-cent made the embedded
+  // local relation ~300k rows and the plan paid seconds of
+  // re-serialization per branch, measured), the FULL grid forms by
   // crossing the two bounded margins, and the pair counting becomes a
   // 2-D dominance prefix-sum — concordant = Σ c·LT with LT the
   // strictly-below-in-both count built from two bounded windows
@@ -3947,7 +3949,7 @@ object Relational {
     "q221_kendall_tau",
     """WITH l AS (
       |  SELECT CAST(l_quantity AS BIGINT) AS q,
-      |    CAST(round(l_extendedprice * 100) AS BIGINT) // 1000 AS pb
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS pb
       |  FROM lineitem),
       |h AS (SELECT q, pb, CAST(count(*) AS BIGINT) AS c FROM l GROUP BY 1, 2),
       |qd AS (SELECT DISTINCT q FROM h),
@@ -3989,7 +3991,7 @@ object Relational {
       |FROM agg, mq, mp, nt""".stripMargin) { (s, d) =>
     val l = Tables.lineitem(s, d).select(
       col("l_quantity").cast("bigint").as("q"),
-      expr("cast(round(l_extendedprice * 100) as bigint) div 1000").as("pb"))
+      expr("cast(round(l_extendedprice * 100) as bigint) div 10000").as("pb"))
     // ONE corpus shuffle total: the bounded joint histogram persists,
     // driver-reads (q213's stat-table discipline, capped), and releases —
     // the grid, both margins, and the total all branch off a LOCAL

@@ -56,7 +56,7 @@ class R11StatsSpec extends SparkSpec {
     val cells = Tables.lineitem(spark, sfDir)
       .select(col("l_quantity"), col("l_extendedprice"))
       .collect()
-      .map(r => (r.getDouble(0).toLong, cents(r.getDouble(1)) / 1000))
+      .map(r => (r.getDouble(0).toLong, cents(r.getDouble(1)) / 10000))
       .groupBy(identity).view.mapValues(c => BigInt(c.length)).toSeq
     var conc, disc = BigInt(0)
     for (((qa, pa), ca) <- cells; ((qb, pb), cb) <- cells
