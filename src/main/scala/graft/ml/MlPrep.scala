@@ -543,19 +543,21 @@ object MlPrep {
       |    CAST(count(CASE WHEN NOT train THEN 1 END) AS BIGINT) AS n_te,
       |    CAST(sum(CASE WHEN NOT train THEN y ELSE 0 END) AS BIGINT) AS u_te
       |  FROM o GROUP BY vb),
-      |tot AS (
-      |  SELECT CAST(sum(n_tr) AS BIGINT) AS ntr, CAST(sum(n_te) AS BIGINT) AS nte,
-      |    CAST(sum(u_te) AS BIGINT) AS ute,
-      |    CAST(count(CASE WHEN n_te > 0 THEN 1 END) AS BIGINT) AS nbins
+      |hw AS (
+      |  SELECT h.*,
+      |    CAST(sum(n_tr) OVER () AS BIGINT) AS ntr,
+      |    CAST(sum(n_te) OVER () AS BIGINT) AS nte,
+      |    CAST(sum(u_te) OVER () AS BIGINT) AS ute,
+      |    CAST(count(CASE WHEN n_te > 0 THEN 1 END) OVER () AS BIGINT) AS nbins
       |  FROM h),
       |terms AS (
-      |  SELECT h.vb, h.n_te, h.u_te,
+      |  SELECT vb, n_te, u_te, ntr, nte, ute, nbins,
       |    CAST(u_tr + 1 AS DOUBLE) / CAST(n_tr + 2 AS DOUBLE) AS ph,
-      |    CAST(h.u_te AS DOUBLE) / CAST(h.n_te AS DOUBLE) AS yb,
-      |    CAST(t.ute AS DOUBLE) / CAST(t.nte AS DOUBLE) AS ybar
-      |  FROM h, tot t WHERE h.n_te > 0),
+      |    CAST(u_te AS DOUBLE) / CAST(n_te AS DOUBLE) AS yb,
+      |    CAST(ute AS DOUBLE) / CAST(nte AS DOUBLE) AS ybar
+      |  FROM hw WHERE n_te > 0),
       |q AS (
-      |  SELECT
+      |  SELECT ntr, nte, ute, nbins,
       |    CAST(round(1000000000.0 * (CAST(u_te AS DOUBLE) * (1.0 - ph) * (1.0 - ph)
       |      + CAST(n_te - u_te AS DOUBLE) * ph * ph)) AS BIGINT) AS br9,
       |    CAST(round(1000000000.0 * CAST(n_te AS DOUBLE)
@@ -563,17 +565,17 @@ object MlPrep {
       |    CAST(round(1000000000.0 * CAST(n_te AS DOUBLE)
       |      * (yb - ybar) * (yb - ybar)) AS BIGINT) AS res9
       |  FROM terms)
-      |SELECT t.ntr AS n_train, t.nte AS n_test, t.nbins AS n_bins,
-      |  round(CAST(sum(br9) AS DOUBLE) / 1000000000.0 / CAST(t.nte AS DOUBLE), 6)
+      |SELECT ntr AS n_train, nte AS n_test, nbins AS n_bins,
+      |  round(CAST(sum(br9) AS DOUBLE) / 1000000000.0 / CAST(nte AS DOUBLE), 6)
       |    AS brier,
-      |  round(CAST(sum(rel9) AS DOUBLE) / 1000000000.0 / CAST(t.nte AS DOUBLE), 6)
+      |  round(CAST(sum(rel9) AS DOUBLE) / 1000000000.0 / CAST(nte AS DOUBLE), 6)
       |    AS reliability,
-      |  round(CAST(sum(res9) AS DOUBLE) / 1000000000.0 / CAST(t.nte AS DOUBLE), 6)
+      |  round(CAST(sum(res9) AS DOUBLE) / 1000000000.0 / CAST(nte AS DOUBLE), 6)
       |    AS resolution,
-      |  round((CAST(t.ute AS DOUBLE) / CAST(t.nte AS DOUBLE))
-      |    * (1.0 - CAST(t.ute AS DOUBLE) / CAST(t.nte AS DOUBLE)), 6)
+      |  round((CAST(ute AS DOUBLE) / CAST(nte AS DOUBLE))
+      |    * (1.0 - CAST(ute AS DOUBLE) / CAST(nte AS DOUBLE)), 6)
       |    AS uncertainty
-      |FROM q, tot t GROUP BY t.ntr, t.nte, t.nbins, t.ute""".stripMargin) { (s, d) =>
+      |FROM q GROUP BY ntr, nte, nbins, ute""".stripMargin) { (s, d) =>
     val o = Tables.orders(s, d).select(
       (col("o_orderkey") % 2 === 0).as("train"),
       expr("cast(round(o_totalprice * 100) as bigint) div 10000").as("vb"),
@@ -583,11 +585,19 @@ object MlPrep {
       sum(when(col("train"), col("y")).otherwise(0)).as("u_tr"),
       sum(when(!col("train"), 1L).otherwise(0L)).as("n_te"),
       sum(when(!col("train"), col("y")).otherwise(0)).as("u_te"))
-    val tot = h.agg(
-      sum("n_tr").as("ntr"), sum("n_te").as("nte"), sum("u_te").as("ute"),
-      sum(when(col("n_te") > 0, 1L).otherwise(0L)).as("nbins"))
+    // totals ride unbounded windows over the bounded bucket table — an
+    // aggregate-and-join-back would re-derive the corpus histogram a
+    // second time (plan-guarded single orders scan)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val hw = h
+      .withColumn("ntr", sum("n_tr").over(wAll))
+      .withColumn("nte", sum("n_te").over(wAll))
+      .withColumn("ute", sum("u_te").over(wAll))
+      .withColumn("nbins",
+        sum(when(col("n_te") > 0, 1L).otherwise(0L)).over(wAll))
     def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
-    val terms = h.filter(col("n_te") > 0).crossJoin(broadcast(tot))
+    val terms = hw.filter(col("n_te") > 0)
       .select(col("n_te"), col("u_te"), col("ntr"), col("nte"), col("ute"),
         col("nbins"),
         (dbl(col("u_tr") + 1) / dbl(col("n_tr") + 2)).as("ph"),

@@ -4099,13 +4099,16 @@ object Relational {
       |flag AS (
       |  SELECT rk.*, crit.crit9, abs(rk.z9) >= crit.crit9 AS hit
       |  FROM rk JOIN crit ON crit.rn = rk.rn),
-      |kmax AS (SELECT coalesce(max(rn) FILTER (WHERE hit), 0) AS k FROM flag)
-      |SELECT f.event_type, f.na AS n_even, f.nb AS n_odd,
-      |  round(CAST(f.z9 AS DOUBLE) / 1000000000.0, 6) AS z_score,
-      |  f.rn AS bh_rank,
-      |  round(CAST(f.crit9 AS DOUBLE) / 1000000000.0, 6) AS z_crit,
-      |  f.rn <= kmax.k AS rejected
-      |FROM flag f, kmax ORDER BY f.rn""".stripMargin) { (s, d) =>
+      |fk AS (
+      |  SELECT flag.*,
+      |    coalesce(max(CASE WHEN hit THEN rn END) OVER (), 0) AS k
+      |  FROM flag)
+      |SELECT event_type, na AS n_even, nb AS n_odd,
+      |  round(CAST(z9 AS DOUBLE) / 1000000000.0, 6) AS z_score,
+      |  rn AS bh_rank,
+      |  round(CAST(crit9 AS DOUBLE) / 1000000000.0, 6) AS z_crit,
+      |  rn <= k AS rejected
+      |FROM fk ORDER BY rn""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d).select(
       col("event_type"),
       (expr("(ts_us div 86400000000) % 2") === 0).as("ga"),
@@ -4136,11 +4139,16 @@ object Relational {
     val crit = s.createDataFrame(Seq(
       (1, 2575829304L), (2, 2326347874L), (3, 2170090378L),
       (4, 2053748911L), (5, 1959963985L))).toDF("rn", "crit9")
+    // the step-up scan rides a window over the 5-row family instead of a
+    // self-join — a kmax aggregate joined back would re-derive the whole
+    // corpus chain a second time (plan-guarded single events scan)
     val flag = rk.join(broadcast(crit), Seq("rn"))
       .withColumn("hit", abs(col("z9")) >= col("crit9"))
-    val kmax = flag.agg(
-      coalesce(max(when(col("hit"), col("rn"))), lit(0)).as("k"))
-    flag.crossJoin(broadcast(kmax))
+      .withColumn("k", coalesce(
+        max(when(col("hit"), col("rn"))).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)), lit(0)))
+    flag
       .select(col("event_type"), col("na").as("n_even"), col("nb").as("n_odd"),
         round(col("z9").cast("double") / 1000000000.0, 6).as("z_score"),
         col("rn").cast("bigint").as("bh_rank"),
@@ -4183,24 +4191,26 @@ object Relational {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
       |    sum(c) OVER (PARTITION BY g) AS n
       |  FROM h),
-      |cuts AS (
-      |  SELECT g, max(n) AS n,
-      |    min(CASE WHEN 20 * cum >= n THEN pb END) AS lo_pb,
-      |    min(CASE WHEN 20 * cum >= 19 * n THEN pb END) AS hi_pb
-      |  FROM r GROUP BY g),
+      |r2 AS (
+      |  SELECT r.*,
+      |    min(CASE WHEN 20 * cum >= n THEN pb END)
+      |      OVER (PARTITION BY g) AS lo_pb,
+      |    min(CASE WHEN 20 * cum >= 19 * n THEN pb END)
+      |      OVER (PARTITION BY g) AS hi_pb
+      |  FROM r),
       |parts AS (
-      |  SELECT r.g, cuts.n, cuts.lo_pb, cuts.hi_pb,
-      |    CAST(sum(CASE WHEN r.pb >= cuts.lo_pb AND r.pb <= cuts.hi_pb
-      |      THEN r.sc ELSE 0 END) AS BIGINT) AS sc_in,
-      |    CAST(sum(CASE WHEN r.pb >= cuts.lo_pb AND r.pb <= cuts.hi_pb
-      |      THEN r.c ELSE 0 END) AS BIGINT) AS c_in,
-      |    CAST(sum(CASE WHEN r.pb < cuts.lo_pb THEN r.c ELSE 0 END) AS BIGINT)
+      |  SELECT g, CAST(n AS BIGINT) AS n, lo_pb, hi_pb,
+      |    CAST(sum(CASE WHEN pb >= lo_pb AND pb <= hi_pb
+      |      THEN sc ELSE 0 END) AS BIGINT) AS sc_in,
+      |    CAST(sum(CASE WHEN pb >= lo_pb AND pb <= hi_pb
+      |      THEN c ELSE 0 END) AS BIGINT) AS c_in,
+      |    CAST(sum(CASE WHEN pb < lo_pb THEN c ELSE 0 END) AS BIGINT)
       |      AS c_lo,
-      |    CAST(sum(CASE WHEN r.pb > cuts.hi_pb THEN r.c ELSE 0 END) AS BIGINT)
+      |    CAST(sum(CASE WHEN pb > hi_pb THEN c ELSE 0 END) AS BIGINT)
       |      AS c_hi,
-      |    CAST(sum(r.sc) AS BIGINT) AS sc_all
-      |  FROM r JOIN cuts ON cuts.g = r.g
-      |  GROUP BY r.g, cuts.n, cuts.lo_pb, cuts.hi_pb)
+      |    CAST(sum(sc) AS BIGINT) AS sc_all
+      |  FROM r2
+      |  GROUP BY g, n, lo_pb, hi_pb)
       |SELECT g, CAST(n AS BIGINT) AS n,
       |  lo_pb * 1000 AS lo_cut_cents, hi_pb * 1000 + 999 AS hi_cut_cents,
       |  round(CAST(sc_all AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_raw,
@@ -4220,13 +4230,17 @@ object Relational {
     val r = h
       .withColumn("cum", sum("c").over(wg))
       .withColumn("n", sum("c").over(Window.partitionBy("g")))
-    val cuts = r.groupBy("g").agg(
-      max("n").as("n"),
-      min(when(lit(20) * col("cum") >= col("n"), col("pb"))).as("lo_pb"),
-      min(when(lit(20) * col("cum") >= lit(19) * col("n"), col("pb")))
-        .as("hi_pb"))
-    val parts = r.select("g", "pb", "c", "sc")
-      .join(broadcast(cuts), Seq("g"))
+    // cutoff buckets ride g-partitioned window mins on the SAME exchange
+    // as the cumulative — a groupBy-and-join-back would re-derive the
+    // corpus histogram a second time (plan-guarded single lineitem scan)
+    val wg2 = Window.partitionBy("g")
+    val r2 = r
+      .withColumn("lo_pb",
+        min(when(lit(20) * col("cum") >= col("n"), col("pb"))).over(wg2))
+      .withColumn("hi_pb",
+        min(when(lit(20) * col("cum") >= lit(19) * col("n"), col("pb")))
+          .over(wg2))
+    val parts = r2
       .groupBy("g", "n", "lo_pb", "hi_pb").agg(
         sum(when(col("pb") >= col("lo_pb") && col("pb") <= col("hi_pb"),
           col("sc")).otherwise(0L)).as("sc_in"),

@@ -660,4 +660,28 @@ class PlanSpec extends SparkSpec {
       "TakeOrderedAndProject".r.findAllIn(plan.substring(joinIdx)).size >= 2,
       s"the fusion join must consume the two TakeOrdered funnels:\n$plan")
   }
+
+  test("r11 stats family: each operator's plan scans its corpus exactly once") {
+    // a derived stat table (totals, cutoffs, step-up max) must ride a
+    // window over the bounded histogram, never an aggregate-and-join-back
+    // that re-derives the corpus chain — the count pins it. q221's grid
+    // localizes its bounded histogram eagerly, so its OUTPUT plan carries
+    // ZERO file scans; q224 reads the fact plus its broadcast dim.
+    val expect = Seq(
+      "q220_kruskal_wallis" -> 1, "q221_kendall_tau" -> 0,
+      "q222_bh_fdr" -> 1, "q223_brier_reliability" -> 1,
+      "q224_target_encoding" -> 2, "q225_winsorized_mean" -> 1,
+      "q226_cochran_armitage" -> 1, "q227_gini_best_split" -> 1)
+    expect.foreach { case (name, n) =>
+      val plan = planOf(name)
+      val scans = "FileScan".r.findAllIn(plan).size
+      assert(scans == n, s"$name: expected $n corpus scans, got $scans in:\n$plan")
+    }
+  }
+
+  test("q227 argmax is a bounded TakeOrdered, never a global sort of thresholds") {
+    val plan = planOf("q227_gini_best_split")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"LIMIT 1 over quantized gains must plan as TakeOrderedAndProject:\n$plan")
+  }
 }
