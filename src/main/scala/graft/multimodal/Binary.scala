@@ -685,24 +685,35 @@ object Binary {
   // decoded features are hash-verified end-to-end.
   val q74: QueryDef = QueryDef.sql(
     "q74_modality_router",
-    """SELECT doc_id,
-      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
-      |       WHEN 1 THEN 'audio' ELSE 'text' END AS modality,
-      |  CAST(length(text) AS INTEGER) AS n_bytes,
-      |  round_even(CASE CAST(doc_id % 3 AS INTEGER)
-      |    WHEN 0 THEN list_max(list_transform(range(0, 8),
-      |      b -> CAST(len(list_filter(range(1, length(text) + 1),
-      |             i -> (unicode(substr(text, CAST(i AS INT), 1)) // 32) = b)) AS DOUBLE)
-      |           / greatest(length(text), 1)))
-      |    WHEN 1 THEN CAST((list_sum(list_transform(range(1, length(text) + 1),
-      |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)))
-      |        - 128 * length(text)) * 256 AS DOUBLE)
-      |      / greatest(length(text), 1) / 32768
-      |    ELSE CAST(len(list_filter(range(1, length(text) + 1),
-      |      i -> unicode(substr(text, CAST(i AS INT), 1)) IN (32, 10, 9))) AS DOUBLE)
-      |      / greatest(length(text), 1)
-      |  END, 6) AS feat
-      |FROM documents
+    """WITH r AS (
+      |  SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS m,
+      |    CAST(length(text) AS BIGINT) AS len,
+      |    CASE CAST(doc_id % 3 AS INTEGER)
+      |      WHEN 0 THEN list_max(list_transform(range(0, 8),
+      |        b -> CAST(len(list_filter(range(1, length(text) + 1),
+      |          i -> (unicode(substr(text, CAST(i AS INT), 1)) // 32) = b))
+      |          AS BIGINT)))
+      |      WHEN 1 THEN (coalesce(list_sum(list_transform(
+      |          range(1, length(text) + 1),
+      |          i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT))), 0)
+      |        - 128 * length(text)) * 256
+      |      ELSE CAST(len(list_filter(range(1, length(text) + 1),
+      |        i -> unicode(substr(text, CAST(i AS INT), 1)) IN (32, 10, 9)))
+      |        AS BIGINT)
+      |    END AS num,
+      |    CASE WHEN CAST(doc_id % 3 AS INTEGER) = 1
+      |      THEN CAST(greatest(length(text), 1) AS BIGINT) * 32768
+      |      ELSE CAST(greatest(length(text), 1) AS BIGINT)
+      |    END AS den
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'text' END
+      |    AS modality,
+      |  CAST(len AS INTEGER) AS n_bytes,
+      |  CAST(CASE WHEN num >= 0 THEN (2 * 1000000 * num + den) // (2 * den)
+      |    ELSE -((2 * 1000000 * (-num) + den) // (2 * den)) END AS DOUBLE)
+      |    / 1000000.0 AS feat
+      |FROM r
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val routed = routedPayloads(s, d)
     val outSchema = StructType(Seq(
@@ -734,18 +745,38 @@ object Binary {
             // bytes — all equal the source text length by construction;
             // encoded container sizes are compressor-dependent and never
             // surface).
+            // the digests are exact rationals (histogram count / len,
+            // Σsamples / (len·32768), whitespace count / len) and exact
+            // 6-dp HALVES occur in real corpora (sf1 hit -0.2559375) —
+            // a double-rounding boundary where the engines' ulp-apart
+            // chains decide opposite ways. So the rounding itself is an
+            // INTEGER decision (half-away-from-zero in int64, the q222/
+            // q227 boundary-exactness discipline): recover the exact
+            // integer numerator from the decoder's ratio, divide once.
+            def round6(num: Long, den: Long): Double = {
+              val r = (2L * 1000000L * math.abs(num) + den) / (2L * den)
+              (if (num < 0) -r else r) / 1e6
+            }
             val (nBytes, feat) = m match {
               case "image" =>
                 var mx = Double.NegativeInfinity
                 var k = 2
                 while (k < nf) { if (f(i * nf + k) > mx) mx = f(i * nf + k); k += 1 }
-                ((f(i * nf) * f(i * nf + 1)).toInt, mx)
+                // the fraction's denominator is the DECODED pixel count
+                // (w·h — equal to the source text length by the luma
+                // identity), not the compressed container size
+                val pixels = math.max((f(i * nf) * f(i * nf + 1)).toLong, 1L)
+                ((f(i * nf) * f(i * nf + 1)).toInt,
+                  round6(math.round(mx * pixels), pixels))
               case "audio" =>
-                (f(i * nf + 2).toInt, f(i * nf + 4) / 32768.0)
+                val frames = math.max(f(i * nf + 2).toLong, 1L)
+                ((f(i * nf + 2)).toInt,
+                  round6(math.round(f(i * nf + 4) * frames), frames * 32768L))
               case _ =>
-                (batch.itemLength(i), f(i * nf))
+                val len = math.max(batch.itemLength(i), 1).toLong
+                (batch.itemLength(i), round6(math.round(f(i * nf) * len), len))
             }
-            Row(batch.ids(i), m, nBytes, math.rint(feat * 1e6) / 1e6)
+            Row(batch.ids(i), m, nBytes, feat)
           }
         }
       }
