@@ -101,16 +101,23 @@ class PlanSpec extends SparkSpec {
       s"the sorted-window formulation should be gone:\n$plan")
   }
 
-  test("q41 pair join carries no gram arrays and is equi-keyed on bands") {
+  test("q41 candidates expand from bucket arrays (triangle chunks), never a pair join") {
     val plan = planOf("q41_dedup_ngram_jaccard")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"q41 candidates must come from MinHash band buckets, not an all-pairs join:\n$plan")
-    // the pair-generating join must not ship gram arrays; grams join in
-    // afterwards keyed by doc_id
-    val pairJoin = plan.linesIterator.find(l =>
-      l.contains("Join") && l.contains("band") && l.contains("key"))
-    assert(pairJoin.exists(!_.contains("grams")),
-      s"band-collision join must not carry gram arrays:\n$plan")
+    // the funnel head is the triangle decomposition: buckets collapse to
+    // sorted id arrays, chunk pairs ROUND-ROBIN before expansion (the
+    // sf10 de-skew) — so pair generation is Generate (explode) work
+    // after a RoundRobinPartitioning exchange, and no join on (band,
+    // key) exists anywhere in the plan
+    assert(plan.contains("RoundRobinPartitioning"),
+      s"chunk pairs must round-robin before expansion:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("band") && l.contains("key")),
+      s"the band self-join should be gone (replaced by the triangle explode):\n$plan")
+    // grams still join in AFTER pair generation, keyed by doc_id only
+    assert(plan.contains("Generate explode"),
+      s"pair expansion must be a Generate:\n$plan")
   }
 
   test("q44 blocked dedup plans no cartesian pair join") {
