@@ -774,6 +774,99 @@ object MlPrep {
         round(dbl(col("ur")) / dbl(col("nr")), 6).as("rate_right"))
   }
 
+  // q232 — cumulative gains / lift deciles for q223's leakage-safe binned
+  // scorer (the TARGETING readout the scoring family lacked: q180's AUC
+  // is one number, q223's Brier audits probability truth, but the
+  // question a campaign/triage team asks is "if I act on the top 10/20/…%
+  // by score, what fraction of positives do I capture, and at what lift
+  // over random?" — the gains table IS that answer). Same deterministic
+  // construction as q223: train/test by orderkey parity, scorer =
+  // train-side Laplace urgent rate per 10000-cent bucket (exact-int
+  // division — identical doubles both engines), evaluated held-out.
+  // Scale shape: ONE corpus aggregate to the bounded (bucket × split)
+  // table; test buckets sort by (score desc, vb asc — double order is
+  // engine-safe on identical values), cumulative counts ride one window
+  // over the bounded table, and each decile d picks its boundary bucket
+  // by the integer-ceil rank rule (first bucket with 10·cum_n ≥ d·N — a
+  // pure integer decision, q225's discipline; capture is reported at
+  // bucket granularity, the stated contract) via a bounded 10×buckets
+  // grid join (q215's threshold-grid shape). capture/frac/lift are
+  // single identical-operand-order expressions of exact integers,
+  // rounded once.
+  val q232: QueryDef = QueryDef.sql(
+    "q232_gains_deciles",
+    """WITH o AS (
+      |  SELECT o_orderkey % 2 = 0 AS train,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS vb,
+      |    CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS y
+      |  FROM orders),
+      |h AS (
+      |  SELECT vb,
+      |    CAST(count(CASE WHEN train THEN 1 END) AS BIGINT) AS n_tr,
+      |    CAST(sum(CASE WHEN train THEN y ELSE 0 END) AS BIGINT) AS u_tr,
+      |    CAST(count(CASE WHEN NOT train THEN 1 END) AS BIGINT) AS n_te,
+      |    CAST(sum(CASE WHEN NOT train THEN y ELSE 0 END) AS BIGINT) AS u_te
+      |  FROM o GROUP BY vb),
+      |t AS (
+      |  SELECT vb, n_te, u_te,
+      |    CAST(u_tr + 1 AS DOUBLE) / CAST(n_tr + 2 AS DOUBLE) AS ph
+      |  FROM h WHERE n_te > 0),
+      |c AS (
+      |  SELECT t.*,
+      |    CAST(sum(n_te) OVER (ORDER BY ph DESC, vb
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+      |    CAST(sum(u_te) OVER (ORDER BY ph DESC, vb
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cu,
+      |    CAST(sum(n_te) OVER () AS BIGINT) AS nn,
+      |    CAST(sum(u_te) OVER () AS BIGINT) AS uu
+      |  FROM t),
+      |g AS (
+      |  SELECT d.decile, min(c.cn) AS n_cum
+      |  FROM (SELECT unnest(range(1, 11)) AS decile) d
+      |  JOIN c ON 10 * c.cn >= d.decile * c.nn
+      |  GROUP BY d.decile)
+      |SELECT g.decile, g.n_cum, c.cu AS u_cum,
+      |  round(CAST(c.cu AS DOUBLE) / c.uu, 6) AS capture,
+      |  round(CAST(g.n_cum AS DOUBLE) / c.nn, 6) AS frac_acted,
+      |  round(CAST(c.cu AS DOUBLE) * c.nn
+      |    / (CAST(c.uu AS DOUBLE) * g.n_cum), 6) AS lift
+      |FROM g JOIN c ON c.cn = g.n_cum
+      |ORDER BY g.decile""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(
+      (col("o_orderkey") % 2 === 0).as("train"),
+      expr("cast(round(o_totalprice * 100) as bigint) div 10000").as("vb"),
+      (col("o_orderpriority") === "1-URGENT").cast("int").as("y"))
+    val h = o.groupBy("vb").agg(
+      sum(when(col("train"), 1L).otherwise(0L)).as("n_tr"),
+      sum(when(col("train"), col("y")).otherwise(0)).as("u_tr"),
+      sum(when(!col("train"), 1L).otherwise(0L)).as("n_te"),
+      sum(when(!col("train"), col("y")).otherwise(0)).as("u_te"))
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val t = h.filter(col("n_te") > 0).select(col("vb"), col("n_te"),
+      col("u_te"),
+      (dbl(col("u_tr") + 1) / dbl(col("n_tr") + 2)).as("ph"))
+    val wCum = Window.orderBy(col("ph").desc, col("vb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = t
+      .withColumn("cn", sum("n_te").over(wCum))
+      .withColumn("cu", sum("u_te").over(wCum))
+      .withColumn("nn", sum("n_te").over(wAll))
+      .withColumn("uu", sum("u_te").over(wAll))
+    // decile grid joins the bounded cumulative table (10 × ≤buckets rows)
+    val grid = s.range(1, 11).select(col("id").as("decile"))
+    val g = grid.join(c, lit(10) * col("cn") >= col("decile") * col("nn"))
+      .groupBy("decile").agg(min("cn").as("n_cum"))
+    g.join(c, col("cn") === col("n_cum"))
+      .select(col("decile"), col("n_cum"), col("cu").as("u_cum"),
+        round(dbl(col("cu")) / dbl(col("uu")), 6).as("capture"),
+        round(dbl(col("n_cum")) / dbl(col("nn")), 6).as("frac_acted"),
+        round(dbl(col("cu")) * dbl(col("nn"))
+          / (dbl(col("uu")) * dbl(col("n_cum"))), 6).as("lift"))
+      .orderBy("decile")
+  }
+
   val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q32,
-    q39, q121, q155, q162, q199, q214, q223, q224, q227)
+    q39, q121, q155, q162, q199, q214, q223, q224, q227, q232)
 }

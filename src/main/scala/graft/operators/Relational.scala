@@ -4322,11 +4322,371 @@ object Relational {
           / dbl("nn")), 6).as("z_trend"))
   }
 
+  // q228 — CUPED variance-reduced experiment readout (the estimator every
+  // mature A/B platform runs: the raw arm-mean difference carries the
+  // full between-user variance, but regressing out a PRE-period covariate
+  // x with θ = cov(x,y)/var(x) removes the share of variance x explains —
+  // same point estimate in expectation, tighter CI, which is the
+  // difference between a 2-week and a 6-week experiment). Unit = customer
+  // (q167's hash-arm convention on the key); the pre/post split is
+  // even-vs-odd epoch-day order value (deterministic, no data-dependent
+  // boundary — q222's convention), a true A/A under the generator so the
+  // spec pins the adjusted difference near zero. Scale shape: ONE orders
+  // scan → the per-customer (x, y) cents aggregate (one shuffle, O(units)
+  // rows) → a bounded 2-row arm rollup carrying Σx, Σy, Σx², Σy², Σxy in
+  // DECIMAL(38,0) (x,y ≤ ~1e9 cents ⇒ xy ≤ 1e18 per unit — exact), with
+  // grand totals as windows over the bounded table. θ, ρ² and the
+  // adjusted means are single identical-operand-order expressions of
+  // those exact integers (doubles only at the last step), rounded once —
+  // deterministic across engines with no quantization needed.
+  val q228: QueryDef = QueryDef.sql(
+    "q228_cuped_adjustment",
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    ((o_custkey % 1000003) * 2654435761) % 2 AS arm,
+      |    (epoch_us(o_orderdate) // 86400000000) % 2 AS odd_day,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |u AS (
+      |  SELECT o_custkey, arm,
+      |    CAST(sum(CASE WHEN odd_day = 0 THEN cents ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN odd_day = 1 THEN cents ELSE 0 END) AS BIGINT) AS y
+      |  FROM o GROUP BY o_custkey, arm),
+      |a AS (
+      |  SELECT arm, CAST(count(*) AS BIGINT) AS n_u,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM u GROUP BY arm),
+      |g AS (
+      |  SELECT a.*,
+      |    CAST(sum(n_u) OVER () AS DOUBLE) AS n,
+      |    CAST(sum(sx) OVER () AS DOUBLE) AS tsx,
+      |    CAST(sum(sy) OVER () AS DOUBLE) AS tsy,
+      |    CAST(sum(sxx) OVER () AS DOUBLE) AS tsxx,
+      |    CAST(sum(syy) OVER () AS DOUBLE) AS tsyy,
+      |    CAST(sum(sxy) OVER () AS DOUBLE) AS tsxy
+      |  FROM a)
+      |SELECT arm, n_u,
+      |  round(CAST(sy AS DOUBLE) / n_u / 100, 6) AS mean_raw,
+      |  round((CAST(sy AS DOUBLE) / n_u
+      |    - ((n * tsxy - tsx * tsy) / (n * tsxx - tsx * tsx))
+      |      * (CAST(sx AS DOUBLE) / n_u - tsx / n)) / 100, 6) AS mean_adj,
+      |  round((n * tsxy - tsx * tsy) / (n * tsxx - tsx * tsx), 6) AS theta,
+      |  round((n * tsxy - tsx * tsy) * (n * tsxy - tsx * tsy)
+      |    / ((n * tsxx - tsx * tsx) * (n * tsyy - tsy * tsy)), 6) AS rho2
+      |FROM g ORDER BY arm""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(
+      col("o_custkey"),
+      (col("o_custkey") % 1000003L * 2654435761L % 2L).as("arm"),
+      (expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000") % 2L)
+        .as("odd_day"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val u = o.groupBy("o_custkey", "arm").agg(
+      sum(when(col("odd_day") === 0, col("cents")).otherwise(0L)).as("x"),
+      sum(when(col("odd_day") === 1, col("cents")).otherwise(0L)).as("y"))
+    val a = u.groupBy("arm").agg(
+      count(lit(1)).as("n_u"),
+      sum("x").cast("decimal(38,0)").as("sx"),
+      sum("y").cast("decimal(38,0)").as("sy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+    // grand moments ride unbounded windows over the bounded 2-row arm
+    // table — never a second corpus aggregate
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = a
+      .withColumn("n", sum("n_u").over(wAll).cast("double"))
+      .withColumn("tsx", sum("sx").over(wAll).cast("double"))
+      .withColumn("tsy", sum("sy").over(wAll).cast("double"))
+      .withColumn("tsxx", sum("sxx").over(wAll).cast("double"))
+      .withColumn("tsyy", sum("syy").over(wAll).cast("double"))
+      .withColumn("tsxy", sum("sxy").over(wAll).cast("double"))
+    val covN = col("n") * col("tsxy") - col("tsx") * col("tsy")
+    val varxN = col("n") * col("tsxx") - col("tsx") * col("tsx")
+    val varyN = col("n") * col("tsyy") - col("tsy") * col("tsy")
+    val theta = covN / varxN
+    g.select(col("arm"), col("n_u"),
+      round(col("sy").cast("double") / col("n_u") / 100, 6).as("mean_raw"),
+      round((col("sy").cast("double") / col("n_u")
+        - theta * (col("sx").cast("double") / col("n_u")
+          - col("tsx") / col("n"))) / 100, 6).as("mean_adj"),
+      round(theta, 6).as("theta"),
+      round(covN * covN / (varxN * varyN), 6).as("rho2"))
+      .orderBy("arm")
+  }
+
+  // q229 — empirical-Bayes (beta-binomial) shrinkage of per-nation urgent
+  // rates (the small-cell estimator every per-segment dashboard needs:
+  // a 30-order nation's raw 20% urgent rate is mostly noise, and ranking
+  // segments by raw rate surfaces the THINNEST cells first; shrinking
+  // toward the pooled mean with a strength fitted from the between-group
+  // spread is the standard fix — James–Stein's practical form). Method of
+  // moments on the bounded ≤25-row nation table: prior mean = pooled
+  // rate (exact-int division), prior strength M = p̄(1−p̄)/s² − 1 with p̄
+  // and s² the UNWEIGHTED group-rate mean/variance — each (p_g − p̄)²
+  // term quantized onto the 1e-12 grid before the order-free cross-group
+  // sum (q213's discipline), M clamped at 0 and rounded onto the 1e-6
+  // grid (a stated contract: the prior is reported at that precision, so
+  // shrunk rates are reproducible from the published prior); shrunk_g =
+  // (u_g + M·m)/(n_g + M) one fixed-order expression rounded once. ONE
+  // fact scan (customer joins on custkey — at 100 TB that shuffle join
+  // is the plan; nation would broadcast but the 25-row table needs no
+  // join at all: nationkey IS the group key).
+  val q229: QueryDef = QueryDef.sql(
+    "q229_eb_shrinkage",
+    """WITH j AS (
+      |  SELECT c.c_nationkey AS nation,
+      |    CAST(o.o_orderpriority = '1-URGENT' AS BIGINT) AS y
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |b AS (
+      |  SELECT nation, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS u
+      |  FROM j GROUP BY nation),
+      |w AS (
+      |  SELECT b.*,
+      |    CAST(sum(n) OVER () AS BIGINT) AS tn,
+      |    CAST(sum(u) OVER () AS BIGINT) AS tu,
+      |    CAST(count(*) OVER () AS BIGINT) AS k,
+      |    CAST(sum(CAST(round(1000000000000.0 * (CAST(u AS DOUBLE) / n))
+      |      AS BIGINT)) OVER () AS DOUBLE) / 1000000000000.0 AS sp
+      |  FROM b),
+      |v AS (
+      |  SELECT w.*, sp / k AS pbar,
+      |    CAST(sum(CAST(round(1000000000000.0
+      |        * (CAST(u AS DOUBLE) / n - sp / k)
+      |        * (CAST(u AS DOUBLE) / n - sp / k)) AS BIGINT)) OVER ()
+      |      AS DOUBLE) / 1000000000000.0 AS ssq
+      |  FROM w),
+      |m AS (
+      |  SELECT v.*,
+      |    CASE WHEN ssq = 0 THEN 0.0 ELSE
+      |      round(greatest(0.0, pbar * (1.0 - pbar) * (k - 1) / ssq - 1.0), 6)
+      |      END AS mm
+      |  FROM v)
+      |SELECT nation, n, u,
+      |  CAST(u AS DOUBLE) / n AS rate_raw,
+      |  round((CAST(u AS DOUBLE) + mm * (CAST(tu AS DOUBLE) / tn))
+      |    / (CAST(n AS DOUBLE) + mm), 6) AS rate_shrunk,
+      |  round(mm, 6) AS prior_strength,
+      |  round(CAST(tu AS DOUBLE) / tn, 6) AS prior_mean
+      |FROM m ORDER BY nation""".stripMargin) { (s, d) =>
+    val j = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nation"),
+        (col("o_orderpriority") === "1-URGENT").cast("bigint").as("y"))
+    val b = j.groupBy("nation").agg(
+      count(lit(1)).as("n"), sum("y").as("u"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val rate = col("u").cast("double") / col("n")
+    val w = b
+      .withColumn("tn", sum("n").over(wAll))
+      .withColumn("tu", sum("u").over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+      // per-group rates are exact-int divisions but their cross-group SUM
+      // is order-sensitive in doubles — quantize each rate onto the 1e-12
+      // grid so the sum is an order-free integer sum (q213's discipline)
+      .withColumn("sp",
+        sum(round(lit(1000000000000.0) * rate).cast("bigint")).over(wAll)
+          .cast("double") / 1000000000000.0)
+    val pbar = col("sp") / col("k")
+    // (p_g − p̄)² quantized to 1e-12 ints before the cross-group sum —
+    // the sum is order-free and exact, so s² is engine-identical
+    val v = w
+      .withColumn("pbar", pbar)
+      .withColumn("ssq",
+        sum(round(lit(1000000000000.0) * (rate - pbar) * (rate - pbar))
+          .cast("bigint")).over(wAll).cast("double") / 1000000000000.0)
+    // zero between-group spread has no moment estimate — M defined 0
+    // (raw rates pass through), a stated contract
+    val m = v.withColumn("mm",
+      when(col("ssq") === 0.0, 0.0).otherwise(
+        round(greatest(lit(0.0),
+          col("pbar") * (lit(1.0) - col("pbar")) * (col("k") - 1) / col("ssq")
+            - 1.0), 6)))
+    m.select(col("nation"), col("n"), col("u"),
+      rate.as("rate_raw"),
+      round((col("u").cast("double") + col("mm")
+        * (col("tu").cast("double") / col("tn")))
+        / (col("n").cast("double") + col("mm")), 6).as("rate_shrunk"),
+      round(col("mm"), 6).as("prior_strength"),
+      round(col("tu").cast("double") / col("tn"), 6).as("prior_mean"))
+      .orderBy("nation")
+  }
+
+  // q230 — TOST equivalence test of order value, even-vs-odd orderkey
+  // split (the INVERTED hypothesis the family lacked: q167/q216/q226 ask
+  // "is there a difference?", but a migration/rollback/parity check needs
+  // "are these the SAME within a stated margin?" — absence of
+  // significance is NOT evidence of equivalence, TOST's two one-sided
+  // tests are). Margin δ = 5,000,000 cents ($50k, ~20% of the mean — a
+  // stated contract). Moments per split are exact DECIMAL(38,0) off ONE
+  // corpus aggregate; Welch variances, the two z-statistics and the se
+  // are single identical-operand-order expressions of those exact
+  // integers. The DECISION follows q222's boundary discipline: z
+  // quantizes onto the 1e-9 grid and compares to the 1e-9-grid literal
+  // Φ⁻¹(0.95) = 1.644853627 as integer-vs-literal — the engines agree
+  // even when z sits exactly at the critical value. A/A by construction:
+  // the spec pins equivalent = true and |diff| ≪ δ.
+  val q230: QueryDef = QueryDef.sql(
+    "q230_tost_equivalence",
+    """WITH o AS (
+      |  SELECT o_orderkey % 2 = 0 AS grp_a,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |c AS (
+      |  SELECT
+      |    CAST(count(CASE WHEN grp_a THEN 1 END) AS BIGINT) AS n_a,
+      |    CAST(count(CASE WHEN NOT grp_a THEN 1 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN grp_a THEN CAST(cents AS HUGEINT) END) AS HUGEINT)
+      |      AS sa,
+      |    CAST(sum(CASE WHEN NOT grp_a THEN CAST(cents AS HUGEINT) END)
+      |      AS HUGEINT) AS sb,
+      |    CAST(sum(CASE WHEN grp_a THEN CAST(cents AS HUGEINT) * cents END)
+      |      AS HUGEINT) AS sa2,
+      |    CAST(sum(CASE WHEN NOT grp_a THEN CAST(cents AS HUGEINT) * cents END)
+      |      AS HUGEINT) AS sb2
+      |  FROM o),
+      |z AS (
+      |  SELECT n_a, n_b,
+      |    CAST(sa AS DOUBLE) / n_a AS ma, CAST(sb AS DOUBLE) / n_b AS mb,
+      |    (CAST(n_a AS DOUBLE) * CAST(sa2 AS DOUBLE)
+      |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+      |      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1)) AS va,
+      |    (CAST(n_b AS DOUBLE) * CAST(sb2 AS DOUBLE)
+      |      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+      |      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1)) AS vb
+      |  FROM c),
+      |t AS (
+      |  SELECT n_a, n_b, ma, mb, ma - mb AS diff,
+      |    sqrt(va / n_a + vb / n_b) AS se
+      |  FROM z)
+      |SELECT n_a, n_b,
+      |  round(diff / 100, 6) AS diff_dollars,
+      |  round(se / 100, 6) AS se_dollars,
+      |  round((diff + 5000000) / se, 6) AS z_lower,
+      |  round((5000000 - diff) / se, 6) AS z_upper,
+      |  CAST(round(1000000000.0 * (diff + 5000000) / se) AS BIGINT)
+      |      >= 1644853627
+      |    AND CAST(round(1000000000.0 * (5000000 - diff) / se) AS BIGINT)
+      |      >= 1644853627 AS equivalent
+      |FROM t""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(
+      (col("o_orderkey") % 2 === 0).as("grp_a"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val dec = col("cents").cast("decimal(38,0)")
+    val c = o.agg(
+      sum(when(col("grp_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("grp_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("grp_a"), dec)).as("sa"),
+      sum(when(!col("grp_a"), dec)).as("sb"),
+      sum(when(col("grp_a"), dec * col("cents"))).as("sa2"),
+      sum(when(!col("grp_a"), dec * col("cents"))).as("sb2"))
+    def dbl(c: String) = col(c).cast("double")
+    val z = c.select(col("n_a"), col("n_b"),
+      (dbl("sa") / col("n_a")).as("ma"), (dbl("sb") / col("n_b")).as("mb"),
+      ((dbl("n_a") * dbl("sa2") - dbl("sa") * dbl("sa"))
+        / (dbl("n_a") * (dbl("n_a") - 1))).as("va"),
+      ((dbl("n_b") * dbl("sb2") - dbl("sb") * dbl("sb"))
+        / (dbl("n_b") * (dbl("n_b") - 1))).as("vb"))
+    val t = z.select(col("n_a"), col("n_b"), col("ma"), col("mb"),
+      (col("ma") - col("mb")).as("diff"),
+      sqrt(col("va") / col("n_a") + col("vb") / col("n_b")).as("se"))
+    val zLo9 = round(lit(1000000000.0) * (col("diff") + 5000000) / col("se"))
+      .cast("bigint")
+    val zHi9 = round(lit(1000000000.0) * (lit(5000000) - col("diff")) / col("se"))
+      .cast("bigint")
+    t.select(col("n_a"), col("n_b"),
+      round(col("diff") / 100, 6).as("diff_dollars"),
+      round(col("se") / 100, 6).as("se_dollars"),
+      round((col("diff") + 5000000) / col("se"), 6).as("z_lower"),
+      round((lit(5000000) - col("diff")) / col("se"), 6).as("z_upper"),
+      (zLo9 >= 1644853627L && zHi9 >= 1644853627L).as("equivalent"))
+  }
+
+  // q231 — experiment power / minimum-detectable-effect planner off
+  // q167's conversion funnel (the DESIGN-time companion the readout
+  // family lacked: q167 judges a finished experiment, q222 corrects a
+  // family of them, but the first question a team asks is "how long
+  // must this run?" — MDE at the current sample answers it, and the
+  // required-n for a stated 10% relative lift answers the dual). The
+  // normal quantiles Φ⁻¹(0.975) = 1.959963985 and Φ⁻¹(0.8) =
+  // 0.841621234 are 1e-9-grid LITERALS (q222's convention — no erf in
+  // either engine); all counts are exact integers from q167's one
+  // user-keyed aggregate + O(1) rollup; MDE and n_required are single
+  // identical-operand-order expressions rounded once. Degenerate pooled
+  // rates (0 or 1) yield defined zeros, stated in the contract.
+  val q231: QueryDef = QueryDef.sql(
+    "q231_power_mde",
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(epoch_us(ts)) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tc
+      |  FROM events GROUP BY user_id),
+      |u AS (
+      |  SELECT ((user_id % 1000003) * 2654435761) % 2 AS arm,
+      |    CASE WHEN tc IS NOT NULL AND tc <= t0 + 3600000000
+      |      THEN 1 ELSE 0 END AS conv
+      |  FROM f),
+      |c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(conv) AS BIGINT) AS conv_t
+      |  FROM u),
+      |p AS (
+      |  SELECT n_a, n_b, conv_t,
+      |    CAST(conv_t AS DOUBLE) / (n_a + n_b) AS pbar
+      |  FROM c)
+      |SELECT n_a, n_b, round(pbar, 6) AS pooled_rate,
+      |  round(CASE WHEN conv_t = 0 OR conv_t = n_a + n_b THEN 0.0 ELSE
+      |    (1.959963985 + 0.841621234)
+      |      * sqrt(pbar * (1.0 - pbar)
+      |        * (1.0 / n_a + 1.0 / n_b)) END, 6) AS mde_abs,
+      |  CAST(CASE WHEN conv_t = 0 OR conv_t = n_a + n_b THEN 0 ELSE
+      |    ceil((1.959963985 + 0.841621234) * (1.959963985 + 0.841621234)
+      |      * 2.0 * pbar * (1.0 - pbar)
+      |      / (0.1 * pbar * 0.1 * pbar)) END AS BIGINT) AS n_per_arm_10pct
+      |FROM p""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("tc"))
+      .select(
+        (col("user_id") % 1000003L * 2654435761L % 2L).as("arm"),
+        when(col("tc").isNotNull && col("tc") <= col("t0") + 3600000000L, 1)
+          .otherwise(0).as("conv"))
+    val c = u.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum("conv").cast("long").as("conv_t"))
+    val pbar = col("conv_t").cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val p = c.select(col("n_a"), col("n_b"), col("conv_t"),
+      pbar.as("pbar"))
+    val degenerate = col("conv_t") === 0 ||
+      col("conv_t") === col("n_a") + col("n_b")
+    val zsum = lit(1.959963985) + lit(0.841621234)
+    p.select(col("n_a"), col("n_b"),
+      round(col("pbar"), 6).as("pooled_rate"),
+      round(when(degenerate, 0.0).otherwise(
+        zsum * sqrt(col("pbar") * (lit(1.0) - col("pbar"))
+          * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))), 6)
+        .as("mde_abs"),
+      when(degenerate, 0L).otherwise(
+        ceil(zsum * zsum * lit(2.0) * col("pbar") * (lit(1.0) - col("pbar"))
+          / (lit(0.1) * col("pbar") * lit(0.1) * col("pbar"))))
+        .cast("bigint").as("n_per_arm_10pct"))
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
     q191, q192, q195, q197, q198, q202, q205, q207, q209, q211, q212, q213,
-    q216, q218, q220, q221, q222, q225, q226)
+    q216, q218, q220, q221, q222, q225, q226, q228, q229, q230, q231)
 }

@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dense replays for the experimentation/estimation batch (q228–q232).
+  *
+  * Same protocol as R11StatsSpec: each replay recomputes the operator's
+  * stated contract from raw rows via exact arithmetic (never through the
+  * operator's own plan), so agreement proves the distributed decomposition
+  * — per-unit cents aggregates, bounded-table moments, integer-ceil decile
+  * cuts — lossless, not merely self-consistent.
+  */
+class ExperimentStatsSpec extends SparkSpec {
+
+  private def cents(x: Double): Long = math.round(x * 100)
+
+  test("q228 CUPED theta/rho2/adjusted means equal the dense replay; weighted adj means recover the global mean") {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) % 2, cents(r.getDouble(2))))
+    val perUnit = rows.groupBy(_._1).map { case (ck, g) =>
+      val x = g.filter(_._2 == 0L).map(_._3).sum
+      val y = g.filter(_._2 == 1L).map(_._3).sum
+      (ck % 1000003L * 2654435761L % 2L, BigInt(x), BigInt(y))
+    }.toSeq
+    val n = perUnit.size.toDouble
+    val tsx = perUnit.map(_._2).sum
+    val tsy = perUnit.map(_._3).sum
+    val tsxx = perUnit.map(t => t._2 * t._2).sum
+    val tsyy = perUnit.map(t => t._3 * t._3).sum
+    val tsxy = perUnit.map(t => t._2 * t._3).sum
+    val covN = n * tsxy.toDouble - tsx.toDouble * tsy.toDouble
+    val varxN = n * tsxx.toDouble - tsx.toDouble * tsx.toDouble
+    val varyN = n * tsyy.toDouble - tsy.toDouble * tsy.toDouble
+    val theta = covN / varxN
+    val rho2 = covN * covN / (varxN * varyN)
+    val got = operators.Relational.q228.fn(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("arm") -> r).toMap
+    assert(got.size == 2, "two arms expected")
+    var wAdjSum = 0.0
+    Seq(0L, 1L).foreach { arm =>
+      val g = perUnit.filter(_._1 == arm)
+      val nu = g.size.toDouble
+      val meanRaw = g.map(_._3).sum.toDouble / nu / 100
+      val meanAdj = (g.map(_._3).sum.toDouble / nu
+        - theta * (g.map(_._2).sum.toDouble / nu - tsx.toDouble / n)) / 100
+      val row = got(arm)
+      assert(row.getAs[Long]("n_u") == g.size)
+      assert(math.abs(row.getAs[Double]("mean_raw") - meanRaw) < 1e-4)
+      assert(math.abs(row.getAs[Double]("mean_adj") - meanAdj) < 1e-4)
+      assert(math.abs(row.getAs[Double]("theta") - theta) < 1e-5)
+      assert(math.abs(row.getAs[Double]("rho2") - rho2) < 1e-5)
+      wAdjSum += nu * meanAdj
+    }
+    // Σ_a n_a·(x̄_a − x̄) = 0, so the n-weighted adjusted means must
+    // recover the global raw mean exactly — the unbiasedness identity
+    assert(math.abs(wAdjSum / n - tsy.toDouble / n / 100) < 1e-6,
+      "weighted adjusted means must average to the global mean")
+    assert(rho2 >= 0 && rho2 <= 1, s"rho2 out of range: $rho2")
+    // A/A: the hash split is a null contrast — the ADJUSTED difference
+    // must not exceed the raw difference by more than noise allows
+    val rawDiff = math.abs(got(0L).getAs[Double]("mean_raw")
+      - got(1L).getAs[Double]("mean_raw"))
+    val adjDiff = math.abs(got(0L).getAs[Double]("mean_adj")
+      - got(1L).getAs[Double]("mean_adj"))
+    assert(adjDiff < rawDiff + 1e-6 || adjDiff < 0.05 * (tsy.toDouble / n / 100),
+      s"CUPED adjustment moved a null contrast outward: raw=$rawDiff adj=$adjDiff")
+  }
+
+  test("q229 EB shrinkage equals the dense replay and every shrunk rate sits between raw and prior") {
+    val rows = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("o_orderpriority"))
+      .collect().map(r => (r.getInt(0), if (r.getString(1) == "1-URGENT") 1L else 0L))
+    val byNation = rows.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).sum)).toMap
+    val k = byNation.size
+    val tn = byNation.values.map(_._1).sum
+    val tu = byNation.values.map(_._2).sum
+    // the operator quantizes each rate onto the 1e-12 grid before the sum
+    val sp = byNation.values
+      .map { case (nn, u) => math.round(1e12 * (u.toDouble / nn)) }
+      .sum.toDouble / 1e12
+    val pbar = sp / k
+    val ssq = byNation.values
+      .map { case (nn, u) =>
+        val dlt = u.toDouble / nn - pbar
+        math.round(1e12 * dlt * dlt)
+      }.sum.toDouble / 1e12
+    val mm = BigDecimal(math.max(0.0, pbar * (1 - pbar) * (k - 1) / ssq - 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val prior = tu.toDouble / tn
+    val got = operators.Relational.q229.fn(spark, sfDir)
+      .collect().map(r => r.getAs[Int]("nation") -> r).toMap
+    assert(got.size == k)
+    byNation.foreach { case (nat, (nn, u)) =>
+      val row = got(nat)
+      val raw = u.toDouble / nn
+      val shrunk = (u.toDouble + mm * prior) / (nn.toDouble + mm)
+      assert(row.getAs[Long]("n") == nn)
+      assert(row.getAs[Double]("rate_raw") == raw)
+      assert(math.abs(row.getAs[Double]("rate_shrunk") - shrunk) < 1e-5,
+        s"nation $nat shrunk: $shrunk vs ${row.getAs[Double]("rate_shrunk")}")
+      assert(math.abs(row.getAs[Double]("prior_strength") - mm) < 1e-5)
+      // betweenness: shrinkage interpolates, never extrapolates
+      val lo = math.min(raw, prior) - 1e-9
+      val hi = math.max(raw, prior) + 1e-9
+      val sv = row.getAs[Double]("rate_shrunk")
+      assert(sv >= lo && sv <= hi,
+        s"nation $nat shrunk rate $sv outside [$lo, $hi]")
+    }
+    assert(mm > 0, "between-group spread exists, so the prior must have weight")
+  }
+
+  test("q230 TOST z-statistics equal the dense replay and the A/A split concludes equivalence") {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0) % 2 == 0, BigInt(cents(r.getDouble(1)))))
+    def mom(p: Boolean) = {
+      val g = rows.filter(_._1 == p).map(_._2)
+      val nn = g.size.toDouble
+      val s1 = g.sum.toDouble
+      val s2 = g.map(c => c * c).sum.toDouble
+      (nn, s1 / nn, (g.size.toDouble * s2 - s1 * s1) / (nn * (nn - 1)))
+    }
+    val (na, ma, va) = mom(true)
+    val (nb, mb, vb) = mom(false)
+    val diff = ma - mb
+    val se = math.sqrt(va / na + vb / nb)
+    val zLo = (diff + 5000000) / se
+    val zHi = (5000000 - diff) / se
+    val got = operators.Relational.q230.fn(spark, sfDir).collect().head
+    assert(got.getAs[Long]("n_a") == na.toLong)
+    assert(got.getAs[Long]("n_b") == nb.toLong)
+    assert(math.abs(got.getAs[Double]("diff_dollars") - diff / 100) < 1e-4)
+    assert(math.abs(got.getAs[Double]("z_lower") - zLo) < 1e-5)
+    assert(math.abs(got.getAs[Double]("z_upper") - zHi) < 1e-5)
+    // A/A with a $50k margin on a ~$7.5k se: both one-sided tests must pass
+    assert(got.getAs[Boolean]("equivalent"),
+      s"A/A TOST failed to conclude equivalence: zLo=$zLo zHi=$zHi")
+    assert(math.abs(diff) < 1250000, s"A/A diff exceeded delta/4: $diff")
+  }
+
+  test("q231 MDE and required-n equal the dense replay off q167's funnel") {
+    val f = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(min("ts_us").as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("tc"))
+      .collect().map { r =>
+        val conv = !r.isNullAt(2) && r.getLong(2) <= r.getLong(1) + 3600000000L
+        (r.getLong(0) % 1000003L * 2654435761L % 2L, if (conv) 1L else 0L)
+      }
+    val na = f.count(_._1 == 0L).toDouble
+    val nb = f.count(_._1 == 1L).toDouble
+    val convT = f.map(_._2).sum
+    val pbar = convT / (na + nb)
+    val zsum = 1.959963985 + 0.841621234
+    val got = operators.Relational.q231.fn(spark, sfDir).collect().head
+    assert(got.getAs[Long]("n_a") == na.toLong)
+    assert(got.getAs[Long]("n_b") == nb.toLong)
+    if (convT > 0 && convT < na + nb) {
+      val mde = zsum * math.sqrt(pbar * (1 - pbar) * (1 / na + 1 / nb))
+      val nReq = math.ceil(zsum * zsum * 2 * pbar * (1 - pbar)
+        / (0.1 * pbar * 0.1 * pbar)).toLong
+      assert(math.abs(got.getAs[Double]("mde_abs") - mde) < 1e-5)
+      assert(got.getAs[Long]("n_per_arm_10pct") == nReq)
+      assert(mde > 0 && nReq > 0)
+    } else {
+      assert(got.getAs[Double]("mde_abs") == 0.0)
+      assert(got.getAs[Long]("n_per_arm_10pct") == 0L)
+    }
+  }
+
+  test("q232 gains deciles equal the dense replay; capture is monotone and decile 10 covers everything") {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .collect().map { r =>
+        (r.getLong(0) % 2 == 0, cents(r.getDouble(1)) / 10000,
+          if (r.getString(2) == "1-URGENT") 1L else 0L)
+      }
+    val byVb = rows.groupBy(_._2).view.mapValues { g =>
+      val tr = g.filter(_._1)
+      val te = g.filterNot(_._1)
+      (tr.size.toLong, tr.map(_._3).sum, te.size.toLong, te.map(_._3).sum)
+    }.toMap
+    val test0 = byVb.toSeq.filter(_._2._3 > 0)
+      .map { case (vb, (ntr, utr, nte, ute)) =>
+        (vb, nte, ute, (utr + 1).toDouble / (ntr + 2).toDouble)
+      }
+      .sortBy { case (vb, _, _, ph) => (-ph, vb) }
+    val nn = test0.map(_._2).sum
+    val uu = test0.map(_._3).sum
+    val cum = test0.scanLeft((0L, 0L)) { case ((cn, cu), (_, nte, ute, _)) =>
+      (cn + nte, cu + ute)
+    }.tail
+    val expected = (1 to 10).map { dd =>
+      val (cn, cu) = cum.find { case (cn, _) => 10 * cn >= dd * nn }.get
+      (dd.toLong, cn, cu, cu.toDouble / uu, cn.toDouble / nn,
+        cu.toDouble * nn / (uu.toDouble * cn))
+    }
+    val got = ml.MlPrep.q232.fn(spark, sfDir).orderBy("decile").collect().toSeq
+    assert(got.size == 10)
+    expected.zip(got).foreach { case ((dd, cn, cu, cap, frac, lift), row) =>
+      assert(row.getAs[Long]("decile") == dd)
+      assert(row.getAs[Long]("n_cum") == cn, s"decile $dd n_cum")
+      assert(row.getAs[Long]("u_cum") == cu, s"decile $dd u_cum")
+      assert(math.abs(row.getAs[Double]("capture") - cap) < 1e-5)
+      assert(math.abs(row.getAs[Double]("frac_acted") - frac) < 1e-5)
+      assert(math.abs(row.getAs[Double]("lift") - lift) < 1e-5)
+    }
+    // decile d's capture can never shrink as d grows; decile 10 is the
+    // whole test population at lift exactly 1
+    val caps = got.map(_.getAs[Double]("capture"))
+    assert(caps.zip(caps.tail).forall { case (a, b) => b >= a - 1e-9 })
+    assert(got.last.getAs[Double]("capture") == 1.0)
+    assert(got.last.getAs[Double]("frac_acted") == 1.0)
+    assert(got.last.getAs[Double]("lift") == 1.0)
+  }
+}
