@@ -786,13 +786,16 @@ object MlPrep {
   // Scale shape: ONE corpus aggregate to the bounded (bucket × split)
   // table; test buckets sort by (score desc, vb asc — double order is
   // engine-safe on identical values), cumulative counts ride one window
-  // over the bounded table, and each decile d picks its boundary bucket
-  // by the integer-ceil rank rule (first bucket with 10·cum_n ≥ d·N — a
-  // pure integer decision, q225's discipline; capture is reported at
-  // bucket granularity, the stated contract) via a bounded 10×buckets
-  // grid join (q215's threshold-grid shape). capture/frac/lift are
-  // single identical-operand-order expressions of exact integers,
-  // rounded once.
+  // over the bounded table, and each bucket row EMITS the deciles it
+  // closes — decile d belongs to the first bucket with 10·cum_n ≥ d·N
+  // (the integer-ceil rank rule, q225's discipline; capture is reported
+  // at bucket granularity, the stated contract), so bucket i with
+  // previous cumulative p and cumulative c owns exactly d ∈
+  // (10p/N, 10c/N], i.e. sequence(10p div N + 1, 10c div N) — a bounded
+  // explode, never a join back onto the cumulative table (a grid join
+  // would recompute the corpus scan chain a second time; plan-guarded
+  // single scan). capture/frac/lift are single identical-operand-order
+  // expressions of exact integers, rounded once.
   val q232: QueryDef = QueryDef.sql(
     "q232_gains_deciles",
     """WITH o AS (
@@ -820,18 +823,18 @@ object MlPrep {
       |    CAST(sum(n_te) OVER () AS BIGINT) AS nn,
       |    CAST(sum(u_te) OVER () AS BIGINT) AS uu
       |  FROM t),
-      |g AS (
-      |  SELECT d.decile, min(c.cn) AS n_cum
-      |  FROM (SELECT unnest(range(1, 11)) AS decile) d
-      |  JOIN c ON 10 * c.cn >= d.decile * c.nn
-      |  GROUP BY d.decile)
-      |SELECT g.decile, g.n_cum, c.cu AS u_cum,
-      |  round(CAST(c.cu AS DOUBLE) / c.uu, 6) AS capture,
-      |  round(CAST(g.n_cum AS DOUBLE) / c.nn, 6) AS frac_acted,
-      |  round(CAST(c.cu AS DOUBLE) * c.nn
-      |    / (CAST(c.uu AS DOUBLE) * g.n_cum), 6) AS lift
-      |FROM g JOIN c ON c.cn = g.n_cum
-      |ORDER BY g.decile""".stripMargin) { (s, d) =>
+      |sel AS (
+      |  SELECT unnest(generate_series(10 * (cn - n_te) // nn + 1,
+      |      (10 * cn) // nn)) AS decile,
+      |    cn, cu, nn, uu
+      |  FROM c WHERE (10 * cn) // nn >= 10 * (cn - n_te) // nn + 1)
+      |SELECT CAST(decile AS BIGINT) AS decile, cn AS n_cum, cu AS u_cum,
+      |  round(CAST(cu AS DOUBLE) / uu, 6) AS capture,
+      |  round(CAST(cn AS DOUBLE) / nn, 6) AS frac_acted,
+      |  round(CAST(cu AS DOUBLE) * nn
+      |    / (CAST(uu AS DOUBLE) * cn), 6) AS lift
+      |FROM sel
+      |ORDER BY decile""".stripMargin) { (s, d) =>
     val o = Tables.orders(s, d).select(
       (col("o_orderkey") % 2 === 0).as("train"),
       expr("cast(round(o_totalprice * 100) as bigint) div 10000").as("vb"),
@@ -854,16 +857,17 @@ object MlPrep {
       .withColumn("cu", sum("u_te").over(wCum))
       .withColumn("nn", sum("n_te").over(wAll))
       .withColumn("uu", sum("u_te").over(wAll))
-    // decile grid joins the bounded cumulative table (10 × ≤buckets rows)
-    val grid = s.range(1, 11).select(col("id").as("decile"))
-    val g = grid.join(c, lit(10) * col("cn") >= col("decile") * col("nn"))
-      .groupBy("decile").agg(min("cn").as("n_cum"))
-    g.join(c, col("cn") === col("n_cum"))
-      .select(col("decile"), col("n_cum"), col("cu").as("u_cum"),
+    // each bucket emits the deciles it closes — a bounded explode, never
+    // a grid join back onto c (which would recompute the corpus scan)
+    c.withColumn("dlo", expr("(10 * (cn - n_te)) div nn + 1"))
+      .withColumn("dhi", expr("(10 * cn) div nn"))
+      .filter(col("dhi") >= col("dlo"))
+      .select(explode(expr("sequence(dlo, dhi)")).as("decile"),
+        col("cn").as("n_cum"), col("cu").as("u_cum"),
         round(dbl(col("cu")) / dbl(col("uu")), 6).as("capture"),
-        round(dbl(col("n_cum")) / dbl(col("nn")), 6).as("frac_acted"),
+        round(dbl(col("cn")) / dbl(col("nn")), 6).as("frac_acted"),
         round(dbl(col("cu")) * dbl(col("nn"))
-          / (dbl(col("uu")) * dbl(col("n_cum"))), 6).as("lift"))
+          / (dbl(col("uu")) * dbl(col("cn"))), 6).as("lift"))
       .orderBy("decile")
   }
 

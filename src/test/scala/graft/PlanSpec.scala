@@ -691,4 +691,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"LIMIT 1 over quantized gains must plan as TakeOrderedAndProject:\n$plan")
   }
+
+  test("experimentation family: each operator's plan scans its corpus exactly once") {
+    // same pin as the r11 stats family — grand moments/totals ride windows
+    // over the bounded arm/nation/bucket tables, never an
+    // aggregate-and-join-back that re-derives the corpus chain. q229 reads
+    // orders + customer (the custkey join); q232's decile grid is a
+    // Range, not a scan.
+    val expect = Seq(
+      "q228_cuped_adjustment" -> 1, "q229_eb_shrinkage" -> 2,
+      "q230_tost_equivalence" -> 1, "q231_power_mde" -> 1,
+      "q232_gains_deciles" -> 1)
+    expect.foreach { case (name, n) =>
+      val plan = planOf(name)
+      val scans = "FileScan".r.findAllIn(plan).size
+      assert(scans == n, s"$name: expected $n corpus scans, got $scans in:\n$plan")
+    }
+  }
 }
