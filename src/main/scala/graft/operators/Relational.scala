@@ -4322,6 +4322,107 @@ object Relational {
           / dbl("nn")), 6).as("z_trend"))
   }
 
+  // q233 — pinball-loss quantile-forecast backtest (the UNCERTAINTY
+  // companion q192's point-forecast skill lacks: a capacity plan needs
+  // "what P90 load should we provision for?", and the pinball loss is the
+  // proper scoring rule that makes a quantile forecast honest — under- and
+  // over-prediction priced asymmetrically at τ and 1−τ). Forecaster:
+  // per-hour-of-day empirical P50/P90 of TRAIN hourly counts by the
+  // integer-ceil rank rule (picks ACTUAL counts — exact ints); split =
+  // first-vs-second half of the observed day range (q142's deterministic
+  // temporal convention, the midpoint a pure integer decision). Exactness:
+  // counts and quantiles are integers, so 10× the pinball loss is an exact
+  // int64 sum (τ=0.5 → 5·|y−q|; τ=0.9 → 9·(y−q)⁺ + (q−y)⁺) — NO doubles
+  // until the final rounded means, coverage single IEEE divisions of exact
+  // counts. Scale shape: ONE corpus aggregate to the bounded hours table;
+  // the split boundary, per-hod cumulative ranks and the 24-row quantile
+  // join all ride windows/joins on bounded tables.
+  val q233: QueryDef = QueryDef.sql(
+    "q233_pinball_backtest",
+    """WITH h AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |hh AS (SELECT hr, n, hr % 24 AS hod, hr // 24 AS day FROM h),
+      |hb AS (
+      |  SELECT hh.*, (min(day) OVER () + max(day) OVER () + 1) // 2 AS dmid
+      |  FROM hh),
+      |ct AS (
+      |  SELECT hod, n, CAST(count(*) AS BIGINT) AS c
+      |  FROM hb WHERE day < dmid GROUP BY hod, n),
+      |cum AS (
+      |  SELECT hod, n,
+      |    CAST(sum(c) OVER (PARTITION BY hod ORDER BY n
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(c) OVER (PARTITION BY hod) AS BIGINT) AS nh
+      |  FROM ct),
+      |qs AS (
+      |  SELECT hod,
+      |    min(CASE WHEN 2 * cum >= nh THEN n END) AS q50,
+      |    min(CASE WHEN 10 * cum >= 9 * nh THEN n END) AS q90
+      |  FROM cum GROUP BY hod),
+      |te AS (
+      |  SELECT hb.hod, hb.n, qs.q50, qs.q90
+      |  FROM hb JOIN qs ON hb.hod = qs.hod WHERE hb.day >= hb.dmid)
+      |SELECT CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(5 * abs(n - q50)) AS BIGINT) AS pinball10_50,
+      |  CAST(sum(CASE WHEN n >= q90 THEN 9 * (n - q90) ELSE q90 - n END)
+      |    AS BIGINT) AS pinball10_90,
+      |  round(CAST(sum(5 * abs(n - q50)) AS DOUBLE) / 10 / count(*), 6)
+      |    AS mean_pinball_50,
+      |  round(CAST(sum(CASE WHEN n >= q90 THEN 9 * (n - q90) ELSE q90 - n END)
+      |    AS DOUBLE) / 10 / count(*), 6) AS mean_pinball_90,
+      |  CAST(sum(CASE WHEN n <= q50 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS coverage_50,
+      |  CAST(sum(CASE WHEN n <= q90 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS coverage_90
+      |FROM te""".stripMargin) { (s, d) =>
+    // ONE corpus shuffle: the bounded hours table localizes (q213's
+    // persist→take→local-relation discipline, capped) so the train
+    // histogram and test join branches below don't re-aggregate the
+    // events corpus once each
+    val hBig = Tables.events(s, d)
+      .groupBy(expr("ts_us div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hod", col("hr") % 24)
+      .withColumn("day", expr("hr div 24"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hRows = hBig.take(1 << 20)
+    require(hRows.length < (1 << 20), "hours-table driver overflow")
+    val h = s.createDataFrame(java.util.Arrays.asList(hRows: _*), hBig.schema)
+    hBig.unpersist(false)
+    val hb = h.withColumn("dmid",
+      expr("(min(day) over (rows between unbounded preceding and " +
+        "unbounded following) + max(day) over (rows between unbounded " +
+        "preceding and unbounded following) + 1) div 2"))
+    val ct = hb.filter(col("day") < col("dmid"))
+      .groupBy("hod", "n").agg(count(lit(1)).as("c"))
+    val wHod = Window.partitionBy("hod").orderBy("n")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wHodAll = Window.partitionBy("hod")
+    val cum = ct
+      .withColumn("cum", sum("c").over(wHod))
+      .withColumn("nh", sum("c").over(wHodAll))
+    val qs = cum.groupBy("hod").agg(
+      min(when(lit(2) * col("cum") >= col("nh"), col("n"))).as("q50"),
+      min(when(lit(10) * col("cum") >= lit(9) * col("nh"), col("n")))
+        .as("q90"))
+    val te = hb.filter(col("day") >= col("dmid"))
+      .join(broadcast(qs), "hod")
+    val p50 = sum(lit(5) * abs(col("n") - col("q50")))
+    val p90 = sum(when(col("n") >= col("q90"),
+      lit(9) * (col("n") - col("q90"))).otherwise(col("q90") - col("n")))
+    te.agg(
+      count(lit(1)).as("n_test"),
+      p50.cast("bigint").as("pinball10_50"),
+      p90.cast("bigint").as("pinball10_90"),
+      round(p50.cast("double") / 10 / count(lit(1)), 6).as("mean_pinball_50"),
+      round(p90.cast("double") / 10 / count(lit(1)), 6).as("mean_pinball_90"),
+      (sum(when(col("n") <= col("q50"), 1L).otherwise(0L)).cast("double")
+        / count(lit(1))).as("coverage_50"),
+      (sum(when(col("n") <= col("q90"), 1L).otherwise(0L)).cast("double")
+        / count(lit(1))).as("coverage_90"))
+  }
+
   // q228 — CUPED variance-reduced experiment readout (the estimator every
   // mature A/B platform runs: the raw arm-mean difference carries the
   // full between-user variance, but regressing out a PRE-period covariate
@@ -4688,5 +4789,5 @@ object Relational {
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
     q191, q192, q195, q197, q198, q202, q205, q207, q209, q211, q212, q213,
-    q216, q218, q220, q221, q222, q225, q226, q228, q229, q230, q231)
+    q216, q218, q220, q221, q222, q225, q226, q228, q229, q230, q231, q233)
 }

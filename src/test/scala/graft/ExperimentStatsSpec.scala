@@ -175,6 +175,44 @@ class ExperimentStatsSpec extends SparkSpec {
     }
   }
 
+  test("q233 pinball losses equal the dense integer replay; P90 covers at least as often as P50") {
+    val hours = Tables.events(spark, sfDir)
+      .groupBy(expr("ts_us div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = hours.map(_._1 / 24)
+    val dmid = (days.min + days.max + 1) / 2
+    val train = hours.filter(_._1 / 24 < dmid)
+    val test0 = hours.filter(_._1 / 24 >= dmid)
+    def quant(hod: Long, num: Int, den: Int): Long = {
+      val xs = train.filter(_._1 % 24 == hod).map(_._2).sorted
+      // integer-ceil rank rule: smallest x with den·rank ≥ num·n
+      xs(((xs.length * num + den - 1) / den - 1).max(0))
+    }
+    val q50 = (0L to 23L).map(h => h -> quant(h, 1, 2)).toMap
+    val q90 = (0L to 23L).map(h => h -> quant(h, 9, 10)).toMap
+    var p1050, p1090, cov50, cov90 = 0L
+    test0.foreach { case (hr, n) =>
+      val (a, b) = (q50(hr % 24), q90(hr % 24))
+      p1050 += 5 * math.abs(n - a)
+      p1090 += (if (n >= b) 9 * (n - b) else b - n)
+      if (n <= a) cov50 += 1
+      if (n <= b) cov90 += 1
+    }
+    val got = operators.Relational.q233.fn(spark, sfDir).collect().head
+    assert(got.getAs[Long]("n_test") == test0.length)
+    assert(got.getAs[Long]("pinball10_50") == p1050, "P50 pinball mismatch")
+    assert(got.getAs[Long]("pinball10_90") == p1090, "P90 pinball mismatch")
+    assert(got.getAs[Double]("coverage_50") == cov50.toDouble / test0.length)
+    assert(got.getAs[Double]("coverage_90") == cov90.toDouble / test0.length)
+    // a P90 forecast must cover no less often than the P50 one, and with
+    // stationary arrivals its coverage should actually look like a high
+    // quantile rather than a median
+    assert(got.getAs[Double]("coverage_90") >= got.getAs[Double]("coverage_50"))
+    assert(got.getAs[Double]("coverage_90") > 0.5,
+      s"P90 coverage degenerate: ${got.getAs[Double]("coverage_90")}")
+  }
+
   test("q232 gains deciles equal the dense replay; capture is monotone and decile 10 covers everything") {
     val rows = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))

@@ -701,7 +701,9 @@ class PlanSpec extends SparkSpec {
     val expect = Seq(
       "q228_cuped_adjustment" -> 1, "q229_eb_shrinkage" -> 2,
       "q230_tost_equivalence" -> 1, "q231_power_mde" -> 1,
-      "q232_gains_deciles" -> 1)
+      // q233 localizes its bounded hours table eagerly (q213/q221's
+      // discipline), so its OUTPUT plan carries zero file scans
+      "q232_gains_deciles" -> 1, "q233_pinball_backtest" -> 0)
     expect.foreach { case (name, n) =>
       val plan = planOf(name)
       val scans = "FileScan".r.findAllIn(plan).size
