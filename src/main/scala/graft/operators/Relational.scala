@@ -4783,11 +4783,186 @@ object Relational {
         .cast("bigint").as("n_per_arm_10pct"))
   }
 
+  // q234 — sample-ratio-mismatch (SRM) check, overall and per exposure
+  // segment (the experiment-platform pre-gate: a biased assignment makes
+  // every downstream readout garbage, and the industry-standard alarm is
+  // a goodness-of-fit chi-square of the realized arm counts against the
+  // designed 50/50 — run FIRST, before q167's effect test; the per-
+  // event-type rows localize WHICH exposure surface drifted). Unit =
+  // distinct (segment, user) with segment fanned out map-side as
+  // ['__all__', event_type] (q122's tagged-union shape — ONE corpus
+  // distinct, no second pass for the total row); chi2 = (n_a−n_b)²/N off
+  // exact integers, one expression rounded once; the FLAG follows q222's
+  // boundary discipline — chi2 quantized onto the 1e-6 grid against the
+  // literal χ²₁(0.05) = 3.841459 as integer-vs-literal. A/A: the hash
+  // assignment is balanced by construction, spec pins no flag fires.
+  val q234: QueryDef = QueryDef.sql(
+    "q234_srm_check",
+    """WITH p AS (
+      |  SELECT DISTINCT seg, user_id FROM (
+      |    SELECT unnest(['__all__', event_type]) AS seg, user_id
+      |    FROM events)),
+      |c AS (
+      |  SELECT seg,
+      |    CAST(sum(CASE WHEN ((user_id % 1000003) * 2654435761) % 2 = 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN ((user_id % 1000003) * 2654435761) % 2 = 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM p GROUP BY seg)
+      |SELECT seg, n_a, n_b,
+      |  round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+      |    AS chi2,
+      |  CAST(round(1000000.0 * (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+      |    / (n_a + n_b))) AS BIGINT) >= 3841459 AS srm_flag
+      |FROM c ORDER BY seg""".stripMargin) { (s, d) =>
+    val p = Tables.events(s, d)
+      .select(explode(array(lit("__all__"), col("event_type"))).as("seg"),
+        col("user_id"))
+      .distinct()
+    val arm = col("user_id") % 1000003L * 2654435761L % 2L
+    val c = p.groupBy("seg").agg(
+      sum(when(arm === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(arm === 1L, 1L).otherwise(0L)).as("n_b"))
+    val chi2raw = ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+      .cast("double") / (col("n_a") + col("n_b"))
+    c.select(col("seg"), col("n_a"), col("n_b"),
+      round(chi2raw, 6).as("chi2"),
+      (round(lit(1000000.0) * chi2raw).cast("bigint") >= 3841459L)
+        .as("srm_flag"))
+      .orderBy("seg")
+  }
+
+  // q235 — group-sequential monitoring with O'Brien–Fleming boundaries
+  // over q167's conversion contrast (the PEEKING fix: reading an
+  // experiment daily at a flat z=1.96 inflates false alarms severalfold;
+  // the OBF schedule spends almost no alpha early — boundary 4.56 at
+  // look 1 — and converges to ~2.04 at the final look, which is why it
+  // is the default in every sequential-testing platform). Five looks at
+  // the entry-day quintiles of the observed range (deterministic integer
+  // banding off the bounded day table — q233's split convention);
+  // boundaries z_k = 2.040·√(K/k) precomputed as 1e-9-grid LITERALS
+  // (4.561578674, 3.225523213, 2.633628675, 2.280789337, 2.040 — q222's
+  // convention, no sqrt-of-fraction at query time); each look's
+  // two-proportion z off EXACT cumulative integers (one user-keyed
+  // aggregate → bounded (look, arm) table → cumulative windows on ≤5
+  // rows), quantized onto the 1e-9 grid for the integer-vs-literal
+  // crossing decision. A/A by construction: the spec pins that no look
+  // crosses and replays every z densely.
+  val q235: QueryDef = QueryDef.sql(
+    "q235_group_sequential",
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(epoch_us(ts)) // 86400000000 AS d0,
+      |    CASE WHEN min(CASE WHEN event_type = 'purchase'
+      |        THEN epoch_us(ts) END) <= min(epoch_us(ts)) + 3600000000
+      |      THEN 1 ELSE 0 END AS conv
+      |  FROM events GROUP BY user_id),
+      |b AS (
+      |  SELECT d0, ((user_id % 1000003) * 2654435761) % 2 AS arm,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS cv
+      |  FROM f GROUP BY 1, 2),
+      |dd AS (
+      |  SELECT b.*, min(d0) OVER () AS dmin, max(d0) OVER () AS dmax
+      |  FROM b),
+      |g AS (
+      |  SELECT least(4, (5 * (d0 - dmin)) // (dmax - dmin + 1)) + 1 AS lx,
+      |    CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS nb,
+      |    CAST(sum(CASE WHEN arm = 0 THEN cv ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN arm = 1 THEN cv ELSE 0 END) AS BIGINT) AS cb
+      |  FROM dd GROUP BY 1),
+      |cum AS (
+      |  SELECT lx,
+      |    CAST(sum(na) OVER w AS BIGINT) AS na,
+      |    CAST(sum(nb) OVER w AS BIGINT) AS nb,
+      |    CAST(sum(ca) OVER w AS BIGINT) AS ca,
+      |    CAST(sum(cb) OVER w AS BIGINT) AS cb
+      |  FROM g WINDOW w AS (ORDER BY lx ROWS UNBOUNDED PRECEDING)),
+      |z AS (
+      |  SELECT lx, na, nb, ca, cb,
+      |    CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN 0.0 ELSE
+      |      (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+      |      / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+      |        * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+      |        * (1.0 / na + 1.0 / nb)) END AS zv,
+      |    CAST(CASE lx WHEN 1 THEN 4.561578674 WHEN 2 THEN 3.225523213
+      |      WHEN 3 THEN 2.633628675 WHEN 4 THEN 2.280789337
+      |      ELSE 2.040 END AS DOUBLE) AS bound,
+      |    CASE lx WHEN 1 THEN 4561578674 WHEN 2 THEN 3225523213
+      |      WHEN 3 THEN 2633628675 WHEN 4 THEN 2280789337
+      |      ELSE 2040000000 END AS crit9
+      |  FROM cum)
+      |SELECT lx AS look, na + nb AS n_cum, ca + cb AS conv_cum,
+      |  round(zv, 6) AS z, bound,
+      |  abs(CAST(round(1000000000.0 * zv) AS BIGINT))
+      |    >= CAST(crit9 AS BIGINT) AS crossed
+      |FROM z ORDER BY lx""".stripMargin) { (s, d) =>
+    val f = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(expr("min(ts_us) div 86400000000").as("d0"),
+        when(min(when(col("event_type") === "purchase", col("ts_us")))
+          <= min(col("ts_us")) + 3600000000L, 1).otherwise(0).as("conv"))
+    // collapse to the bounded (day, arm) table BEFORE the range window —
+    // a min/max window over the per-user table would funnel O(users)
+    // rows through one task (the §5-banned shape)
+    val b = f.groupBy(col("d0"),
+        (col("user_id") % 1000003L * 2654435761L % 2L).as("arm"))
+      .agg(count(lit(1)).as("n"), sum("conv").cast("bigint").as("cv"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val dd = b
+      .withColumn("dmin", min("d0").over(wAll))
+      .withColumn("dmax", max("d0").over(wAll))
+    val g = dd.groupBy(
+      (least(lit(4L), expr("(5 * (d0 - dmin)) div (dmax - dmin + 1)")) + 1)
+        .as("lx"))
+      .agg(
+        sum(when(col("arm") === 0L, col("n")).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 1L, col("n")).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 0L, col("cv")).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1L, col("cv")).otherwise(0L)).as("cb"))
+    val wCum = Window.orderBy("lx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.select(col("lx"),
+      sum("na").over(wCum).as("na"), sum("nb").over(wCum).as("nb"),
+      sum("ca").over(wCum).as("ca"), sum("cb").over(wCum).as("cb"))
+    val pPool = (col("ca") + col("cb")).cast("double") /
+      (col("na") + col("nb")).cast("double")
+    val zv = when(col("ca") + col("cb") === 0 ||
+        col("ca") + col("cb") === col("na") + col("nb"), 0.0)
+      .otherwise(
+        (col("ca").cast("double") / col("na")
+          - col("cb").cast("double") / col("nb"))
+          / sqrt(pPool * (lit(1.0) - pPool)
+            * (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+    val bound = when(col("lx") === 1, 4.561578674)
+      .when(col("lx") === 2, 3.225523213)
+      .when(col("lx") === 3, 2.633628675)
+      .when(col("lx") === 4, 2.280789337)
+      .otherwise(2.040)
+    // the crossing decision compares z9 against the boundaries as 1e-9-grid
+    // INTEGER literals (q222's convention) — no runtime scaling of the
+    // boundary in either engine
+    val crit9 = when(col("lx") === 1, 4561578674L)
+      .when(col("lx") === 2, 3225523213L)
+      .when(col("lx") === 3, 2633628675L)
+      .when(col("lx") === 4, 2280789337L)
+      .otherwise(2040000000L)
+    cum.select(col("lx").as("look"),
+      (col("na") + col("nb")).as("n_cum"),
+      (col("ca") + col("cb")).as("conv_cum"),
+      round(zv, 6).as("z"), bound.as("bound"),
+      (abs(round(lit(1000000000.0) * zv).cast("bigint")) >= crit9)
+        .as("crossed"))
+      .orderBy("look")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
     q147, q163, q164, q165, q166, q167, q168, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
     q191, q192, q195, q197, q198, q202, q205, q207, q209, q211, q212, q213,
-    q216, q218, q220, q221, q222, q225, q226, q228, q229, q230, q231, q233)
+    q216, q218, q220, q221, q222, q225, q226, q228, q229, q230, q231, q233,
+    q234, q235)
 }

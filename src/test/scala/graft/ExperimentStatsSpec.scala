@@ -213,6 +213,70 @@ class ExperimentStatsSpec extends SparkSpec {
       s"P90 coverage degenerate: ${got.getAs[Double]("coverage_90")}")
   }
 
+  test("q234 SRM chi-squares equal the dense replay and the balanced hash split never alarms") {
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val segs = rows.flatMap { case (t, u) => Seq(("__all__", u), (t, u)) }
+      .distinct.groupBy(_._1)
+    val got = operators.Relational.q234.fn(spark, sfDir)
+      .collect().map(r => r.getAs[String]("seg") -> r).toMap
+    assert(got.size == segs.size)
+    segs.foreach { case (seg, us) =>
+      val na = us.count(t => t._2 % 1000003L * 2654435761L % 2L == 0L)
+      val nb = us.size - na
+      val chi2 = (na - nb).toDouble * (na - nb) / (na + nb)
+      val row = got(seg)
+      assert(row.getAs[Long]("n_a") == na, s"$seg n_a")
+      assert(row.getAs[Long]("n_b") == nb, s"$seg n_b")
+      assert(math.abs(row.getAs[Double]("chi2") - chi2) < 1e-5, s"$seg chi2")
+      // the deterministic hash assignment is balanced — a designed A/A
+      // split must never trip the SRM alarm, in any segment
+      assert(!row.getAs[Boolean]("srm_flag"), s"SRM fired on A/A seg $seg")
+    }
+  }
+
+  test("q235 group-sequential z path equals the dense replay and no OBF look crosses on the A/A") {
+    val users = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(expr("min(ts_us) div 86400000000").as("d0"),
+        when(min(when(col("event_type") === "purchase", col("ts_us")))
+          <= min(col("ts_us")) + 3600000000L, 1).otherwise(0).as("conv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val dmin = users.map(_._2).min
+    val dmax = users.map(_._2).max
+    def look(d0: Long): Long =
+      math.min(4L, 5 * (d0 - dmin) / (dmax - dmin + 1)) + 1
+    val bounds = Map(1L -> 4.561578674, 2L -> 3.225523213,
+      3L -> 2.633628675, 4L -> 2.280789337, 5L -> 2.040)
+    val byLook = users.groupBy(u => look(u._2))
+    val looks = byLook.keys.toSeq.sorted
+    val got = operators.Relational.q235.fn(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("look") -> r).toMap
+    assert(got.size == looks.size)
+    looks.foreach { lx =>
+      val cumUsers = users.filter(u => look(u._2) <= lx)
+      val a = cumUsers.filter(_._1 % 1000003L * 2654435761L % 2L == 0L)
+      val bSide = cumUsers.filter(_._1 % 1000003L * 2654435761L % 2L == 1L)
+      val (na, nb) = (a.size.toDouble, bSide.size.toDouble)
+      val (ca, cb) = (a.map(_._3).sum.toDouble, bSide.map(_._3).sum.toDouble)
+      val z =
+        if (ca + cb == 0 || ca + cb == na + nb) 0.0
+        else {
+          val p = (ca + cb) / (na + nb)
+          (ca / na - cb / nb) / math.sqrt(p * (1 - p) * (1 / na + 1 / nb))
+        }
+      val row = got(lx)
+      assert(row.getAs[Long]("n_cum") == cumUsers.size, s"look $lx n_cum")
+      assert(math.abs(row.getAs[Double]("z") - z) < 1e-5, s"look $lx z")
+      assert(row.getAs[Double]("bound") == bounds(lx))
+      // a null contrast must never cross an OBF boundary (that is the
+      // whole point of the spending schedule)
+      assert(!row.getAs[Boolean]("crossed"), s"A/A crossed at look $lx: z=$z")
+      assert(math.abs(z) < 6, s"A/A |z| blew the 6-sigma null bar: $z")
+    }
+  }
+
   test("q232 gains deciles equal the dense replay; capture is monotone and decile 10 covers everything") {
     val rows = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))

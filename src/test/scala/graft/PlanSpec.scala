@@ -703,7 +703,8 @@ class PlanSpec extends SparkSpec {
       "q230_tost_equivalence" -> 1, "q231_power_mde" -> 1,
       // q233 localizes its bounded hours table eagerly (q213/q221's
       // discipline), so its OUTPUT plan carries zero file scans
-      "q232_gains_deciles" -> 1, "q233_pinball_backtest" -> 0)
+      "q232_gains_deciles" -> 1, "q233_pinball_backtest" -> 0,
+      "q234_srm_check" -> 1, "q235_group_sequential" -> 1)
     expect.foreach { case (name, n) =>
       val plan = planOf(name)
       val scans = "FileScan".r.findAllIn(plan).size
