@@ -481,6 +481,22 @@ object RowsOnlyChecks {
           fail(rs.forall(_ > 0), "non-positive rank")
       }),
 
+    "q236_kcore" -> Check("GraphSpec",
+      "coreness histogram: distinct non-negative levels, positive counts, nodes conserved vs the shared kNN graph",
+      (s, d, df) => {
+        val rows = df.collect()
+        val levels = rows.map(_.getAs[Long]("coreness")).toSeq
+        val counts = rows.map(_.getAs[Long]("n_nodes")).toSeq
+        val e = graft.sim.Similarity.approxKnnGraphCached(s, d, 3)
+        val nNodes = e.select(col("id_a").as("id"))
+          .union(e.select(col("id_b").as("id"))).distinct().count()
+        fail(levels.distinct.length == levels.length, "duplicate coreness levels") ++
+          fail(levels.forall(_ >= 0), s"negative coreness in $levels") ++
+          fail(counts.forall(_ > 0), "empty coreness level") ++
+          fail(counts.sum == nNodes,
+            s"node conservation: ${counts.sum} != $nNodes graph nodes")
+      }),
+
     "q86_bpe_train" -> Check("OperatorSemanticsSpec",
       "contiguous merge ranks, merged token = left + right, winners seen at least twice",
       (_, _, df) => {

@@ -461,5 +461,65 @@ object Graph {
       .limit(20)
   }
 
-  val all: Seq[QueryDef] = Seq(q78, q135, q141, q187, q189)
+  /** CORENESS (k-core number) of every node via the h-index fixpoint:
+    * init c_v = deg(v); each round c_v ← H({c_u : u ~ v}) where H is the
+    * h-index (the largest h with ≥ h neighbors at estimate ≥ h). The
+    * sequence is monotone non-increasing and its fixpoint IS the k-core
+    * decomposition (Lü et al., "The H-index of a network node", 2016) —
+    * the distributed replacement for the inherently sequential
+    * min-degree peel. Each round is one join of the O(n·k) symmetric
+    * edge list against the O(n) estimate table + a per-node window over
+    * ≤ deg rows (degree-bounded, never corpus-wide); convergence probes
+    * the changed-node count every 2nd round (pageRankConverged's
+    * cadence); lineage truncates per round. Returns (states, rounds).
+    */
+  def coreness(edges0: DataFrame, maxIter: Int = 40): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val fwd = edges0.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    var state = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(false)
+    val byEst = Window.partitionBy("src").orderBy(desc("cnbr"))
+    var rounds = 0
+    var converged = false
+    while (rounds < maxIter && !converged) {
+      val next = edges
+        .join(state.select(col("id").as("dst"), col("c").as("cnbr")), "dst")
+        .withColumn("r", row_number().over(byEst).cast("long"))
+        .groupBy(col("src").as("id"))
+        .agg(max(least(col("r"), col("cnbr"))).as("c"))
+        .localCheckpoint(false)
+      rounds += 1
+      if (rounds % 2 == 0 || rounds == maxIter) {
+        converged = next.join(state.withColumnRenamed("c", "c0"), "id")
+          .filter(col("c") =!= col("c0")).isEmpty
+      }
+      state = next
+    }
+    (state, rounds)
+  }
+
+  // q236 — k-core decomposition of the kNN similarity graph (the
+  // density audit the graph family lacked: q78 ranks GLOBAL influence,
+  // q141 counts LOCAL closure — coreness measures cohesive DEPTH, the
+  // standard "is this a real dense community or a hub artifact" filter
+  // before trusting any neighborhood-based label spread, and the
+  // dedup-review heuristic for picking the densest duplicate
+  // neighborhoods first). h-index fixpoint over the shared cached q57
+  // edge list (see [[coreness]]); output is the bounded coreness
+  // histogram (coreness, n_nodes) — deterministic, iterative → rows-only;
+  // GraphSpec replays exact min-degree peeling densely on the driver and
+  // matches every node's core number, plus the k-core INVARIANT (every
+  // node in the induced max-core subgraph keeps ≥ k_max neighbors).
+  val q236: QueryDef = QueryDef.rowsOnly("q236_kcore") { (s, d) =>
+    val edges = graft.sim.Similarity.approxKnnGraphCached(s, d, 3)
+    coreness(edges)._1
+      .groupBy("c").agg(count(lit(1)).as("n_nodes"))
+      .select(col("c").as("coreness"), col("n_nodes"))
+      .orderBy(desc("coreness"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q78, q135, q141, q187, q189, q236)
 }

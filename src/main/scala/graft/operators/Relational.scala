@@ -4957,6 +4957,108 @@ object Relational {
       .orderBy("look")
   }
 
+  // q237 — quantile treatment effects across the experiment arms (the
+  // DISTRIBUTIONAL readout q167/q228's means flatten: a treatment that
+  // moves the P90 while leaving the median alone — or vice versa — is
+  // invisible to a mean contrast, and heterogeneous effects are the rule
+  // in spend metrics; QTE at fixed quantiles is the standard first cut).
+  // Arms = q167's hash split on the customer key; metric = order value.
+  // Everything is INTEGER-exact: the corpus collapses ONCE to the bounded
+  // (arm × 1000-cent-bucket) histogram (q171/q185/q225's contract at
+  // bucket granularity), each arm's P25/P50/P75/P90 picks an actual
+  // bucket by the integer-ceil rank rule (4·cum ≥ n, 2·cum ≥ n,
+  // 4·cum ≥ 3n, 10·cum ≥ 9n — pure integer decisions) over per-arm
+  // cumulative windows on O(buckets) rows, and each QTE is a difference
+  // of exact int64 cents — no doubles anywhere but the final per-row
+  // dollar scaling (single IEEE divisions). A/A by construction: the
+  // spec pins every |QTE| within a few buckets of zero.
+  val q237: QueryDef = QueryDef.sql(
+    "q237_quantile_treatment_effect",
+    """WITH o AS (
+      |  SELECT ((o_custkey % 1000003) * 2654435761) % 2 AS arm,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) // 1000 AS vb
+      |  FROM orders),
+      |h AS (
+      |  SELECT arm, vb, CAST(count(*) AS BIGINT) AS c
+      |  FROM o GROUP BY arm, vb),
+      |cw AS (
+      |  SELECT arm, vb, c,
+      |    CAST(sum(c) OVER (PARTITION BY arm ORDER BY vb
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(c) OVER (PARTITION BY arm) AS BIGINT) AS n
+      |  FROM h),
+      |qs AS (
+      |  SELECT arm, n,
+      |    min(CASE WHEN 4 * cum >= n THEN vb END) AS p25,
+      |    min(CASE WHEN 2 * cum >= n THEN vb END) AS p50,
+      |    min(CASE WHEN 4 * cum >= 3 * n THEN vb END) AS p75,
+      |    min(CASE WHEN 10 * cum >= 9 * n THEN vb END) AS p90
+      |  FROM cw GROUP BY arm, n),
+      |p AS (
+      |  SELECT
+      |    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+      |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+      |    max(CASE WHEN arm = 0 THEN p25 END) AS p25_a,
+      |    max(CASE WHEN arm = 1 THEN p25 END) AS p25_b,
+      |    max(CASE WHEN arm = 0 THEN p50 END) AS p50_a,
+      |    max(CASE WHEN arm = 1 THEN p50 END) AS p50_b,
+      |    max(CASE WHEN arm = 0 THEN p75 END) AS p75_a,
+      |    max(CASE WHEN arm = 1 THEN p75 END) AS p75_b,
+      |    max(CASE WHEN arm = 0 THEN p90 END) AS p90_a,
+      |    max(CASE WHEN arm = 1 THEN p90 END) AS p90_b
+      |  FROM qs)
+      |SELECT q.quantile, p.n_a, p.n_b,
+      |  CASE q.quantile WHEN 25 THEN p25_a WHEN 50 THEN p50_a
+      |    WHEN 75 THEN p75_a ELSE p90_a END AS vb_a,
+      |  CASE q.quantile WHEN 25 THEN p25_b WHEN 50 THEN p50_b
+      |    WHEN 75 THEN p75_b ELSE p90_b END AS vb_b,
+      |  (CASE q.quantile WHEN 25 THEN p25_a WHEN 50 THEN p50_a
+      |    WHEN 75 THEN p75_a ELSE p90_a END
+      |   - CASE q.quantile WHEN 25 THEN p25_b WHEN 50 THEN p50_b
+      |    WHEN 75 THEN p75_b ELSE p90_b END) AS qte_buckets
+      |FROM p CROSS JOIN
+      |  (SELECT unnest([25, 50, 75, 90]) AS quantile) q
+      |ORDER BY q.quantile""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(
+      (col("o_custkey") % 1000003L * 2654435761L % 2L).as("arm"),
+      expr("cast(round(o_totalprice * 100) as bigint) div 1000").as("vb"))
+    val h = o.groupBy("arm", "vb").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("arm").orderBy("vb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wArm = Window.partitionBy("arm")
+    val cw = h
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wArm))
+    val qs = cw.groupBy("arm", "n").agg(
+      min(when(lit(4) * col("cum") >= col("n"), col("vb"))).as("p25"),
+      min(when(lit(2) * col("cum") >= col("n"), col("vb"))).as("p50"),
+      min(when(lit(4) * col("cum") >= lit(3) * col("n"), col("vb"))).as("p75"),
+      min(when(lit(10) * col("cum") >= lit(9) * col("n"), col("vb"))).as("p90"))
+    val p = qs.agg(
+      max(when(col("arm") === 0, col("n"))).as("n_a"),
+      max(when(col("arm") === 1, col("n"))).as("n_b"),
+      max(when(col("arm") === 0, col("p25"))).as("p25_a"),
+      max(when(col("arm") === 1, col("p25"))).as("p25_b"),
+      max(when(col("arm") === 0, col("p50"))).as("p50_a"),
+      max(when(col("arm") === 1, col("p50"))).as("p50_b"),
+      max(when(col("arm") === 0, col("p75"))).as("p75_a"),
+      max(when(col("arm") === 1, col("p75"))).as("p75_b"),
+      max(when(col("arm") === 0, col("p90"))).as("p90_a"),
+      max(when(col("arm") === 1, col("p90"))).as("p90_b"))
+    val grid = s.range(0, 4).select(
+      (element_at(typedLit(Seq(25L, 50L, 75L, 90L)), col("id").cast("int") + 1))
+        .as("quantile"))
+    val joined = grid.crossJoin(broadcast(p))
+    def pick(q: Int, side: String) = when(col("quantile") === 25, col(s"p25_$side"))
+      .when(col("quantile") === 50, col(s"p50_$side"))
+      .when(col("quantile") === 75, col(s"p75_$side"))
+      .otherwise(col(s"p90_$side"))
+    joined.select(col("quantile"), col("n_a"), col("n_b"),
+      pick(25, "a").as("vb_a"), pick(25, "b").as("vb_b"),
+      (pick(25, "a") - pick(25, "b")).as("qte_buckets"))
+      .orderBy("quantile")
+  }
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q90, q91, q92, q93,
     q94, q95, q96, q97, q106, q108, q110, q111, q112, q113, q142, q143,
@@ -4964,5 +5066,5 @@ object Relational {
     q175, q176, q177, q178, q179, q181, q182, q183, q184, q185, q186, q190,
     q191, q192, q195, q197, q198, q202, q205, q207, q209, q211, q212, q213,
     q216, q218, q220, q221, q222, q225, q226, q228, q229, q230, q231, q233,
-    q234, q235)
+    q234, q235, q237)
 }

@@ -277,6 +277,46 @@ class ExperimentStatsSpec extends SparkSpec {
     }
   }
 
+  test("q237 quantile treatment effects equal the dense integer replay and the A/A stays near zero") {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .collect().map(r =>
+        (r.getLong(0) % 1000003L * 2654435761L % 2L, cents(r.getDouble(1)) / 1000))
+    def quant(arm: Long, num: Int, den: Int): Long = {
+      val xs = rows.filter(_._1 == arm).map(_._2).sorted
+      xs(((xs.length * num + den - 1) / den - 1).max(0))
+    }
+    val grid = Seq((25L, 1, 4), (50L, 1, 2), (75L, 3, 4), (90L, 9, 10))
+    val got = operators.Relational.q237.fn(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("quantile") -> r).toMap
+    assert(got.size == 4)
+    val pooled = rows.map(_._2).sorted
+    val na = rows.count(_._1 == 0L).toDouble
+    val nb = rows.count(_._1 == 1L).toDouble
+    grid.foreach { case (q, num, den) =>
+      val (va, vb) = (quant(0L, num, den), quant(1L, num, den))
+      val row = got(q)
+      assert(row.getAs[Long]("vb_a") == va, s"p$q arm A")
+      assert(row.getAs[Long]("vb_b") == vb, s"p$q arm B")
+      assert(row.getAs[Long]("qte_buckets") == va - vb, s"p$q QTE")
+      // null contrast, distribution-free bar: a two-sample quantile
+      // difference at level q deviates by at most ~6 standard errors in
+      // PROBABILITY space; convert that band through the pooled empirical
+      // quantile function (no density assumption — the q167 A/A
+      // convention applied to order statistics)
+      val frac = num.toDouble / den
+      val se = math.sqrt(frac * (1 - frac) * (1 / na + 1 / nb))
+      def pooledQ(f: Double): Long =
+        pooled((math.ceil(pooled.length * f).toInt - 1).max(0)
+          .min(pooled.length - 1))
+      val band = pooledQ((frac + 6 * se).min(1.0)) - pooledQ((frac - 6 * se).max(0.0))
+      assert(math.abs(va - vb) <= band.max(1L),
+        s"A/A QTE blew the 6-sigma band at p$q: ${va - vb} vs band $band")
+    }
+    assert(got(25L).getAs[Long]("n_a") == rows.count(_._1 == 0L))
+    assert(got(25L).getAs[Long]("n_b") == rows.count(_._1 == 1L))
+  }
+
   test("q232 gains deciles equal the dense replay; capture is monotone and decile 10 covers everything") {
     val rows = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))

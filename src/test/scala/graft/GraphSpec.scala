@@ -263,4 +263,53 @@ class GraphSpec extends SparkSpec {
     val bestScore = scores.values.map(_._2).max
     assert(math.abs(rows.head.getAs[Double]("adamic_adar") - bestScore) < 1e-6)
   }
+
+  test("q236 coreness equals exact min-degree peeling; the max core satisfies the k-core invariant") {
+    val e = sim.Similarity.approxKnnGraphCached(spark, sfDir, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = (e ++ e.map(p => (p._2, p._1))).distinct
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+
+    // exact coreness by sequential min-degree peeling (the textbook
+    // algorithm the h-index fixpoint must reproduce)
+    val core = scala.collection.mutable.Map[Long, Long]()
+    val deg = scala.collection.mutable.Map(adj.view.mapValues(_.size.toLong).toSeq: _*)
+    val alive = scala.collection.mutable.Set(adj.keySet.toSeq: _*)
+    var k = 0L
+    while (alive.nonEmpty) {
+      val peelable = alive.filter(v => deg(v) <= k)
+      if (peelable.isEmpty) k += 1
+      else peelable.foreach { v =>
+        core(v) = k
+        alive -= v
+        adj(v).foreach(u => if (alive(u)) deg(u) -= 1)
+      }
+    }
+    val expectHist = core.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+
+    val (state, rounds) = graph.Graph.coreness(
+      sim.Similarity.approxKnnGraphCached(spark, sfDir, 3))
+    val gotNodes = state.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotNodes.size == core.size)
+    core.foreach { case (v, c) =>
+      assert(gotNodes(v) == c, s"node $v: h-index fixpoint ${gotNodes(v)} vs peel $c")
+    }
+    assert(rounds > 0 && rounds < 40, s"fixpoint never converged: $rounds rounds")
+
+    // the catalog face returns the same bounded histogram
+    val hist = graph.Graph.q236.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hist == expectHist, s"histogram mismatch: $hist vs $expectHist")
+
+    // k-core INVARIANT: inside the subgraph induced by the max core,
+    // every node keeps >= kmax neighbors
+    val kmax = core.values.max
+    val inMax = core.collect { case (v, c) if c == kmax => v }.toSet
+    assert(kmax >= 2, s"degenerate fixture: kmax=$kmax")
+    inMax.foreach { v =>
+      val d = adj(v).count(inMax)
+      assert(d >= kmax, s"node $v has only $d neighbors in the $kmax-core")
+    }
+  }
 }

@@ -704,7 +704,8 @@ class PlanSpec extends SparkSpec {
       // q233 localizes its bounded hours table eagerly (q213/q221's
       // discipline), so its OUTPUT plan carries zero file scans
       "q232_gains_deciles" -> 1, "q233_pinball_backtest" -> 0,
-      "q234_srm_check" -> 1, "q235_group_sequential" -> 1)
+      "q234_srm_check" -> 1, "q235_group_sequential" -> 1,
+      "q237_quantile_treatment_effect" -> 1)
     expect.foreach { case (name, n) =>
       val plan = planOf(name)
       val scans = "FileScan".r.findAllIn(plan).size
