@@ -481,6 +481,29 @@ object RowsOnlyChecks {
           fail(rs.forall(_ > 0), "non-positive rank")
       }),
 
+    "q238_isotonic_calibration" -> Check("ExperimentStatsSpec",
+      "PAV blocks: strictly increasing rates, disjoint contiguous ranges, mass conserved vs the train-side corpus",
+      (s, d, df) => {
+        val rows = df.orderBy("block").collect()
+        val rates = rows.map(_.getAs[Double]("rate_fitted")).toSeq
+        val ranges = rows.map(r =>
+          (r.getAs[Long]("vb_from"), r.getAs[Long]("vb_to"))).toSeq
+        val tot = graft.Tables.orders(s, d)
+          .filter(col("o_orderkey") % 2 === 0)
+          .agg(count(lit(1)).cast("long"),
+            sum((col("o_orderpriority") === "1-URGENT").cast("long")))
+          .head()
+        fail(rates.zip(rates.tail).forall { case (a, b) => a < b },
+          s"block rates not strictly increasing: $rates") ++
+          fail(ranges.forall { case (a, b) => a <= b } &&
+            ranges.zip(ranges.tail).forall { case ((_, b1), (a2, _)) => b1 < a2 },
+            s"block ranges overlap or misorder: $ranges") ++
+          fail(rows.map(_.getAs[Long]("n_orders")).sum == tot.getLong(0),
+            "order mass not conserved") ++
+          fail(rows.map(_.getAs[Long]("n_urgent")).sum == tot.getLong(1),
+            "urgent mass not conserved")
+      }),
+
     "q236_kcore" -> Check("GraphSpec",
       "coreness histogram: distinct non-negative levels, positive counts, nodes conserved vs the shared kNN graph",
       (s, d, df) => {

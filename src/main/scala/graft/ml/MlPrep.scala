@@ -871,6 +871,55 @@ object MlPrep {
       .orderBy("decile")
   }
 
+  // q238 — isotonic calibration (pool-adjacent-violators) of the urgent
+  // rate against the price-bucket order (the NONPARAMETRIC calibrator
+  // next to q223's audit and q232's gains table: Platt-style parametric
+  // maps assume a sigmoid; PAV fits the L2-OPTIMAL monotone map with no
+  // shape assumption, and is what production score-calibration ships
+  // when the reliability diagram bends). Train side only (orderkey
+  // parity — q223's leakage-safe convention). Scale shape: ONE corpus
+  // aggregate to the bounded (bucket: n, urgent) table, LOCALIZED under
+  // q213's persist→take discipline (capped) — the PAV pass itself is
+  // inherently sequential but runs over O(buckets) rows of driver-local
+  // algebra in exact integers (block rates compared as cross-multiplied
+  // int64 — u_i·n_j vs u_j·n_i, no doubles in any pooling decision), so
+  // the fit is bit-deterministic at any corpus size. Output: the fitted
+  // monotone step function as (block, vb_from, vb_to, n, u, rate) rows.
+  // Sequential driver pass → rows-only; the spec replays PAV densely and
+  // pins monotonicity, mass conservation, and the PAV optimality
+  // structure (adjacent block rates strictly increasing).
+  val q238: QueryDef = QueryDef.rowsOnly("q238_isotonic_calibration") { (s, d) =>
+    val hBig = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 2 === 0)
+      .groupBy(expr("cast(round(o_totalprice * 100) as bigint) div 10000")
+        .as("vb"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_orderpriority") === "1-URGENT").cast("long")).as("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hRows = hBig.take(1 << 20)
+    require(hRows.length < (1 << 20), "bucket-table driver overflow")
+    hBig.unpersist(false)
+    val buckets = hRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // PAV with exact-integer rate comparisons: pool while the previous
+    // block's rate is >= the new block's (u_prev·n_new >= u_new·n_prev)
+    final case class Block(vbFrom: Long, vbTo: Long, n: Long, u: Long)
+    val stack = scala.collection.mutable.ArrayBuffer[Block]()
+    buckets.foreach { case (vb, n, u) =>
+      var b = Block(vb, vb, n, u)
+      while (stack.nonEmpty &&
+        stack.last.u * b.n >= b.u * stack.last.n) {
+        val p = stack.remove(stack.length - 1)
+        b = Block(p.vbFrom, b.vbTo, p.n + b.n, p.u + b.u)
+      }
+      stack += b
+    }
+    import s.implicits._
+    stack.toSeq.zipWithIndex.map { case (b, i) =>
+      (i.toLong, b.vbFrom, b.vbTo, b.n, b.u, b.u.toDouble / b.n)
+    }.toDF("block", "vb_from", "vb_to", "n_orders", "n_urgent", "rate_fitted")
+  }
+
   val all: Seq[QueryDef] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q32,
-    q39, q121, q155, q162, q199, q214, q223, q224, q227, q232)
+    q39, q121, q155, q162, q199, q214, q223, q224, q227, q232, q238)
 }

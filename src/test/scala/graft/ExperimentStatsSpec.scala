@@ -317,6 +317,48 @@ class ExperimentStatsSpec extends SparkSpec {
     assert(got(25L).getAs[Long]("n_b") == rows.count(_._1 == 1L))
   }
 
+  test("q238 PAV fit equals the independent minimax characterization; monotone and mass-conserving") {
+    val raw = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_totalprice"), col("o_orderpriority"))
+      .collect().map(r =>
+        (cents(r.getDouble(0)) / 10000, if (r.getString(1) == "1-URGENT") 1L else 0L))
+    val byVb = raw.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (vb, g) => (vb, g.size.toLong, g.map(_._2).sum) }
+    val ns = byVb.map(_._2)
+    val us = byVb.map(_._3)
+    val m = byVb.length
+    // independent derivation: the isotonic L2 fit at position i is the
+    // minimax of segment means, fitted_i = max_{s<=i} min_{t>=i} mean(s..t)
+    val prefN = ns.scanLeft(0L)(_ + _)
+    val prefU = us.scanLeft(0L)(_ + _)
+    def mean(s: Int, t: Int): Double =
+      (prefU(t + 1) - prefU(s)).toDouble / (prefN(t + 1) - prefN(s))
+    val minimax = (0 until m).map { i =>
+      (0 to i).map { s =>
+        (i until m).map(t => mean(s, t)).min
+      }.max
+    }
+
+    val got = ml.MlPrep.q238.fn(spark, sfDir).orderBy("block").collect()
+    // blocks tile the bucket axis and conserve mass
+    assert(got.map(_.getAs[Long]("n_orders")).sum == ns.sum)
+    assert(got.map(_.getAs[Long]("n_urgent")).sum == us.sum)
+    val rates = got.map(_.getAs[Double]("rate_fitted")).toSeq
+    assert(rates.zip(rates.tail).forall { case (a, b) => a < b },
+      s"PAV block rates must be strictly increasing: $rates")
+    // per-bucket fitted value (its block's rate) matches the minimax form
+    val fitted = byVb.map { case (vb, _, _) =>
+      val b = got.find(r =>
+        r.getAs[Long]("vb_from") <= vb && vb <= r.getAs[Long]("vb_to")).get
+      b.getAs[Double]("rate_fitted")
+    }
+    fitted.zip(minimax).zipWithIndex.foreach { case ((f, mm), i) =>
+      assert(math.abs(f - mm) < 1e-9,
+        s"bucket ${byVb(i)._1}: PAV $f vs minimax $mm")
+    }
+  }
+
   test("q232 gains deciles equal the dense replay; capture is monotone and decile 10 covers everything") {
     val rows = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
