@@ -481,6 +481,26 @@ object RowsOnlyChecks {
           fail(rs.forall(_ > 0), "non-positive rank")
       }),
 
+    "q239_linear_probe" -> Check("ExperimentStatsSpec",
+      "per-class probe rows: all classes present, supports conserve the corpus, accuracies in [0,1] and consistent",
+      (s, d, df) => {
+        val rows = df.collect()
+        val labels = rows.map(_.getAs[Int]("label")).toSeq
+        val nTot = graft.Tables.embeddings(s, d).count()
+        val kTot = graft.Tables.embeddings(s, d)
+          .select(count_distinct(col("label"))).head().getLong(0)
+        val badAcc = rows.count { r =>
+          val a = r.getAs[Double]("accuracy")
+          a < 0 || a > 1 || math.abs(
+            a - r.getAs[Long]("n_correct").toDouble / r.getAs[Long]("n")) > 1e-12
+        }
+        fail(labels.distinct.length == labels.length, "duplicate class rows") ++
+          fail(labels.length.toLong == kTot, s"${labels.length} rows vs $kTot classes") ++
+          fail(rows.map(_.getAs[Long]("n")).sum == nTot,
+            "class supports don't conserve the corpus") ++
+          fail(badAcc == 0, s"$badAcc rows with inconsistent accuracy")
+      }),
+
     "q238_isotonic_calibration" -> Check("ExperimentStatsSpec",
       "PAV blocks: strictly increasing rates, disjoint contiguous ranges, mass conserved vs the train-side corpus",
       (s, d, df) => {

@@ -21,7 +21,7 @@ object SparkEntry {
     Relational.all ++ MlPrep.all ++ GanQueries.all ++ TextAnalysis.all ++
       Dedup.all ++ Similarity.all ++ Binary.all ++ Events.all ++
       graft.graph.Graph.all ++ graft.operators.Incremental.all ++
-      graft.ml.Whitening.all
+      graft.ml.Whitening.all ++ graft.ml.Probe.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

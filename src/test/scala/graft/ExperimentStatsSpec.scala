@@ -359,6 +359,58 @@ class ExperimentStatsSpec extends SparkSpec {
     }
   }
 
+  test("q239 probe weights match an independent eigendecomposition solve; accuracies replay exactly") {
+    val data = Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>"), col("label"))
+      .collect().map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
+    val dim = 64
+    val aug = dim + 1
+    val k = data.map(_._2).max + 1
+    // exact sufficient statistics on the driver
+    val xtx = Array.ofDim[Double](aug, aug)
+    val xty = Array.ofDim[Double](aug, k)
+    data.foreach { case (x0, y) =>
+      val x = x0 :+ 1.0
+      for (i <- 0 until aug) {
+        for (j <- 0 until aug) xtx(i)(j) += x(i) * x(j)
+        xty(i)(y) += x(i)
+      }
+    }
+    val a = Array.tabulate(aug, aug)((i, j) => xtx(i)(j) + (if (i == j) 1.0 else 0.0))
+    // INDEPENDENT solve route: A⁻¹ via the Jacobi eigendecomposition the
+    // whitening module ships (different algorithm from the operator's
+    // Gaussian elimination)
+    val (lam, v) = ml.Whitening.jacobiEigen(a)
+    def solveEig(b: Array[Double]): Array[Double] = {
+      val y = Array.tabulate(aug)(e =>
+        (0 until aug).map(i => v(i)(e) * b(i)).sum / lam(e))
+      Array.tabulate(aug)(i => (0 until aug).map(e => v(i)(e) * y(e)).sum)
+    }
+    val wExpect = Array.tabulate(k)(c => solveEig(Array.tabulate(aug)(i => xty(i)(c))))
+    val (wGot, kGot) = ml.Probe.fit(spark, sfDir)
+    assert(kGot == k)
+    for (c <- 0 until k; i <- 0 until aug)
+      assert(math.abs(wGot(c)(i) - wExpect(c)(i)) < 1e-6,
+        s"weight[$c][$i]: ${wGot(c)(i)} vs ${wExpect(c)(i)}")
+    // per-class accuracy replay off the expected weights
+    val expectAcc = data.groupBy(_._2).map { case (y, g) =>
+      val correct = g.count { case (x0, yy) =>
+        val x = x0 :+ 1.0
+        val scores = (0 until k).map(c => (0 until aug).map(i => wExpect(c)(i) * x(i)).sum)
+        scores.zipWithIndex.maxBy { case (sc, c) => (sc, -c) }._2 == yy
+      }
+      y -> (g.size.toLong, correct.toLong)
+    }
+    val got = ml.Probe.q239.fn(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_correct"))).toMap
+    assert(got.size == k)
+    expectAcc.foreach { case (y, (n, c)) =>
+      assert(got(y)._1 == n, s"class $y support")
+      assert(got(y)._2 == c, s"class $y correct: got ${got(y)._2}, expect $c")
+    }
+  }
+
   test("q232 gains deciles equal the dense replay; capture is monotone and decile 10 covers everything") {
     val rows = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
