@@ -498,6 +498,13 @@ object Graph {
       }
       state = next
     }
+    // The h-index sequence is only the k-core decomposition AT ITS
+    // FIXPOINT — a maxIter exit mid-descent is a silently-wrong core
+    // assignment (the rows-only histogram check cannot see it), so fail
+    // loudly instead. The probe runs on every even round and at maxIter,
+    // so an unconverged exit is always detected here.
+    require(converged,
+      s"coreness failed to reach the h-index fixpoint in $maxIter rounds")
     (state, rounds)
   }
 

@@ -907,8 +907,13 @@ object MlPrep {
     val stack = scala.collection.mutable.ArrayBuffer[Block]()
     buckets.foreach { case (vb, n, u) =>
       var b = Block(vb, vb, n, u)
+      // BigInt cross-multiply: pooled blocks' (u, n) each approach the
+      // train-side corpus size, so the int64 product would overflow past
+      // N ≈ 3e9 rows; the comparison is driver-local O(buckets), so the
+      // exact wide multiply costs nothing and keeps the decision
+      // bit-deterministic at ANY corpus size.
       while (stack.nonEmpty &&
-        stack.last.u * b.n >= b.u * stack.last.n) {
+        BigInt(stack.last.u) * b.n >= BigInt(b.u) * stack.last.n) {
         val p = stack.remove(stack.length - 1)
         b = Block(p.vbFrom, b.vbTo, p.n + b.n, p.u + b.u)
       }

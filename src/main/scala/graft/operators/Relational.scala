@@ -5049,13 +5049,15 @@ object Relational {
       (element_at(typedLit(Seq(25L, 50L, 75L, 90L)), col("id").cast("int") + 1))
         .as("quantile"))
     val joined = grid.crossJoin(broadcast(p))
-    def pick(q: Int, side: String) = when(col("quantile") === 25, col(s"p25_$side"))
+    // row-wise dispatch on the `quantile` column — one expression serves
+    // all four grid rows, so there is no per-quantile parameter to pass
+    def pick(side: String) = when(col("quantile") === 25, col(s"p25_$side"))
       .when(col("quantile") === 50, col(s"p50_$side"))
       .when(col("quantile") === 75, col(s"p75_$side"))
       .otherwise(col(s"p90_$side"))
     joined.select(col("quantile"), col("n_a"), col("n_b"),
-      pick(25, "a").as("vb_a"), pick(25, "b").as("vb_b"),
-      (pick(25, "a") - pick(25, "b")).as("qte_buckets"))
+      pick("a").as("vb_a"), pick("b").as("vb_b"),
+      (pick("a") - pick("b")).as("qte_buckets"))
       .orderBy("quantile")
   }
 
