@@ -24,16 +24,39 @@ object Centroids {
   /** Floor on the cell count (sf0.001-sized corpora). */
   val MinK = 16
 
-  /** Coarse-quantizer cell count — SCALES WITH THE CORPUS as
-    * max(16, ⌈√n⌉), the same invariant as the seed blocking quantizer
-    * (Dedup.nCells): per-cell population grows like √n instead of
-    * linearly, so IVF probe cost and any cell-blocked pair volume stay
-    * sub-quadratic at 100× data. Consumers read the count off the fitted
-    * model's centroid matrix, so nothing else hard-codes it.
+  /** FIXED-CODEBOOK GATE (the 100-TB lever for the whole quantizer
+    * family): below this corpus size the cell count follows the
+    * max(16, ⌈√n⌉) rule and the KMeans fit reads the full corpus; ABOVE
+    * it the codebook FREEZES — k stops at [[FixedK]] = ⌈√gate⌉ (the two
+    * rules meet exactly at the gate, so k(n) is continuous) and the fit
+    * reads a deterministic ≤gate-row stride sample. Per-row assignment
+    * cost then stays O(k·d) = constant instead of O(√n·d), turning the
+    * family's n^1.5 assignment work linear; training cost is bounded by
+    * the sample regardless of n. Every oracle-checked scale factor
+    * (sf0.01 = 500 … sf1 = 20,000 vectors) sits BELOW the gate, so the
+    * DuckDB-replayable √n tier is what the hash checks cover; the frozen
+    * tier (sf10 = 200,000 up) is spec-covered with a forced gate
+    * (FixedCodebookSpec) — q52's ExactKnnMaxRows discipline applied to
+    * the quantizer itself.
+    */
+  val QuantizerGateRows = 65536L
+
+  /** Frozen-tier cell count: ⌈√[[QuantizerGateRows]]⌉. */
+  val FixedK = 256
+
+  /** Coarse-quantizer cell count — max(16, ⌈√n⌉) capped at [[FixedK]]
+    * above the [[QuantizerGateRows]] gate: per-cell population grows
+    * like √n up to the gate (sub-quadratic cell-blocked pair volume),
+    * then the codebook freezes so assignment cost turns linear.
+    * Consumers read the count off the fitted model's centroid matrix,
+    * so nothing else hard-codes it.
     */
   def k(s: SparkSession, dir: String): Int =
+    kForCount(graft.Tables.embeddingsCount(s, dir), QuantizerGateRows)
+
+  private[graft] def kForCount(n: Long, gateRows: Long): Int =
     math.max(MinK,
-      math.ceil(math.sqrt(graft.Tables.embeddingsCount(s, dir).toDouble)).toInt)
+      math.ceil(math.sqrt(math.min(n, gateRows).toDouble)).toInt)
 
   /** The L2-normalized embedding as an MLlib vector column. */
   def unitVec: Column = {
@@ -43,14 +66,33 @@ object Centroids {
   }
 
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), KMeansModel]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), KMeansModel]()
   graft.Memos.register { () => memo.clear() }
 
   def model(s: SparkSession, dir: String): KMeansModel =
-    memo.computeIfAbsent((s, dir), { _ =>
-      val src = Tables.embeddings(s, dir).withColumn("fvec", unitVec)
+    modelFor(s, dir, QuantizerGateRows)
+
+  /** [[model]] with the gate exposed — FixedCodebookSpec forces a tiny
+    * gate to exercise the frozen tier at fixture scale; the catalog
+    * always calls through [[model]] with the production gate.
+    */
+  private[graft] def modelFor(s: SparkSession, dir: String,
+      gateRows: Long): KMeansModel =
+    memo.computeIfAbsent((s, dir, gateRows), { _ =>
+      val n = Tables.embeddingsCount(s, dir)
+      val base = Tables.embeddings(s, dir)
+      // Frozen tier: fit on a deterministic stride sample of ≤ gateRows
+      // vectors — training cost is bounded by the sample no matter how
+      // large the corpus, and the sample is a pure function of the data
+      // (vec_id mod stride), so the codebook is reproducible without any
+      // stored state.
+      val src = (if (n > gateRows) {
+        val stride = (n + gateRows - 1) / gateRows
+        base.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      } else base).withColumn("fvec", unitVec)
       new KMeans()
-        .setK(k(s, dir)).setSeed(666L).setMaxIter(10).setFeaturesCol("fvec")
+        .setK(kForCount(n, gateRows)).setSeed(666L).setMaxIter(10)
+        .setFeaturesCol("fvec")
         .fit(src)
     })
 

@@ -610,8 +610,13 @@ object Similarity {
     * flat-IVF tier.
     */
   private[graft] def ivfBatchTopK(s: SparkSession, d: String, queries: DataFrame,
-      k: Int, nProbeOpt: Int = -1): DataFrame = {
-    val cents = graft.ml.Centroids.centers(s, d)
+      k: Int, nProbeOpt: Int = -1,
+      centsOverride: Array[Array[Double]] = null): DataFrame = {
+    // centsOverride lets FixedCodebookSpec drive this exact operator body
+    // with a forced frozen-tier codebook; the catalog always passes null
+    // and reads the gated production quantizer.
+    val cents = if (centsOverride != null) centsOverride
+      else graft.ml.Centroids.centers(s, d)
     val nProbe = if (nProbeOpt > 0) nProbeOpt else ivfNProbe(cents.length)
     val qCellScore = array(cents.indices.map { ci =>
       struct(
