@@ -100,11 +100,17 @@ object VectorExprs {
     */
   def deflateLen(text: Column): Column = toColumn(DeflateLen(ex(text)))
 
-  /** Exact intersection size of two pre-deduped, pre-sorted string
-    * arrays — see [[InterCount]].
+  /** Exact intersection size of two pre-deduped, pre-sorted arrays
+    * (string, int or long elements) — see [[InterCount]].
     */
   def interCountSorted(a: Column, b: Column): Column =
     toColumn(InterCount(ex(a), ex(b)))
+
+  /** Lex-sorted string array → sorted int array of vocabulary ranks —
+    * see [[EncodeSortedGrams]].
+    */
+  def encodeSortedGrams(a: Column, vocab: Array[String]): Column =
+    toColumn(EncodeSortedGrams(ex(a), vocab))
 
   /** Mahalanobis squared distance (x−μ)ᵀ M (x−μ) against literal μ and
     * flattened M — see [[MahalanobisSq]].
@@ -214,14 +220,41 @@ case class InterCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
 
+  // Element kind resolved once from the input schema: dictionary-encoded
+  // id arrays (int/long — see Dict) run a primitive-compare merge, string
+  // arrays the UTF8 one. Same two-pointer contract either way: both
+  // inputs pre-deduped and sorted ASC by their natural order.
+  @transient private lazy val elemKind: Int =
+    left.dataType.asInstanceOf[ArrayType].elementType match {
+      case IntegerType => 1
+      case LongType    => 2
+      case _           => 0
+    }
+
   def compute(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var inter = 0
-    while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (cmp == 0) { inter += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+    if (elemKind == 2) {
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    } else if (elemKind == 1) {
+      while (i < na && j < nb) {
+        val x = a.getInt(i); val y = b.getInt(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < na && j < nb) {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { inter += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     inter
   }
@@ -423,8 +456,23 @@ case class JaccardSim(left: Expression, right: Expression, assumeSorted: Boolean
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  // see InterCount: dictionary-encoded int id arrays compare primitively
+  @transient private lazy val sortedInts: Boolean = assumeSorted &&
+    (left.dataType.asInstanceOf[ArrayType].elementType == IntegerType)
+
   def compute(a: ArrayData, b: ArrayData): Double = {
-    if (assumeSorted) {
+    if (sortedInts) {
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val x = a.getInt(i); val y = b.getInt(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      val union = na + nb - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    } else if (assumeSorted) {
       val na = a.numElements(); val nb = b.numElements()
       var i = 0; var j = 0; var inter = 0
       while (i < na && j < nb) {
@@ -460,6 +508,64 @@ case class JaccardSim(left: Expression, right: Expression, assumeSorted: Boolean
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSim =
     copy(left = newLeft, right = newRight)
+}
+
+/** Dictionary-encode a LEX-SORTED, deduped string array to the sorted
+  * int array of each element's rank in a lex-sorted vocabulary — the
+  * per-row face of the gram dictionary (see graft.dedup.Dict): pair
+  * joins then ship 4-byte ids instead of multi-byte UTF8 payloads, and
+  * because the rank map is monotone the output is sorted without a
+  * re-sort, so sorted-merge consumers ([[InterCount]], [[JaccardSim]]
+  * assumeSorted) produce bit-identical counts over the encoded arrays.
+  * The vocabulary rides as a referenced object (never a plan literal);
+  * elements are found by binary search with the lower bound carried
+  * forward across the sorted input (amortized sub-log). An element
+  * missing from the vocabulary is an invariant violation (the vocab is
+  * built from the same corpus) and fails loudly.
+  */
+case class EncodeSortedGrams(child: Expression, vocab: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val v: Array[UTF8String] =
+    vocab.map(UTF8String.fromString)
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    var lo0 = 0 // input sorted asc → ranks ascend; window shrinks left-to-right
+    while (i < n) {
+      val s = a.getUTF8String(i)
+      var lo = lo0; var hi = v.length - 1; var found = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val c = v(mid).compareTo(s)
+        if (c == 0) { found = mid; lo = mid + 1; hi = mid - 1 }
+        else if (c < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (found < 0)
+        throw new IllegalStateException(
+          s"gram '$s' missing from the ${v.length}-entry dictionary")
+      out(i) = found
+      lo0 = found + 1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("encodeGrams", this,
+      classOf[EncodeSortedGrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): EncodeSortedGrams =
+    copy(child = newChild)
 }
 
 /** All character (code-point) n-grams of a string as array<string>.
