@@ -799,5 +799,192 @@ object Events {
     psiProject(perWin, m0, ks0, n0, warnAt, alertAt)
   }
 
+  /** q234's treatment-arm hash, shared verbatim by the batch SRM check
+    * and the streaming monitor: arm = ((user_id % 1000003) · 2654435761)
+    * % 2 — deterministic, balanced by construction on uniform ids.
+    */
+  private def armCol: org.apache.spark.sql.Column =
+    col("user_id") % 1000003L * 2654435761L % 2L
+
+  /** The SRM chi-square projection SHARED verbatim by the streaming
+    * monitor and its batch replay (the psiProject discipline): rows
+    * carry `w` (window struct), `n_a`, `n_b`; chi2 = (n_a−n_b)²/N off
+    * exact integers, rounded once; the flag follows q234's boundary
+    * discipline (1e-6-grid integer vs the literal χ²₁(0.05)).
+    */
+  private def srmProject(c: DataFrame): DataFrame = {
+    val chi2raw = ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+      .cast("double") / (col("n_a") + col("n_b"))
+    c.select(col("w.start").as("win_start"), col("n_a"), col("n_b"),
+      round(chi2raw, 6).as("chi2"),
+      (round(lit(1000000.0) * chi2raw).cast("bigint") >= 3841459L)
+        .as("srm_flag"))
+  }
+
+  /** STREAMING sample-ratio-mismatch monitor — q234's pager-signal face
+    * (the experiment-platform pre-gate run on LIVE exposure events: a
+    * biased assignment poisons every downstream readout, so the alarm
+    * must fire while the experiment runs, not at the batch readout).
+    * Per event-time window: the chi-square of the window's DISTINCT
+    * exposed users' realized arm split against the designed 50/50,
+    * emitted once when the watermark closes the window (append — alerts
+    * on final counts). Input contract: rows with event-time `ts` and
+    * `user_id`.
+    *
+    * Scale shape: two chained stateful operators — watermarked
+    * dedup on (window, user) (state O(open windows × window-distinct
+    * users), evicted at close: the key includes the event-time window)
+    * feeding the windowed count aggregate (state O(open windows)). The
+    * chi2/flag math is [[srmProject]], shared verbatim with the batch
+    * replay — ExperimentStreamSpec proves streamed == batch per closed
+    * window and both alert polarities.
+    */
+  def srmStream(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val dedup = events.withWatermark("ts", watermark)
+      .select(window(col("ts"), windowLen).as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+    val c = dedup
+      .groupBy(window(col("w"), windowLen).as("w"))
+      .agg(sum(when(armCol === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(armCol === 1L, 1L).otherwise(0L)).as("n_b"))
+    srmProject(c)
+  }
+
+  /** Batch replay of [[srmStream]] on the same rows — the spec's
+    * equality reference and the backfill face (per-window SRM over
+    * historical exposure logs; q234 itself is the whole-corpus +
+    * per-segment variant).
+    */
+  def srmPerWindow(events: DataFrame, windowLen: String = "1 hour"): DataFrame = {
+    val dedup = events
+      .select(window(col("ts"), windowLen).as("w"), col("user_id"))
+      .distinct()
+    val c = dedup.groupBy(col("w"))
+      .agg(sum(when(armCol === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(armCol === 1L, 1L).otherwise(0L)).as("n_b"))
+    srmProject(c)
+  }
+
+  /** The K=5 O'Brien–Fleming readout SHARED verbatim by the streaming
+    * monitor and its batch replay: rows carry `k` (0-based look) and the
+    * CUMULATIVE-through-look-k counts (na, nb, ca, cb); the pooled
+    * two-proportion z runs off the exact integers and the crossing
+    * decision is q235's 1e-9-grid integer-vs-literal convention with the
+    * same precomputed boundary table (2.040·√(5/k̂), k̂ = k+1).
+    */
+  private def obfProject(g: DataFrame): DataFrame = {
+    val pPool = (col("ca") + col("cb")).cast("double") /
+      (col("na") + col("nb")).cast("double")
+    val zv = when(col("ca") + col("cb") === 0 ||
+        col("ca") + col("cb") === col("na") + col("nb"), 0.0)
+      .otherwise(
+        (col("ca").cast("double") / col("na")
+          - col("cb").cast("double") / col("nb"))
+          / sqrt(pPool * (lit(1.0) - pPool)
+            * (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+    val bound = when(col("k") === 0, 4.561578674)
+      .when(col("k") === 1, 3.225523213)
+      .when(col("k") === 2, 2.633628675)
+      .when(col("k") === 3, 2.280789337)
+      .otherwise(2.040)
+    val crit9 = when(col("k") === 0, 4561578674L)
+      .when(col("k") === 1, 3225523213L)
+      .when(col("k") === 2, 2633628675L)
+      .when(col("k") === 3, 2280789337L)
+      .otherwise(2040000000L)
+    g.select((col("k") + 1).as("look"),
+      (col("na") + col("nb")).as("n_cum"),
+      (col("ca") + col("cb")).as("conv_cum"),
+      round(zv, 6).as("z"), bound.as("bound"),
+      (abs(round(lit(1000000000.0) * zv).cast("bigint")) >= crit9)
+        .as("crossed"))
+  }
+
+  /** Per-record look fan-out shared by both OBF faces: a unit entering
+    * at look j contributes to every cumulative look k ≥ j (≤5 rows,
+    * map-side — q122's tagged-union shape turned temporal), and each
+    * tagged row is re-timestamped to the END of look k so a windowed
+    * aggregate on `ts_k` holds exactly the cumulative-through-k counts
+    * and (in the streaming face) closes precisely when look k's data is
+    * complete.
+    */
+  private def obfFanOut(convs: DataFrame, expStartUs: Long,
+      lookLenUs: Long): DataFrame =
+    convs
+      // integer `div` (not a double floor) — exact at any epoch offset;
+      // entries before expStart clamp into look 0. Units entering AFTER
+      // the last look carry no look rows (k = −1 passthrough, filtered
+      // after the watermark node) but MUST still flow through it: every
+      // in-experiment ts_k is capped at look 5's end, so only
+      // post-experiment traffic can advance the watermark far enough to
+      // close the final look.
+      .withColumn("j", greatest(lit(0L),
+        expr(s"(unix_micros(ts) - ${expStartUs}L) div ${lookLenUs}L")))
+      .withColumn("k", explode(when(col("j") <= 4L,
+        expr("sequence(j, cast(4 as bigint))")).otherwise(array(lit(-1L)))))
+      .withColumn("ts_k", when(col("k") >= 0L, expr(
+        s"timestamp_micros(${expStartUs}L + (k + 1) * ${lookLenUs}L - 1)"))
+        .otherwise(col("ts")))
+
+  /** STREAMING group-sequential (O'Brien–Fleming) monitor — q235's
+    * pager-signal face: the sequential-testing platform's live readout
+    * that pages the moment a look's boundary is crossed instead of at
+    * the batch analysis. Input contract: ONE record per experiment unit
+    * (user) — event-time `ts` = the unit's entry, `user_id` (the arm
+    * hash is q234's), `conv` ∈ {0,1} — i.e. the attributed conversion
+    * records the funnel pipeline emits upstream. The look schedule is
+    * CONFIGURED (expStart + 5 equal looks of lookLen), the production
+    * contract for a live monitor — batch q235 derives its looks from the
+    * observed entry range instead, which no stream can know in advance.
+    *
+    * Each record fans out to its cumulative looks ([[obfFanOut]], ≤5
+    * bounded tagged rows) re-timestamped to each look's end, so ONE
+    * watermarked windowed aggregate (state: ≤5 open look windows × 4
+    * counters) emits look k's CUMULATIVE counts exactly when the
+    * watermark passes look k's end — append-mode finals, no
+    * cross-window state operator, no flatMapGroupsWithState after
+    * aggregation (unsupported), no per-unit state. The z/boundary math
+    * is [[obfProject]], shared verbatim with the batch replay;
+    * ExperimentStreamSpec proves streamed == batch per closed look and
+    * both alert polarities.
+    */
+  def obfMonitorStream(convs: DataFrame, expStart: Timestamp,
+      lookLenUs: Long, watermark: String = "2 hours"): DataFrame = {
+    val winStr = s"$lookLenUs microseconds"
+    val g = obfFanOut(convs, expStart.getTime * 1000L, lookLenUs)
+      .withWatermark("ts_k", watermark)
+      // the `OR ts_k IS NULL` disjunct is vacuous (ts_k is never null)
+      // but load-bearing: an AND conjunct gets split and `k >= 0` alone
+      // pushed below the EventTimeWatermark node (measured — the k = −1
+      // passthrough rows then die before the watermark stats and the
+      // final look never closes); an OR referencing the watermark column
+      // is unsplittable and unpushable, so the passthrough rows advance
+      // the watermark before being dropped
+      .filter(col("k") >= 0L || col("ts_k").isNull)
+      .groupBy(window(col("ts_k"), winStr).as("w"), col("k"))
+      .agg(sum(when(armCol === 0L, 1L).otherwise(0L)).as("na"),
+        sum(when(armCol === 1L, 1L).otherwise(0L)).as("nb"),
+        sum(when(armCol === 0L, col("conv")).otherwise(0L)).as("ca"),
+        sum(when(armCol === 1L, col("conv")).otherwise(0L)).as("cb"))
+    obfProject(g)
+  }
+
+  /** Batch replay of [[obfMonitorStream]] on the same rows — the spec's
+    * equality reference and the backfill face (the full 5-look table at
+    * once, ordered).
+    */
+  def obfPerLook(convs: DataFrame, expStart: Timestamp,
+      lookLenUs: Long): DataFrame = {
+    val g = obfFanOut(convs, expStart.getTime * 1000L, lookLenUs)
+      .filter(col("k") >= 0L)
+      .groupBy(col("k"))
+      .agg(sum(when(armCol === 0L, 1L).otherwise(0L)).as("na"),
+        sum(when(armCol === 1L, 1L).otherwise(0L)).as("nb"),
+        sum(when(armCol === 0L, col("conv")).otherwise(0L)).as("ca"),
+        sum(when(armCol === 1L, col("conv")).otherwise(0L)).as("cb"))
+    obfProject(g).orderBy("look")
+  }
+
   val all: Seq[QueryDef] = Seq(q80, q81, q82, q83, q134, q200, q206)
 }
