@@ -96,6 +96,54 @@ class FixedCodebookSpec extends SparkSpec {
       s"frozen-tier q44 recall $recall vs exact top-50 (16 trained cells, m=4)")
   }
 
+  test("residual sub-split: gated off below the gate, bounded bits above, near-dup recall survives forced bits") {
+    import graft.ml.Centroids.QuantizerGateRows
+    // below the gate the sub-split NEVER activates (bits = 0 → sub ≡ 0 →
+    // pairsFromCells is bit-identical to the unsplit join)
+    assert(dedup.Dedup.subSplitBits(500L) == 0)
+    assert(dedup.Dedup.subSplitBits(20000L) == 0)
+    assert(dedup.Dedup.subSplitBits(QuantizerGateRows) == 0)
+    // above it: enough bits for ~TargetBlockPop per block, capped at 12
+    assert(dedup.Dedup.subSplitBits(200000L) == 6) // sf10: 200k·4/(256·64) = 48.8 → 6
+    assert(dedup.Dedup.subSplitBits(100000000000L) == 12)
+    // forced bits over a PLANTED near-dup fixture (the base corpus's
+    // top-50 cosines are only ~0.43 — no dup structure at 500 vectors;
+    // the sub-split's contract is NEAR-DUP pairs, cos ≈ 1, exactly what
+    // the scale fixtures plant as ±5e-3 clusters): every planted clone
+    // pair whose members share a coarse cell must STAY co-blocked under
+    // the sign sub-key (per-bit agreement ~0.9955 at θ ≈ 0.014).
+    import spark.implicits._
+    val base = vecs.limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rnd = new scala.util.Random(7L)
+    val planted = base.flatMap { case (id, e) =>
+      (0 until 5).map { c =>
+        (id * 10 + c + 1000000L,
+          e.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f).toSeq)
+      }
+    }.toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val assigns = dedup.Dedup.seedCellAssignmentsFor(planted,
+      dedup.Dedup.quantizerCodebook(spark, sfDir, ForcedGate)).cache()
+    val clonePairs = base.flatMap { case (id, _) =>
+      for (i <- 0 until 5; j <- (i + 1) until 5)
+        yield (id * 10 + i + 1000000L, id * 10 + j + 1000000L)
+    }.toSet
+    val unsplit = dedup.Dedup.pairsFromCells(assigns)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val split = dedup.Dedup.pairsFromCells(assigns, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sub-split may only prune, never invent pairs
+    assert(split.subsetOf(unsplit))
+    val inCell = clonePairs.intersect(unsplit) // clone pairs the coarse blocking finds
+    assert(inCell.size >= (clonePairs.size * 0.9).toInt,
+      s"fixture degenerate: coarse blocking found only ${inCell.size}/${clonePairs.size}")
+    val kept = clonePairs.intersect(split)
+    val recall = kept.size.toDouble / inCell.size
+    assert(recall >= 0.9,
+      s"sub-split lost near-dup pairs: $recall (${kept.size}/${inCell.size} at 6 bits)")
+  }
+
   test("frozen-tier q58 cell-balanced sample: quota honored, total = Σ min(quota, pop), deterministic") {
     val quota = 5
     def sample() = {
