@@ -112,6 +112,28 @@ object VectorExprs {
   def encodeSortedGrams(a: Column, vocab: Array[String]): Column =
     toColumn(EncodeSortedGrams(ex(a), vocab))
 
+  /** Per-cell spherical IVF scores as one array — see [[CellScores]]. */
+  def cellScores(emb: Column, cents: Array[Array[Double]],
+      divideByNorm: Boolean = true): Column =
+    toColumn(CellScores(ex(emb), cents, divideByNorm))
+
+  /** Spherical argmax cell id — see [[CellArgmax]]. */
+  def cellArgmax(emb: Column, cents: Array[Array[Double]]): Column =
+    toColumn(CellArgmax(ex(emb), cents))
+
+  /** Top-m cells by (round-8 cosine desc, cell asc) — see
+    * [[TopCellsByCosine]].
+    */
+  def topCellsByCosine(emb: Column, cells: Array[Long],
+      cents: Array[Array[Double]], m: Int): Column =
+    toColumn(TopCellsByCosine(ex(emb), cells, cents, m))
+
+  /** Top-m cell ids by pre-normalized spherical score — see
+    * [[TopCellsByScore]].
+    */
+  def topCellsByScore(emb: Column, cents: Array[Array[Double]], m: Int): Column =
+    toColumn(TopCellsByScore(ex(emb), cents, m))
+
   /** Mahalanobis squared distance (x−μ)ᵀ M (x−μ) against literal μ and
     * flattened M — see [[MahalanobisSq]].
     */
@@ -135,6 +157,239 @@ object VectorExprs {
   * literal array expression would blow up codegen); codegen delegates to
   * [[compute]], keeping the projection inside whole-stage codegen.
   */
+/** Shared numerics for the centroid-scoring expressions below: they
+  * replace per-centroid LITERAL expression arrays (k struct literals of
+  * dot products) whose generated code exceeds janino's 64 KB method
+  * limit past k ≈ 100 — measured at sf1/sf10: every quantizer-family
+  * projection fell back to INTERPRETED eval, the silent 3-10× tax this
+  * module exists to avoid. The centroid matrix rides as a referenced
+  * object; per-row cost is one fused k·d primitive loop inside
+  * whole-stage codegen. All comparisons reproduce Spark SQL double
+  * ordering (±0.0 equal, NaN greatest) so results are bit-identical to
+  * the literal formulation they replace.
+  */
+private object CellNumerics {
+  /** SQLOrderingUtil.compareDoubles semantics. */
+  def cmp(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  /** Spark's round(x, 8) (RoundBase double path) — TopKNbrAgg's round8. */
+  def round8(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** dot(x, c) with [[DotProduct]]'s exact accumulation order. */
+  def dot(a: ArrayData, float: Boolean, c: Array[Double]): Double = {
+    val n = math.min(a.numElements(), c.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (float) a.getFloat(i).toDouble else a.getDouble(i)
+      s += x * c(i)
+      i += 1
+    }
+    s
+  }
+
+  /** sqrt(dot(x, x)) — the row-norm column the literal plans hoisted. */
+  def nrm(a: ArrayData, float: Boolean): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (float) a.getFloat(i).toDouble else a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+}
+
+/** Per-cell spherical IVF scores s_c = (dot(x,c)·2)/‖x‖ − |c|² (or
+  * without the norm division when the caller pre-normalized x) as one
+  * array<double> — the probe side posexplodes it where it used to
+  * explode k struct literals.
+  */
+case class CellScores(child: Expression, cents: Array[Array[Double]],
+    divideByNorm: Boolean) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  @transient private lazy val sq: Array[Double] =
+    cents.map(c => { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
+  @transient private lazy val float = CellNumerics.isFloat(child)
+
+  def compute(a: ArrayData): ArrayData = {
+    val out = new Array[Double](cents.length)
+    val n = if (divideByNorm) CellNumerics.nrm(a, float) else 1.0
+    var ci = 0
+    while (ci < cents.length) {
+      val d = CellNumerics.dot(a, float, cents(ci))
+      out(ci) = if (divideByNorm) d * 2 / n - sq(ci) else d * 2 - sq(ci)
+      ci += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellScores", this, classOf[CellScores].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CellScores =
+    copy(child = newChild)
+}
+
+/** argmax cell under the spherical score (ties → lowest cell id) — the
+  * corpus-side assignment in one fused loop; replaces
+  * −array_max(struct(s, −ci) literals).nid.
+  */
+case class CellArgmax(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  @transient private lazy val sq: Array[Double] =
+    cents.map(c => { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
+  @transient private lazy val float = CellNumerics.isFloat(child)
+
+  def compute(a: ArrayData): Int = {
+    val n = CellNumerics.nrm(a, float)
+    var best = 0
+    var bestS = Double.NaN
+    var ci = 0
+    while (ci < cents.length) {
+      val s = CellNumerics.dot(a, float, cents(ci)) * 2 / n - sq(ci)
+      if (ci == 0 || CellNumerics.cmp(s, bestS) > 0) { best = ci; bestS = s }
+      ci += 1
+    }
+    best
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellArgmax", this, classOf[CellArgmax].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CellArgmax =
+    copy(child = newChild)
+}
+
+/** Top-`m` cells by (round-8 cosine desc, cell id asc) as
+  * array<struct<cell:bigint, c:double>> — the seed/codebook blocking
+  * quantizer's per-row assignment (Dedup.seedCellAssignmentsFor, q58's
+  * primary cell at m = 1), bit-identical to the
+  * slice(array_sort(struct(−cos, cell) literals)) form it replaces:
+  * cosine = round8(dot/(nrm·snrm)) with the identical operand order, and
+  * the (−c, cell) sort reproduces SQL double ordering (±0.0 equal).
+  */
+case class TopCellsByCosine(child: Expression, cells: Array[Long],
+    cents: Array[Array[Double]], m: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("cell", LongType, nullable = false),
+      StructField("c", DoubleType, nullable = false))), containsNull = false)
+  @transient private lazy val snrm: Array[Double] =
+    cents.map(c => { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; math.sqrt(s) })
+  @transient private lazy val float = CellNumerics.isFloat(child)
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = CellNumerics.nrm(a, float)
+    val k = cents.length
+    val cos = new Array[Double](k)
+    var ci = 0
+    while (ci < k) {
+      cos(ci) = CellNumerics.round8(
+        CellNumerics.dot(a, float, cents(ci)) / (n * snrm(ci)))
+      ci += 1
+    }
+    // selection of the top-m by (c desc, cell asc): cells[] ascend by
+    // construction, so a stable scan with cmp > 0 replacement reproduces
+    // the array_sort order
+    val take = math.min(m, k)
+    val idx = Array.tabulate(k)(identity)
+    // partial selection sort — m is tiny (≤ 4)
+    var p = 0
+    while (p < take) {
+      var bi = p
+      var i = p + 1
+      while (i < k) {
+        val c = CellNumerics.cmp(cos(idx(i)), cos(idx(bi)))
+        if (c > 0 || (c == 0 && cells(idx(i)) < cells(idx(bi)))) bi = i
+        i += 1
+      }
+      val t = idx(p); idx(p) = idx(bi); idx(bi) = t
+      p += 1
+    }
+    val out = new Array[Any](take)
+    p = 0
+    while (p < take) {
+      out(p) = org.apache.spark.sql.catalyst.InternalRow(cells(idx(p)), cos(idx(p)))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topCells", this, classOf[TopCellsByCosine].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TopCellsByCosine =
+    copy(child = newChild)
+}
+
+/** Top-`m` cell ids by (spherical score desc, cell id asc) over a
+  * PRE-NORMALIZED vector (s = 2·dot − |c|²) as array<int> — probeScored's
+  * per-query probe list in one projection, replacing the
+  * slice(array_sort(struct(−s, ci) literals)) form (same codegen-limit
+  * story as [[CellScores]]).
+  */
+case class TopCellsByScore(child: Expression, cents: Array[Array[Double]],
+    m: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val sq: Array[Double] =
+    cents.map(c => { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
+  @transient private lazy val float = CellNumerics.isFloat(child)
+
+  def compute(a: ArrayData): ArrayData = {
+    val k = cents.length
+    val sc = new Array[Double](k)
+    var ci = 0
+    while (ci < k) {
+      sc(ci) = CellNumerics.dot(a, float, cents(ci)) * 2 - sq(ci)
+      ci += 1
+    }
+    val take = math.min(m, k)
+    val idx = Array.tabulate(k)(identity)
+    var p = 0
+    while (p < take) {
+      var bi = p
+      var i = p + 1
+      while (i < k) {
+        val c = CellNumerics.cmp(sc(idx(i)), sc(idx(bi)))
+        if (c > 0 || (c == 0 && idx(i) < idx(bi))) bi = i
+        i += 1
+      }
+      val t = idx(p); idx(p) = idx(bi); idx(bi) = t
+      p += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(idx, take))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topCellsScore", this,
+      classOf[TopCellsByScore].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TopCellsByScore =
+    copy(child = newChild)
+}
+
 case class MahalanobisSq(child: Expression, mean: Array[Double],
     m: Array[Double]) extends UnaryExpression {
   override def dataType: DataType = DoubleType

@@ -576,17 +576,12 @@ object Similarity {
   private[graft] def ivfTopK(s: SparkSession, d: String, nProbe: Int, k: Int,
       q: Array[Double] = qvArray): DataFrame = {
     val cents = graft.ml.Centroids.centers(s, d)
-    // spherical assignment: argmin_c |x/‖x‖ − c|² = argmax_c (2·x·c/‖x‖ − |c|²)
-    val cellScores = array(cents.indices.map { ci =>
-      struct(
-        ((VectorExprs.dotProduct(col("embedding"), typedlit(cents(ci))) * 2 / col("nrm"))
-          - lit(sqNorm(cents(ci)))).as("s"),
-        lit(-ci).as("nid"))
-    }: _*)
+    // spherical assignment: argmin_c |x/‖x‖ − c|² = argmax_c (2·x·c/‖x‖ − |c|²),
+    // one referenced-object fused loop (VectorExprs.CellArgmax — the
+    // per-centroid literal structs broke codegen past k ≈ 100)
     val probes = probeCells(cents, nProbe, q)
     Tables.embeddings(s, d)
-      .withColumn("nrm", sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))))
-      .withColumn("cell_id", -array_max(cellScores).getField("nid"))
+      .withColumn("cell_id", VectorExprs.cellArgmax(col("embedding"), cents))
       .filter(col("cell_id").isin(probes: _*))
       .select(col("vec_id"), col("label"), col("cell_id"), cosTo(q).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
@@ -618,30 +613,20 @@ object Similarity {
     val cents = if (centsOverride != null) centsOverride
       else graft.ml.Centroids.centers(s, d)
     val nProbe = if (nProbeOpt > 0) nProbeOpt else ivfNProbe(cents.length)
-    val qCellScore = array(cents.indices.map { ci =>
-      struct(
-        ((VectorExprs.dotProduct(col("qvec"), typedlit(cents(ci))) * 2 / col("qnrm"))
-          - lit(sqNorm(cents(ci)))).as("s"),
-        lit(ci).as("cell_id"))
-    }: _*)
+    // query and corpus sides score cells with the SAME referenced-object
+    // numerics (VectorExprs.CellScores/CellArgmax — the per-centroid
+    // literal structs broke codegen past k ≈ 100)
     val byCellScore = Window.partitionBy("qid").orderBy(desc("s"), asc("cell_id"))
     val probes = queries
-      .withColumn("qnrm", sqrt(VectorExprs.dotProduct(col("qvec"), col("qvec"))))
-      .select(col("qid"), col("qvec"), explode(qCellScore).as("c"))
-      .select(col("qid"), col("qvec"), col("c.s").as("s"), col("c.cell_id").as("cell_id"))
+      .select(col("qid"), col("qvec"),
+        posexplode(VectorExprs.cellScores(col("qvec"), cents))
+          .as(Seq("cell_id", "s")))
       .withColumn("rk", row_number().over(byCellScore))
       .filter(col("rk") <= nProbe)
       .select("qid", "qvec", "cell_id")
-    val corpusCellScore = array(cents.indices.map { ci =>
-      struct(
-        ((VectorExprs.dotProduct(col("embedding"), typedlit(cents(ci))) * 2 / col("nrm"))
-          - lit(sqNorm(cents(ci)))).as("s"),
-        lit(-ci).as("nid"))
-    }: _*)
     val byCos = Window.partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
     Tables.embeddings(s, d)
-      .withColumn("nrm", sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))))
-      .withColumn("cell_id", -array_max(corpusCellScore).getField("nid"))
+      .withColumn("cell_id", VectorExprs.cellArgmax(col("embedding"), cents))
       .join(broadcast(probes), "cell_id")
       .select(col("qid"), col("vec_id"), col("label"),
         round(VectorExprs.cosineSim(col("embedding"), col("qvec")), 8).as("cos_sim"))
@@ -956,12 +941,8 @@ object Similarity {
     val subDim = 64 / nSub
     val qdiv = transform(col("qvec"),
       x => x / sqrt(VectorExprs.dotProduct(col("qvec"), col("qvec"))))
-    val cellScore = array(cents.indices.map { ci =>
-      struct(
-        (-(VectorExprs.dotProduct(col("qdiv"), typedlit(cents(ci))) * 2
-          - lit(sqNorm(cents(ci))))).as("ns"),
-        lit(ci).as("ci"))
-    }: _*)
+    // probe list in one referenced-object projection (same codegen-limit
+    // story as ivfBatchTopK; stays a pure projection for the stream path)
     val topk = org.apache.spark.sql.GraftBridge.column(
       graft.functions.TopKNbrAgg(
         org.apache.spark.sql.GraftBridge.expression(col("nadc")),
@@ -969,8 +950,9 @@ object Similarity {
         k).toAggregateExpression())
     queries
       .withColumn("qdiv", qdiv)
-      .withColumn("pc", explode(slice(array_sort(cellScore), 1, nProbe)))
-      .select(col("query_id"), col("qvec"), col("pc.ci").as("cell_id"))
+      .withColumn("cell_id",
+        explode(VectorExprs.topCellsByScore(col("qdiv"), cents, nProbe)))
+      .select(col("query_id"), col("qvec"), col("cell_id"))
       .join(index, "cell_id")
       .select(col("query_id"), col("vec_id"),
         (-VectorExprs.adcScoreVec(col("qvec"), col("codes"),
@@ -1087,17 +1069,14 @@ object Similarity {
       |WHERE rn <= $QuotaPerCell
       |ORDER BY cell, vec_id""".stripMargin) { (s, d) =>
     val seeds = graft.dedup.Dedup.seedVectors(s, d)
-    // primary cell in ONE codegen'd projection: max (rounded cos, -cell)
-    // struct == row_number()=1 under (c DESC, cell ASC); the row norm is
-    // hoisted so the k-seed array costs k dots, not k·(dot + 2 norms)
-    val cellScores = array(seeds.toIndexedSeq.map { case (cid, sv) =>
-      struct(graft.dedup.Dedup.seedCosine(sv).as("c"),
-        lit(-cid).as("nid"))
-    }: _*)
+    // primary cell in ONE referenced-object projection (m = 1 of the
+    // shared TopCellsByCosine — same (c DESC, cell ASC) order the old
+    // max-(rounded cos, −cell)-struct literals encoded, without the k
+    // literal expressions that broke codegen past k ≈ 100)
     val prim = Tables.embeddings(s, d)
-      .withColumn("nrm", sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))))
       .select(col("vec_id"), col("label"),
-        (-array_max(cellScores).getField("nid")).as("cell"))
+        element_at(VectorExprs.topCellsByCosine(col("embedding"),
+          seeds.map(_._1), seeds.map(_._2), 1), 1).getField("cell").as("cell"))
     val w = Window.partitionBy("cell").orderBy("vec_id")
     prim
       .withColumn("rn", row_number().over(w))
