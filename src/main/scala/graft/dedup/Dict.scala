@@ -74,8 +74,10 @@ object Dict {
         .select(explode(array_distinct(
           graft.functions.VectorExprs.charNgrams(col("text"), 3))).as("g"))
         .distinct().orderBy("g")
-        .limit(GramVocabCap).take(GramVocabCap)
-      require(rows.length < GramVocabCap,
+        // fetch one PAST the cap: limit(Cap) cannot distinguish
+        // |V| == Cap (fits) from |V| > Cap (overflow)
+        .limit(GramVocabCap + 1).take(GramVocabCap + 1)
+      require(rows.length <= GramVocabCap,
         s"char-3-gram vocabulary exceeds the $GramVocabCap driver bound — " +
           "switch this corpus to the distributed rankIds dictionary")
       rows.map(_.getString(0))

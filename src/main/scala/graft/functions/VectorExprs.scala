@@ -173,6 +173,18 @@ private object CellNumerics {
   def cmp(x: Double, y: Double): Int =
     if (x == y) 0 else java.lang.Double.compare(x, y)
 
+  /** [[cmp]] with NaN ranked BELOW every finite value — the descending
+    * selection order of the slice(array_sort(struct(−c, cell))) form
+    * these expressions replaced: −NaN = NaN sorts LAST ascending, so a
+    * NaN score (zero-norm codebook entry ÷ 0) must lose to any finite
+    * score, where raw Double.compare would rank it first.
+    */
+  def cmpNanLast(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if (xn && yn) 0 else if (xn) -1 else if (yn) 1 else cmp(x, y)
+  }
+
   /** Spark's round(x, 8) (RoundBase double path) — TopKNbrAgg's round8. */
   def round8(x: Double): Double =
     if (x.isNaN || x.isInfinite) x
@@ -283,7 +295,9 @@ case class CellArgmax(child: Expression, cents: Array[Array[Double]])
   * primary cell at m = 1), bit-identical to the
   * slice(array_sort(struct(−cos, cell) literals)) form it replaces:
   * cosine = round8(dot/(nrm·snrm)) with the identical operand order, and
-  * the (−c, cell) sort reproduces SQL double ordering (±0.0 equal).
+  * the (−c, cell) sort reproduces SQL double ordering (±0.0 equal,
+  * NaN — a zero-norm codebook entry's ÷0 — ranked LAST like −NaN sorts
+  * last ascending, via [[CellNumerics.cmpNanLast]]).
   */
 case class TopCellsByCosine(child: Expression, cells: Array[Long],
     cents: Array[Array[Double]], m: Int) extends UnaryExpression {
@@ -315,7 +329,7 @@ case class TopCellsByCosine(child: Expression, cells: Array[Long],
       var bi = p
       var i = p + 1
       while (i < k) {
-        val c = CellNumerics.cmp(cos(idx(i)), cos(idx(bi)))
+        val c = CellNumerics.cmpNanLast(cos(idx(i)), cos(idx(bi)))
         if (c > 0 || (c == 0 && cells(idx(i)) < cells(idx(bi)))) bi = i
         i += 1
       }

@@ -876,8 +876,13 @@ object Events {
   private def obfProject(g: DataFrame): DataFrame = {
     val pPool = (col("ca") + col("cb")).cast("double") /
       (col("na") + col("nb")).cast("double")
+    // degenerate looks pin z = 0 (no alert): no conversions, all
+    // conversions, or an EMPTY ARM — na/nb = 0 would make ca/na NaN and
+    // a NaN z turns `crossed` into NULL, silently breaking boolean
+    // consumers of the alert flag
     val zv = when(col("ca") + col("cb") === 0 ||
-        col("ca") + col("cb") === col("na") + col("nb"), 0.0)
+        col("ca") + col("cb") === col("na") + col("nb") ||
+        col("na") === 0 || col("nb") === 0, 0.0)
       .otherwise(
         (col("ca").cast("double") / col("na")
           - col("cb").cast("double") / col("nb"))
@@ -923,9 +928,20 @@ object Events {
         expr(s"(unix_micros(ts) - ${expStartUs}L) div ${lookLenUs}L")))
       .withColumn("k", explode(when(col("j") <= 4L,
         expr("sequence(j, cast(4 as bigint))")).otherwise(array(lit(-1L)))))
-      .withColumn("ts_k", when(col("k") >= 0L, expr(
-        s"timestamp_micros(${expStartUs}L + (k + 1) * ${lookLenUs}L - 1)"))
-        .otherwise(col("ts")))
+      // ts_k is wrapped KnownNullable: the streaming face's watermark
+      // guard is an `OR ts_k IS NULL` disjunct whose unpushability is
+      // the point — if the source's ts is non-nullable, a bare CaseWhen
+      // would infer ts_k non-nullable, NullPropagation would fold the
+      // IsNull to false, and `k >= 0` alone would be pushed below the
+      // EventTimeWatermark node (killing the k = −1 passthrough rows
+      // that close the final look). The tag makes the guard independent
+      // of input nullability; eval/codegen pass straight through.
+      .withColumn("ts_k", org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.KnownNullable(
+          org.apache.spark.sql.GraftBridge.expression(
+            when(col("k") >= 0L, expr(
+              s"timestamp_micros(${expStartUs}L + (k + 1) * ${lookLenUs}L - 1)"))
+              .otherwise(col("ts"))))))
 
   /** STREAMING group-sequential (O'Brien–Fleming) monitor — q235's
     * pager-signal face: the sequential-testing platform's live readout
@@ -954,13 +970,16 @@ object Events {
     val winStr = s"$lookLenUs microseconds"
     val g = obfFanOut(convs, expStart.getTime * 1000L, lookLenUs)
       .withWatermark("ts_k", watermark)
-      // the `OR ts_k IS NULL` disjunct is vacuous (ts_k is never null)
-      // but load-bearing: an AND conjunct gets split and `k >= 0` alone
-      // pushed below the EventTimeWatermark node (measured — the k = −1
-      // passthrough rows then die before the watermark stats and the
-      // final look never closes); an OR referencing the watermark column
-      // is unsplittable and unpushable, so the passthrough rows advance
-      // the watermark before being dropped
+      // the `OR ts_k IS NULL` disjunct is vacuous at runtime (ts_k is
+      // never null) but load-bearing: an AND conjunct gets split and
+      // `k >= 0` alone pushed below the EventTimeWatermark node
+      // (measured — the k = −1 passthrough rows then die before the
+      // watermark stats and the final look never closes); an OR
+      // referencing the watermark column is unsplittable and unpushable,
+      // so the passthrough rows advance the watermark before being
+      // dropped. ts_k carries a KnownNullable tag (see obfFanOut) so
+      // NullPropagation can never fold the disjunct away, whatever the
+      // source's ts nullability
       .filter(col("k") >= 0L || col("ts_k").isNull)
       .groupBy(window(col("ts_k"), winStr).as("w"), col("k"))
       .agg(sum(when(armCol === 0L, 1L).otherwise(0L)).as("na"),

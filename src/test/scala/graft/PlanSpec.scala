@@ -614,12 +614,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
-  test("q204 prefix-filter: gram df counts combine map-side, candidate join is keyed") {
+  test("q204 prefix-filter: bucket-collapse pair plan, keyed joins, dict df combines map-side") {
     val plan = planOf("q204_prefix_filter_join")
-    assert(plan.contains("partial_count"),
-      s"gram df counts must combine map-side:\n$plan")
+    // the r12 dictionary rework moved the shingle-df aggregate into the
+    // cached dict build (rankIds' zipWithIndex severs lineage), so q204's
+    // own plan must show: the checkpointed per-doc artifact read back as
+    // an RDD scan, a map-side-combined prefix-bucket build, the ARRAY
+    // dedup (bucket collapse) before any pair exists, and keyed verify
+    // joins — never a cartesian.
+    assert(plan.contains("Scan ExistingRDD"),
+      s"per-doc artifact must be the localCheckpoint scan:\n$plan")
+    assert(plan.contains("partial_collect_set"),
+      s"prefix-bucket build must combine map-side:\n$plan")
+    assert("hashpartitioning\\(ids#".r.findFirstIn(plan).isDefined,
+      s"duplicate prefix buckets must collapse via a distinct on the id arrays:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"candidates must form inside prefix-gram buckets, never a cartesian:\n$plan")
+    // the df aggregate the old guard watched lives in the dict-build job
+    val dictPlan = graft.dedup.Dedup.shingleVocabDf(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(dictPlan.contains("partial_count"),
+      s"shingle df counts must combine map-side in the dict build:\n$dictPlan")
   }
 
   test("q205 ACF: one corpus aggregate, lags ride the bounded hour table") {
