@@ -79,6 +79,18 @@ object Tables {
   def embeddingsCount(s: SparkSession, d: String): Long =
     embCountMemo.computeIfAbsent((s, d),
       { _ => java.lang.Long.valueOf(embeddings(s, d).count()) }).longValue()
+
+  /** Memoized `documents` row count — same catalog-statistic stand-in as
+    * [[embeddingsCount]], shared by the corpus-size gates that pick a
+    * plan (q204's factored path) or a storage level (the shingle dict)
+    * by corpus regime.
+    */
+  private val docCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+  Memos.register { () => docCountMemo.clear() }
+  def documentsCount(s: SparkSession, d: String): Long =
+    docCountMemo.computeIfAbsent((s, d),
+      { _ => java.lang.Long.valueOf(documents(s, d).count()) }).longValue()
 }
 
 /** Registry for the engine's session-lifetime memo caches (cached
