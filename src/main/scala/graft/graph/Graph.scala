@@ -186,8 +186,10 @@ object Graph {
     * was last assigned.
     */
   def labelPropagation(edges0: DataFrame, seeds: DataFrame, nIter: Int): DataFrame = {
-    val spark = edges0.sparkSession
-    import org.apache.spark.sql.expressions.Window
+    // The per-vote argmax is an order-free min(struct(-n, label))
+    // aggregate instead of a row_number window: identical winner (max
+    // count, smallest label on ties), but it aggregates partially
+    // map-side and needs no per-round sort (r13).
     val fwd = edges0.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(false)
@@ -195,16 +197,16 @@ object Graph {
       .select(col("vec_id"), col("label"), col("is_seed"),
         lit(null).cast("long").as("n_support"))
       .localCheckpoint(false)
-    val byVote = Window.partitionBy("src").orderBy(desc("n"), asc("nbr_label"))
     for (_ <- 1 to nIter) {
       val votes = edges
         .join(state.filter(col("label").isNotNull)
           .select(col("vec_id").as("dst"), col("label").as("nbr_label")), "dst")
         .groupBy(col("src"), col("nbr_label"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(byVote))
-        .filter(col("rk") === 1)
-        .select(col("src").as("vec_id"), col("nbr_label"), col("n"))
+        .groupBy(col("src").as("vec_id"))
+        .agg(min(struct((-col("n")).as("nn"), col("nbr_label").as("nbr_label"))).as("m"))
+        .select(col("vec_id"), col("m.nbr_label").as("nbr_label"),
+          (-col("m.nn")).as("n"))
       state = state.join(votes, Seq("vec_id"), "left")
         .select(
           col("vec_id"),

@@ -423,17 +423,17 @@ object MlPrep {
     val hist = ev.groupBy("event_type", "value")
       .agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def quant(p: Double, name: String): DataFrame = {
-      val df = graft.operators.Relational.exactGroupQuantile(
-        hist, Seq("event_type"), "value", p, name)
-        .select("event_type", name)
-      val rows = df.take(1024)
-      require(rows.length < 1024, "stat-table driver read overflow")
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-    }
-    val stats = quant(0.25, "q1")
-      .join(quant(0.5, "med"), "event_type")
-      .join(quant(0.75, "q3"), "event_type")
+    // all three quantiles of the SAME histogram in one bucket pass + one
+    // boundary join (r13: the per-p helper ran the full chain three
+    // times), localized once — same interpolation expressions, so the
+    // stat values are bit-identical to the sequential form's
+    val qdf = graft.operators.Relational.exactGroupQuantiles(
+      hist, Seq("event_type"), "value",
+      Seq(0.25 -> "q1", 0.5 -> "med", 0.75 -> "q3"))
+      .select("event_type", "q1", "med", "q3")
+    val rows = qdf.take(1024)
+    require(rows.length < 1024, "stat-table driver read overflow")
+    val stats = s.createDataFrame(java.util.Arrays.asList(rows: _*), qdf.schema)
       .withColumnRenamed("event_type", "et")
     hist.unpersist(false)
     ev.join(broadcast(stats), col("event_type") === col("et"))

@@ -1363,11 +1363,19 @@ object Relational {
       .withColumn("sess", sum("new_sess").over(w))
     val w2 = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
     val pos = sess.withColumn("pos", row_number().over(w2))
-    val firstP = pos.groupBy("user_id", "sess")
-      .agg(min(when(col("event_type") === "purchase", col("pos"))).as("ppos"))
-    val kept = pos.join(firstP, Seq("user_id", "sess"))
+    // r13: the first-purchase position is a whole-partition window MIN
+    // over the SAME (user_id, sess) partitioning the position window
+    // already established — the old aggregate-and-join-back re-ran the
+    // whole double-window chain on both join inputs (and the two
+    // consumers below re-ran the join again). One window column, no
+    // join; the two consumers then branch off one checkpointed frame.
+    val kept = pos
+      .withColumn("ppos",
+        min(when(col("event_type") === "purchase", col("pos")))
+          .over(Window.partitionBy("user_id", "sess")))
       .filter(col("ppos").isNull || col("pos") <= col("ppos"))
       .withColumn("nxt", lead(col("event_type"), 1).over(w2))
+      .localCheckpoint()
     val starts = kept.filter(col("pos") === 1)
       .select(lit("START").as("from_t"),
         when(col("event_type") === "purchase", "CONV")
@@ -1879,11 +1887,16 @@ object Relational {
       |WHERE n_ab >= 5
       |ORDER BY lift DESC, brand_a, brand_b
       |LIMIT 20""".stripMargin) { (s, d) =>
+    // r13: the basket table feeds THREE branches (order count, singles,
+    // pairs) whose different column prunings defeat ReuseExchange — the
+    // scan+join+collect_set chain ran three times. One localCheckpoint
+    // of the bounded O(orders) basket table (q174's fix).
     val baskets = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
       .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+      .localCheckpoint()
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     val singles = baskets
       .select(explode(col("brands")).as("brand"))
@@ -2018,6 +2031,11 @@ object Relational {
       |  JOIN nrm nb ON pr.brand_b = nb.brand
       |ORDER BY cosine DESC, brand_a, brand_b
       |LIMIT 20""".stripMargin) { (s, d) =>
+    // the (customer, brand) purchase matrix feeds BOTH the norms and the
+    // pairs branch; column pruning gives the two subtrees different read
+    // schemas, so ReuseExchange never fires and the 3-table join chain
+    // ran twice (r13) — localCheckpoint materializes the bounded
+    // O(customers × brands) matrix once and both branches read it
     val cb = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
       .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
@@ -2025,6 +2043,7 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey", "p_brand")
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val norms = cb.groupBy("p_brand")
       .agg(sum(col("cnt") * col("cnt")).as("ss"))
     val pairs = cb
@@ -2851,7 +2870,48 @@ object Relational {
       valCol: String, p: Double, outCol: String,
       bucketWidth: Double = 1024.0): DataFrame = {
     val g = groupCols.map(col)
-    val rankOf: Column => Column = n => lit(p) * (n - 1).cast("double")
+    exactGroupQuantiles(hist, groupCols, valCol, Seq(p -> outCol), bucketWidth)
+      .select(g :+ col("n") :+ col(outCol): _*)
+  }
+
+  /** Multi-p [[exactGroupQuantile]]: ALL requested quantiles of the same
+    * histogram in ONE bucket pass + ONE boundary join (r13 — q199 was
+    * paying the full chain three times for q1/med/q3 of one histogram).
+    * The per-p arithmetic is expression-for-expression the single-p
+    * form's (same IEEE interpolation), just keyed by an extra literal
+    * `q_p` column, so outputs are bit-identical. Output: (groupCols…, n,
+    * one column per requested quantile).
+    */
+  private[graft] def exactGroupQuantiles(hist: DataFrame,
+      groupCols: Seq[String], valCol: String, ps: Seq[(Double, String)],
+      bucketWidth: Double = 1024.0): DataFrame = {
+    val g = groupCols.map(col)
+    val stats = exactGroupOrderStats(hist, groupCols, valCol, ps, bucketWidth)
+    val interp = when(floor(col("qr")) === ceil(col("qr")), col("qlo"))
+      .otherwise((ceil(col("qr")) - col("qr")) * col("qlo") +
+        (col("qr") - floor(col("qr"))) * col("qhi"))
+    // pivot the ≤|ps| rows per group back to one column per quantile —
+    // a bounded conditional aggregate, never a corpus op
+    val perP = stats.select(g :+ col("n") :+ col("q_p") :+ interp.as("q_v"): _*)
+    perP.groupBy(g: _*).agg(
+      max(col("n")).as("n"),
+      ps.map { case (p, name) =>
+        max(when(col("q_p") === lit(p), col("q_v"))).as(name)
+      }: _*)
+  }
+
+  /** The selection core shared by [[exactGroupQuantiles]] and q218's
+    * exact pair-slope median: per (group, p) the EXACT order statistics
+    * at ranks floor(p·(n−1)) and ceil(p·(n−1)) — `qlo`/`qhi` — plus `n`
+    * and the fractional rank `qr`, located via bucket prefix sums +
+    * a rank window over the boundary buckets only (never a per-group
+    * corpus sort). Callers apply their own combining arithmetic so
+    * IEEE op order matches whatever form their oracle replays.
+    */
+  private[graft] def exactGroupOrderStats(hist: DataFrame,
+      groupCols: Seq[String], valCol: String, ps: Seq[(Double, String)],
+      bucketWidth: Double = 1024.0): DataFrame = {
+    val g = groupCols.map(col)
     val bhist = hist
       .groupBy(g :+ floor(col(valCol) / lit(bucketWidth)).as("qbucket"): _*)
       .agg(sum("cnt").as("bcnt"))
@@ -2862,31 +2922,33 @@ object Relational {
       .withColumn("bcum_start", col("bcum_end") - col("bcnt"))
       .withColumn("n",
         sum("bcnt").over(wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    // buckets holding either endpoint rank: [start,end) ∋ floor(r) or
-    // ceil(r) ⇔ start <= ceil(r) ∧ floor(r) < end (ceil−floor ≤ 1)
-    val boundary = bcum
-      .filter(col("bcum_start") <= ceil(rankOf(col("n"))) &&
-        floor(rankOf(col("n"))) < col("bcum_end"))
-      .select(g :+ col("qbucket") :+ col("bcum_start") :+ col("n"): _*)
-    val wV = Window.partitionBy(g :+ col("qbucket"): _*).orderBy(valCol)
+    // buckets holding either endpoint rank of SOME requested p:
+    // [start,end) ∋ floor(r) or ceil(r) ⇔ start <= ceil(r) ∧ floor(r) <
+    // end (ceil−floor ≤ 1). One boundary row per (group, p) bucket hit —
+    // a bucket serving two ps appears once per p, tagged by the literal.
+    val boundary = ps.map { case (p, _) =>
+      val r = lit(p) * (col("n") - 1).cast("double")
+      bcum
+        .filter(col("bcum_start") <= ceil(r) && floor(r) < col("bcum_end"))
+        .select(g :+ col("qbucket") :+ col("bcum_start") :+ col("n") :+
+          lit(p).as("q_p"): _*)
+    }.reduce(_ unionByName _)
+    val wV = Window.partitionBy(g :+ col("q_p") :+ col("qbucket"): _*)
+      .orderBy(valCol)
     val ranked = hist
       .withColumn("qbucket", floor(col(valCol) / lit(bucketWidth)))
       .join(broadcast(boundary), groupCols :+ "qbucket")
       .withColumn("cum_end", col("bcum_start") +
         sum("cnt").over(wV.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cum_start", col("cum_end") - col("cnt"))
-    val r = rankOf(col("n"))
-    val agg = ranked.groupBy(g: _*).agg(
+    val r = col("q_p") * (col("n") - 1).cast("double")
+    ranked.groupBy(g :+ col("q_p"): _*).agg(
       max(col("n")).as("n"),
-      max(rankOf(col("n"))).as("qr"),
+      max(r).as("qr"),
       max(when(col("cum_start") <= floor(r) && floor(r) < col("cum_end"),
         col(valCol))).as("qlo"),
       max(when(col("cum_start") <= ceil(r) && ceil(r) < col("cum_end"),
         col(valCol))).as("qhi"))
-    agg.select(g :+ col("n") :+
-      when(floor(col("qr")) === ceil(col("qr")), col("qlo"))
-        .otherwise((ceil(col("qr")) - col("qr")) * col("qlo") +
-          (col("qr") - floor(col("qr"))) * col("qhi")).as(outCol): _*)
   }
 
   // q195 — ROBUST outlier detection (median/MAD): q96 z-scores against
@@ -3376,10 +3438,15 @@ object Relational {
       col("l_returnflag").as("flag"),
       expr("cast(round(l_quantity) as bigint)").as("qv"),
       expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+    // r13: the joint histogram feeds the two margin-rank branches AND the
+    // final moment aggregate with different column prunings (no exchange
+    // reuse) — the corpus aggregate ran three times. localCheckpoint the
+    // bounded (flag, qv, pb) table once (q174's fix).
     val j = li.groupBy(col("flag"), col("qv"), expr("cents div 1000").as("pb"))
       .agg(count(lit(1)).as("cnt"),
         sum("cents").as("scents"),
         sum(expr("cast(cents as decimal(19,0)) * cents")).as("scents2"))
+      .localCheckpoint()
     val cum = Window.partitionBy("flag")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val mx = j.groupBy("flag", "qv").agg(sum("cnt").as("cx"))
@@ -3627,17 +3694,13 @@ object Relational {
       expr("ts_us div 604800000000").as("wk"),
       expr("cast(round(value * 100) as bigint) div 500").as("b"))
     // ONE corpus shuffle total: the bounded (week × 500-cent-bucket)
-    // histogram persists, driver-reads (q199's stat-table discipline,
-    // capped), and releases — so the grid/smoothing/term algebra below,
-    // which needs h along four branches (wktot, dom, the left join, the
-    // baseline week), runs on a LOCAL bounded table instead of
-    // re-aggregating the events corpus once per branch.
-    val hBig = e.groupBy("wk", "b").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hRows = hBig.take(1 << 20)
-    require(hRows.length < (1 << 20), "week×bucket histogram driver overflow")
-    val h = s.createDataFrame(java.util.Arrays.asList(hRows: _*), hBig.schema)
-    hBig.unpersist(false)
+    // histogram localCheckpoints (eager) so the grid/smoothing/term
+    // algebra below — wktot, dom, the left join, the baseline week —
+    // branches off one materialized table instead of re-aggregating the
+    // events corpus per branch. r13: was a driver take + LocalRelation,
+    // which embedded the table in every downstream task binary (q221's
+    // fix, same rationale).
+    val h = e.groupBy("wk", "b").agg(count(lit(1)).as("c")).localCheckpoint()
     val wktot = h.groupBy("wk").agg(sum("c").as("nw"))
     val dom = h.select("b").distinct()
     // bounded scalars read off the LOCAL histogram, not corpus scans
@@ -3794,18 +3857,37 @@ object Relational {
     val h0 = h.agg(min("hi").as("h0"))
     val hb = h.crossJoin(broadcast(h0))
       .select(col("event_type"), (col("hi") - col("h0")).as("x"), col("n"))
+    // the x-diff divisor is null-guarded even though the join residual
+    // already excludes x_a = x_b: the r13 histogram tail fuses this
+    // projection into the join+partial-agg codegen stage, where ANSI
+    // evaluates the group key before the residual culls equal-x matches
+    // — a null divisor yields a null slope on rows that never survive,
+    // instead of DIVIDE_BY_ZERO on rows that never existed
     val pairs = hb.as("a").join(hb.as("b"),
         col("a.event_type") === col("b.event_type") && col("a.x") < col("b.x"))
       .select(col("a.event_type").as("event_type"),
         ((col("b.n") - col("a.n")).cast("double")
-          / (col("b.x") - col("a.x")).cast("double")).as("slope"))
-    val r = pairs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("event_type").orderBy("slope")))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
-    val med = r.filter(expr("rn = (cnt + 1) div 2 or rn = cnt div 2 + 1"))
-      .groupBy("event_type")
-      .agg(max("cnt").as("n_pairs"), (sum("slope") / count(lit(1))).as("ts_raw"))
+          / when(col("b.x") =!= col("a.x"), col("b.x") - col("a.x"))
+            .cast("double")).as("slope"))
+    // r13: the slope median used to be a row_number window over the FULL
+    // O(hours²)-per-type pair stream — ~29M rows sorted inside ≤
+    // |event_type| partitions, the worst single-key skew in the catalog
+    // (guide §2.5). Slopes are ratios of small integer diffs, so the
+    // stream collapses ~60× into a (type, slope) histogram with map-side
+    // partials, and the two middle ranks come from the shared two-level
+    // order-stat selection (bucket prefix sums + a boundary-bucket rank
+    // window — exactGroupOrderStats) instead of a per-type global sort.
+    // Exact-value equivalence: for p = 0.5 the selected qlo/qhi ARE the
+    // ranks (cnt+1)÷2 and cnt÷2+1 the window form kept, and
+    // (qlo + qhi)/2 reproduces sum(slope)/count over those two rows
+    // IEEE-exactly (odd n: one rank, qlo passes through unaveraged).
+    val hist = pairs.groupBy(col("event_type"), col("slope"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = exactGroupOrderStats(hist, Seq("event_type"), "slope",
+        Seq(0.5 -> "m"), bucketWidth = 0.0078125)
+      .select(col("event_type"), col("n").as("n_pairs"),
+        when(floor(col("qr")) === ceil(col("qr")), col("qlo"))
+          .otherwise((col("qlo") + col("qhi")) / 2.0).as("ts_raw"))
     val ols = hb.groupBy("event_type").agg(
       count(lit(1)).as("m"),
       sum("x").as("sx"), sum("n").as("sy"),
@@ -3992,16 +4074,18 @@ object Relational {
     val l = Tables.lineitem(s, d).select(
       col("l_quantity").cast("bigint").as("q"),
       expr("cast(round(l_extendedprice * 100) as bigint) div 10000").as("pb"))
-    // ONE corpus shuffle total: the bounded joint histogram persists,
-    // driver-reads (q213's stat-table discipline, capped), and releases —
-    // the grid, both margins, and the total all branch off a LOCAL
-    // bounded table instead of re-aggregating the corpus per branch.
-    val hBig = l.groupBy("q", "pb").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hRows = hBig.take(1 << 21)
-    require(hRows.length < (1 << 21), "quantity×price-bucket grid overflow")
-    val h = s.createDataFrame(java.util.Arrays.asList(hRows: _*), hBig.schema)
-    hBig.unpersist(false)
+    // ONE corpus shuffle total: the bounded joint histogram
+    // localCheckpoints (eager — one materializing job) so the grid, both
+    // margins, and the total all branch off the SAME materialized table
+    // instead of re-aggregating the corpus per branch. r13: this used to
+    // take() the ~50k-row histogram to the driver and re-embed it as a
+    // LocalRelation — which ships the whole table inside EVERY downstream
+    // stage's task binary ("Broadcasting large task binary" warnings, and
+    // the grid/window stages burned more time deserializing closures than
+    // computing). Checkpointed RDD blocks stay distributed; downstream
+    // plans reference them by id. The output plan still carries zero
+    // FileScans (the r11-stats plan pin).
+    val h = l.groupBy("q", "pb").agg(count(lit(1)).as("c")).localCheckpoint()
     val qd = h.select("q").distinct()
     val pd = h.select("pb").distinct()
     val grid = qd.crossJoin(broadcast(pd))

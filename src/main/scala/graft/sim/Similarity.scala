@@ -357,8 +357,18 @@ object Similarity {
     */
   private[graft] def q52TopKAgg(s: SparkSession, d: String,
       maxBuildRows: Long = MaxBuildRows, k: Int = 3): DataFrame = {
+    // The exact tier is CAPPED at ExactKnnMaxRows vectors, so its probe
+    // side is one or two parquet splits — and the O(n²·d) pair work of
+    // the nested-loop join inherits that near-serial scan parallelism
+    // (measured at sf0.1: the whole 2M-pair dot-product stage ran as one
+    // task). Round-robin the bounded probe side across the cluster
+    // first: the exchange moves ≤ 4096 skinny rows — noise — while the
+    // quadratic pair stage gains full parallelism (r13; guide §6's
+    // scan-parallelism floor, applied where the work is quadratic in the
+    // scanned rows).
     val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
       sqrt(VectorExprs.dotProduct(col("embedding"), col("embedding"))).as("nrm"))
+      .repartition(s.sparkContext.defaultParallelism)
     // the MEMOIZED corpus count sizes the grid (one action per (session,
     // dir), not per invocation — at cluster scale this is a catalog
     // statistic); n ≤ maxBuildRows keeps the original single-broadcast
@@ -1766,77 +1776,105 @@ object Similarity {
     val (adjT, entryT) = tables.getOrElse(nswTables(s, d))
     val q = queries.select(col("qid"), col("qvec"),
       sqrt(VectorExprs.dotProduct(col("qvec"), col("qvec"))).as("qnrm")).cache()
+    // iteration shuffle width follows the BEAM TABLE's volume (queries ×
+    // beam ≈ its row count), not the session default — pageRankCore's
+    // rule: a small probe batch must not pay maxHops × near-empty sort
+    // tasks, a huge one still fans out to 4× cluster parallelism. The
+    // count also eagerly materializes the query cache.
+    val parts = math.max(1L, math.min(q.count() * beam / 50000L + 1L,
+      s.sparkContext.defaultParallelism * 4L)).toInt
     val byCos = Window.partitionBy("qid").orderBy(desc("cos"), asc("node"))
+    // ONE window pass — a single exchange+sort on qid — both TRUNCATES a
+    // candidate beam to `beam` rows and computes every per-hop annotation
+    // the loop reads (the r13 rework: the old loop paid one window job
+    // for the annotations plus a second rank job for the truncation, and
+    // its visited-set checkpoint recomputed the hop join a second time —
+    // 4 jobs per hop where the search owes 2):
+    //   rk    global (cos desc, id) rank — beam cut and top-k liveness;
+    //   urk   rank among the UNEXPANDED (a running count in the same
+    //         sort order — for an unexpanded row inside the beam every
+    //         better unexpanded row is also inside, so this equals the
+    //         old per-(qid, expanded)-partition row_number, without the
+    //         second exchange that partition key forced);
+    //   tu/kth/bestu  the ef-search liveness terms (single-query rule
+    //         verbatim — beam-restricted via rk, strict-< stop);
+    //   fr    the frontier flag: top-`expand` unexpanded of a live query.
+    def annotate(cand: DataFrame): DataFrame = {
+      val wq = Window.partitionBy("qid")
+      val run = byCos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cand
+        .repartition(parts, col("qid"))
+        .withColumn("rk", row_number().over(byCos))
+        .withColumn("urk",
+          sum(when(col("expanded"), 0).otherwise(1)).over(run))
+        .withColumn("tu",
+          max(when(col("rk") <= k && !col("expanded"), 1).otherwise(0)).over(wq))
+        .withColumn("kth", min(when(col("rk") <= k, col("cos"))).over(wq))
+        .withColumn("bestu",
+          max(when(!col("expanded") && col("rk") <= beam, col("cos"))).over(wq))
+        .filter(col("rk") <= beam)
+        .withColumn("fr", !col("expanded") && col("urk") <= expand &&
+          col("bestu").isNotNull && (col("tu") === 1 || col("bestu") >= col("kth")))
+        .select("qid", "node", "cos", "expanded", "fr")
+    }
     // seed every query's WHOLE beam from the √n hub layer (one
     // broadcast-entry pass over the query table), exactly like the
     // single-query take(beam) — or, for huge query tables, route
     // through the super-hub layer first (entryProbes, O(n^1/4) hub
-    // scores per query instead of O(√n))
+    // scores per query instead of O(√n)); the seed pass runs through
+    // the same annotate so hop 1 starts from a flagged beam
     val entry = s.table(entryT)
       .select(col("vec_id").as("node"), col("embedding"), col("nrm"))
-    var beamDf = entryProbes.map(p =>
+    var beamDf = annotate(entryProbes.map(p =>
         nswHierarchicalSeeds(s, entryT, q, beam, p, entryMargin))
       .getOrElse(q.crossJoin(broadcast(entry))
         .select(col("qid"), col("node"),
           (VectorExprs.dotProduct(col("embedding"), col("qvec")) /
             (col("nrm") * col("qnrm"))).as("cos"))
-        .withColumn("rk", row_number().over(byCos)).filter(col("rk") <= beam)
-        .select(col("qid"), col("node"), col("cos"), lit(false).as("expanded")))
+        .select(col("qid"), col("node"), col("cos"), lit(false).as("expanded"))))
       .localCheckpoint()
-    var visitedDf = beamDf.select("qid", "node").localCheckpoint()
+    // the visited set is a UNION of already-materialized pieces — the
+    // checkpointed seed beam plus each hop's persisted `fresh` (cached as
+    // a side effect of the beam checkpoint job) — so maintaining it costs
+    // no job of its own (the old eager visited checkpoint re-ran the hop
+    // join); the per-hop anti-join reads the cached pieces in place
+    var visitedDf = beamDf.select("qid", "node")
+    val freshFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var hops = 0
     var live = true
     while (hops < maxHops && live) {
-      // ONE window pass over the beam computes everything the hop needs:
-      // per-query ef-search liveness (the single-query rule verbatim — a
-      // query stays live while some top-k beam node is unexpanded OR its
-      // best unexpanded candidate still ties/beats its k-th score,
-      // strict-< stop) and the frontier flag (top-`expand` among the
-      // unexpanded — ranked within the (qid, expanded) partition so no
-      // second filtered window is needed). All of it shuffles once on
-      // qid; converged queries contribute no frontier rows, so the
-      // amortized hop shrinks as the batch drains.
-      val wq = Window.partitionBy("qid")
-      val byCosU = Window.partitionBy(col("qid"), col("expanded"))
-        .orderBy(desc("cos"), asc("node"))
-      val annotated = beamDf
-        .withColumn("rk", row_number().over(byCos))
-        .withColumn("urk", row_number().over(byCosU))
-        .withColumn("tu",
-          max(when(col("rk") <= k && !col("expanded"), 1).otherwise(0)).over(wq))
-        .withColumn("kth", min(when(col("rk") <= k, col("cos"))).over(wq))
-        .withColumn("bestu", max(when(!col("expanded"), col("cos"))).over(wq))
-        .withColumn("fr", !col("expanded") && col("urk") <= expand &&
-          col("bestu").isNotNull && (col("tu") === 1 || col("bestu") >= col("kth")))
-        .select("qid", "node", "cos", "expanded", "fr")
-        .localCheckpoint()
-      val frontier = annotated.filter(col("fr"))
-        .select(col("qid"), col("node"),
-          pmod(col("node"), lit(NswBuckets.toLong)).as("nbucket"))
-        .join(q, "qid")
-      // one tiny driver read doubles as the liveness probe and the
-      // partition-pruning literal (≤ NswBuckets values)
-      val buckets = frontier.select("nbucket").distinct()
-        .collect().map(_.getLong(0)).toSeq
+      // one tiny driver read over the checkpointed beam doubles as the
+      // liveness probe and the partition-pruning literal (≤ NswBuckets
+      // values); converged queries contribute no frontier rows, so the
+      // amortized hop shrinks as the batch drains
+      val buckets = beamDf.filter(col("fr"))
+        .select(pmod(col("node"), lit(NswBuckets.toLong)).as("nbucket"))
+        .distinct().collect().map(_.getLong(0)).toSeq
       if (buckets.isEmpty) live = false
       else {
+        val frontier = beamDf.filter(col("fr"))
+          .select(col("qid"), col("node"))
+          .join(q, "qid")
         val fresh = nswBatchHop(s, adjT, frontier, buckets)
-          .join(visitedDf, Seq("qid", "node"), "left_anti")
           .groupBy("qid", "node").agg(max("cos").as("cos"))
-          .select(col("qid"), col("node"), col("cos"), lit(false).as("expanded"))
-        beamDf = annotated
-          .select(col("qid"), col("node"), col("cos"),
-            (col("expanded") || col("fr")).as("expanded"))
-          .unionByName(fresh)
-          .withColumn("rk", row_number().over(byCos)).filter(col("rk") <= beam)
-          .drop("rk")
+          .join(visitedDf, Seq("qid", "node"), "left_anti")
+          .persist()
+        freshFrames += fresh
+        beamDf = annotate(beamDf
+            .select(col("qid"), col("node"), col("cos"),
+              (col("expanded") || col("fr")).as("expanded"))
+            .unionByName(fresh
+              .select(col("qid"), col("node"), col("cos"),
+                lit(false).as("expanded"))))
           .localCheckpoint()
         visitedDf = visitedDf.unionByName(fresh.select("qid", "node"))
-          .localCheckpoint()
         hops += 1
       }
     }
     q.unpersist()
+    // the result reads only the final CHECKPOINTED beam — the cached
+    // fresh pieces existed for the visited-set anti-joins and can drop now
+    freshFrames.foreach(_.unpersist())
     beamDf
       .withColumn("rk", row_number().over(byCos)).filter(col("rk") <= k)
       .select(col("qid"), col("node"), col("cos"))

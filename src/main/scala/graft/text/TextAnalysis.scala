@@ -1294,17 +1294,28 @@ object TextAnalysis {
       |FROM sh JOIN firsts USING (sh)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // r13 shape: never join the O(corpus-shingles) stream back to itself.
+    // n_shingles is a per-doc count (map-side partials shrink the stream
+    // to O(docs) rows before its exchange) and n_novel is a count over
+    // the firsts aggregate grouped by the winning doc — so the one FAT
+    // exchange left is the groupBy(sh) the semantics owe, carrying a
+    // 16-byte unhex(md5) key instead of the 32-char hex string (same
+    // distinctness bijectively, half the shuffle bytes). The old plan
+    // shuffled the full shingle stream twice more (join back on sh +
+    // per-doc groupBy of the joined stream).
     val shingles = Tables.documents(s, d)
       .select(col("doc_id"), expr(tokensExpr).as("toks"))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, size(toks) - 7)," +
-          " i -> md5(concat_ws(' ', slice(toks, i, 8))))"))).as("sh"))
-    val firsts = shingles.groupBy("sh").agg(min("doc_id").as("first_doc"))
-    shingles.join(firsts, "sh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          " i -> unhex(md5(concat_ws(' ', slice(toks, i, 8)))))"))).as("sh"))
+    val totals = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val novel = shingles.groupBy("sh").agg(min("doc_id").as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty", col("n_novel").cast("double") / col("n_shingles"))
       .orderBy("doc_id")
   }
