@@ -48,17 +48,6 @@ object Bench {
       // q141). 4096 groups × O(k)-sized buffers is a few MB per task.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "4096"))
-      // let AQE size post-shuffle partitions by BYTES (the advisory
-      // target), not by cluster parallelism: with the default
-      // parallelismFirst=true every tiny aggregate keeps >= cores
-      // near-empty partitions and the catalog's many bounded stat-table
-      // shuffles each pay cores × task overhead; with byte-sized
-      // coalescing a small shuffle collapses to a task or two while a
-      // 100 TB shuffle still fans out to size. This is the setting
-      // Spark's own tuning doc recommends ("recommended to set this
-      // config to false"); guide §2.2.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
       // scale checkpoints override: group counts and row-group fan-out
       // must track the corpus (see Verify.scala for the rationale)
       .config("spark.sql.files.maxPartitionBytes",

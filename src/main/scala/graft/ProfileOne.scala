@@ -47,8 +47,6 @@ object ProfileOne {
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "4096"))
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
       .config("spark.ui.enabled", "false")
       // dev lever: SPARK_GRAFT_PROFILE_CONF="k1=v1;k2=v2" for A/B conf runs
       .config(sys.env.get("SPARK_GRAFT_PROFILE_CONF").toSeq

@@ -21,11 +21,6 @@ object Verify {
       // checkpoint corpus fan out across cores.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "4096"))
-      // see Bench.scala: byte-sized AQE partition coalescing (the Spark
-      // tuning doc's recommended setting) — bounded stat-table shuffles
-      // collapse instead of keeping cores × near-empty partitions
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
       // see Bench.scala: bound cross-query shuffle-file retention on

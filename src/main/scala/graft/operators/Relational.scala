@@ -1887,16 +1887,11 @@ object Relational {
       |WHERE n_ab >= 5
       |ORDER BY lift DESC, brand_a, brand_b
       |LIMIT 20""".stripMargin) { (s, d) =>
-    // r13: the basket table feeds THREE branches (order count, singles,
-    // pairs) whose different column prunings defeat ReuseExchange — the
-    // scan+join+collect_set chain ran three times. One localCheckpoint
-    // of the bounded O(orders) basket table (q174's fix).
     val baskets = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
       .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
-      .localCheckpoint()
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     val singles = baskets
       .select(explode(col("brands")).as("brand"))
@@ -2031,11 +2026,6 @@ object Relational {
       |  JOIN nrm nb ON pr.brand_b = nb.brand
       |ORDER BY cosine DESC, brand_a, brand_b
       |LIMIT 20""".stripMargin) { (s, d) =>
-    // the (customer, brand) purchase matrix feeds BOTH the norms and the
-    // pairs branch; column pruning gives the two subtrees different read
-    // schemas, so ReuseExchange never fires and the 3-table join chain
-    // ran twice (r13) — localCheckpoint materializes the bounded
-    // O(customers × brands) matrix once and both branches read it
     val cb = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
       .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
@@ -2043,7 +2033,6 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey", "p_brand")
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
     val norms = cb.groupBy("p_brand")
       .agg(sum(col("cnt") * col("cnt")).as("ss"))
     val pairs = cb
@@ -3438,15 +3427,10 @@ object Relational {
       col("l_returnflag").as("flag"),
       expr("cast(round(l_quantity) as bigint)").as("qv"),
       expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
-    // r13: the joint histogram feeds the two margin-rank branches AND the
-    // final moment aggregate with different column prunings (no exchange
-    // reuse) — the corpus aggregate ran three times. localCheckpoint the
-    // bounded (flag, qv, pb) table once (q174's fix).
     val j = li.groupBy(col("flag"), col("qv"), expr("cents div 1000").as("pb"))
       .agg(count(lit(1)).as("cnt"),
         sum("cents").as("scents"),
         sum(expr("cast(cents as decimal(19,0)) * cents")).as("scents2"))
-      .localCheckpoint()
     val cum = Window.partitionBy("flag")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val mx = j.groupBy("flag", "qv").agg(sum("cnt").as("cx"))
