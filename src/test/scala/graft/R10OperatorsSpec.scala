@@ -64,6 +64,56 @@ class R10OperatorsSpec extends SparkSpec {
     } finally System.clearProperty("graft.pf.gate.docs")
   }
 
+  test("q204 factored plan's top-k threshold raise is exact (planted witnesses)") {
+    // The r13 raise: with >= takeN same-core pairs, the takeN-th best
+    // same-core jaccard J0 certifies the output's cut line and the
+    // cross-core prefix machinery reruns at tauRun = max(tau, J0 - 1e-7).
+    // Planted corpus: 3 clusters x 8 replicas (identical 50-token cores,
+    // one df=1 single each -> J = 50/52) plus one cross-core near-dup
+    // pair (60-token cores differing in one token, J = 59/61) that BEATS
+    // the same-core witnesses and must still surface through the raised
+    // blocking. Expected top-5 is computed by brute force over the same
+    // planted sets.
+    import spark.implicits._
+    val S = 1000L // tids below S are df=1 singles
+    def doc(id: Long, core: Seq[Long], single: Option[Long]) = {
+      val toks = (core ++ single.toSeq).sorted
+      (id, toks, toks.length.toLong)
+    }
+    val clusters = for {
+      c <- 0 until 3; m <- 0 until 8
+      core = (0 until 50).map(i => 2000L + 100L * c + i)
+    } yield doc(10L * c + 10L + m, core, Some(8L * c + m))
+    val crossA = doc(100L, (0 until 60).map(3000L + _), None)
+    val crossB = doc(101L, (0 until 59).map(3000L + _) :+ 3100L, None)
+    val all = clusters :+ crossA :+ crossB
+    val docsDf = all.toDF("doc_id", "toks", "n")
+    val got = dedup.Dedup.prefixFilterJoinFactored(
+        spark, docsDf, singles = S, tau = 0.5, takeN = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Double]("jaccard")))
+    val sets = all.map { case (id, toks, _) => id -> toks.toSet }.toMap
+    val brute = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      inter = (sa & sb).size
+      j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.5
+    } yield (a, b, inter.toLong, sa.size.toLong, sb.size.toLong, j))
+      .sortBy { case (a, b, _, _, _, j) => (-j, a, b) }
+      .take(5)
+    assert(got.length == 5, s"expected 5 rows, got ${got.length}")
+    got.zip(brute).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 &&
+        g._4 == e._4 && g._5 == e._5 && math.abs(g._6 - e._6) < 1e-9,
+        s"row mismatch: got $g expected $e")
+    }
+    // the cross-core near-dup must head the list: it beats the witnesses
+    assert(got.head._1 == 100L && got.head._2 == 101L && got.head._3 == 59L)
+  }
+
   test("q204 reported intersections equal the recomputed gram-set overlaps") {
     // every surviving pair must share at least one token — and with
     // exact verification the reported inter must equal |A∩B| recomputed
