@@ -35,7 +35,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // full artifacts are named by core count so a low-core scaling run
+    // minutes later cannot overwrite the main run's per-query record
+    // (r13 lost its 32-core full artifact exactly that way)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_FULL_${cpus}c.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -219,6 +223,13 @@ object Bench {
     // the driver contract: exactly one JSON line, same keys as ever (rc
     // added: 0 = every catalog query ran; 1 = invalid run, see `errors`)
     println(s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"queries":$qs,"sf":"$sfDir"}""")
+    // ADDITION (r14, VERDICT-r13 item 2): with 234 queries the contract
+    // line is ~15 KB and the driver retains only a 2000-char stdout tail,
+    // so it has parsed nothing since r05. Print a SECOND, SHORT summary
+    // line LAST — small enough that any tail capture holds it whole. The
+    // full per-query record lives in the $outPath artifact (per-config
+    // name, committed); the contract line above is unchanged.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"n_queries":${timedNames.size},"cpus":$cpus,"full_artifact":"$outPath","sf":"$sfDir"}""")
     spark.stop()
     if (rc != 0) sys.exit(rc)
   }

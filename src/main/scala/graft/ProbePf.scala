@@ -11,6 +11,13 @@ import graft.dedup.Dedup
   * decides whether the verify funnel fits on disk at a given SF. Pure
   * measurement: no query output, no persisted state beyond the session.
   *
+  * NOTE (ADVICE r13): this probes the FLOOR-THRESHOLD regime (extended
+  * prefix + AND gate). Since the r13 two-regime split, production runs
+  * with takeN = 100 usually take the RAISED-threshold regime
+  * (tauRun = max(tau, J₀ − 1e-7), classic prefix) instead — so these
+  * cardinalities bound the fallback funnel, not necessarily the plan
+  * that actually executes when the raise fires.
+  *
   * Usage: SPARK_GRAFT_SF_DIR=gen/sf10 SPARK_GRAFT_CPUS=32 \
   *   tools/run_main.sh graft.ProbePf
   */

@@ -91,6 +91,33 @@ object Tables {
   def documentsCount(s: SparkSession, d: String): Long =
     docCountMemo.computeIfAbsent((s, d),
       { _ => java.lang.Long.valueOf(documents(s, d).count()) }).longValue()
+
+  /** Scan-width fan-out for LONG per-row CPU kernels over an unsplit
+    * input (guide §2.5's unsplittable-input rule: "repartition
+    * immediately after the read"). Fires only when BOTH
+    *   (a) `rows >= gateRows` — the serial kernel would run long enough
+    *       that one round-robin exchange of skinny rows is noise against
+    *       it (measured at sf0.1: fanning out ~0.5 s kernels multiplied
+    *       total task time ~20× in per-task overhead + GC churn and made
+    *       wall WORSE — small kernels must stay fused with the scan), and
+    *   (b) the frame's scan yields fewer splits than the cluster's
+    *       parallelism (at 100 TB the file set out-splits the cluster, so
+    *       this is the identity — no corpus exchange is ever added where
+    *       data already fans out; the r13 measurement that rejected
+    *       unconditional post-scan repartitions).
+    * Callers pass `rows` from a memoized catalog-statistic count
+    * ([[embeddingsCount]]/[[documentsCount]]).
+    *
+    * Only order-free consumers may use this (integer/exact aggregates,
+    * bounded top-k aggregates, per-row math): repartitioning reorders
+    * rows, which would perturb last-ulp sums in cross-row double
+    * aggregates.
+    */
+  def fanOutWide(df: DataFrame, rows: Long, gateRows: Long = 65536L): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (rows >= gateRows && df.rdd.getNumPartitions < p) df.repartition(p)
+    else df
+  }
 }
 
 /** Registry for the engine's session-lifetime memo caches (cached

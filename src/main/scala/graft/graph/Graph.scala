@@ -13,6 +13,33 @@ import graft.QueryDef
   */
 object Graph {
 
+  /** Memoized SYMMETRIC kNN adjacency per (session, dir, k): both
+    * orientations of the cached q57 graph, deduplicated, cached
+    * hash-partitioned on `dst` (r14). Three loop operators (q135 label
+    * propagation, q187 BFS, q236 coreness) each re-derived this exact
+    * table per invocation — a union + corpus-edge distinct shuffle every
+    * run at any scale — and then joined it per round on `dst`, paying an
+    * edge-side exchange every round because the derived table carried no
+    * useful partitioning. The memo builds it once per session (charged
+    * to the bench warm-up pass like every session memo), and the `dst`
+    * hash partitioning lets each round's state join reuse the edge
+    * side's layout — only the O(n) state table moves per round, the
+    * pageRankCore discipline.
+    */
+  private val symEdgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+  graft.Memos.register { () =>
+    symEdgesMemo.values.forEach(df => df.unpersist(false))
+    symEdgesMemo.clear()
+  }
+  def symKnnEdgesCached(s: SparkSession, d: String, k: Int): DataFrame =
+    symEdgesMemo.computeIfAbsent((s, d, k), { _ =>
+      val fwd = graft.sim.Similarity.approxKnnGraphCached(s, d, k)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().repartition(col("dst")).cache()
+    })
+
   /** Distributed PageRank over a directed edge list (`src`, `dst`
     * columns). Rank convention sums to N (teleport term `1 − d` per
     * node), so scores are comparable across graph sizes.
@@ -185,14 +212,20 @@ object Graph {
     * state; n_support is the winning vote count from the round the label
     * was last assigned.
     */
-  def labelPropagation(edges0: DataFrame, seeds: DataFrame, nIter: Int): DataFrame = {
+  def labelPropagation(edges0: DataFrame, seeds: DataFrame, nIter: Int,
+      symEdges: Option[DataFrame] = None): DataFrame = {
     // The per-vote argmax is an order-free min(struct(-n, label))
     // aggregate instead of a row_number window: identical winner (max
     // count, smallest label on ties), but it aggregates partially
     // map-side and needs no per-round sort (r13).
-    val fwd = edges0.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
+    // symEdges: caller-provided pre-symmetrized cached adjacency (the
+    // [[symKnnEdgesCached]] memo) — skips the per-invocation union +
+    // distinct shuffle; the inline derivation stays for generic callers.
+    val edges = symEdges.getOrElse {
+      val fwd = edges0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(false)
+    }
     var state = seeds
       .select(col("vec_id"), col("label"), col("is_seed"),
         lit(null).cast("long").as("n_support"))
@@ -237,7 +270,8 @@ object Graph {
       .select(col("vec_id"),
         when(col("vec_id") % 5 === 0, col("label")).as("label"),
         (col("vec_id") % 5 === 0).as("is_seed"))
-    labelPropagation(edges, seeds, nIter = 4)
+    labelPropagation(edges, seeds, nIter = 4,
+      symEdges = Some(symKnnEdgesCached(s, d, 3)))
       .filter(!col("is_seed") && col("label").isNotNull)
       .select(col("vec_id"), col("label").as("pred_label"), col("n_support"))
       .orderBy("vec_id")
@@ -255,19 +289,26 @@ object Graph {
     * WHOLE level, so rounds = graph diameter, not node count — the
     * level-synchronous shape that scales.
     */
-  def bfsLayers(edges0: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
-    val fwd = edges0.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
+  def bfsLayers(edges0: DataFrame, seeds: DataFrame, maxDepth: Int,
+      symEdges: Option[DataFrame] = None): DataFrame = {
+    val edges = symEdges.getOrElse {
+      val fwd = edges0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(false)
+    }
     var visited = seeds.select(col("id"), lit(0L).as("depth"))
       .localCheckpoint(false)
     var frontier = visited
     var d = 0
     while (d < maxDepth && frontier.limit(1).count() > 0) {
       d += 1
+      // the frontier expands through the DST side of the symmetric edge
+      // set ({src : dst ∈ frontier} ≡ {dst : src ∈ frontier} — both
+      // orientations are present), so the join reuses the memo's `dst`
+      // hash partitioning and only the frontier moves
       frontier = frontier
-        .join(edges, col("id") === col("src"))
-        .select(col("dst").as("id")).distinct()
+        .join(edges, col("id") === col("dst"))
+        .select(col("src").as("id")).distinct()
         .join(visited.select(col("id").as("vid")), col("id") === col("vid"),
           "left_anti")
         .select(col("id"), lit(d.toLong).as("depth"))
@@ -291,7 +332,8 @@ object Graph {
     val seeds = graft.Tables.embeddings(s, d)
       .filter(col("vec_id") % 250 === 0)
       .select(col("vec_id").as("id"))
-    val reached = bfsLayers(edges, seeds, maxDepth = 20)
+    val reached = bfsLayers(edges, seeds, maxDepth = 20,
+      symEdges = Some(symKnnEdgesCached(s, d, 3)))
     val all = graft.Tables.embeddings(s, d).select(col("vec_id").as("id"))
     val withDepth = all
       .join(reached.select(col("id").as("rid"), col("depth")),
@@ -475,11 +517,14 @@ object Graph {
     * the changed-node count every 2nd round (pageRankConverged's
     * cadence); lineage truncates per round. Returns (states, rounds).
     */
-  def coreness(edges0: DataFrame, maxIter: Int = 40): (DataFrame, Int) = {
+  def coreness(edges0: DataFrame, maxIter: Int = 40,
+      symEdges: Option[DataFrame] = None): (DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
-    val fwd = edges0.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
+    val edges = symEdges.getOrElse {
+      val fwd = edges0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(false)
+    }
     var state = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("long").as("c"))
       .localCheckpoint(false)
@@ -524,7 +569,7 @@ object Graph {
   // node in the induced max-core subgraph keeps ≥ k_max neighbors).
   val q236: QueryDef = QueryDef.rowsOnly("q236_kcore") { (s, d) =>
     val edges = graft.sim.Similarity.approxKnnGraphCached(s, d, 3)
-    coreness(edges)._1
+    coreness(edges, symEdges = Some(symKnnEdgesCached(s, d, 3)))._1
       .groupBy("c").agg(count(lit(1)).as("n_nodes"))
       .select(col("c").as("coreness"), col("n_nodes"))
       .orderBy(desc("coreness"))

@@ -634,15 +634,41 @@ object Similarity {
       .withColumn("rk", row_number().over(byCellScore))
       .filter(col("rk") <= nProbe)
       .select("qid", "qvec", "cell_id")
-    val byCos = Window.partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
-    Tables.embeddings(s, d)
+    // Per-query top-k as the bounded TopKNbr aggregate, not a row_number
+    // window (r14, VERDICT-r13 item 4): the scored join output is
+    // ~Q·nProbe·(N/cells) rows — QUADRATIC in corpus size with the
+    // ceil(cells/2) probe budget — and the window exchanged + sorted all
+    // of it per qid (at sf10: ~190M scored rows through one exchange, the
+    // 198 s decade-grower). The aggregate's map-side partials cut each
+    // task's stream to ≤k rows per qid before the ONE exchange of
+    // O(Q·k) partials; no sort. Ordering is identical: the window ranked
+    // by (round-8 cos desc, vec_id asc), and TopKNbr ranks survivors by
+    // (round-8 cos desc, id asc) with an ε-slack buffer (the q203/q52
+    // precedent, oracle hash-green there) — `label` rides packed into the
+    // id as (vec_id << 4) | label, monotone in vec_id (labels are 0..9,
+    // spec-pinned; vec_id < 2^40), so ties break exactly as before.
+    // fanOutWide: the quadratic per-row kernel (cellArgmax + cosine per
+    // probed pair) must not run serial on an unsplit scan — past the
+    // 65536-row gate the corpus round-robins once; identity at 100 TB
+    // (splits > cores) and at bench SFs (2000 rows — measured: fanning
+    // out sub-second kernels is a wall regression).
+    val topk = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.TopKNbrAgg(
+        org.apache.spark.sql.GraftBridge.expression(col("c")),
+        org.apache.spark.sql.GraftBridge.expression(col("pid")),
+        k).toAggregateExpression())
+    Tables.fanOutWide(Tables.embeddings(s, d), Tables.embeddingsCount(s, d))
       .withColumn("cell_id", VectorExprs.cellArgmax(col("embedding"), cents))
       .join(broadcast(probes), "cell_id")
-      .select(col("qid"), col("vec_id"), col("label"),
-        round(VectorExprs.cosineSim(col("embedding"), col("qvec")), 8).as("cos_sim"))
-      .withColumn("rk", row_number().over(byCos))
-      .filter(col("rk") <= k)
-      .select("qid", "vec_id", "label", "cos_sim")
+      .select(col("qid"),
+        (shiftleft(col("vec_id"), 4) + col("label")).as("pid"),
+        VectorExprs.cosineSim(col("embedding"), col("qvec")).as("c"))
+      .groupBy("qid").agg(topk.as("nbrs"))
+      .select(col("qid"), explode(col("nbrs")).as("nbr"))
+      .select(col("qid"),
+        shiftright(col("nbr._2"), 4).as("vec_id"),
+        col("nbr._2").bitwiseAND(lit(15L)).cast("int").as("label"),
+        col("nbr._1").as("cos_sim"))
       .orderBy(asc("qid"), desc("cos_sim"), asc("vec_id"))
   }
 
@@ -675,14 +701,26 @@ object Similarity {
     val queries = Tables.embeddings(s, d)
       .filter(pmod(col("vec_id"), lit(37L)) === lit(1L))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val byCos = Window.partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
-    val exact = Tables.embeddings(s, d)
+    // exact ground truth via the bounded TopKNbr aggregate instead of a
+    // per-qid row_number window (r14): the sampled pair stream is
+    // O(corpus·sample) — the window exchanged and sorted all of it, the
+    // aggregate ships ≤10 rows per (qid, task). Identical ranking
+    // ((round-8 cos desc, vec_id asc) — q203 precedent); fanOutWide
+    // parallelizes the pair kernel past the corpus gate, identity below
+    // it and at cluster scale.
+    val topkE = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.TopKNbrAgg(
+        org.apache.spark.sql.GraftBridge.expression(col("c")),
+        org.apache.spark.sql.GraftBridge.expression(col("vec_id")),
+        10).toAggregateExpression())
+    val exact = Tables.fanOutWide(Tables.embeddings(s, d),
+        Tables.embeddingsCount(s, d))
       .crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"),
-        round(VectorExprs.cosineSim(col("embedding"), col("qvec")), 8).as("cos_sim"))
-      .withColumn("rk", row_number().over(byCos))
-      .filter(col("rk") <= 10)
-      .select("qid", "vec_id")
+        VectorExprs.cosineSim(col("embedding"), col("qvec")).as("c"))
+      .groupBy("qid").agg(topkE.as("nbrs"))
+      .select(col("qid"), explode(col("nbrs")).as("nbr"))
+      .select(col("qid"), col("nbr._2").as("vec_id"))
     val levels = (Seq(1, 2, 4, 8).filter(_ < cents.length) :+ cents.length)
     val perLevel = levels.map { np =>
       val hits = ivfBatchTopK(s, d, queries, 10, np)
@@ -1842,6 +1880,10 @@ object Similarity {
     val freshFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var hops = 0
     var live = true
+    // try/finally (ADVICE r13): a failed hop job mid-search must not leak
+    // up to maxHops persisted `fresh` frames into the session's cache for
+    // its lifetime — unpersist them on ANY exit path
+    try {
     while (hops < maxHops && live) {
       // one tiny driver read over the checkpointed beam doubles as the
       // liveness probe and the partition-pruning literal (≤ NswBuckets
@@ -1871,10 +1913,12 @@ object Similarity {
         hops += 1
       }
     }
-    q.unpersist()
-    // the result reads only the final CHECKPOINTED beam — the cached
-    // fresh pieces existed for the visited-set anti-joins and can drop now
-    freshFrames.foreach(_.unpersist())
+    } finally {
+      q.unpersist()
+      // the result reads only the final CHECKPOINTED beam — the cached
+      // fresh pieces existed for the visited-set anti-joins and can drop now
+      freshFrames.foreach(_.unpersist())
+    }
     beamDf
       .withColumn("rk", row_number().over(byCos)).filter(col("rk") <= k)
       .select(col("qid"), col("node"), col("cos"))

@@ -476,14 +476,21 @@ class PlanSpec extends SparkSpec {
 
   test("q172 basket rules: part broadcast, map-side pair partials, top-20 as TakeOrdered") {
     val plan = planOf("q172_market_basket")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"part dimension must broadcast onto lineitem:\n$plan")
+    // the basket subtree sits behind a lazy localCheckpoint since r14
+    // (three consumers shared one corpus scan) — pin its broadcast shape
+    // on the factored builder, and the downstream shape on the outer plan
+    val basketPlan = operators.Relational
+      .q172Baskets(spark, sfDir).queryExecution.executedPlan.toString
+    assert(basketPlan.contains("BroadcastHashJoin"),
+      s"part dimension must broadcast onto lineitem:\n$basketPlan")
     assert(plan.contains("partial_count"),
       s"pair counts must combine map-side (O(brands²) keys):\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-20 must be TakeOrdered, not a global sort:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"only the 1-row n_orders crossJoin may appear (as BNLJ):\n$plan")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"),
+      s"the shared basket table must be checkpoint-shared, not recomputed per branch:\n$plan")
   }
 
   test("q173 profile: one corpus scan, multi-distinct rides one Expand") {
@@ -496,6 +503,14 @@ class PlanSpec extends SparkSpec {
 
   test("q174 affinity: dot products aggregate map-side, top-20 as TakeOrdered") {
     val plan = planOf("q174_brand_affinity")
+    // cb sits behind a lazy localCheckpoint since r14 — pin the corpus
+    // subtree's broadcast-dimension shape on the factored builder
+    val cbPlan = operators.Relational
+      .q174Cb(spark, sfDir).queryExecution.executedPlan.toString
+    assert(cbPlan.contains("BroadcastHashJoin"),
+      s"part dimension must broadcast onto lineitem in the cb build:\n$cbPlan")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"),
+      s"the shared cb table must be checkpoint-shared, not recomputed per branch:\n$plan")
     assert(plan.contains("partial_sum"),
       s"dot aggregate must combine map-side:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
